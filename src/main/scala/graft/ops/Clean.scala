@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text/numeric cleaning functions — the reference's F-layer
+  * (SURVEY.md §2.4) re-expressed as pure `Column => Column` transforms so
+  * every one of them stays inside whole-stage codegen (zero UDFs).
+  *
+  * Reference provenance:
+  *  - cleanTextV1: dask-with-dataframe.py:15-18 (strip non-word chars, cap 255)
+  *  - cleanTextV2: dask-with-dataframe-[2].py:26-33 (null guard, strip
+  *    non-ASCII, cap, trim)
+  *  - coerceNumeric: dask-with-dataframe.py:52-53 (`pd.to_numeric(
+  *    errors='coerce').fillna(0)`)
+  *  - stripThousands: dask-with-dataframe-[2].py:90 (`float(v.replace(',',''))`)
+  *  - monthNumber/quarterLabel: dask-with-dataframe-[2].py:41-61
+  */
+object Clean {
+
+  /** Strip non-word/non-space chars and truncate. Java regex `\w` is
+    * ASCII-only (vs Python's Unicode default) — the harness data is ASCII,
+    * and the DuckDB oracle (RE2) agrees on the ASCII interpretation, so we
+    * pin ASCII semantics deliberately.
+    */
+  def cleanTextV1(c: Column, maxLen: Int = 255): Column =
+    substring(regexp_replace(c, "[^\\w\\s]", ""), 1, maxLen)
+
+  /** Null→"", stringify, strip non-ASCII runs, truncate, trim. */
+  def cleanTextV2(c: Column, maxLen: Int = 255): Column =
+    trim(
+      substring(
+        regexp_replace(coalesce(c.cast("string"), lit("")), "[^\\x00-\\x7F]+", ""),
+        1, maxLen))
+
+  /** Unparseable → NULL → 0.0. Must behave identically whether ANSI mode is
+    * on or off, hence `try_cast` (a bare `cast` throws under ANSI).
+    */
+  def coerceNumeric(c: Column): Column =
+    coalesce(c.try_cast("double"), lit(0.0))
+
+  /** `"1,234,567.89"` → 1234567.89 (thousands-separator strip). */
+  def stripThousands(c: Column): Column =
+    regexp_replace(c, ",", "").try_cast("double")
+
+  /** Indonesian month name → month number (reference's `bulan_map`,
+    * dask-with-dataframe-[2].py:41-46). Constant map — Catalyst folds the
+    * lookup into codegen'd branches.
+    */
+  private val bulanMap: Seq[(String, Int)] = Seq(
+    "Januari" -> 1, "Februari" -> 2, "Maret" -> 3, "April" -> 4,
+    "Mei" -> 5, "Juni" -> 6, "Juli" -> 7, "Agustus" -> 8,
+    "September" -> 9, "Oktober" -> 10, "November" -> 11, "Desember" -> 12)
+
+  def monthNumber(name: Column): Column =
+    bulanMap.foldLeft(lit(null).cast("int")) { case (acc, (m, n)) =>
+      when(name === m, lit(n)).otherwise(acc)
+    }
+
+  /** month, year → "Q{1..4} {year}" (dask-with-dataframe-[2].py:58-61). */
+  def quarterLabel(month: Column, year: Column): Column =
+    concat(lit("Q"), (((month - 1) / 3).cast("int") + 1).cast("string"),
+      lit(" "), year.cast("string"))
+
+  /** Stringify with null guard (`str(x) if pd.notna(x) else ""`). */
+  def stringify(c: Column): Column = coalesce(c.cast("string"), lit(""))
+}

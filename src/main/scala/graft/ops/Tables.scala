@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness star schema (see /root/repo/TESTDATA.md).
+  *
+  * One parquet file per table; `dir` is an sf directory such as
+  * `/root/testdata/sf0.01`. Reads stay lazy so Catalyst can push filters
+  * and prune columns into the parquet scan.
+  */
+object Tables {
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame   = load(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+}

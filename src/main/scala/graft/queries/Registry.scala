@@ -1,0 +1,16 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Single registration point for every named engine query. SparkEntry
+  * (the driver contract) delegates here.
+  */
+object Registry {
+  lazy val all: Seq[Q] = Relational.queries
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+}

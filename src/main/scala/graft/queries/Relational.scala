@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Core relational coverage over the harness star schema: scan+filter+agg,
+  * multi-way broadcast joins, window ranking, distinct aggregation, top-k.
+  * The reference itself has no joins/aggs (SURVEY.md §2.6-2.8); these are
+  * the harness-native breadth queries of SURVEY.md §7.3(5), written
+  * DataFrame-first so Catalyst handles pushdown/pruning/join-planning.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: single scan, filter pushed to parquet, hash
+    * aggregation with map-side partials. Grouping key cardinality is tiny
+    * (RF×LS ≤ 9) so the shuffle is negligible at any scale.
+    */
+  private def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("2000-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 2).as("avg_qty"),
+        round(avg($"l_extendedprice"), 2).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q01Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: customer⋈orders⋈lineitem with selective filters on
+    * both dimension and fact. customer is small relative to the fact →
+    * broadcast; orders⋈lineitem shuffles on orderkey. Top-10 via
+    * TakeOrderedAndProject (no global sort materialized).
+    */
+  private def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-03-15"))
+    val li = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1998-03-15"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  private val q03Oracle =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 6-way join. region/nation/supplier/customer are all
+    * broadcast-able dims; only orders⋈lineitem is a real shuffle join. The
+    * c_nationkey = s_nationkey predicate rides on the joined row.
+    */
+  private def q05RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val region = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+    Tables.lineitem(s, dir)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.customer(s, dir)),
+        $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val q05Oracle =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
+    * + driver merge of k rows, no full sort at any scale.
+    */
+  private def topkOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  private val topkOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin
+
+  /** Partitioned window ranking: top-3 orders per customer. One shuffle on
+    * o_custkey, per-group heap sort inside the window — partitions by a
+    * high-cardinality key so it scales linearly.
+    */
+  private def windowTopOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  private val windowTopOracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Distinct aggregation per group (count-distinct expands to a two-phase
+    * aggregate; cardinality is small here).
+    */
+  private def aggCustomerSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"c_nationkey").as("n_nations"),
+        count(lit(1)).as("n_cust"),
+        round(avg($"c_acctbal"), 2).as("avg_bal"),
+        round(sum($"c_acctbal"), 2).as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val aggSegmentsOracle =
+    """SELECT c_mktsegment,
+      |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+      |  count(*) AS n_cust,
+      |  round(avg(c_acctbal), 2) AS avg_bal,
+      |  round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Anti-join coverage: customers with no URGENT order, counted per
+    * segment. Kept as a shuffled anti-join on the high-cardinality key —
+    * AQE converts it to broadcast when the build side turns out small.
+    */
+  private def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    cust.join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_no_urgent"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val noOrdersOracle =
+    """SELECT c_mktsegment, count(*) AS n_no_urgent
+      |FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
+    Q("q03_shipping_priority", q03ShippingPriority, Some(q03Oracle)),
+    Q("q05_region_revenue", q05RegionRevenue, Some(q05Oracle)),
+    Q("topk_orders", topkOrders, Some(topkOracle)),
+    Q("window_top_orders_per_cust", windowTopOrders, Some(windowTopOracle)),
+    Q("agg_customer_segments", aggCustomerSegments, Some(aggSegmentsOracle)),
+    Q("customers_without_orders", customersWithoutOrders, Some(noOrdersOracle)))
+}
