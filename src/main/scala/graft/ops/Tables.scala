@@ -19,7 +19,16 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame   = load(s, dir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as raw long and truncate to micros —
+    * exactly what DuckDB's reader does, so oracles agree.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+  }
   def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 }

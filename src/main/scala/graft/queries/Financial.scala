@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Clean, Compose, Ids, Sectionize, Tables}
+
+/** Reference-parity pipelines (SURVEY.md §3, §7.2-7.3) over the harness
+  * star schema: the pipeline-B union shape, the F-layer scalar suite, the
+  * G2 sectionizer, and the pipeline-C two-branch diamond with cross-source
+  * scalar propagation. Excel-sheet sources are stood in by filtered slices
+  * of the `part` table; PDF line streams by the `documents` table — the
+  * operator semantics (what the reference computes) are identical.
+  */
+object Financial {
+
+  private val bulanNames = Array(
+    "Januari", "Februari", "Maret", "April", "Mei", "Juni", "Juli",
+    "Agustus", "September", "Oktober", "November", "Desember")
+
+  private val bulanSqlList =
+    bulanNames.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** Pipeline B end-to-end (dask-with-dataframe.py:21-90): three sources →
+    * canonical rename → clean_text (F1) → numeric coercion (F3) → literal
+    * group label (O1) + emitent stamp → union-all with source rank (U1) →
+    * global 1-based ID ordered by (src_rank, line order) (O4) → canonical
+    * projection (P3). Filters push into the parquet scan; the only shuffle
+    * is the final global row_number (reference semantics — see
+    * Ids.withScalableGlobalId for the 100 TB variant).
+    */
+  private def bFinancialUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.part(s, dir)
+    def slice(pred: org.apache.spark.sql.Column, grup: String) = part
+      .filter(pred)
+      .select(
+        $"p_partkey".as("line_no"),
+        lit(grup).as("grup_lk"),
+        Clean.cleanTextV1($"p_name").as("item"),
+        Clean.coerceNumeric($"p_retailprice").as("value"))
+    val unioned = Compose.unionWithRank(Seq(
+      slice($"p_size" <= 10, "Neraca"),
+      slice($"p_size" >= 11 && $"p_size" <= 25, "Laba Rugi"),
+      slice($"p_size" > 25, "Arus Kas")))
+    Ids.withGlobalId(unioned, "id", Seq($"src_rank", $"line_no"))
+      .withColumn("emitent", lit("ACES"))
+      .select($"id", $"emitent", $"grup_lk", $"item", $"value")
+      .orderBy($"id")
+  }
+
+  private val bFinancialOracle =
+    """WITH src AS (
+      |  SELECT 1 AS src_rank, p_partkey AS line_no, 'Neraca' AS grup_lk, p_name, p_retailprice
+      |  FROM part WHERE p_size <= 10
+      |  UNION ALL
+      |  SELECT 2, p_partkey, 'Laba Rugi', p_name, p_retailprice
+      |  FROM part WHERE p_size BETWEEN 11 AND 25
+      |  UNION ALL
+      |  SELECT 3, p_partkey, 'Arus Kas', p_name, p_retailprice
+      |  FROM part WHERE p_size > 25)
+      |SELECT CAST(row_number() OVER (ORDER BY src_rank, line_no) AS INTEGER) AS id,
+      |  'ACES' AS emitent, grup_lk,
+      |  substr(regexp_replace(p_name, '[^\w\s]', '', 'g'), 1, 255) AS item,
+      |  coalesce(try_cast(p_retailprice AS DOUBLE), 0.0) AS value
+      |FROM src
+      |ORDER BY id""".stripMargin
+
+  /** F-layer scalar suite (SURVEY.md §2.4) exercised end-to-end in one
+    * projection: clean_text v1/v2 (F1/F2), thousands-strip (F4), numeric
+    * coercion (F3), Indonesian month map (F5), quarter label (F6), null
+    * guard stringify (F12). Pure expression pipeline — single scan, no
+    * shuffle, whole-stage codegen throughout.
+    */
+  private def fnScalarSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthArr = typedlit(bulanNames)
+    val mname = element_at(monthArr, month($"o_orderdate"))
+    val mnum = Clean.monthNumber(mname)
+    Tables.orders(s, dir)
+      .select(
+        $"o_orderkey",
+        Clean.cleanTextV1($"o_orderpriority").as("prio_clean"),
+        Clean.cleanTextV2($"o_orderstatus", 255).as("status_clean"),
+        mname.as("month_name"),
+        mnum.as("month_num"),
+        Clean.quarterLabel(mnum, year($"o_orderdate")).as("quarter_label"),
+        Clean.stripThousands(
+          concat($"o_custkey".cast("string"), lit(","), lit("250"))).as("thousands"),
+        Clean.coerceNumeric($"o_orderstatus").as("coerced_zero"),
+        Clean.stringify($"o_custkey").as("custkey_str"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val fnScalarOracle =
+    s"""SELECT o_orderkey,
+       |  substr(regexp_replace(o_orderpriority, '[^\\w\\s]', '', 'g'), 1, 255) AS prio_clean,
+       |  trim(substr(regexp_replace(coalesce(CAST(o_orderstatus AS VARCHAR), ''), '[^\\x00-\\x7F]+', '', 'g'), 1, 255)) AS status_clean,
+       |  list_extract($bulanSqlList, month(o_orderdate)) AS month_name,
+       |  CAST(month(o_orderdate) AS INTEGER) AS month_num,
+       |  'Q' || CAST(((month(o_orderdate) - 1) // 3) + 1 AS VARCHAR) || ' ' || CAST(year(o_orderdate) AS VARCHAR) AS quarter_label,
+       |  try_cast(replace(CAST(o_custkey AS VARCHAR) || ',' || '250', ',', '') AS DOUBLE) AS thousands,
+       |  coalesce(try_cast(o_orderstatus AS DOUBLE), 0.0) AS coerced_zero,
+       |  coalesce(CAST(o_custkey AS VARCHAR), '') AS custkey_str
+       |FROM orders
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** G2 sectionizer (detail_notes.py:23-79) over the documents table:
+    * docs ordered by doc_id form the "line stream"; a line starting with
+    * the token `key` is a heading (stand-in for the CALK numbered-heading
+    * regex F10); everything before the first heading is dropped (F11
+    * marker gate); each section aggregates its body lines in order.
+    */
+  private def calkSectionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sectionize.sectionize(
+        Tables.documents(s, dir),
+        orderCol = $"doc_id",
+        isHead = $"text".startsWith("key "),
+        lineCol = $"text")
+      .select($"section_no", $"heading", $"n_lines", $"body")
+      .orderBy($"section_no")
+  }
+
+  private val calkOracle =
+    """WITH g AS (
+      |  SELECT doc_id, text, (text LIKE 'key %') AS is_head,
+      |    sum(CASE WHEN text LIKE 'key %' THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY doc_id) AS section_no
+      |  FROM documents)
+      |SELECT CAST(section_no AS BIGINT) AS section_no,
+      |  max(CASE WHEN is_head THEN text END) AS heading,
+      |  count(CASE WHEN NOT is_head THEN 1 END) AS n_lines,
+      |  coalesce(string_agg(CASE WHEN NOT is_head THEN text END, ' ' ORDER BY doc_id), '') AS body
+      |FROM g
+      |WHERE section_no >= 1
+      |GROUP BY section_no
+      |ORDER BY section_no""".stripMargin
+
+  /** Pipeline C diamond (dask-with-dataframe-[2].py:183-205): one branch
+    * derives a scalar quarter label from the newest event timestamp
+    * (F5+F6+F7 intent — the reference's broken date-regex path, SURVEY.md
+    * §2.14); the other branch unions two canonicalized sources; the scalar
+    * is stamped across every row (O2), then a global ID is minted (O4).
+    * The scalar branch materializes as one tiny driver-side job
+    * (Compose.propagateScalar) and constant-folds into the main plan —
+    * no extra join at any scale.
+    */
+  private def cFinancialDiamond(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val latest = Tables.events(s, dir).agg(max($"ts").as("ts"))
+      .select(
+        Clean.quarterLabel(
+          Clean.monthNumber(element_at(typedlit(bulanNames), month($"ts"))),
+          year($"ts")).as("quarter"))
+    val part = Tables.part(s, dir)
+    def slice(pred: org.apache.spark.sql.Column, grup: String) = part
+      .filter(pred)
+      .select(
+        $"p_partkey".as("line_no"),
+        lit(grup).as("grup_lk"),
+        Clean.cleanTextV2($"p_type", 255).as("item"),
+        Clean.coerceNumeric($"p_retailprice").as("value"))
+    val unioned = Compose.unionWithRank(Seq(
+      slice($"p_size" % 2 === 0, "Laporan Posisi Keuangan"),
+      slice($"p_size" % 2 =!= 0, "Laporan Laba Rugi")))
+    val stamped = Compose.propagateScalar(unioned, latest, "quarter", "Unknown")
+    Ids.withGlobalId(stamped, "id", Seq($"src_rank", $"line_no"))
+      .select($"id", $"grup_lk", $"item", $"value", $"quarter")
+      .orderBy($"id")
+  }
+
+  private val cFinancialOracle =
+    """WITH q AS (
+      |  SELECT 'Q' || CAST(((month(max(ts)) - 1) // 3) + 1 AS VARCHAR)
+      |    || ' ' || CAST(year(max(ts)) AS VARCHAR) AS quarter
+      |  FROM events),
+      |src AS (
+      |  SELECT 1 AS src_rank, p_partkey AS line_no,
+      |    'Laporan Posisi Keuangan' AS grup_lk, p_type, p_retailprice
+      |  FROM part WHERE p_size % 2 = 0
+      |  UNION ALL
+      |  SELECT 2, p_partkey, 'Laporan Laba Rugi', p_type, p_retailprice
+      |  FROM part WHERE p_size % 2 <> 0)
+      |SELECT CAST(row_number() OVER (ORDER BY src_rank, line_no) AS INTEGER) AS id,
+      |  grup_lk,
+      |  trim(substr(regexp_replace(coalesce(CAST(p_type AS VARCHAR), ''), '[^\x00-\x7F]+', '', 'g'), 1, 255)) AS item,
+      |  coalesce(try_cast(p_retailprice AS DOUBLE), 0.0) AS value,
+      |  (SELECT quarter FROM q) AS quarter
+      |FROM src
+      |ORDER BY id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
+    Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),
+    Q("calk_sectionizer", calkSectionize, Some(calkOracle)),
+    Q("c_financial_diamond", cFinancialDiamond, Some(cFinancialOracle)))
+}
