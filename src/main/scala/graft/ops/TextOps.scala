@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, token statistics, quality scoring, stopword-profile
+  * language ID, BPE-ish token estimation, and document fingerprinting.
+  *
+  * Everything is a pure `Column => Column` built from Spark SQL
+  * higher-order/array/regex functions — no UDFs, so each stays inside
+  * whole-stage codegen and distributes embarrassingly (per-row work only;
+  * at 100 TB these run map-side with zero shuffle).
+  */
+object TextOps {
+
+  /** Lowercase, collapse whitespace runs, trim — canonical form for
+    * hashing/dedup so trivial formatting differences don't defeat
+    * fingerprint equality.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def nTokens(c: Column): Column = size(tokens(c))
+
+  /** Fraction of tokens in `stop` (stopword-density quality signal). */
+  def stopwordRatio(c: Column, stop: Seq[String]): Column = {
+    val stopArr = stop.map(lit): Seq[Column]
+    round(
+      size(filter(tokens(c), t => array_contains(array(stopArr: _*), t)))
+        .cast("double") / nullif(nTokens(c), lit(0)),
+      4)
+  }
+
+  /** Fraction of characters that are punctuation (non-word, non-space). */
+  def punctRatio(c: Column): Column =
+    round(
+      (length(c) - length(regexp_replace(c, "[^\\w\\s]", "")))
+        .cast("double") / nullif(length(c), lit(0)),
+      4)
+
+  /** Composite quality score in [0,1]: stopword density + length prior +
+    * punctuation cleanliness. The exact weights are a policy choice; the
+    * shape (cheap per-row signals combined linearly) is the standard
+    * pre-filter for web-scale corpora.
+    */
+  def qualityScore(c: Column, stop: Seq[String]): Column =
+    round(
+      lit(0.3) * stopwordRatio(c, stop)
+        + lit(0.3) * least(nTokens(c).cast("double") / 200.0, lit(1.0))
+        + lit(0.4) * (lit(1.0) - punctRatio(c)),
+      4)
+
+  /** Count of tokens from `markers` present in the text — the per-language
+    * evidence for [[langId]].
+    */
+  def markerHits(c: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(arr, t)))
+  }
+
+  /** Stopword-profile language ID: score each candidate language by its
+    * marker-word hits, pick the argmax (first-listed wins ties), fall back
+    * to "unknown" when nothing matches. Profiles are tiny constant arrays —
+    * codegen'd, no lookup table, no shuffle.
+    */
+  def langId(c: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = profiles.map { case (lang, markers) => lang -> markerHits(c, markers) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** BPE-ish subword count estimate: ceil(len/4) per whitespace token —
+    * the standard chars/4 heuristic, exact enough for corpus budgeting.
+    */
+  def bpeTokenEstimate(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, t) => acc + floor((length(t) + 3) / lit(4)).cast("long"))
+
+  /** Hex MD5 fingerprint of the normalized text (exact-dup key). MD5 is
+    * engine-portable (identical in DuckDB/Trino/Spark), unlike Spark's
+    * murmur `hash()`.
+    */
+  def fingerprintHex(c: Column): Column = md5(normalizeText(c))
+
+  /** 60-bit numeric fingerprint: first 15 hex chars of MD5 → BIGINT.
+    * Numeric form sorts/joins cheaper than the 32-char hex string at scale.
+    */
+  def fingerprint64(c: Column): Column =
+    conv(substring(fingerprintHex(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded 60-bit hash of an arbitrary string column (building block for
+    * MinHash signatures: h_i(x) = portableHash64(i || x)).
+    */
+  def portableHash64(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 15), 16, 10)
+      .cast("long")
+}

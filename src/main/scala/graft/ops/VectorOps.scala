@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector operators over `array<float>` embedding columns. All
+  * built from higher-order functions (zip_with/aggregate/transform) — no
+  * UDFs, no UDTs, no MLlib Vector conversion; the arrays stay in Tungsten
+  * format end-to-end.
+  *
+  * Math is done in double (floats cast up exactly) so results agree with
+  * engines that compute in double (DuckDB `list_cosine_similarity`).
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH, degenerate-but-deterministic variant: the
+    * "hyperplanes" are the first `bits` coordinate axes, so the bucket is
+    * the sign pattern of the leading dims. For isotropic embeddings this
+    * partitions like true RH-LSH without needing a seeded random matrix
+    * (nothing random is available engine-portably). 2^bits buckets.
+    *
+    * Scale path: bucket is computed map-side; candidate generation joins
+    * on the bucket id, turning the O(n²) all-pairs search into
+    * sum-over-buckets O(Σ b_i²) — with a sensible `bits` that's ~n²/2^bits.
+    */
+  def signBucket(a: Column, bits: Int): Column =
+    (0 until bits)
+      .map(d => when(element_at(a, d + 1) >= 0f, lit(1 << d)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** SQL fragment mirroring [[signBucket]] for DuckDB oracles
+    * (1-based list indexing there too).
+    */
+  def signBucketSql(col: String, bits: Int): String =
+    (0 until bits)
+      .map(d => s"(CASE WHEN $col[${d + 1}] >= 0 THEN ${1 << d} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+}

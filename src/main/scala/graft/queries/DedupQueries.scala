@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, Tables, TextOps, VectorOps}
+
+/** Deduplication suite over `documents` and `embeddings`: exact
+  * (fingerprint groups), MinHash+LSH, blocked exact n-gram Jaccard,
+  * SimHash, and LSH-bucketed embedding-cosine near-dup. Every query has a
+  * DuckDB oracle built from the same md5-based portable hash, so the two
+  * engines compute bit-identical signatures.
+  */
+object DedupQueries {
+
+  private val ShingleK = 3
+  private val NumHashes = 8
+  private val NumBands = 4
+  private val RowsPerBand = 2
+  private val SimhashBits = 24
+  private val SimhashSeed = 99
+  private val HammingMax = 3
+  private val EmbBucketBits = 6
+  private val EmbCosMin = 0.3
+
+  // ---- shared DuckDB fragments (mirror the Spark ops exactly) ----
+
+  private val toksSql = "string_split(text, ' ')"
+
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len($toksSql) >= $ShingleK
+       |    THEN list_transform(generate_series(1, len($toksSql) - ${ShingleK - 1}),
+       |         i -> array_to_string(list_slice($toksSql, i, i + ${ShingleK - 1}), ' '))
+       |    ELSE [] END)""".stripMargin
+
+  private def hashSql(seed: Int, arg: String) =
+    s"('0x' || substr(md5('$seed|' || $arg), 1, 15))::BIGINT"
+
+  private def sigComponentSql(seed: Int) =
+    s"list_aggregate(list_transform(shingles, s -> ${hashSql(seed, "s")}), 'min')"
+
+  // ---- exact dedup: fingerprint groups ----
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TextOps.fingerprint64($"text").as("fp64"))
+      .groupBy($"fp64")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy($"fp64")
+  }
+
+  private val dedupExactOracle =
+    """SELECT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64,
+      |  min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY fp64
+      |ORDER BY fp64""".stripMargin
+
+  // ---- MinHash + LSH near-dedup ----
+
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docSig = Tables.documents(s, dir)
+      .select($"doc_id",
+        DedupOps.wordShingles($"text", ShingleK).as("shingles"))
+      .filter(size($"shingles") > 0)
+      .select($"doc_id",
+        DedupOps.minhashSignature($"shingles", NumHashes).as("sig"))
+    DedupOps.lshCandidates(docSig, "doc_id", "sig", NumBands, RowsPerBand)
+      .withColumn("est_jaccard",
+        DedupOps.estimatedJaccard($"sig_a", $"sig_b", NumHashes))
+      .filter($"est_jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val dedupMinhashOracle = {
+    val sigExprs = (0 until NumHashes).map(sigComponentSql).mkString("[", ",\n    ", "]")
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa[${i + 1}] = sb[${i + 1}] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bandMatch = (0 until NumBands).map { b =>
+      (0 until RowsPerBand)
+        .map(r => s"sa[${b * RowsPerBand + r + 1}] = sb[${b * RowsPerBand + r + 1}]")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig
+       |  FROM sh WHERE len(shingles) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ($agree) / ${NumHashes}.0 AS est_jaccard
+       |FROM pairs
+       |WHERE ($bandMatch) AND ($agree) / ${NumHashes}.0 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- blocked exact n-gram Jaccard ----
+
+  private def dedupJaccardBlocked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        DedupOps.wordShingles($"text", ShingleK).as("shingles"))
+      .filter(size($"shingles") > 0)
+    sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.lang").as("lang"), col("a.source").as("source"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(DedupOps.jaccard(col("a.shingles"), col("b.shingles")), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+      .orderBy($"lang", $"source", $"doc_a", $"doc_b")
+  }
+
+  private val dedupJaccardOracle =
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, source, $shinglesSql AS shingles FROM documents)
+       |SELECT a.lang AS lang, a.source AS source,
+       |  a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / nullif(len(list_distinct(a.shingles || b.shingles)), 0), 4) AS jaccard
+       |FROM sh a JOIN sh b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+       |  AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / nullif(len(list_distinct(a.shingles || b.shingles)), 0), 4) >= 0.8
+       |ORDER BY lang, source, doc_a, doc_b""".stripMargin
+
+  // ---- SimHash near-dedup ----
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id",
+        DedupOps.simhash($"text", SimhashBits, SimhashSeed).as("sim"))
+    hashed.as("a").join(hashed.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        DedupOps.hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .filter($"hamming" <= HammingMax)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val dedupSimhashOracle = {
+    val cnt = (b: Int) =>
+      s"len(list_filter($toksSql, t -> ((${hashSql(SimhashSeed, "t")} >> $b) & 1) = 1))"
+    val sim = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN 2 * ${cnt(b)} > len($toksSql) THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", "\n    + ", ")")
+    s"""WITH s AS (
+       |  SELECT doc_id, $sim::BIGINT AS sim FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- LSH-bucketed embedding-cosine near-dup ----
+
+  private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        VectorOps.signBucket($"embedding", EmbBucketBits).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_raw",
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")))
+      .filter($"cos_raw" >= EmbCosMin)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round($"cos_raw", 4).as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val dedupEmbeddingOracle = {
+    val bucket = VectorOps.signBucketSql("embedding", EmbBucketBits)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $EmbCosMin
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
+    Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
+    Q("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
+    Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)))
+}

@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (the driver contract) delegates here.
   */
 object Registry {
-  lazy val all: Seq[Q] = Relational.queries ++ Financial.queries
+  lazy val all: Seq[Q] =
+    Relational.queries ++ Financial.queries ++ TextAnalysis.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

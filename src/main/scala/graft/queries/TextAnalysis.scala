@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Tables, TextOps}
+
+/** Text-analysis query suite over the `documents` table: per-doc token
+  * statistics + quality score, stopword-profile language ID, BPE-ish token
+  * budgeting, and fingerprinting. All per-row expression work — map-side
+  * only, no shuffle (the final ORDER BY is for oracle determinism, not
+  * part of the operator).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Language marker profiles (stopword-fingerprint language ID). First
+    * entry wins ties.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "que", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "est"))
+
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        TextOps.nTokens($"text").as("n_tokens"),
+        TextOps.stopwordRatio($"text", stopwords).as("stopword_ratio"),
+        TextOps.punctRatio($"text").as("punct_ratio"),
+        TextOps.qualityScore($"text", stopwords).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  private val textStatsOracle =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSql))) AS DOUBLE)
+       |    / nullif(len(string_split(text, ' ')), 0), 4) AS stopword_ratio,
+       |  round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+       |    / nullif(length(text), 0), 4) AS punct_ratio,
+       |  round(0.3 * round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSql))) AS DOUBLE)
+       |          / nullif(len(string_split(text, ' ')), 0), 4)
+       |    + 0.3 * least(len(string_split(text, ' ')) / 200.0, 1.0)
+       |    + 0.4 * (1.0 - round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+       |          / nullif(length(text), 0), 4)), 4) AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  private def langIdQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        $"lang".as("lang_labeled"),
+        TextOps.langId($"text", langProfiles).as("lang_pred"),
+        TextOps.markerHits($"text", langProfiles.head._2).as("en_hits"))
+    scored
+      .groupBy($"lang_labeled", $"lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum($"en_hits").as("sum_en_hits"))
+      .orderBy($"lang_labeled", $"lang_pred")
+  }
+
+  private def profileSql(markers: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(w => s"'$w'").mkString(", ")})))"
+
+  private val langIdOracle = {
+    val scores = langProfiles.map { case (l, m) => l -> profileSql(m) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val caseExpr = scores.foldRight("'unknown'") { case ((l, s), acc) =>
+      s"CASE WHEN $s = __best AND $s > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS lang_labeled,
+       |    $best AS __best,
+       |    $caseExpr AS lang_pred,
+       |    ${profileSql(langProfiles.head._2)} AS en_hits
+       |  FROM documents)
+       |SELECT lang_labeled, lang_pred,
+       |  count(*) AS n_docs,
+       |  CAST(sum(en_hits) AS BIGINT) AS sum_en_hits
+       |FROM scored
+       |GROUP BY lang_labeled, lang_pred
+       |ORDER BY lang_labeled, lang_pred""".stripMargin
+  }
+
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"source",
+        TextOps.nTokens($"text").as("n_tokens"),
+        TextOps.bpeTokenEstimate($"text").as("bpe_tokens"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("ws_tokens"),
+        sum($"bpe_tokens").as("bpe_tokens"))
+      .orderBy($"source")
+  }
+
+  private val tokenBudgetOracle =
+    """SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(list_aggregate(
+      |    list_transform(string_split(text, ' '), t -> (length(t) + 3) // 4),
+      |    'sum')) AS BIGINT) AS bpe_tokens
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  private def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        TextOps.fingerprintHex($"text").as("fp_hex"),
+        TextOps.fingerprint64($"text").as("fp64"))
+      .orderBy($"doc_id")
+  }
+
+  private val fingerprintsOracle =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_hex,
+      |  ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("text_stats", textStats, Some(textStatsOracle)),
+    Q("lang_id", langIdQuery, Some(langIdOracle)),
+    Q("token_budget", tokenBudget, Some(tokenBudgetOracle)),
+    Q("doc_fingerprints", fingerprints, Some(fingerprintsOracle)))
+}
