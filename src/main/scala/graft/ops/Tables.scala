@@ -25,9 +25,11 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, NOT `/`: Column./ promotes to double, which cannot
+    // represent 1.7e18 nanos exactly and corrupts the low microseconds
     load(s, dir, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
