@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sinks — the reference's S5-S7 (SURVEY.md §2.1): JDBC bulk overwrite
+  * (`to_sql if_exists='replace'`, project-dask.py:101), JDBC append
+  * (detail_notes.py:84-103), and the target-table DDL. JDBC writes go
+  * from executors (one connection per partition, batched inserts) — not
+  * the reference's driver-side row loop.
+  */
+object Sink {
+
+  /** `laporan_keuangan` DDL (financial_statement.sql:3-10): compute in
+    * double, declare the sink decimal — SURVEY.md §1.2.
+    */
+  val laporanKeuanganSchema: StructType = StructType(Seq(
+    StructField("ID", IntegerType, nullable = false),
+    StructField("emitent", StringType),
+    StructField("LaporanKeuangan", StringType),
+    StructField("LaporanDetail", StringType),
+    StructField("CurrentYearInstant", DecimalType(20, 2)),
+    StructField("PriorYearInstant", DecimalType(20, 2))))
+
+  /** Cast a frame to a declared sink schema by column name (missing
+    * columns fail at analysis, extra columns are dropped) — the
+    * schema-canonicalization step before any JDBC write.
+    */
+  def conformTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+
+  /** S5: bulk overwrite (pandas `if_exists='replace'`). `truncate=true`
+    * keeps the table's DDL/indexes instead of drop+recreate.
+    */
+  def jdbcOverwrite(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, batchSize: Int = 10000): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+
+  /** S6: append (the reference's ORM per-row session.add loop, done
+    * properly: executor-side batched inserts).
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, batchSize: Int = 10000): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+
+  /** Partitioned parquet writer — the lake-side sink. Partition columns
+    * should be low-cardinality (date, type); sort within partitions to
+    * get run-length-friendly files.
+    */
+  def parquetPartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, Tables}
+
+/** Multimodal plumbing exercised over the harness data: documents' UTF-8
+  * bytes stand in for opaque media payloads (no codec libs in this
+  * environment — decode is a deterministic stub; the schema/partition/
+  * explode machinery is the real thing).
+  */
+object MultimodalQueries {
+
+  /** Per-source feature rollup over "decoded" media: byte volume and
+    * distinct-content counts. Map-side feature extraction, one small
+    * shuffle for the rollup.
+    */
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.fromText(
+      Tables.documents(s, dir).select($"doc_id", $"source", $"text"),
+      "doc_id", "text")
+      .join(Tables.documents(s, dir).select($"doc_id".as("media_id"), $"source"),
+        "media_id")
+    media
+      .withColumn("f", Multimodal.decodeBytesStub($"media"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum($"f.n_bytes").as("total_bytes"),
+        countDistinct($"f.digest").as("n_distinct"),
+        max($"meta.n_frames").as("max_frames"))
+      .orderBy($"source")
+  }
+
+  private val mediaFeaturesOracle =
+    """SELECT source,
+      |  count(*) AS n_media,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  CAST(max((('0x' || substr(md5('7|' || text), 1, 15))::BIGINT % 5) + 1) AS INTEGER) AS max_frames
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Frame sampling: explode each media row into its sampled frame
+    * indices (generator, no UDTF), count frames per source.
+    */
+  private def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.fromText(
+      Tables.documents(s, dir).select($"doc_id", $"text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media)
+    frames
+      .join(Tables.documents(s, dir).select($"doc_id".as("media_id"), $"source"),
+        "media_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_frames_sampled"),
+        countDistinct($"frame_key").as("n_distinct_frames"))
+      .orderBy($"source")
+  }
+
+  private val frameSampleOracle =
+    """WITH media AS (
+      |  SELECT doc_id, source,
+      |    (('0x' || substr(md5('7|' || text), 1, 15))::BIGINT % 5) + 1 AS n_frames
+      |  FROM documents),
+      |frames AS (
+      |  SELECT doc_id, source,
+      |    unnest(generate_series(0, n_frames - 1)) AS frame_idx
+      |  FROM media)
+      |SELECT source,
+      |  count(*) AS n_frames_sampled,
+      |  CAST(count(DISTINCT md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR))) AS BIGINT) AS n_distinct_frames
+      |FROM frames
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("multimodal_features", mediaFeatures, Some(mediaFeaturesOracle)),
+    Q("multimodal_frames", frameSample, Some(frameSampleOracle)))
+}

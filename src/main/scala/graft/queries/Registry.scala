@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Financial.queries ++ TextAnalysis.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
+      MultimodalQueries.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

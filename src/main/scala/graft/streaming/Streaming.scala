@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference has no streaming
+  * (SURVEY.md §2.11) — this is the harness-native extension: the SAME
+  * transforms as the batch `Events` queries, applied to an unbounded
+  * source, plus a stateful sessionizer built on flatMapGroupsWithState.
+  *
+  * Design: batch/stream parity by construction — `tumblingCounts` takes a
+  * DataFrame and doesn't care whether it's bounded; only the
+  * read/write edges differ.
+  */
+object Streaming {
+
+  /** Schema of the events table (micros timestamps — streaming readers
+    * must declare schemas up front; no inference).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet event files. New files
+    * appearing in `dir` become micro-batches; `maxFilesPerTrigger` bounds
+    * batch size for steady latency.
+    */
+  def readEventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts per event type with a watermark for state
+    * cleanup. Works identically on batch and streaming inputs; on a
+    * stream, late rows beyond `watermark` are dropped and window state is
+    * evicted — bounded memory at any scale.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, closed_by: String)
+
+  /** Stateful gap sessionizer: one state per user, session closes after
+    * `gapUs` of silence (event-time within a batch; processing-time
+    * timeout across batches). Emits a row per closed session. This is the
+    * mapGroupsWithState form of the batch `events_sessionize` query —
+    * state per key is O(1), so it scales to any number of users.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long,
+      timeoutMs: Long = 60000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.start_us, s.last_us, s.n, "timeout")).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val closed = List.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start_us, s.last_us, s.n, "gap")
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(timeoutMs)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Memory-sink runner for tests/demos: drains all available input,
+    * returns the result table name.
+    */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "complete"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, TextOps}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles: k-grams, distinct, short docs empty") {
+    val df = Seq("a b c d", "a b", "x x x x x").toDF("text")
+    val got = df.select(DedupOps.wordShingles($"text", 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0).toSet == Set("a b c", "b c d"))
+    assert(got(1).isEmpty)
+    assert(got(2) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("minhash signature is deterministic and identical for identical docs") {
+    val df = Seq(("a", "x y z w"), ("b", "x y z w"), ("c", "p q r s"))
+      .toDF("id", "text")
+      .select($"id", DedupOps.minhashSignature(
+        DedupOps.wordShingles($"text", 2), 8).as("sig"))
+    val sigs = df.as[(String, Seq[Long])].collect().toMap
+    assert(sigs("a") == sigs("b"))
+    assert(sigs("a") != sigs("c"))
+    assert(sigs("a").size == 8)
+  }
+
+  test("estimatedJaccard: identical=1, disjoint=0") {
+    val df = Seq(("x y z a b c", "x y z a b c", "q w e r t u"))
+      .toDF("t1", "t2", "t3")
+      .select(
+        DedupOps.estimatedJaccard(
+          DedupOps.minhashSignature(DedupOps.wordShingles($"t1", 2), 8),
+          DedupOps.minhashSignature(DedupOps.wordShingles($"t2", 2), 8), 8).as("same"),
+        DedupOps.estimatedJaccard(
+          DedupOps.minhashSignature(DedupOps.wordShingles($"t1", 2), 8),
+          DedupOps.minhashSignature(DedupOps.wordShingles($"t3", 2), 8), 8).as("diff"))
+    val (same, diff) = df.as[(Double, Double)].first()
+    assert(same == 1.0)
+    assert(diff == 0.0)
+  }
+
+  test("lshCandidates finds identical docs, skips unrelated") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "the quick brown fox jumps over the lazy dog end"),
+      (3L, "completely different words nothing shared here at all ok"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", DedupOps.minhashSignature(
+        DedupOps.wordShingles($"text", 3), 8).as("sig"))
+    val pairs = DedupOps.lshCandidates(docs, "doc_id", "sig", 4, 2)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccard exact") {
+    val df = Seq(1).toDF("x").select(
+      DedupOps.jaccard(
+        array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("d"))).as("j"))
+    assert(math.abs(df.as[Double].first() - 0.5) < 1e-12)
+  }
+
+  test("simhash: self-hamming 0, near-doc small, far-doc large") {
+    val df = Seq(
+      ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      ("b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),
+      ("c", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+      .toDF("id", "text")
+      .select($"id", DedupOps.simhash($"text", 24, 99).as("h"))
+    val h = df.as[(String, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h("a"), h("a")) == 0)
+    assert(ham(h("a"), h("b")) < ham(h("a"), h("c")))
+  }
+
+  test("portableHash64 is stable across invocations") {
+    val v1 = Seq(1).toDF("x").select(TextOps.portableHash64(lit("abc"), 0)).first().getLong(0)
+    val v2 = Seq(1).toDF("x").select(TextOps.portableHash64(lit("abc"), 0)).first().getLong(0)
+    val v3 = Seq(1).toDF("x").select(TextOps.portableHash64(lit("abc"), 1)).first().getLong(0)
+    assert(v1 == v2)
+    assert(v1 != v3)
+  }
+}

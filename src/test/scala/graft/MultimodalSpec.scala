@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("id", "text")
+
+  test("fromText builds the canonical media schema") {
+    val m = Multimodal.fromText(docs, "id", "text")
+    assert(m.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
+    val row = m.filter($"media_id" === 1L).first()
+    assert(new String(row.getAs[Array[Byte]]("media"), "UTF-8") == "hello world")
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getAs[Int]("n_frames") >= 1 && meta.getAs[Int]("n_frames") <= 5)
+  }
+
+  test("decodeBytesStub yields stable features") {
+    val f = Multimodal.fromText(docs, "id", "text")
+      .select($"media_id", Multimodal.decodeBytesStub($"media").as("f"))
+      .filter($"media_id" === 2L)
+      .select($"f.n_bytes", $"f.digest").first()
+    assert(f.getInt(0) == 3)
+    assert(f.getString(1) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+
+  test("sampleFrames explodes n_frames rows per media") {
+    val m = Multimodal.fromText(docs, "id", "text")
+    val frames = Multimodal.sampleFrames(m)
+    val counts = frames.groupBy($"media_id").count()
+      .as[(Long, Long)].collect().toMap
+    val nf = m.select($"media_id", $"meta.n_frames").as[(Long, Int)].collect().toMap
+    assert(counts.forall { case (id, n) => n == nf(id).toLong })
+    assert(frames.select($"frame_key").distinct().count() == frames.count())
+  }
+
+  test("decodeBatched runs partition-wise and preserves ids") {
+    val m = Multimodal.fromText(docs, "id", "text").repartition(2)
+    val byId = Multimodal.decodeBatched(m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(byId(1L) == (11L, 'h'.toInt))
+    assert(byId(2L) == (3L, 'a'.toInt))
+  }
+}

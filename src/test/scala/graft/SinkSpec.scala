@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Sink
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conformTo casts to the DDL schema (double -> decimal(20,2))") {
+    val df = Seq((1, "ACES", "LK", "item", 1234.567, 99.999))
+      .toDF("ID", "emitent", "LaporanKeuangan", "LaporanDetail",
+        "CurrentYearInstant", "PriorYearInstant")
+    val out = Sink.conformTo(df, Sink.laporanKeuanganSchema)
+    assert(out.schema("CurrentYearInstant").dataType == DecimalType(20, 2))
+    val r = out.first()
+    assert(r.getDecimal(4).toString == "1234.57")
+    assert(r.getDecimal(5).toString == "100.00")
+  }
+
+  test("conformTo drops extra columns and fails on missing ones") {
+    val extra = Seq((1, "a")).toDF("ID", "junk")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Sink.conformTo(extra, Sink.laporanKeuanganSchema).collect()
+    }
+  }
+
+  test("parquetPartitioned writes hive-style partition dirs") {
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    val df = Seq(("2024-01-01", "click", 1), ("2024-01-02", "view", 2))
+      .toDF("day", "typ", "n")
+    Sink.parquetPartitioned(df, s"$tmp/out", Seq("day"))
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 2)
+    assert(back.columns.contains("day"))
+    assert(new java.io.File(s"$tmp/out/day=2024-01-01").exists())
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingCounts over a file stream matches the batch result") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:55:00"), 7L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 11:05:00"), 8L, "view", 3.0, "{}"),
+      (4L, ts("2024-01-01 11:30:00"), 8L, "click", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.parquet(s"$tmp/in")
+
+    val stream = Streaming.readEventsStream(spark, s"$tmp/in")
+    Streaming.runToMemory(
+      Streaming.tumblingCounts(stream), "tumbling_test", "complete")
+    val got = spark.table("tumbling_test")
+      .select($"window_start", $"event_type", $"n", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 3.0),
+      (ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
+  }
+
+  test("sessionize (batch mode) closes sessions on gap") {
+    import Streaming.{SessionEvent, SessionOut}
+    val hour = 3600L * 1000000
+    val events = Seq(
+      SessionEvent(1L, 0L),
+      SessionEvent(1L, 10 * 60 * 1000000L), // same session (10 min gap)
+      SessionEvent(1L, 2 * hour), // new session
+      SessionEvent(2L, 0L)).toDS()
+    // batch Dataset: flatMapGroupsWithState runs one pass; only sessions
+    // closed by an in-batch gap are emitted (trailing ones stay in state)
+    val out = Streaming.sessionize(events, gapUs = 30L * 60 * 1000000)
+      .collect().toSet
+    assert(out == Set(
+      SessionOut(1L, 0L, 10 * 60 * 1000000L, 2L, "gap")))
+  }
+}

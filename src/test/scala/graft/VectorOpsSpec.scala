@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+    (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+    (Array(1f, 2f, 3f), Array(-1f, -2f, -3f)))
+    .toDF("a", "b")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val got = df.select(round(VectorOps.cosine($"a", $"b"), 9).as("c"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("dot and norm") {
+    val r = Seq((Array(3f, 4f), Array(1f, 1f))).toDF("a", "b")
+      .select(VectorOps.dot($"a", $"b"), VectorOps.norm($"a"))
+      .first()
+    assert(r.getDouble(0) == 7.0)
+    assert(r.getDouble(1) == 5.0)
+  }
+
+  test("signBucket partitions by leading-dim signs") {
+    val r = Seq(
+      (Array(1f, 1f, -1f, 1f), 0),
+      (Array(-1f, 1f, 1f, 1f), 0),
+      (Array(1f, 1f, -1f, -9f), 0))
+      .toDF("v", "z")
+      .select(VectorOps.signBucket($"v", 3).as("b")).as[Int].collect().toSeq
+    assert(r(0) == (1 + 2)) // dims 1,2 positive, dim 3 negative
+    assert(r(1) == (2 + 4))
+    assert(r(0) == r(2)) // 4th dim beyond bucket bits ignored
+  }
+}
