@@ -10,6 +10,14 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local files are tiny (<11 MB): split aggressively so scans use
+      // all cores; at cluster scale the default 128m is the right call
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      // AQE coalesces shuffles toward 64m by default; our shuffles are
+      // byte-tiny but CPU-heavy downstream (hashing, set ops) — keep
+      // them spread across cores
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

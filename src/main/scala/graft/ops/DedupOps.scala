@@ -30,11 +30,40 @@ object DedupOps {
 
   /** MinHash signature: component i = min over shingles of the seeded
     * portable hash. Entirely per-row (array_min ∘ transform) — no explode,
-    * no shuffle.
+    * no shuffle. Costs numHashes md5 per shingle; prefer the universal-
+    * hashing pair [[shingleHashes]] + [[minhashFromHashes]] (one md5 per
+    * shingle) on hot paths.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
       array_min(transform(shingles, s => TextOps.portableHash64(s, i)))): _*)
+
+  /** 28-bit engine-portable base hash (md5 prefix). Small enough that
+    * `a*h + b` stays far from BIGINT overflow in every engine (DuckDB
+    * errors on overflow rather than wrapping).
+    */
+  def portableHashBase(c: Column): Column =
+    conv(substring(md5(concat(lit("0|"), c)), 1, 7), 16, 10).cast("long")
+
+  /** One base hash per k-shingle — the only md5 work MinHash needs under
+    * universal hashing. Long arrays also make downstream set-ops
+    * (intersect/union for exact Jaccard) much cheaper than string sets.
+    */
+  def shingleHashes(c: Column, k: Int): Column =
+    transform(wordShingles(c, k), s => portableHashBase(s))
+
+  val MinhashPrime = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = 1L + 2L * i * 1048583L
+  def minhashB(i: Int): Long = 7L + i.toLong * 2654435L
+
+  /** MinHash via the universal family h_i(x) = (a_i·h(x) + b_i) mod p over
+    * a MATERIALIZED base-hash array: numHashes cheap linear passes, zero
+    * additional md5. h < 2^28 and a_i < 2^25 keep products < 2^53.
+    */
+  def minhashFromHashes(hs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(hs, h =>
+        pmod(h * lit(minhashA(i)) + lit(minhashB(i)), lit(MinhashPrime))))): _*)
 
   /** LSH banding: split a signature into `numBands` bands of
     * `rowsPerBand` and emit one (band_idx, band_key) struct per band.
@@ -83,18 +112,41 @@ object DedupOps {
     size(array_intersect(a, b)).cast("double") /
       nullif(size(array_union(a, b)), lit(0))
 
-  /** SimHash over the token multiset: bit b of the fingerprint is set iff
-    * a strict majority of tokens hash with bit b set. `bits` ≤ 31 keeps
-    * everything in exact integer range on both Spark and oracle engines.
+  /** One portable hash per whitespace token (the expensive md5 step of
+    * SimHash, done exactly once per token).
     */
-  def simhash(c: Column, bits: Int, seed: Int): Column = {
-    val toks = split(c, " ")
-    val n = size(toks)
+  def tokenHashes(c: Column, seed: Int): Column =
+    transform(split(c, " "), t => TextOps.portableHash64(t, seed))
+
+  /** SimHash bits from an ALREADY-MATERIALIZED hash array: bit b is set
+    * iff a strict majority of token hashes have bit b set. Re-scanning the
+    * bound array 'bits' times is cheap; what must NOT happen is the md5
+    * being recomputed per bit — hence the two-step API (see [[simhashed]]).
+    * `bits` ≤ 31 keeps every engine in exact integer range.
+    */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    val n = size(hashes)
     (0 until bits).map { b =>
-      val cnt = size(filter(toks, t =>
-        shiftright(TextOps.portableHash64(t, seed), b).bitwiseAND(lit(1L)) === 1L))
+      val cnt = size(filter(hashes, h =>
+        shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
       when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** SimHash as a DataFrame transform with the evaluation structure made
+    * physical: fan out the (byte-tiny, CPU-heavy) input, hash every token
+    * once, force a barrier so the hash array is materialized, then fold
+    * bits. Without the barrier, Catalyst may inline the hash array into
+    * all `bits` consumers and the md5 work multiplies by `bits`
+    * (interpreted higher-order functions don't get codegen CSE).
+    */
+  def simhashed(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bits: Int, seed: Int): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    Tables.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokenHashes(col(textCol), seed).as("__hs"))
+      .repartition(target) // barrier: __hs computed exactly once per row
+      .select(col(idCol), simhashFromHashes(col("__hs"), bits).as("sim"))
   }
 
   /** Hamming distance between two simhash fingerprints. */

@@ -12,6 +12,18 @@ object Tables {
   def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across all cores for CPU-bound per-row work (hashing,
+    * shingling, regex) whose input BYTES are tiny relative to compute —
+    * a single small parquet file otherwise yields one partition and one
+    * busy core. No-op when the scan is already parallel enough (at real
+    * scale the file splits alone exceed core count, so this never
+    * coalesces a big scan).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame   = load(s, dir, "nation")
   def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")

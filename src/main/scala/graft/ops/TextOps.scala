@@ -26,14 +26,23 @@ object TextOps {
 
   def nTokens(c: Column): Column = size(tokens(c))
 
-  /** Fraction of tokens in `stop` (stopword-density quality signal). */
-  def stopwordRatio(c: Column, stop: Seq[String]): Column = {
-    val stopArr = stop.map(lit): Seq[Column]
-    round(
-      size(filter(tokens(c), t => array_contains(array(stopArr: _*), t)))
-        .cast("double") / nullif(nTokens(c), lit(0)),
-      4)
+  /** Tokens-in-`stop` count over an ALREADY-MATERIALIZED token array.
+    * Perf rule for every function here: tokenize once into a column,
+    * barrier (repartition) so the array is physical, then run the
+    * counting functions over the bound attribute — higher-order functions
+    * are interpreted (no codegen CSE), so an inlined `split` would
+    * re-tokenize per consumer.
+    */
+  def stopwordHits(toks: Column, stop: Seq[String]): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    size(filter(toks, t => array_contains(stopArr, t)))
   }
+
+  /** Fraction of tokens in `stop` (stopword-density quality signal). */
+  def stopwordRatio(c: Column, stop: Seq[String]): Column =
+    round(
+      stopwordHits(tokens(c), stop).cast("double") / nullif(nTokens(c), lit(0)),
+      4)
 
   /** Fraction of characters that are punctuation (non-word, non-space). */
   def punctRatio(c: Column): Column =
@@ -57,18 +66,24 @@ object TextOps {
   /** Count of tokens from `markers` present in the text — the per-language
     * evidence for [[langId]].
     */
-  def markerHits(c: Column, markers: Seq[String]): Column = {
-    val arr = array(markers.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(arr, t)))
-  }
+  def markerHits(c: Column, markers: Seq[String]): Column =
+    stopwordHits(tokens(c), markers)
 
   /** Stopword-profile language ID: score each candidate language by its
     * marker-word hits, pick the argmax (first-listed wins ties), fall back
     * to "unknown" when nothing matches. Profiles are tiny constant arrays —
     * codegen'd, no lookup table, no shuffle.
     */
-  def langId(c: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val scores = profiles.map { case (lang, markers) => lang -> markerHits(c, markers) }
+  def langId(c: Column, profiles: Seq[(String, Seq[String])]): Column =
+    langIdFromScores(profiles.map { case (lang, markers) =>
+      lang -> markerHits(c, markers)
+    })
+
+  /** Argmax over precomputed per-language score columns (first listed wins
+    * ties; all-zero → "unknown"). Use with [[stopwordHits]] over a
+    * materialized token array so each profile scans the array once.
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("unknown"): Column) { case ((lang, s), acc) =>
       when(s === best && s > 0, lit(lang)).otherwise(acc)
@@ -78,9 +93,12 @@ object TextOps {
   /** BPE-ish subword count estimate: ceil(len/4) per whitespace token —
     * the standard chars/4 heuristic, exact enough for corpus budgeting.
     */
-  def bpeTokenEstimate(c: Column): Column =
+  def bpeTokenEstimate(c: Column): Column = bpeFromTokens(tokens(c))
+
+  /** Same, over a materialized token array (see [[stopwordHits]] note). */
+  def bpeFromTokens(toks: Column): Column =
     aggregate(
-      tokens(c),
+      toks,
       lit(0L),
       (acc, t) => acc + floor((length(t) + 3) / lit(4)).cast("long"))
 

@@ -36,8 +36,18 @@ object DedupQueries {
   private def hashSql(seed: Int, arg: String) =
     s"('0x' || substr(md5('$seed|' || $arg), 1, 15))::BIGINT"
 
-  private def sigComponentSql(seed: Int) =
-    s"list_aggregate(list_transform(shingles, s -> ${hashSql(seed, "s")}), 'min')"
+  /** Shingle base hashes (28-bit md5 prefix) — mirrors
+    * DedupOps.shingleHashes/portableHashBase.
+    */
+  private val shingleHashesSql =
+    "list_transform(shingles, s -> ('0x' || substr(md5('0|' || s), 1, 7))::BIGINT)"
+
+  private def sigComponentSql(i: Int) = {
+    val a = graft.ops.DedupOps.minhashA(i)
+    val b = graft.ops.DedupOps.minhashB(i)
+    val p = graft.ops.DedupOps.MinhashPrime
+    s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $p), 'min')"
+  }
 
   // ---- exact dedup: fingerprint groups ----
 
@@ -61,12 +71,16 @@ object DedupQueries {
 
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docSig = Tables.documents(s, dir)
+    // fanOut: byte-tiny input, md5-heavy compute; barrier after hashing
+    // so the base-hash array is materialized once — the universal-hash
+    // signature then needs zero further md5 work
+    val docSig = Tables.fanOut(Tables.documents(s, dir))
       .select($"doc_id",
-        DedupOps.wordShingles($"text", ShingleK).as("shingles"))
-      .filter(size($"shingles") > 0)
+        DedupOps.shingleHashes($"text", ShingleK).as("hs"))
+      .filter(size($"hs") > 0)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id",
-        DedupOps.minhashSignature($"shingles", NumHashes).as("sig"))
+        DedupOps.minhashFromHashes($"hs", NumHashes).as("sig"))
     DedupOps.lshCandidates(docSig, "doc_id", "sig", NumBands, RowsPerBand)
       .withColumn("est_jaccard",
         DedupOps.estimatedJaccard($"sig_a", $"sig_b", NumHashes))
@@ -87,9 +101,11 @@ object DedupQueries {
     }.mkString(" OR ")
     s"""WITH sh AS (
        |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
-       |sig AS (
-       |  SELECT doc_id, $sigExprs AS sig
+       |hsv AS (
+       |  SELECT doc_id, $shingleHashesSql AS hs
        |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig FROM hsv),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
@@ -103,41 +119,48 @@ object DedupQueries {
 
   private def dedupJaccardBlocked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    // long-hashed shingle sets: Jaccard's intersect/union hash-set work
+    // runs over BIGINTs, not strings (same values in the oracle — it
+    // applies the identical hash). The filter re-derives the ratio from
+    // the projection (no way to barrier under a pushed-down predicate),
+    // so keeping the per-evaluation cost low is what matters.
+    val sh = Tables.fanOut(Tables.documents(s, dir))
       .select($"doc_id", $"lang", $"source",
-        DedupOps.wordShingles($"text", ShingleK).as("shingles"))
-      .filter(size($"shingles") > 0)
+        DedupOps.shingleHashes($"text", ShingleK).as("hs"))
+      .filter(size($"hs") > 0)
+      .repartition(s.sparkContext.defaultParallelism)
     sh.as("a").join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.lang").as("lang"), col("a.source").as("source"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(DedupOps.jaccard(col("a.shingles"), col("b.shingles")), 4).as("jaccard"))
+        round(DedupOps.jaccard(col("a.hs"), col("b.hs")), 4).as("jaccard"))
       .filter($"jaccard" >= 0.8)
       .orderBy($"lang", $"source", $"doc_a", $"doc_b")
   }
 
   private val dedupJaccardOracle =
-    s"""WITH sh AS (
-       |  SELECT doc_id, lang, source, $shinglesSql AS shingles FROM documents)
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, lang, source, $shinglesSql AS shingles FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, source, $shingleHashesSql AS hs
+       |  FROM sh0 WHERE len(shingles) > 0)
        |SELECT a.lang AS lang, a.source AS source,
        |  a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-       |    / nullif(len(list_distinct(a.shingles || b.shingles)), 0), 4) AS jaccard
+       |  round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |    / nullif(len(list_distinct(a.hs || b.hs)), 0), 4) AS jaccard
        |FROM sh a JOIN sh b
        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-       |WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-       |  AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-       |    / nullif(len(list_distinct(a.shingles || b.shingles)), 0), 4) >= 0.8
+       |WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |    / nullif(len(list_distinct(a.hs || b.hs)), 0), 4) >= 0.8
        |ORDER BY lang, source, doc_a, doc_b""".stripMargin
 
   // ---- SimHash near-dedup ----
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = Tables.documents(s, dir)
-      .select($"doc_id",
-        DedupOps.simhash($"text", SimhashBits, SimhashSeed).as("sim"))
+    val hashed = DedupOps.simhashed(
+      Tables.documents(s, dir), "doc_id", "text", SimhashBits, SimhashSeed)
     hashed.as("a").join(hashed.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         DedupOps.hamming(col("a.sim"), col("b.sim")).as("hamming"))
@@ -164,16 +187,21 @@ object DedupQueries {
 
   private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    // norms once per VECTOR (not per pair), and the dot product evaluated
+    // once per candidate pair inside the join condition
+    // (cos >= t  ⟺  dot >= t·|a|·|b|); the projection recomputes it only
+    // for the few surviving pairs
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
       .select($"vec_id", $"embedding",
-        VectorOps.signBucket($"embedding", EmbBucketBits).as("bucket"))
+        VectorOps.signBucket($"embedding", EmbBucketBits).as("bucket"),
+        VectorOps.norm($"embedding").as("nrm"))
     e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_raw",
-        VectorOps.cosine(col("a.embedding"), col("b.embedding")))
-      .filter($"cos_raw" >= EmbCosMin)
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
+          && VectorOps.dot(col("a.embedding"), col("b.embedding"))
+            >= lit(EmbCosMin) * col("a.nrm") * col("b.nrm"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round($"cos_raw", 4).as("cos"))
+        round(VectorOps.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
       .orderBy($"vec_a", $"vec_b")
   }
 

@@ -77,7 +77,7 @@ object Financial {
     val monthArr = typedlit(bulanNames)
     val mname = element_at(monthArr, month($"o_orderdate"))
     val mnum = Clean.monthNumber(mname)
-    Tables.orders(s, dir)
+    Tables.fanOut(Tables.orders(s, dir))
       .select(
         $"o_orderkey",
         Clean.cleanTextV1($"o_orderpriority").as("prio_clean"),

@@ -19,7 +19,7 @@ object MultimodalQueries {
   private def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.fromText(
-      Tables.documents(s, dir).select($"doc_id", $"source", $"text"),
+      Tables.fanOut(Tables.documents(s, dir).select($"doc_id", $"source", $"text")),
       "doc_id", "text")
       .join(Tables.documents(s, dir).select($"doc_id".as("media_id"), $"source"),
         "media_id")
@@ -50,7 +50,8 @@ object MultimodalQueries {
   private def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.fromText(
-      Tables.documents(s, dir).select($"doc_id", $"text"), "doc_id", "text")
+      Tables.fanOut(Tables.documents(s, dir).select($"doc_id", $"text")),
+      "doc_id", "text")
     val frames = Multimodal.sampleFrames(media)
     frames
       .join(Tables.documents(s, dir).select($"doc_id".as("media_id"), $"source"),

@@ -27,7 +27,7 @@ object SimilarityQueries {
 
   private def annTopkCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, dir)
+    Tables.fanOut(Tables.embeddings(s, dir))
       .filter($"vec_id" =!= QueryVecId)
       .crossJoin(broadcast(queryVec(s, dir)))
       .withColumn("cos_raw", VectorOps.cosine($"embedding", $"qv"))
@@ -47,7 +47,7 @@ object SimilarityQueries {
 
   private def annLshTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, dir)
+    Tables.fanOut(Tables.embeddings(s, dir))
       .filter($"vec_id" =!= QueryVecId)
       .crossJoin(broadcast(queryVec(s, dir)))
       .filter(VectorOps.signBucket($"embedding", LshBits)

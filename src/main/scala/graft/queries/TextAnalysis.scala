@@ -27,14 +27,23 @@ object TextAnalysis {
 
   private def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    // tokenize once, barrier, then compute every ratio off the bound
+    // array — HOFs are interpreted, so inlined splits would re-tokenize
+    // per consumer (see TextOps.stopwordHits)
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         $"doc_id",
         length($"text").as("n_chars"),
-        TextOps.nTokens($"text").as("n_tokens"),
-        TextOps.stopwordRatio($"text", stopwords).as("stopword_ratio"),
-        TextOps.punctRatio($"text").as("punct_ratio"),
-        TextOps.qualityScore($"text", stopwords).as("quality"))
+        size($"toks").as("n_tokens"),
+        round(TextOps.stopwordHits($"toks", stopwords).cast("double")
+          / nullif(size($"toks"), lit(0)), 4).as("stopword_ratio"),
+        TextOps.punctRatio($"text").as("punct_ratio"))
+      .withColumn("quality", round(
+        lit(0.3) * $"stopword_ratio"
+          + lit(0.3) * least($"n_tokens".cast("double") / 200.0, lit(1.0))
+          + lit(0.4) * (lit(1.0) - $"punct_ratio"), 4))
       .orderBy($"doc_id")
   }
 
@@ -56,15 +65,21 @@ object TextAnalysis {
 
   private def langIdQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"lang".as("lang_labeled"),
+        TextOps.tokens($"text").as("toks"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
-        $"doc_id",
-        $"lang".as("lang_labeled"),
-        TextOps.langId($"text", langProfiles).as("lang_pred"),
-        TextOps.markerHits($"text", langProfiles.head._2).as("en_hits"))
+        ($"doc_id" +: $"lang_labeled" +:
+          langProfiles.map { case (l, m) =>
+            TextOps.stopwordHits($"toks", m).as(s"s_$l")
+          }): _*)
+      .withColumn("lang_pred", TextOps.langIdFromScores(
+        langProfiles.map { case (l, _) => l -> col(s"s_$l") }))
     scored
       .groupBy($"lang_labeled", $"lang_pred")
-      .agg(count(lit(1)).as("n_docs"), sum($"en_hits").as("sum_en_hits"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(s"s_${langProfiles.head._1}")).as("sum_en_hits"))
       .orderBy($"lang_labeled", $"lang_pred")
   }
 
@@ -93,11 +108,13 @@ object TextAnalysis {
 
   private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         $"source",
-        TextOps.nTokens($"text").as("n_tokens"),
-        TextOps.bpeTokenEstimate($"text").as("bpe_tokens"))
+        size($"toks").as("n_tokens"),
+        TextOps.bpeFromTokens($"toks").as("bpe_tokens"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -119,11 +136,10 @@ object TextAnalysis {
 
   private def fingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(
-        $"doc_id",
-        TextOps.fingerprintHex($"text").as("fp_hex"),
-        TextOps.fingerprint64($"text").as("fp64"))
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", TextOps.fingerprintHex($"text").as("fp_hex"))
+      .withColumn("fp64",
+        conv(substring($"fp_hex", 1, 15), 16, 10).cast("long"))
       .orderBy($"doc_id")
   }
 

@@ -63,12 +63,13 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("simhash: self-hamming 0, near-doc small, far-doc large") {
-    val df = Seq(
-      ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
-      ("b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),
-      ("c", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
-      .toDF("id", "text")
-      .select($"id", DedupOps.simhash($"text", 24, 99).as("h"))
+    val df = DedupOps.simhashed(
+      Seq(
+        ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        ("b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),
+        ("c", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+        .toDF("id", "text"),
+      "id", "text", 24, 99)
     val h = df.as[(String, Long)].collect().toMap
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(h("a"), h("a")) == 0)
