@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Canon, Compose, Ingest}
+import graft.pipelines.FinancialStatements
+import graft.sources.XlsxSource
+
+/** Exercises the driver-side XLSX source and pipeline B against the
+  * reference's actual workbook (read-only fixture).
+  */
+class XlsxIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wb = "/root/reference/Data/FinancialStatement-2024-I-ACES.xlsx"
+
+  test("S2 + P1: headerless sheet scan and scalar lookup") {
+    val info = Ingest.excelRaw(spark, wb, "1000000")
+    assert(info.columns.take(2).toSeq == Seq("_c0", "_c1"))
+    assert(Compose.lookupScalar(info, "_c0", "Kode entitas", "_c1")
+      .contains("ACES"))
+    assert(Compose.lookupScalar(info, "_c0", "Nama entitas", "_c1")
+      .contains("Ace Hardware Indonesia Tbk"))
+  }
+
+  test("S1: header-row sheet scan mangles headers pandas-style") {
+    val df = Ingest.excel(spark, wb, "1311000", headerRow = 1)
+    // title row consumed; blank header cells -> Unnamed: i (pandas style)
+    assert(df.columns.toSeq
+      == Seq("Laporan laba rugi dan penghasilan komprehensif lain",
+        "Unnamed: 1",
+        "Statement of profit or loss and other comprehensive income",
+        "Unnamed: 3"))
+    assert(df.count() > 50)
+  }
+
+  test("readOrEmpty isolates a failing source") {
+    val schema = StructType(Seq(StructField("x", StringType)))
+    val df = Ingest.readOrEmpty(spark, schema) {
+      Ingest.excelRaw(spark, wb, "NO_SUCH_SHEET")
+    }
+    assert(df.schema == schema && df.count() == 0)
+  }
+
+  test("pipeline B over the real workbook") {
+    val out = FinancialStatements.pipelineB(spark, wb)
+    val rows = out.collect()
+    assert(rows.length > 300)
+    assert(rows.forall(_.getAs[String]("emitent") == "ACES"))
+    // IDs are 1..n contiguous in (src_rank, line_no) order
+    assert(rows.map(_.getAs[Int]("ID")).sorted.toSeq == (1 to rows.length))
+    assert(out.columns.toSeq == Seq("ID", "emitent", "grup_lk",
+      "LaporanDetail", "CurrentYearInstant", "PriorYearInstant"))
+    // all three statements present
+    assert(out.select("grup_lk").distinct().count() == 3)
+    // numerics coerced: at least some non-zero monetary values
+    assert(out.filter($"CurrentYearInstant" =!= 0.0).count() > 50)
+  }
+
+  test("Canon: positional rename, truncate, strict drop, pin-first") {
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    assert(Canon.renamePositional(df, Seq("x", "y")).columns.toSeq
+      == Seq("x", "y", "c"))
+    assert(Canon.truncateNames(Seq((1, 2)).toDF("a" * 80, "b"), 64)
+      .columns.head.length == 64)
+    assert(Canon.pinFirst(df, Seq("c")).columns.toSeq == Seq("c", "a", "b"))
+    intercept[IllegalArgumentException] {
+      Canon.dropStrict(df, Seq("nope"))
+    }
+    assert(Canon.dropStrict(df, Seq("b")).columns.toSeq == Seq("a", "c"))
+    assert(Canon.renameMap(df, Map("a" -> "z", "missing" -> "w")).columns.toSeq
+      == Seq("z", "b", "c"))
+  }
+
+  test("textWithLineNo numbers lines in file order") {
+    val tmp = java.nio.file.Files.createTempFile("graft", ".txt")
+    java.nio.file.Files.writeString(tmp, "alpha\nbeta\ngamma\n")
+    val df = Ingest.textWithLineNo(spark, tmp.toString)
+      .orderBy($"line_no").as[(Long, String)].collect().toSeq
+    assert(df == Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")))
+  }
+}
