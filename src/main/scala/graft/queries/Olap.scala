@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** OLAP aggregation shapes beyond plain GROUP BY: rollup (subtotals +
+  * grand total), cube, and a SQL-surface query run through temp views —
+  * proving the engine is reachable via `spark.sql` as well as the
+  * DataFrame API.
+  */
+object Olap {
+
+  /** Register every harness table as a temp view so users can address the
+    * engine in plain SQL.
+    */
+  def registerTables(s: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+
+  /** ROLLUP over (priority, status): per-pair, per-priority subtotal, and
+    * grand total in one pass — Spark expands grouping sets in a single
+    * Expand + aggregate (no N scans).
+    */
+  private def rollupOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"o_orderpriority", $"o_orderstatus")
+  }
+
+  private val rollupOracle =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
+  /** The same engine addressed through SQL: a join + agg written as a
+    * query string over registered views. Exercises the spark.sql surface
+    * end-to-end (parser → analyzer → same physical planning).
+    */
+  private def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql("""
+      SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""")
+  }
+
+  private val sqlSurfaceOracle =
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("olap_rollup_orders", rollupOrders, Some(rollupOracle)),
+    Q("sql_surface_join", sqlSurface, Some(sqlSurfaceOracle)))
+}
