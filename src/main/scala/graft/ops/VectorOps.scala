@@ -13,7 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Native codegen'd expressions (graft.plans.VectorExpressions) — one
+    * tight primitive loop per pair. The HOF forms below produce
+    * bit-identical doubles (same widening, same summation order) and are
+    * kept as the no-internal-APIs fallback and as a cross-check in tests.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vecDot(a, b)
+
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vecCosine(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -21,7 +32,8 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Random-hyperplane LSH, degenerate-but-deterministic variant: the
     * "hyperplanes" are the first `bits` coordinate axes, so the bucket is

@@ -26,6 +26,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.getDouble(1) == 5.0)
   }
 
+  test("native expressions match HOF forms bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      VectorOps.dot($"a", $"b").as("dn"),
+      VectorOps.dotHof($"a", $"b").as("dh"),
+      VectorOps.cosine($"a", $"b").as("cn"),
+      VectorOps.cosineHof($"a", $"b").as("ch")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // exact, not approximate
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
   test("signBucket partitions by leading-dim signs") {
     val r = Seq(
       (Array(1f, 1f, -1f, 1f), 0),
