@@ -26,12 +26,18 @@ object Clean {
   def cleanTextV1(c: Column, maxLen: Int = 255): Column =
     substring(regexp_replace(c, "[^\\w\\s]", ""), 1, maxLen)
 
-  /** Null→"", stringify, strip non-ASCII runs, truncate, trim. */
+  /** Null→"", stringify, strip non-ASCII runs, truncate, strip. The final
+    * strip is regex `\s`-based, not Spark's `trim` — Python's `.strip()`
+    * (the reference, dask-with-dataframe-[2].py:33) removes ALL
+    * whitespace (tabs, newlines), Spark/DuckDB `trim` only removes
+    * spaces. Caught by the ScalaCheck property suite.
+    */
   def cleanTextV2(c: Column, maxLen: Int = 255): Column =
-    trim(
+    regexp_replace(
       substring(
         regexp_replace(coalesce(c.cast("string"), lit("")), "[^\\x00-\\x7F]+", ""),
-        1, maxLen))
+        1, maxLen),
+      "^\\s+|\\s+$", "")
 
   /** Unparseable → NULL → 0.0. Must behave identically whether ANSI mode is
     * on or off, hence `try_cast` (a bare `cast` throws under ANSI).

@@ -95,7 +95,7 @@ object Financial {
   private val fnScalarOracle =
     s"""SELECT o_orderkey,
        |  substr(regexp_replace(o_orderpriority, '[^\\w\\s]', '', 'g'), 1, 255) AS prio_clean,
-       |  trim(substr(regexp_replace(coalesce(CAST(o_orderstatus AS VARCHAR), ''), '[^\\x00-\\x7F]+', '', 'g'), 1, 255)) AS status_clean,
+       |  regexp_replace(substr(regexp_replace(coalesce(CAST(o_orderstatus AS VARCHAR), ''), '[^\\x00-\\x7F]+', '', 'g'), 1, 255), '^\\s+|\\s+$$', '', 'g') AS status_clean,
        |  list_extract($bulanSqlList, month(o_orderdate)) AS month_name,
        |  CAST(month(o_orderdate) AS INTEGER) AS month_num,
        |  'Q' || CAST(((month(o_orderdate) - 1) // 3) + 1 AS VARCHAR) || ' ' || CAST(year(o_orderdate) AS VARCHAR) AS quarter_label,
@@ -184,7 +184,7 @@ object Financial {
       |  FROM part WHERE p_size % 2 <> 0)
       |SELECT CAST(row_number() OVER (ORDER BY src_rank, line_no) AS INTEGER) AS id,
       |  grup_lk,
-      |  trim(substr(regexp_replace(coalesce(CAST(p_type AS VARCHAR), ''), '[^\x00-\x7F]+', '', 'g'), 1, 255)) AS item,
+      |  regexp_replace(substr(regexp_replace(coalesce(CAST(p_type AS VARCHAR), ''), '[^\x00-\x7F]+', '', 'g'), 1, 255), '^\s+|\s+$', '', 'g') AS item,
       |  coalesce(try_cast(p_retailprice AS DOUBLE), 0.0) AS value,
       |  (SELECT quarter FROM q) AS quarter
       |FROM src

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.{Clean, DedupOps, Ids, TextOps}
+
+/** Property-based specs (SURVEY.md §5.2(3)) for the scalar F-layer and
+  * the ID-minting invariants — raw ScalaCheck driven from FunSuite (the
+  * scalatest/scalacheck bridge artifact isn't in the offline cache).
+  * Inputs run through Spark itself, not a reimplementation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, minTests: Int = 15): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val asciiGen: Gen[String] =
+    Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString.take(300))
+
+  test("coerceNumeric: never null, batch-size preserved") {
+    check(Prop.forAll(Gen.listOfN(12, Gen.oneOf(asciiGen, Gen.numStr,
+        Gen.double.map(_.toString)))) { ss =>
+      ss.isEmpty || {
+        val out = ss.toDF("s").select(Clean.coerceNumeric($"s").as("v"))
+          .collect()
+        out.length == ss.length && out.forall(!_.isNullAt(0))
+      }
+    })
+  }
+
+  test("cleanTextV1: no punctuation survives, length <= 255") {
+    check(Prop.forAll(Gen.listOfN(8, asciiGen)) { ss =>
+      ss.isEmpty || ss.toDF("s").select(Clean.cleanTextV1($"s").as("v"))
+        .as[String].collect()
+        .forall(v => v.length <= 255 && v.forall(c =>
+          c.isLetterOrDigit || c == '_' || c.isWhitespace))
+    })
+  }
+
+  test("cleanTextV2: \\s-stripped (Python .strip parity), pure ASCII, <= 255") {
+    val ws = " \t\n\f\r".toSet // Java regex \s — what Python strip removes
+    val anyString = Gen.listOf(Gen.choose(1.toChar, 1000.toChar)).map(_.mkString)
+    check(Prop.forAll(Gen.listOfN(8, anyString)) { ss =>
+      ss.isEmpty || ss.toDF("s").select(Clean.cleanTextV2($"s").as("v"))
+        .as[String].collect()
+        .forall(v => v.length <= 255 && v.forall(_ < 128)
+          && (v.isEmpty || (!ws(v.head) && !ws(v.last))))
+    })
+  }
+
+  test("global IDs: permutation of 1..n, monotone in declared order") {
+    check(Prop.forAll(Gen.listOfN(25, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 500)))) {
+      rows =>
+        val d = rows.distinct
+        d.isEmpty || {
+          val got = Ids.withGlobalId(d.toDF("src_rank", "line_no"), "id",
+              Seq($"src_rank", $"line_no"))
+            .select($"src_rank", $"line_no", $"id")
+            .as[(Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+          got.map(_._3).toSeq == (1 to d.length)
+        }
+    }, minTests = 10)
+  }
+
+  test("minhash components in [0, p); equal docs -> equal signatures") {
+    check(Prop.forAll(Gen.listOfN(8, Gen.choose(0, 20))) { words =>
+      words.length < 4 || {
+        val text = words.map(w => s"w$w").mkString(" ")
+        val sigs = Seq(text, text).toDF("text").select(
+            DedupOps.minhashFromHashes(
+              DedupOps.shingleHashes($"text", 2), 8).as("sig"))
+          .as[Seq[Long]].collect()
+        sigs(0) == sigs(1) && sigs(0).length == 8 &&
+          sigs(0).forall(h => h >= 0 && h < DedupOps.MinhashPrime)
+      }
+    }, minTests = 10)
+  }
+
+  test("fingerprint64 invariant to case and whitespace runs") {
+    check(Prop.forAll(asciiGen) { s =>
+      val variants = Seq(s, s.toUpperCase, "  " + s.replace(" ", "   ") + " ")
+      variants.toDF("s").select(TextOps.fingerprint64($"s").as("f"))
+        .as[Long].collect().distinct.length == 1
+    }, minTests = 15)
+  }
+}
