@@ -70,7 +70,86 @@ object SimilarityQueries {
        |LIMIT $LshTopK""".stripMargin
   }
 
+  private val NumCells = 8
+  private val NProbe = 2
+  private val IvfTopK = 5
+
+  /** IVF (inverted-file) ANN: vectors are assigned to the cell of their
+    * nearest centroid; a query probes only its `NProbe` closest cells.
+    * Cell assignment is pure map-side work against broadcast centroid
+    * literals; at scale the assignment is computed once at ingest and the
+    * probe filter prunes partitions (partition-by-cell layout).
+    *
+    * Centroid "training" is stood in by taking the first `NumCells`
+    * vectors as centroids (deterministic; a real deployment trains
+    * k-means offline — the IVF *structure* is what's exercised here).
+    */
+  private def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents: Array[(Int, Array[Float])] = Tables.embeddings(s, dir)
+      .filter($"vec_id" < NumCells).orderBy($"vec_id")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id.toInt, v) }
+    def cellOf(v: org.apache.spark.sql.Column) = {
+      val scores = cents.map { case (cid, c) =>
+        cid -> VectorOps.cosine(v, typedlit(c)) }
+      val best = scores.map(_._2).reduce(greatest(_, _))
+      // first (lowest-cid) max wins ties — matches the oracle's
+      // row_number ORDER BY score DESC, cid
+      scores.foldRight(lit(-1)) { case ((cid, sc), acc) =>
+        when(sc === best, lit(cid)).otherwise(acc)
+      }
+    }
+    // probe cells for the query vector, scored through the same Spark
+    // expressions so the doubles are bit-identical to cell assignment
+    val qVec = Tables.embeddings(s, dir).filter($"vec_id" === QueryVecId)
+      .select($"embedding").as[Array[Float]].collect().head
+    val qScores = s.range(1).select(
+        cents.map { case (cid, c) =>
+          VectorOps.cosine(typedlit(qVec), typedlit(c)).as(s"s$cid") }: _*)
+      .collect().head
+    val probe = cents.indices
+      .map(i => (cents(i)._1, qScores.getDouble(i)))
+      .sortBy { case (cid, sc) => (-sc, cid) }
+      .take(NProbe).map(_._1)
+    Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cell", cellOf($"embedding"))
+      .filter($"cell".isin(probe: _*))
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", $"qv"))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(IvfTopK)
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
+  }
+
+  private val annIvfOracle =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $NumCells),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT vec_id, label, embedding, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS rn
+       |    FROM cent c, q) WHERE rn <= $NProbe)
+       |SELECT a.vec_id, a.label,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos
+       |FROM assigned a JOIN qcells p ON a.cid = p.cid, q
+       |WHERE a.vec_id <> $QueryVecId
+       |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, a.vec_id
+       |LIMIT $IvfTopK""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
-    Q("ann_lsh_topk", annLshTopk, Some(annLshOracle)))
+    Q("ann_lsh_topk", annLshTopk, Some(annLshOracle)),
+    Q("ann_ivf_topk", annIvfTopk, Some(annIvfOracle)))
 }
