@@ -70,4 +70,36 @@ object Clean {
 
   /** Stringify with null guard (`str(x) if pd.notna(x) else ""`). */
   def stringify(c: Column): Column = coalesce(c.cast("string"), lit(""))
+
+  /** F7 — date-pattern extraction (dask-with-dataframe-[2].py:49-53):
+    * `Pada Tanggal (\d{1,2}) (\w+) (\d{4})` → (day, month-name, year).
+    * One regexp_extract per group (Spark has no multi-group single call);
+    * non-matching input yields empty strings, like `re.search` → None
+    * guarded by the reference.
+    */
+  private val datePat = "Pada Tanggal (\\d{1,2}) (\\w+) (\\d{4})"
+  def extractDay(c: Column): Column   = regexp_extract(c, datePat, 1)
+  def extractMonth(c: Column): Column = regexp_extract(c, datePat, 2)
+  def extractYear(c: Column): Column  = regexp_extract(c, datePat, 3)
+
+  /** F8 — substring between two literal markers
+    * (dask-with-dataframe-[2].py:72-78: `text.find(start)`, slice to
+    * `text.find(end, start)`). `(?s)` so the span crosses newlines;
+    * non-greedy; missing markers → "".
+    */
+  def extractBetween(c: Column, start: String, end: String): Column =
+    regexp_extract(c,
+      "(?s)" + java.util.regex.Pattern.quote(start) + "(.*?)"
+        + java.util.regex.Pattern.quote(end), 1)
+
+  /** F9 — line parse into (item, value, rest)
+    * (`re.match(r"(.+?)\s+([\d,.]+)\s*(.*)", line)`,
+    * dask-with-dataframe-[2].py:86-90). Pair with [[lineMatches]] to drop
+    * non-matching lines (C:91-92).
+    */
+  private val linePat = "^(.+?)\\s+([\\d,.]+)\\s*(.*)$"
+  def lineItem(c: Column): Column  = regexp_extract(c, linePat, 1)
+  def lineValue(c: Column): Column = regexp_extract(c, linePat, 2)
+  def lineRest(c: Column): Column  = regexp_extract(c, linePat, 3)
+  def lineMatches(c: Column): Column = regexp_like(c, lit(linePat))
 }

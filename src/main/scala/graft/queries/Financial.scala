@@ -190,9 +190,54 @@ object Financial {
       |FROM src
       |ORDER BY id""".stripMargin
 
+  /** G1 — text blob → typed rows (dask-with-dataframe-[2].py:80-97):
+    * build one multi-line blob per brand (the stand-in for a PDF section
+    * text), explode it back into lines, regex-parse each into
+    * (item, value, rest) (F9), drop non-matching lines, coerce the value
+    * (F4). The explode is a codegen'd Generator — no UDTF.
+    * Line order inside the blob is irrelevant by construction: the output
+    * is the multiset of parsed lines.
+    */
+  private def g1TextToRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val line = concat_ws(" ",
+      Clean.cleanTextV1($"p_name"), $"p_retailprice".cast("string"), $"p_type")
+    val blobs = Tables.part(s, dir)
+      .select($"p_brand", line.as("line"))
+      .groupBy($"p_brand")
+      .agg(concat_ws("\n", collect_list($"line")).as("blob"))
+    blobs
+      .select($"p_brand", explode(split($"blob", "\n")).as("line"))
+      .filter(Clean.lineMatches($"line"))
+      .select(
+        $"p_brand",
+        Clean.lineItem($"line").as("item"),
+        Clean.stripThousands(Clean.lineValue($"line")).as("value"),
+        Clean.lineRest($"line").as("rest"))
+      .orderBy($"p_brand", $"item", $"value", $"rest")
+  }
+
+  private val g1Oracle =
+    """WITH blobs AS (
+      |  SELECT p_brand,
+      |    string_agg(substr(regexp_replace(p_name, '[^\w\s]', '', 'g'), 1, 255)
+      |      || ' ' || CAST(p_retailprice AS VARCHAR) || ' ' || p_type,
+      |      chr(10)) AS blob
+      |  FROM part GROUP BY p_brand),
+      |lines AS (
+      |  SELECT p_brand, unnest(string_split(blob, chr(10))) AS line FROM blobs)
+      |SELECT p_brand,
+      |  regexp_extract(line, '^(.+?)\s+([\d,.]+)\s*(.*)$', 1) AS item,
+      |  try_cast(replace(regexp_extract(line, '^(.+?)\s+([\d,.]+)\s*(.*)$', 2), ',', '') AS DOUBLE) AS value,
+      |  regexp_extract(line, '^(.+?)\s+([\d,.]+)\s*(.*)$', 3) AS rest
+      |FROM lines
+      |WHERE regexp_matches(line, '^(.+?)\s+([\d,.]+)\s*(.*)$')
+      |ORDER BY p_brand, item, value, rest""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),
     Q("calk_sectionizer", calkSectionize, Some(calkOracle)),
-    Q("c_financial_diamond", cFinancialDiamond, Some(cFinancialOracle)))
+    Q("c_financial_diamond", cFinancialDiamond, Some(cFinancialOracle)),
+    Q("g1_text_to_rows", g1TextToRows, Some(g1Oracle)))
 }
