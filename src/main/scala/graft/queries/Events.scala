@@ -138,9 +138,52 @@ object Events {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** Native session windows (session_window merges events with < 30 min
+    * gaps) — the built-in counterpart of the manual lag+cumsum
+    * sessionizer above. The oracle reconstructs identical sessions by
+    * hand (start = min ts, end = max ts + gap), proving the two
+    * formulations agree event-for-event.
+    */
+  private def sessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val sessionWindowOracle =
+    """WITH t AS (
+      |  SELECT user_id, ts, value,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("events_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
     Q("events_sessionize", sessionize, Some(sessionizeOracle)),
+    Q("events_session_window", sessionWindow, Some(sessionWindowOracle)),
     Q("events_json_props", jsonProps, Some(jsonPropsOracle)),
     Q("events_daily_pivot", dailyPivot, Some(dailyPivotOracle)))
 }

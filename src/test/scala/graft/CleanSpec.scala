@@ -50,4 +50,27 @@ class CleanSpec extends SparkSpec {
     assert(one(Clean.stringify(lit(null).cast("int"))) == "")
     assert(one(Clean.stringify(lit(42))) == "42")
   }
+
+  test("F7 date extraction (reference's Pada Tanggal pattern)") {
+    val s = lit("Laporan Pada Tanggal 31 Desember 2023 dan 2022")
+    assert(one(Clean.extractDay(s)) == "31")
+    assert(one(Clean.extractMonth(s)) == "Desember")
+    assert(one(Clean.extractYear(s)) == "2023")
+    assert(one(Clean.extractDay(lit("no date here"))) == "")
+  }
+
+  test("F8 between-markers extraction, dotall + non-greedy") {
+    val s = lit("junk START a\nb END more START c END")
+    assert(one(Clean.extractBetween(s, "START", "END")) == " a\nb ")
+    assert(one(Clean.extractBetween(s, "MISSING", "END")) == "")
+  }
+
+  test("F9 line parse + matcher") {
+    val s = lit("Penjualan bersih 1,992,527 Sales")
+    assert(one(Clean.lineItem(s)) == "Penjualan bersih")
+    assert(one(Clean.lineValue(s)) == "1,992,527")
+    assert(one(Clean.lineRest(s)) == "Sales")
+    assert(one(Clean.lineMatches(lit("no numbers at all"))) == false)
+    assert(one(Clean.stripThousands(Clean.lineValue(s))) == 1992527.0)
+  }
 }

@@ -1,0 +1,25 @@
+import graft.queries.Registry
+import java.nio.file.{Files, Paths}
+val sb = new StringBuilder
+sb ++= "# PLANS - physical-plan audit (generated against sf0.01)\n\n"
+sb ++= "Evidence that the flagship plans are the plans we want: filters\n"
+sb ++= "pushed into the parquet scan, columns pruned, dimensions broadcast,\n"
+sb ++= "top-k via TakeOrderedAndProject, no shuffle joins where a broadcast\n"
+sb ++= "fits. Regenerate with tools/plans.sc.\n\n"
+for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue",
+              "topk_orders","dedup_minhash_lsh","dedup_embedding_lsh",
+              "ann_ivf_topk","events_session_window")) {
+  val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
+  def n(p: String) = p.r.findAllIn(plan).length
+  sb ++= s"## $q\n\n"
+  sb ++= s"- BroadcastHashJoin: ${n("BroadcastHashJoin")}, SortMergeJoin: ${n("SortMergeJoin")}, ShuffledHashJoin: ${n("ShuffledHashJoin")}, BroadcastNestedLoopJoin: ${n("BroadcastNestedLoopJoin")}\n"
+  sb ++= s"- Exchanges: ${n("Exchange")}, TakeOrderedAndProject: ${n("TakeOrderedAndProject")}\n"
+  val pf = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toList.distinct.take(3)
+  if (pf.nonEmpty) sb ++= pf.map(f => s"- $f").mkString("", "\n", "\n")
+  val rs = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList.distinct.take(3)
+  if (rs.nonEmpty) sb ++= rs.map(r => s"- ${r.take(180)}").mkString("", "\n", "\n")
+  sb ++= "\n"
+}
+Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
+println("WROTE PLANS.md")
+sys.exit(0)
