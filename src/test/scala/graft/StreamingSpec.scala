@@ -32,6 +32,36 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
   }
 
+  test("watermark drops late data in append mode") {
+    val tmp = Files.createTempDirectory("graft_late").toString
+    // batch 1: events up to 12:00 -> watermark advances to 10:00 (2h)
+    Seq(
+      (1L, ts("2024-01-01 09:30:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tmp/in/b1")
+    val stream = Streaming.readEventsStream(spark, s"$tmp/in/*")
+    val agg = Streaming.tumblingCounts(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: an event far behind the watermark -> must be dropped
+    Seq(
+      (3L, ts("2024-01-01 08:00:00"), 1L, "click", 99.0, "{}"),
+      (4L, ts("2024-01-01 15:00:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tmp/in/b2")
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only finalized windows (watermark passed 13:00
+    // after batch 2); the 08:00 late event must not resurrect its window
+    val finalized = spark.table("late_test")
+      .select($"window_start", $"n").as[(Timestamp, Long)].collect().toMap
+    assert(!finalized.contains(ts("2024-01-01 08:00:00")))
+    assert(finalized.get(ts("2024-01-01 09:30:00")).isEmpty)
+    assert(finalized.get(ts("2024-01-01 09:00:00")).contains(1L))
+  }
+
   test("sessionize (batch mode) closes sessions on gap") {
     import Streaming.{SessionEvent, SessionOut}
     val hour = 3600L * 1000000
