@@ -180,7 +180,37 @@ object Events {
       |GROUP BY user_id, session_no
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** AS-OF join: each event picks up the user's most recent order-day
+    * total as of the event time (graft.ops.AsOf — union+window
+    * composition, one shuffle on the key). Oracle: DuckDB's native
+    * ASOF LEFT JOIN over the identical pre-aggregated right side.
+    */
+  private def eventsAsofOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordersDaily = Tables.orders(s, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(round(sum($"o_totalprice"), 2).as("day_total"))
+    graft.ops.AsOf.asofJoin(
+        Tables.events(s, dir).select($"event_id", $"user_id", $"ts"),
+        ordersDaily,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        carry = Seq("day_total"))
+      .select($"event_id", $"user_id", $"asof_time".as("asof_date"), $"day_total")
+      .orderBy($"event_id")
+  }
+
+  private val eventsAsofOracle =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, round(sum(o_totalprice), 2) AS day_total
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, r.o_orderdate AS asof_date, r.day_total
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("events_asof_orders", eventsAsofOrders, Some(eventsAsofOracle)),
     Q("events_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
     Q("events_sessionize", sessionize, Some(sessionizeOracle)),
     Q("events_session_window", sessionWindow, Some(sessionWindowOracle)),
