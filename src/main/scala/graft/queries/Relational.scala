@@ -206,7 +206,62 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Correlated-subquery shape ("orders above their customer's average"),
+    * written as the decorrelated join-with-aggregate Catalyst would
+    * produce: one pass computes per-customer averages, a second joins
+    * them back. The avg side is orders-of-magnitude smaller than the
+    * fact → AQE broadcasts it.
+    */
+  private def ordersAboveCustAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    val avgs = ord.groupBy($"o_custkey".as("ck"))
+      .agg(avg($"o_totalprice").as("cust_avg"))
+    ord.join(avgs, $"o_custkey" === $"ck")
+      .filter($"o_totalprice" > $"cust_avg")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_above"),
+        round(avg($"o_totalprice" - $"cust_avg"), 2).as("avg_excess"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val aboveAvgOracle =
+    """SELECT o_orderpriority, count(*) AS n_above,
+      |  round(avg(o_totalprice - cust_avg), 2) AS avg_excess
+      |FROM (
+      |  SELECT o.*, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      |  FROM orders o)
+      |WHERE o_totalprice > cust_avg
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact interpolated percentiles per group — Spark `percentile` and
+    * DuckDB `quantile_cont` share the continuous-interpolation
+    * definition.
+    */
+  private def pricePercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val percentilesOracle =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("orders_above_cust_avg", ordersAboveCustAvg, Some(aboveAvgOracle)),
+    Q("price_percentiles", pricePercentiles, Some(percentilesOracle)),
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q03_shipping_priority", q03ShippingPriority, Some(q03Oracle)),
     Q("q05_region_revenue", q05RegionRevenue, Some(q05Oracle)),
