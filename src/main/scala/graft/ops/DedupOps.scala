@@ -112,6 +112,22 @@ object DedupOps {
     size(array_intersect(a, b)).cast("double") /
       nullif(size(array_union(a, b)), lit(0))
 
+  /** Sorted, duplicate-free shingle-hash array — the representation
+    * [[jaccardSorted]] needs.
+    */
+  def sortedShingleHashes(c: Column, k: Int): Column =
+    array_sort(array_distinct(shingleHashes(c, k)))
+
+  /** Exact Jaccard over SORTED distinct long arrays via the codegen'd
+    * two-pointer intersect (graft.plans.SortedIntersectCount):
+    * |∩| / (|a| + |b| − |∩|). No per-pair hash-set allocation — the
+    * hot-loop form for pairwise verification at scale.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.plans.VectorExpressions.sortedIntersectCount(a, b)
+    inter.cast("double") / nullif(size(a) + size(b) - inter, lit(0))
+  }
+
   /** One portable hash per whitespace token (the expensive md5 step of
     * SimHash, done exactly once per token).
     */

@@ -126,7 +126,7 @@ object DedupQueries {
     // so keeping the per-evaluation cost low is what matters.
     val sh = Tables.fanOut(Tables.documents(s, dir))
       .select($"doc_id", $"lang", $"source",
-        DedupOps.shingleHashes($"text", ShingleK).as("hs"))
+        DedupOps.sortedShingleHashes($"text", ShingleK).as("hs"))
       .filter(size($"hs") > 0)
       .repartition(s.sparkContext.defaultParallelism)
     sh.as("a").join(sh.as("b"),
@@ -134,7 +134,7 @@ object DedupQueries {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.lang").as("lang"), col("a.source").as("source"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(DedupOps.jaccard(col("a.hs"), col("b.hs")), 4).as("jaccard"))
+        round(DedupOps.jaccardSorted(col("a.hs"), col("b.hs")), 4).as("jaccard"))
       .filter($"jaccard" >= 0.8)
       .orderBy($"lang", $"source", $"doc_a", $"doc_b")
   }
@@ -143,7 +143,7 @@ object DedupQueries {
     s"""WITH sh0 AS (
        |  SELECT doc_id, lang, source, $shinglesSql AS shingles FROM documents),
        |sh AS (
-       |  SELECT doc_id, lang, source, $shingleHashesSql AS hs
+       |  SELECT doc_id, lang, source, list_distinct($shingleHashesSql) AS hs
        |  FROM sh0 WHERE len(shingles) > 0)
        |SELECT a.lang AS lang, a.source AS source,
        |  a.doc_id AS doc_a, b.doc_id AS doc_b,

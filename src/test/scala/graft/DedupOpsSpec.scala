@@ -54,6 +54,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("jaccardSorted equals hash-set jaccard on sorted distinct arrays") {
+    val docs = Seq(
+      ("a b c d e f", "a b c d e g"),
+      ("x y z w v u", "p q r s t o"),
+      ("m n o p q r", "m n o p q r"))
+      .toDF("t1", "t2")
+      .select(
+        DedupOps.sortedShingleHashes($"t1", 2).as("h1"),
+        DedupOps.sortedShingleHashes($"t2", 2).as("h2"))
+    val rows = docs.select(
+      DedupOps.jaccardSorted($"h1", $"h2").as("js"),
+      DedupOps.jaccard($"h1", $"h2").as("jh")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(2).getDouble(0) == 1.0)
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
   test("jaccard exact") {
     val df = Seq(1).toDF("x").select(
       DedupOps.jaccard(
