@@ -102,6 +102,34 @@ object TextOps {
       lit(0L),
       (acc, t) => acc + floor((length(t) + 3) / lit(4)).cast("long"))
 
+  /** BPE-style regex token count: contractions, letter runs, digit runs,
+    * punctuation runs, whitespace — the GPT-2 pre-tokenizer shape in the
+    * RE2-safe common subset (runs identically under Java regex and
+    * DuckDB/RE2 oracles).
+    */
+  val BpeRegex: String =
+    "'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def regexTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeRegex), lit(0)))
+
+  /** Polynomial rolling hash over the token stream:
+    * h = fold(h·B + hash28(token) mod P). Order-sensitive (unlike the
+    * set-style MinHash), so it fingerprints the SEQUENCE — the classic
+    * Rabin-Karp-style document signature. B/P chosen so every
+    * intermediate stays far below 2^63 on engines that error on
+    * overflow.
+    */
+  val RollB = 31L
+  val RollP = 1000000007L
+
+  def rollingFingerprint(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t =>
+        conv(substring(md5(concat(lit("0|"), t)), 1, 7), 16, 10).cast("long")),
+      lit(0L),
+      (acc, h) => (acc * RollB + h) % RollP)
+
   /** Hex MD5 fingerprint of the normalized text (exact-dup key). MD5 is
     * engine-portable (identical in DuckDB/Trino/Spark), unlike Spark's
     * murmur `hash()`.

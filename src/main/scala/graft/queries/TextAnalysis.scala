@@ -109,27 +109,33 @@ object TextAnalysis {
   private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.fanOut(Tables.documents(s, dir))
-      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", $"text", TextOps.tokens($"text").as("toks"))
       .repartition(s.sparkContext.defaultParallelism)
       .select(
         $"source",
         size($"toks").as("n_tokens"),
-        TextOps.bpeFromTokens($"toks").as("bpe_tokens"))
+        TextOps.bpeFromTokens($"toks").as("bpe_tokens"),
+        TextOps.regexTokenCount($"text").as("regex_tokens"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("ws_tokens"),
-        sum($"bpe_tokens").as("bpe_tokens"))
+        sum($"bpe_tokens").as("bpe_tokens"),
+        sum($"regex_tokens").as("regex_tokens"))
       .orderBy($"source")
   }
 
+  /** BpeRegex with SQL-escaped quotes for the oracle literal. */
+  private val bpeRegexSqlLit = TextOps.BpeRegex.replace("'", "''")
+
   private val tokenBudgetOracle =
-    """SELECT source,
+    s"""SELECT source,
       |  count(*) AS n_docs,
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
       |  CAST(sum(list_aggregate(
       |    list_transform(string_split(text, ' '), t -> (length(t) + 3) // 4),
-      |    'sum')) AS BIGINT) AS bpe_tokens
+      |    'sum')) AS BIGINT) AS bpe_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '$bpeRegexSqlLit'))) AS BIGINT) AS regex_tokens
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
@@ -137,7 +143,8 @@ object TextAnalysis {
   private def fingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.fanOut(Tables.documents(s, dir))
-      .select($"doc_id", TextOps.fingerprintHex($"text").as("fp_hex"))
+      .select($"doc_id", TextOps.fingerprintHex($"text").as("fp_hex"),
+        TextOps.rollingFingerprint($"text").as("rolling_fp"))
       .withColumn("fp64",
         conv(substring($"fp_hex", 1, 15), 16, 10).cast("long"))
       .orderBy($"doc_id")
@@ -146,7 +153,11 @@ object TextAnalysis {
   private val fingerprintsOracle =
     """SELECT doc_id,
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_hex,
-      |  ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64
+      |  ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+      |      t -> ('0x' || substr(md5('0|' || t), 1, 7))::BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
