@@ -32,6 +32,29 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
   }
 
+  test("stream-static enrichment join matches batch") {
+    val tmp = Files.createTempDirectory("graft_enrich").toString
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 8L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 99L, "click", 3.0, "{}")) // no dim row
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(1).write.parquet(s"$tmp/in")
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+
+    val stream = Streaming.readEventsStream(spark, s"$tmp/in")
+    val enriched = stream.join(dim, Seq("user_id"), "left")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+    Streaming.runToMemory(enriched, "enrich_test", "complete")
+    val got = spark.table("enrich_test")
+      .as[(Option[String], Long)].collect().toSet
+    val batch = events.join(dim, Seq("user_id"), "left")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .as[(Option[String], Long)].collect().toSet
+    assert(got == batch)
+    assert(got == Set((Some("gold"), 1L), (Some("silver"), 1L), (None, 1L)))
+  }
+
   test("watermark drops late data in append mode") {
     val tmp = Files.createTempDirectory("graft_late").toString
     // batch 1: events up to 12:00 -> watermark advances to 10:00 (2h)
