@@ -15,7 +15,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# 36 queries x many codegen'd stages overflow the default 240m JIT code
+# cache, after which Janino compiles run interpreted and every stage
+# serializes behind the codegen cache lock (observed: 60s+ per query)
 exec java $ADD_OPENS $EXTRA_JAVA_OPTS \
+  -XX:ReservedCodeCacheSize=1g \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
