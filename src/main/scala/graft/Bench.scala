@@ -20,16 +20,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // best-of-2: the host is a shared VM with bursty neighbor load; the
     // min of two passes reports steady-state engine cost, not noise
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
+      if (!ok) failed += name
       val sec = times.min
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      val flag = if (ok) "" else "  FAILED"
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs (passes: ${times.map(t => f"$t%.2f").mkString(", ")})$flag")
       name -> sec
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (times are of the failed attempt): ${failed.mkString(", ")}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

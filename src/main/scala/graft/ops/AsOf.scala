@@ -47,13 +47,16 @@ object AsOf {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__r").desc) // right first at equal t -> inclusive
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(tagged) { (df, c) =>
-      df.withColumn(c, last(when(col("__r") === 1, col(c)), ignoreNulls = true).over(w))
-    }
-    val asofTime = last(when(col("__r") === 1, col("__t")), ignoreNulls = true).over(w)
-    carried
-      .withColumn("__asof_t", asofTime)
+    // carry the latest right ROW as one struct, not per-column: per-column
+    // last(ignoreNulls) would skip a genuinely-NULL carry value and tear
+    // the row (value from one right row, asof_time from a newer one)
+    val rightRow = last(
+      when(col("__r") === 1, struct((col("__t").as("__asof_t") +: carry.map(col)): _*)),
+      ignoreNulls = true).over(w)
+    tagged
+      .withColumn("__right", rightRow)
       .filter(col("__r") === 0)
-      .select((leftCols.map(col) :+ col("__asof_t").as("asof_time")) ++ carry.map(col): _*)
+      .select((leftCols.map(col) :+ col("__right.__asof_t").as("asof_time"))
+        ++ carry.map(c => col(s"__right.$c").as(c)): _*)
   }
 }

@@ -29,8 +29,10 @@ object Compose {
     */
   def propagateScalar(df: DataFrame, lookup: DataFrame, outCol: String,
       default: String): DataFrame = {
+    // flatMap(Option(...)): a present-but-NULL cell falls back to the
+    // default instead of NPE-ing on .toString
     val v = lookup.limit(1).collect().headOption
-      .map(_.get(0).toString).getOrElse(default)
+      .flatMap(r => Option(r.get(0))).map(_.toString).getOrElse(default)
     df.withColumn(outCol, lit(v))
   }
 
@@ -41,5 +43,6 @@ object Compose {
   def lookupScalar(df: DataFrame, keyCol: String, keyValue: String,
       valueCol: String): Option[String] =
     df.filter(col(keyCol) === keyValue).select(valueCol)
-      .limit(1).collect().headOption.map(_.get(0).toString)
+      .limit(1).collect().headOption
+      .flatMap(r => Option(r.get(0))).map(_.toString)
 }

@@ -38,12 +38,12 @@ object DedupOps {
     array((0 until numHashes).map(i =>
       array_min(transform(shingles, s => TextOps.portableHash64(s, i)))): _*)
 
-  /** 28-bit engine-portable base hash (md5 prefix). Small enough that
-    * `a*h + b` stays far from BIGINT overflow in every engine (DuckDB
-    * errors on overflow rather than wrapping).
+  /** 28-bit engine-portable base hash (defined once in
+    * [[TextOps.portableHashBase]]). Small enough that `a*h + b` stays far
+    * from BIGINT overflow in every engine (DuckDB errors on overflow
+    * rather than wrapping).
     */
-  def portableHashBase(c: Column): Column =
-    conv(substring(md5(concat(lit("0|"), c)), 1, 7), 16, 10).cast("long")
+  def portableHashBase(c: Column): Column = TextOps.portableHashBase(c)
 
   /** One base hash per k-shingle — the only md5 work MinHash needs under
     * universal hashing. Long arrays also make downstream set-ops

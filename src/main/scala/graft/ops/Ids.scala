@@ -20,33 +20,26 @@ object Ids {
   def withGlobalId(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame =
     df.withColumn(idCol, row_number().over(Window.orderBy(order: _*)))
 
-  /** Same contract as [[withGlobalId]] but scales: range-partition by the
-    * ordering (so partitions are globally ordered), count rows per
-    * partition in one cheap job, then assign `offset(partition) +
-    * local_rank` with no single-task funnel. Two jobs instead of one
-    * all-to-one shuffle — the standard zipWithIndex trade.
+  /** Same ordering contract as [[withGlobalId]] (IDs are LongType here —
+    * the point is >2^31 rows) but scales: range-partition by the ordering
+    * so partitions are globally ordered, then `zipWithIndex` numbers rows
+    * with one lightweight count job plus a map — no single-task funnel,
+    * no extra shuffle beyond the range exchange.
+    *
+    * zipWithIndex's count job and the numbering job run over the SAME
+    * RDD, so the shuffle output is computed once and reused — the range
+    * boundaries cannot drift between the two passes (re-invoking
+    * repartitionByRange per action could re-sample them differently).
     */
   def withScalableGlobalId(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val ranged = df.repartitionByRange(order: _*)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val sorted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
-    val counts = ranged.select(spark_partition_id().as("pid"))
-      .groupBy("pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val numParts = ranged.rdd.getNumPartitions
-    val offsets = (0 until numParts)
-      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    // local rank within an already-sorted partition = position, minted
-    // without any further shuffle; offsets looked up from a folded array
-    // literal (codegen-friendly, no UDF, no broadcast round-trip).
-    val offsetArr = typedLit(offsets.toArray)
-    ranged
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rank",
-        row_number().over(
-          Window.partitionBy(col("__pid")).orderBy(order: _*)))
-      .withColumn(idCol,
-        (element_at(offsetArr, col("__pid") + 1) + col("__rank")).cast("int"))
-      .drop("__pid", "__rank")
+    val outSchema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
   }
 }

@@ -25,19 +25,24 @@ object Multimodal {
 
   /** Build a media table from a text corpus (UTF-8 bytes as the opaque
     * payload) — a deterministic stand-in for real image/audio bytes with
-    * fake-but-stable metadata derived from the content hash.
+    * fake-but-stable metadata derived from the content hash. Columns
+    * other than id/text pass through, so callers keep their dimensions
+    * without re-joining the source.
     */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bin = encode(col(textCol), "UTF-8")
     val h = TextOps.portableHash64(col(textCol), 7)
+    val passthrough = df.columns
+      .filterNot(c => c == idCol || c == textCol).map(col)
     df.select(
-      col(idCol).cast("long").as("media_id"),
-      bin.as("media"),
-      struct(
-        lit("fake/raw").as("format"),
-        (pmod(h, lit(512)) + 1).cast("int").as("width"),
-        (pmod(h, lit(384)) + 1).cast("int").as("height"),
-        (pmod(h, lit(5)) + 1).cast("int").as("n_frames")).as("meta"))
+      (col(idCol).cast("long").as("media_id") +:
+        bin.as("media") +:
+        struct(
+          lit("fake/raw").as("format"),
+          (pmod(h, lit(512)) + 1).cast("int").as("width"),
+          (pmod(h, lit(384)) + 1).cast("int").as("height"),
+          (pmod(h, lit(5)) + 1).cast("int").as("n_frames")).as("meta") +:
+        passthrough): _*)
   }
 
   /** STUB decode: deterministic per-payload "features" (byte length,
@@ -55,14 +60,15 @@ object Multimodal {
     * `every`. Pure explode(sequence(...)) — a codegen'd Generator, no
     * UDTF, parallelizes row-wise.
     */
-  def sampleFrames(df: DataFrame, every: Int = 1): DataFrame =
+  def sampleFrames(df: DataFrame, every: Int = 1): DataFrame = {
+    val keep = df.columns.filterNot(_ == "media").map(col) // payload stays put
     df.select(
-        col("media_id"), col("meta"),
-        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every)))
-          .as("frame_idx"))
+        keep :+ explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every)))
+          .as("frame_idx"): _*)
       .withColumn("frame_key",
         md5(concat(col("media_id").cast("string"), lit("#"),
           col("frame_idx").cast("string"))))
+  }
 
   /** Batched "decode" over partitions — the shape a vectorized/native
     * decoder plugs into (one call per batch of rows, not per row).

@@ -16,19 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt from row content (so retries/speculation stay
-    * consistent; at scale prefer this to rand()).
+  /** Per-row salt that splits even IDENTICAL rows (content hashing would
+    * send every copy of a duplicated hot row to one bucket — exactly the
+    * case salting exists for). monotonically_increasing_id is stable
+    * within a task retry (partition id + in-partition offset), so
+    * speculative re-execution salts consistently.
     */
-  def saltCol(keys: Seq[String], salts: Int) =
-    pmod(hash(keys.map(col): _*), lit(salts))
+  def saltCol(salts: Int) =
+    pmod(hash(monotonically_increasing_id()), lit(salts))
 
   /** Inner equi-join of a skewed large side with a small side, salted
     * `salts` ways on `key`.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val saltedLarge = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col): _*), lit(salts)))
+    val saltedLarge = large.withColumn("__salt", saltCol(salts))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(explodedSmall, Seq(key, "__salt")).drop("__salt")

@@ -125,8 +125,7 @@ object TextOps {
 
   def rollingFingerprint(c: Column): Column =
     aggregate(
-      transform(tokens(c), t =>
-        conv(substring(md5(concat(lit("0|"), t)), 1, 7), 16, 10).cast("long")),
+      transform(tokens(c), t => portableHashBase(t)),
       lit(0L),
       (acc, h) => (acc * RollB + h) % RollP)
 
@@ -148,4 +147,11 @@ object TextOps {
   def portableHash64(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 15), 16, 10)
       .cast("long")
+
+  /** 28-bit engine-portable base hash (md5 prefix) — THE load-bearing
+    * definition every DuckDB oracle mirrors ('0x'||substr(md5('0|'||x),
+    * 1,7)); single source of truth, do not duplicate.
+    */
+  def portableHashBase(c: Column): Column =
+    conv(substring(md5(concat(lit("0|"), c)), 1, 7), 16, 10).cast("long")
 }

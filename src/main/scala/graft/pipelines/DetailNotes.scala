@@ -23,7 +23,8 @@ object DetailNotes {
   /** Extract CALK sections from a text file of notes lines. */
   def extractCalk(spark: SparkSession, path: String): DataFrame = {
     val lines = Ingest.textWithLineNo(spark, path)
-    // marker gate: keep only lines at/after the first marker occurrence
+    // marker gate: keep only lines STRICTLY AFTER the first marker line
+    // (the reference consumes the marker line itself, detail_notes.py:42-44)
     val markerNo = lines
       .filter(col("line").contains(SectionMarker))
       .agg(min(col("line_no")).as("m"))

@@ -20,9 +20,7 @@ object MultimodalQueries {
     import s.implicits._
     val media = Multimodal.fromText(
       Tables.fanOut(Tables.documents(s, dir).select($"doc_id", $"source", $"text")),
-      "doc_id", "text")
-      .join(Tables.documents(s, dir).select($"doc_id".as("media_id"), $"source"),
-        "media_id")
+      "doc_id", "text") // source passes through; no re-join, one scan
     media
       .withColumn("f", Multimodal.decodeBytesStub($"media"))
       .groupBy($"source")
@@ -50,12 +48,9 @@ object MultimodalQueries {
   private def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.fromText(
-      Tables.fanOut(Tables.documents(s, dir).select($"doc_id", $"text")),
+      Tables.fanOut(Tables.documents(s, dir).select($"doc_id", $"source", $"text")),
       "doc_id", "text")
-    val frames = Multimodal.sampleFrames(media)
-    frames
-      .join(Tables.documents(s, dir).select($"doc_id".as("media_id"), $"source"),
-        "media_id")
+    Multimodal.sampleFrames(media)
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_frames_sampled"),

@@ -117,12 +117,14 @@ object XlsxSource {
     val cur = new StringBuilder
     var inSi = false
     var inT = false
+    var inPhonetic = false // <rPh>/<phoneticPr> runs are annotations, not content
     try {
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => inSi = true; cur.clear()
-            case "t" if inSi => inT = true
+            case "rPh" | "phoneticPr" => inPhonetic = true
+            case "t" if inSi && !inPhonetic => inT = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS if inT =>
@@ -130,6 +132,7 @@ object XlsxSource {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
+            case "rPh" | "phoneticPr" => inPhonetic = false
             case "si" => inSi = false; out += cur.toString
             case _ =>
           }
@@ -146,6 +149,8 @@ object XlsxSource {
     var cellCol = -1
     var cellType = ""
     var inV = false
+    // accumulated across ALL <t>/<v> runs of a cell: rich-text inlineStr
+    // cells (<is><r><t>..</t></r><r><t>..</t></r></is>) concatenate
     val v = new StringBuilder
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT =>
@@ -154,23 +159,23 @@ object XlsxSource {
           case "c" if row != null =>
             cellCol = Option(attr(r, "r")).map(colIndex).getOrElse(row.length)
             cellType = Option(attr(r, "t")).getOrElse("")
-          case "v" | "t" if cellCol >= 0 => inV = true; v.clear()
+            v.clear()
+          case "v" | "t" if cellCol >= 0 => inV = true
           case _ =>
         }
       case XMLStreamConstants.CHARACTERS if inV =>
         v.append(r.getText)
       case XMLStreamConstants.END_ELEMENT =>
         r.getLocalName match {
-          case "v" | "t" if inV =>
-            inV = false
+          case "v" | "t" => inV = false
+          case "c" if cellCol >= 0 =>
             val value = cellType match {
               case "s" => shared.lift(v.toString.trim.toInt).getOrElse("")
               case _ => v.toString
             }
             while (row.length <= cellCol) row += ""
-            // inlineStr emits one <t> per cell; numeric/shared one <v>
             row(cellCol) = value
-          case "c" => cellCol = -1
+            cellCol = -1
           case "row" => rows += row.toVector; row = null
           case _ =>
         }

@@ -31,6 +31,19 @@ class AsOfSpec extends SparkSpec {
       (5L, -1L, null)))
   }
 
+  test("asofJoin: NULL carry value is attached, not skipped (no row tear)") {
+    // right row at t=2 has v=NULL; the t=3 probe must get (asof_time=2,
+    // v=NULL) — not v from the older t=1 row paired with t=2's timestamp
+    val r = Seq(("u1", 1L, Some("x")), ("u1", 2L, None))
+      .toDF("k", "t", "v")
+    val got = AsOf.asofJoin(
+        Seq((1L, "u1", 3L)).toDF("id", "k", "t"),
+        r, "k", "k", "t", "t", Seq("v"))
+      .select($"asof_time", $"v").first()
+    assert(got.getLong(0) == 2L)
+    assert(got.isNullAt(1))
+  }
+
   test("asofJoin carries multiple columns") {
     val r2 = Seq(("u1", 10L, "x", 1.5)).toDF("k", "t", "v", "w")
     val got = AsOf.asofJoin(

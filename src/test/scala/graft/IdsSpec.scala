@@ -19,9 +19,9 @@ class IdsSpec extends SparkSpec {
     assert(ids == (1 to 5))
   }
 
-  test("withScalableGlobalId matches withGlobalId exactly") {
+  test("withScalableGlobalId matches withGlobalId (long vs int widths)") {
     val a = Ids.withGlobalId(df, "id", Seq($"src_rank", $"line_no"))
-      .select($"v", $"id")
+      .select($"v", $"id".cast("long"))
     val b = Ids.withScalableGlobalId(df, "id", Seq($"src_rank", $"line_no"))
       .select($"v", $"id")
     assert(a.collect().toSet == b.collect().toSet)
@@ -32,7 +32,7 @@ class IdsSpec extends SparkSpec {
       .withColumn("src_rank", lit(1))
       .repartition(7)
     val ids = Ids.withScalableGlobalId(big, "id", Seq($"src_rank", $"line_no"))
-    val rows = ids.select($"line_no", $"id").as[(Long, Int)].collect().sortBy(_._1)
-    assert(rows.map(_._2).toSeq == (1 to 1000))
+    val rows = ids.select($"line_no", $"id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == (1L to 1000L))
   }
 }

@@ -72,6 +72,15 @@ class XlsxIngestSpec extends SparkSpec {
       == Seq("z", "b", "c"))
   }
 
+  test("propagateScalar: present-but-NULL cell falls back to default") {
+    val lookup = Seq(Option.empty[String]).toDF("v")
+    val out = graft.ops.Compose.propagateScalar(
+      Seq(1).toDF("x"), lookup, "q", "Unknown")
+    assert(out.select("q").first().getString(0) == "Unknown")
+    assert(graft.ops.Compose.lookupScalar(
+      Seq((Option.empty[String], "k")).toDF("v", "kk"), "kk", "k", "v").isEmpty)
+  }
+
   test("textWithLineNo numbers lines in file order") {
     val tmp = java.nio.file.Files.createTempFile("graft", ".txt")
     java.nio.file.Files.writeString(tmp, "alpha\nbeta\ngamma\n")
