@@ -259,7 +259,65 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top
+    * 20. Fact⋈fact shuffle join on orderkey; customer/nation broadcast;
+    * TakeOrderedAndProject for the top-k.
+    */
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1996-07-01"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name", $"c_mktsegment")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  private val q10Oracle =
+    """SELECT c_custkey, c_name, n_name, c_mktsegment,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q12 shape: conditional (CASE) aggregation — high/low priority
+    * line counts per ship month. Single fact⋈fact join, map-side CASE.
+    */
+  private def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .withColumn("ship_month", date_trunc("month", $"l_shipdate"))
+      .groupBy($"ship_month")
+      .agg(
+        sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+      .orderBy($"ship_month")
+  }
+
+  private val q12Oracle =
+    """SELECT date_trunc('month', l_shipdate) AS ship_month,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY ship_month
+      |ORDER BY ship_month""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
+    Q("q12_ship_priority", q12ShipPriority, Some(q12Oracle)),
     Q("orders_above_cust_avg", ordersAboveCustAvg, Some(aboveAvgOracle)),
     Q("price_percentiles", pricePercentiles, Some(percentilesOracle)),
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
