@@ -69,7 +69,10 @@ object DedupQueries {
 
   // ---- MinHash + LSH near-dedup ----
 
-  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** LSH candidate pairs with estimated Jaccard >= 0.5 — shared by the
+    * pair listing, the clustering, and the corpus-selection queries.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // fanOut: byte-tiny input, md5-heavy compute; barrier after hashing
     // so the base-hash array is materialized once — the universal-hash
@@ -86,10 +89,17 @@ object DedupQueries {
         DedupOps.estimatedJaccard($"sig_a", $"sig_b", NumHashes))
       .filter($"est_jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"est_jaccard")
-      .orderBy($"doc_a", $"doc_b")
   }
 
-  private val dedupMinhashOracle = {
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The WITH-prefix producing the candidate `cand(doc_a, doc_b,
+    * est_jaccard)` relation — shared by three oracles.
+    */
+  private val candSqlPrefix = {
     val sigExprs = (0 until NumHashes).map(sigComponentSql).mkString("[", ",\n    ", "]")
     val agree = (0 until NumHashes)
       .map(i => s"(CASE WHEN sa[${i + 1}] = sb[${i + 1}] THEN 1 ELSE 0 END)")
@@ -99,7 +109,7 @@ object DedupQueries {
         .map(r => s"sa[${b * RowsPerBand + r + 1}] = sb[${b * RowsPerBand + r + 1}]")
         .mkString("(", " AND ", ")")
     }.mkString(" OR ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
        |hsv AS (
        |  SELECT doc_id, $shingleHashesSql AS hs
@@ -108,12 +118,113 @@ object DedupQueries {
        |  SELECT doc_id, $sigExprs AS sig FROM hsv),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, ($agree) / ${NumHashes}.0 AS est_jaccard
-       |FROM pairs
-       |WHERE ($bandMatch) AND ($agree) / ${NumHashes}.0 >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT doc_a, doc_b, ($agree) / ${NumHashes}.0 AS est_jaccard
+       |  FROM pairs
+       |  WHERE ($bandMatch) AND ($agree) / ${NumHashes}.0 >= 0.5)""".stripMargin
   }
+
+  private val dedupMinhashOracle =
+    s"""WITH $candSqlPrefix
+       |SELECT doc_a, doc_b, est_jaccard FROM cand
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup clustering: connected components over the candidate-pair
+    * graph, cluster id = min doc_id in the component. Spark side is
+    * iterative min-label propagation (each round one join + groupBy; at
+    * 100 TB add periodic checkpoints to truncate lineage); the oracle is
+    * a recursive CTE computing the same transitive closure.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, dir).select($"doc_a", $"doc_b")
+    // symmetric edge list (both directions) so propagation is undirected;
+    // cached — every iteration joins against it, and without the cache
+    // each action would recompute the whole MinHash pipeline
+    val edges = pairs.unionByName(
+        pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 10) {
+      val viaNeighbors = edges.join(labels, $"dst" === $"id")
+        .select($"src".as("id"), $"label")
+      val updated = labels.unionByName(viaNeighbors)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .persist()
+      val changed = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select($"id".as("doc_id"), $"label".as("cluster"))
+      .withColumn("is_keeper", $"doc_id" === $"cluster")
+      .orderBy($"doc_id")
+  }
+
+  private val dedupClustersOracle =
+    s"""WITH RECURSIVE $candSqlPrefix,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION
+       |  SELECT doc_b, doc_a FROM cand),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT id AS doc_id, min(r) AS cluster, id = min(r) AS is_keeper
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
+  /** End-to-end corpus selection — the operation the whole suite exists
+    * for: keep documents that (a) pass a cheap quality gate (length +
+    * English stopword evidence), and (b) are not the dropped side of a
+    * near-dup pair (doc_b loses; doc_a, the min id, is kept).
+    */
+  private def corpusSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val losers = minhashPairs(s, dir).select($"doc_b".as("doc_id")).distinct()
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"source",
+        TextOps.tokens($"text").as("toks"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", $"source",
+        size($"toks").as("n_tokens"),
+        TextOps.stopwordHits($"toks", Seq("the", "a", "of", "and", "in", "to", "is"))
+          .as("stop_hits"))
+      .filter($"n_tokens" >= 30 && $"stop_hits" >= 3)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum($"n_tokens").as("tokens_selected"))
+      .orderBy($"source")
+  }
+
+  private val corpusSelectOracle =
+    s"""WITH $candSqlPrefix,
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '),
+       |      t -> t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS stop_hits
+       |  FROM documents)
+       |SELECT source, count(*) AS n_selected,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected
+       |FROM scored
+       |WHERE n_tokens >= 30 AND stop_hits >= 3
+       |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   // ---- blocked exact n-gram Jaccard ----
 
@@ -221,5 +332,7 @@ object DedupQueries {
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
-    Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)))
+    Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)),
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    Q("corpus_select", corpusSelect, Some(corpusSelectOracle)))
 }
