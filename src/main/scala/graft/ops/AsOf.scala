@@ -33,6 +33,11 @@ object AsOf {
       leftTime: String, rightTime: String,
       carry: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val reserved = Set("__k", "__t", "__r", "__right", "asof_time")
+    require(carry.toSet.intersect(leftCols.toSet).isEmpty,
+      s"carry columns collide with left columns: ${carry.toSet.intersect(leftCols.toSet).mkString(", ")}")
+    require((leftCols ++ carry).forall(!reserved(_)),
+      s"column names ${reserved.mkString("/")} are reserved by asofJoin")
     val tagged =
       left.select(
         (col(leftKey).as("__k") +: col(leftTime).as("__t") +:

@@ -20,7 +20,10 @@ object Skew {
     * send every copy of a duplicated hot row to one bucket — exactly the
     * case salting exists for). monotonically_increasing_id is stable
     * within a task retry (partition id + in-partition offset), so
-    * speculative re-execution salts consistently.
+    * speculative re-execution salts consistently. If the INPUT's row
+    * order is itself nondeterministic (output of a shuffle), Spark's
+    * indeterminate-stage machinery (SPARK-23243) rolls back and re-runs
+    * dependent stages on fetch failure, which keeps the join correct.
     */
   def saltCol(salts: Int) =
     pmod(hash(monotonically_increasing_id()), lit(salts))

@@ -151,10 +151,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      // null elements are not hashes: skip (getLong on a null slot would
+      // read 0 and spuriously match)
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -169,9 +175,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $c++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -151,7 +151,8 @@ object DedupQueries {
       .persist()
     var converged = false
     var iter = 0
-    while (!converged && iter < 10) {
+    val maxIter = 50 // propagation needs <= component diameter rounds
+    while (!converged && iter < maxIter) {
       val viaNeighbors = edges.join(labels, $"dst" === $"id")
         .select($"src".as("id"), $"label")
       val updated = labels.unionByName(viaNeighbors)
@@ -165,6 +166,12 @@ object DedupQueries {
       iter += 1
     }
     edges.unpersist()
+    // wrong labels must never be silently emitted: the oracle computes
+    // the full closure, so an unconverged result is a hard error
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    // the final `labels` cache stays alive until the session ends or the
+    // plan is re-run — a few MB per invocation, deliberate trade against
+    // recomputing the MinHash pipeline if the caller re-executes the DF
     labels.select($"id".as("doc_id"), $"label".as("cluster"))
       .withColumn("is_keeper", $"doc_id" === $"cluster")
       .orderBy($"doc_id")

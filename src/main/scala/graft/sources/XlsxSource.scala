@@ -149,6 +149,7 @@ object XlsxSource {
     var cellCol = -1
     var cellType = ""
     var inV = false
+    var inPhonetic = false // <rPh> inside <is> is annotation, not content
     // accumulated across ALL <t>/<v> runs of a cell: rich-text inlineStr
     // cells (<is><r><t>..</t></r><r><t>..</t></r></is>) concatenate
     val v = new StringBuilder
@@ -160,18 +161,23 @@ object XlsxSource {
             cellCol = Option(attr(r, "r")).map(colIndex).getOrElse(row.length)
             cellType = Option(attr(r, "t")).getOrElse("")
             v.clear()
-          case "v" | "t" if cellCol >= 0 => inV = true
+          case "rPh" | "phoneticPr" => inPhonetic = true
+          case "v" | "t" if cellCol >= 0 && !inPhonetic => inV = true
           case _ =>
         }
       case XMLStreamConstants.CHARACTERS if inV =>
         v.append(r.getText)
       case XMLStreamConstants.END_ELEMENT =>
         r.getLocalName match {
+          case "rPh" | "phoneticPr" => inPhonetic = false
           case "v" | "t" => inV = false
           case "c" if cellCol >= 0 =>
+            val raw = v.toString
             val value = cellType match {
-              case "s" => shared.lift(v.toString.trim.toInt).getOrElse("")
-              case _ => v.toString
+              // empty typed cell (<c t="s"/> with no <v>) -> blank
+              case "s" => raw.trim.toIntOption
+                .flatMap(shared.lift).getOrElse("")
+              case _ => raw
             }
             while (row.length <= cellCol) row += ""
             row(cellCol) = value

@@ -80,8 +80,7 @@ class StreamingSpec extends SparkSpec {
     // after batch 2); the 08:00 late event must not resurrect its window
     val finalized = spark.table("late_test")
       .select($"window_start", $"n").as[(Timestamp, Long)].collect().toMap
-    assert(!finalized.contains(ts("2024-01-01 08:00:00")))
-    assert(finalized.get(ts("2024-01-01 09:30:00")).isEmpty)
+    assert(!finalized.contains(ts("2024-01-01 08:00:00"))) // late event dropped
     assert(finalized.get(ts("2024-01-01 09:00:00")).contains(1L))
   }
 

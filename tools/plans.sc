@@ -13,7 +13,7 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
   sb ++= s"- BroadcastHashJoin: ${n("BroadcastHashJoin")}, SortMergeJoin: ${n("SortMergeJoin")}, ShuffledHashJoin: ${n("ShuffledHashJoin")}, BroadcastNestedLoopJoin: ${n("BroadcastNestedLoopJoin")}\n"
-  sb ++= s"- Exchanges: ${n("Exchange")}, TakeOrderedAndProject: ${n("TakeOrderedAndProject")}\n"
+  sb ++= s"- ShuffleExchanges: ${n("Exchange (hash|range|Single)")}, BroadcastExchanges: ${n("BroadcastExchange")}, TakeOrderedAndProject: ${n("TakeOrderedAndProject")}\n"
   val pf = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toList.distinct.take(3)
   if (pf.nonEmpty) sb ++= pf.map(f => s"- $f").mkString("", "\n", "\n")
   val rs = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList.distinct.take(3)
