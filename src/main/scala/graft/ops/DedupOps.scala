@@ -167,4 +167,31 @@ object DedupOps {
 
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- native kernel forms (graft.plans.HashExpressions) ----
+  //
+  // Bit-identical to the HOF pipelines above (cross-checked in
+  // DedupOpsSpec) but one compiled kernel call per row instead of an
+  // interpreted md5→hex→conv tree per array element — the hot-path
+  // forms the dedup queries use. The HOF forms stay as the
+  // no-internal-APIs fallback and executable spec.
+
+  /** Native [[sortedShingleHashes]]: sorted distinct shingle-hash set,
+    * null (not empty) below k tokens — callers filter `isNotNull`.
+    */
+  def shingleHashSetNative(text: Column, k: Int): Column =
+    graft.plans.HashExpressions.shingleHashSet(text, k, sorted = true)
+
+  /** Native [[minhashFromHashes]] ∘ [[shingleHashes]] in one call; null
+    * below k tokens.
+    */
+  def minhashSigNative(text: Column, k: Int, numHashes: Int): Column =
+    graft.plans.HashExpressions.minhashSig(text, k, numHashes)
+
+  /** Native [[simhashFromHashes]] ∘ [[tokenHashes]] in one call — no
+    * materialization barrier needed (the token hashes never exist as a
+    * column).
+    */
+  def simhashNative(text: Column, bits: Int, seed: Int): Column =
+    graft.plans.HashExpressions.simhash(text, bits, seed)
 }

@@ -74,16 +74,13 @@ object DedupQueries {
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // fanOut: byte-tiny input, md5-heavy compute; barrier after hashing
-    // so the base-hash array is materialized once — the universal-hash
-    // signature then needs zero further md5 work
+    // fanOut: byte-tiny input, md5-heavy compute. The signature is one
+    // native kernel call per row (CollapseProject keeps non-cheap
+    // aliases single-evaluation, so no barrier is needed).
     val docSig = Tables.fanOut(Tables.documents(s, dir))
       .select($"doc_id",
-        DedupOps.shingleHashes($"text", ShingleK).as("hs"))
-      .filter(size($"hs") > 0)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id",
-        DedupOps.minhashFromHashes($"hs", NumHashes).as("sig"))
+        DedupOps.minhashSigNative($"text", ShingleK, NumHashes).as("sig"))
+      .filter($"sig".isNotNull)
     DedupOps.lshCandidates(docSig, "doc_id", "sig", NumBands, RowsPerBand)
       .withColumn("est_jaccard",
         DedupOps.estimatedJaccard($"sig_a", $"sig_b", NumHashes))
@@ -237,22 +234,39 @@ object DedupQueries {
 
   private def dedupJaccardBlocked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // long-hashed shingle sets: Jaccard's intersect/union hash-set work
-    // runs over BIGINTs, not strings (same values in the oracle — it
-    // applies the identical hash). The filter re-derives the ratio from
-    // the projection (no way to barrier under a pushed-down predicate),
-    // so keeping the per-evaluation cost low is what matters.
+    // AllPairs/PPJoin-style prefix filtering (see PAPERS.md set-similarity
+    // entries): with each doc's shingle-hash set sorted by one global
+    // order, any pair with J >= t shares at least one hash among the
+    // first |x| - ceil(t·|x|) + 1 of each side. Candidate generation is
+    // an equi-join on those prefix hashes (plus the length-ratio bound
+    // 5·min(|a|,|b|) >= 4·max — J >= 0.8 forces sizes within 25%), then
+    // the native two-pointer Jaccard verifies exactly. LOSSLESS vs the
+    // all-pairs join, but the shuffle carries O(n·prefix) rows instead
+    // of the O(n²/blocks) pair blow-up — the property that survives a
+    // 100× scale-up. Long-hashed shingles keep the verify loop on
+    // BIGINTs (same values in the oracle — it applies the same hash).
     val sh = Tables.fanOut(Tables.documents(s, dir))
       .select($"doc_id", $"lang", $"source",
-        DedupOps.sortedShingleHashes($"text", ShingleK).as("hs"))
-      .filter(size($"hs") > 0)
-      .repartition(s.sparkContext.defaultParallelism)
-    sh.as("a").join(sh.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
+        DedupOps.shingleHashSetNative($"text", ShingleK).as("hs"))
+      .filter($"hs".isNotNull)
+      .withColumn("len", size($"hs"))
+      // t = 0.8: ceil(0.8·len) = (4·len+4) div 5 in exact integer math
+      .withColumn("pref_len", expr("len - ((4*len+4) div 5) + 1"))
+    val pref = sh.select($"doc_id", $"lang", $"source", $"hs", $"len",
+      explode(slice($"hs", lit(1), $"pref_len")).as("tok"))
+    pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok")
+          && col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id")
+          && lit(5) * least(col("a.len"), col("b.len"))
+            >= lit(4) * greatest(col("a.len"), col("b.len")))
       .select(col("a.lang").as("lang"), col("a.source").as("source"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(DedupOps.jaccardSorted(col("a.hs"), col("b.hs")), 4).as("jaccard"))
+        col("a.hs").as("hs_a"), col("b.hs").as("hs_b"))
+      // a pair sharing several prefix hashes appears once per shared hash
+      .dropDuplicates("doc_a", "doc_b")
+      .select($"lang", $"source", $"doc_a", $"doc_b",
+        round(DedupOps.jaccardSorted($"hs_a", $"hs_b"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.8)
       .orderBy($"lang", $"source", $"doc_a", $"doc_b")
   }
@@ -275,13 +289,33 @@ object DedupQueries {
 
   // ---- SimHash near-dedup ----
 
+  private val SimhashBands = HammingMax + 1 // pigeonhole: ≥ hamming+1 bands
+  private val SimhashBandBits = SimhashBits / SimhashBands
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = DedupOps.simhashed(
-      Tables.documents(s, dir), "doc_id", "text", SimhashBits, SimhashSeed)
-    hashed.as("a").join(hashed.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // Banded candidate generation: split the 24-bit fingerprint into 4
+    // disjoint 6-bit bands — hamming <= 3 means at most 3 bands can
+    // differ, so every qualifying pair agrees on >= 1 band (pigeonhole;
+    // lossless). The join shuffles on (band, key) instead of the O(n²)
+    // all-pairs cross product the old form paid.
+    val hashed = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id",
+        DedupOps.simhashNative($"text", SimhashBits, SimhashSeed).as("sim"))
+    val mask = (1L << SimhashBandBits) - 1
+    val banded = hashed.select($"doc_id", $"sim",
+        explode(array((0 until SimhashBands).map(b => struct(
+          lit(b).as("band"),
+          shiftright($"sim", b * SimhashBandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"sim", $"bk.band".as("band"), $"bk.key".as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        DedupOps.hamming(col("a.sim"), col("b.sim")).as("hamming"))
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select($"doc_a", $"doc_b",
+        DedupOps.hamming($"sim_a", $"sim_b").as("hamming"))
       .filter($"hamming" <= HammingMax)
       .orderBy($"doc_a", $"doc_b")
   }

@@ -93,6 +93,51 @@ class DedupOpsSpec extends SparkSpec {
     assert(ham(h("a"), h("b")) < ham(h("a"), h("c")))
   }
 
+  // the HOF pipelines are the executable spec for the native kernels:
+  // every value must be bit-identical on a corpus with short docs,
+  // repeats, empty tokens (double spaces), and unicode
+  private val crossDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "a b"), // below k=3 tokens
+    (4L, "x  y  z w v"), // empty tokens from double spaces
+    (5L, "naive cafe jalapeno uber resume"),
+    (6L, "rep rep rep rep rep rep"), // shingle repeats collapse
+    (7L, "p q r s t u v w x y z aa bb cc dd"))
+
+  test("native shingleHashSet == array_sort(distinct(HOF shingleHashes))") {
+    val df = crossDocs.toDF("id", "text")
+    val rows = df.select(
+        $"id",
+        DedupOps.shingleHashSetNative($"text", 3).as("native"),
+        when(size(DedupOps.shingleHashes($"text", 3)) > 0,
+          array_sort(array_distinct(DedupOps.shingleHashes($"text", 3)))).as("hof"))
+      .as[(Long, Option[Seq[Long]], Option[Seq[Long]])].collect()
+    rows.foreach { case (id, n, h) => assert(n == h, s"doc $id") }
+    assert(rows.count(_._2.isEmpty) == 1) // only the 2-token doc is null
+  }
+
+  test("native minhashSig == HOF minhashFromHashes ∘ shingleHashes") {
+    val df = crossDocs.toDF("id", "text")
+    val rows = df.select(
+        $"id",
+        DedupOps.minhashSigNative($"text", 3, 8).as("native"),
+        when(size(DedupOps.shingleHashes($"text", 3)) > 0,
+          DedupOps.minhashFromHashes(
+            DedupOps.shingleHashes($"text", 3), 8)).as("hof"))
+      .as[(Long, Option[Seq[Long]], Option[Seq[Long]])].collect()
+    rows.foreach { case (id, n, h) => assert(n == h, s"doc $id") }
+  }
+
+  test("native simhash == HOF simhashed for every doc") {
+    val df = crossDocs.toDF("id", "text")
+    val native = df.select($"id", DedupOps.simhashNative($"text", 24, 99).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    val hof = DedupOps.simhashed(df, "id", "text", 24, 99)
+      .as[(Long, Long)].collect().toMap
+    assert(native == hof)
+  }
+
   test("portableHash64 is stable across invocations") {
     val v1 = Seq(1).toDF("x").select(TextOps.portableHash64(lit("abc"), 0)).first().getLong(0)
     val v2 = Seq(1).toDF("x").select(TextOps.portableHash64(lit("abc"), 0)).first().getLong(0)
