@@ -149,6 +149,9 @@ object DedupQueries {
     var converged = false
     var iter = 0
     val maxIter = 50 // propagation needs <= component diameter rounds
+    // (pointer jumping — adopting the label of one's label — was tried
+    // and measured SLOWER here: the extra per-round self-join outweighs
+    // the saved rounds because LSH components have tiny diameters)
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges.join(labels, $"dst" === $"id")
         .select($"src".as("id"), $"label")

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Breadth beyond round 1: set operations (INTERSECT/EXCEPT — absent
+  * from the reference, SURVEY.md §2.7, declared here for a complete SQL
+  * surface), semi-join (EXISTS shape), scan-heavy single-row aggregate
+  * (TPC-H Q6 shape), aggregate-based argmin (Q2's min-per-group shape
+  * without a partsupp table), and a banded range join (the interval-join
+  * pattern Spark lacks natively, composed as an equi-join on time bins).
+  */
+object JoinsAndSets {
+
+  /** INTERSECT (distinct set semantics): nations present among both
+    * AUTOMOBILE and BUILDING customers. Spark plans a left-semi
+    * aggregate — one shuffle per side on the (tiny) key.
+    */
+  private def nationsIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    cust.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_nationkey")
+      .intersect(cust.filter($"c_mktsegment" === "BUILDING").select($"c_nationkey"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val nationsIntersectOracle =
+    """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |INTERSECT
+      |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** EXCEPT (distinct set semantics): customers who ordered but never
+    * urgently. Same plan family as intersect (left-anti aggregate).
+    */
+  private def custkeysExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    ord.select($"o_custkey")
+      .except(ord.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+
+  private val custkeysExceptOracle =
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** TPC-H Q4 shape: EXISTS as a LEFT SEMI join with a mixed equi +
+    * non-equi condition — orders (in a window) having at least one line
+    * shipped >60 days after the order date, counted per priority. The
+    * semi join shuffles once on orderkey and short-circuits per match
+    * (no fact×fact row blow-up).
+    */
+  private def q04LateShipments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1996-07-01"))
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li,
+        $"o_orderkey" === $"l_orderkey"
+          && $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q04Oracle =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q6 shape: the pure scan-bound query — every predicate and the
+    * two aggregated columns push into the parquet reader; no join, no
+    * wide shuffle, one output row.
+    */
+  private def q06DiscountRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01")
+        && $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q06Oracle =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Aggregate-based argmin (TPC-H Q2's min-per-group shape): each
+    * customer's cheapest order via `min(struct(price, key))` — a plain
+    * hash aggregate with map-side partials and a total tie order, no
+    * per-partition window sort. The struct's field order IS the
+    * comparison order, so ties break toward the lower orderkey,
+    * matching the oracle's row_number sort.
+    */
+  private def cheapestOrderPerCust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(min(struct($"o_totalprice", $"o_orderkey")).as("m"))
+      .select($"o_custkey", $"m.o_orderkey".as("cheapest_order"),
+        $"m.o_totalprice".as("cheapest_price"))
+      .orderBy($"o_custkey")
+  }
+
+  private val cheapestOracle =
+    """SELECT o_custkey, o_orderkey AS cheapest_order, o_totalprice AS cheapest_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  private val RangeHours = 36L
+  private val BinUs = RangeHours * 3600L * 1000000L // bin width = range width
+
+  /** Banded range join: events of a customer within 36 h after each of
+    * their orders. Spark has no native interval join (a raw `BETWEEN`
+    * condition plans a nested-loop or a 1-key shuffle); binning the time
+    * axis at the interval width turns it into an EQUI-join — each order
+    * lands in ≤2 bins (exploded), each event in exactly 1, the exact
+    * range predicate rides on the joined row. Shuffles on (user, bin):
+    * high-cardinality, skew-free, linear at any scale.
+    */
+  private def rangeJoinEventsOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"value",
+        expr(s"unix_micros(ts) div ${BinUs}L").as("bin"))
+    val ord = Tables.orders(s, dir)
+      // o_orderdate is TIMESTAMP_NTZ; the UTC session timezone makes the
+      // cast to TIMESTAMP an identity, so epoch math agrees with DuckDB
+      .select($"o_orderkey", $"o_custkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("start_us"))
+      .withColumn("obin", explode(array_distinct(array(
+        expr(s"start_us div ${BinUs}L"),
+        expr(s"(start_us + ${BinUs - 1}L) div ${BinUs}L")))))
+    ord.join(ev,
+        $"o_custkey" === $"user_id" && $"obin" === $"bin"
+          && unix_micros($"ts") >= $"start_us"
+          && unix_micros($"ts") < $"start_us" + lit(BinUs))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val rangeJoinOracle =
+    s"""SELECT o_orderkey, count(*) AS n_events,
+       |  round(sum(e.value), 4) AS sum_value
+       |FROM orders o JOIN events e
+       |  ON e.user_id = o.o_custkey
+       |  AND e.ts >= o.o_orderdate
+       |  AND e.ts < o.o_orderdate + INTERVAL $RangeHours HOUR
+       |GROUP BY o_orderkey
+       |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("nations_intersect", nationsIntersect, Some(nationsIntersectOracle)),
+    Q("custkeys_except", custkeysExcept, Some(custkeysExceptOracle)),
+    Q("q04_late_shipments", q04LateShipments, Some(q04Oracle)),
+    Q("q06_discount_revenue", q06DiscountRevenue, Some(q06Oracle)),
+    Q("cheapest_order_per_cust", cheapestOrderPerCust, Some(cheapestOracle)),
+    Q("range_join_events_orders", rangeJoinEventsOrders, Some(rangeJoinOracle)))
+}

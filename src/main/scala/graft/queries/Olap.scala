@@ -63,7 +63,55 @@ object Olap {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** CUBE over (priority, status): all 4 grouping sets in one Expand +
+    * aggregate pass — same single-scan property as rollup.
+    */
+  private def cubeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"o_orderpriority", $"o_orderstatus")
+  }
+
+  private val cubeOracle =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
+  /** Explicit GROUPING SETS — two independent breakdowns (by segment, by
+    * nation) in one scan, addressed through the SQL surface (the
+    * DataFrame API spells this rollup/cube only).
+    */
+  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    registerTables(s, dir)
+    s.sql("""
+      SELECT c_mktsegment, c_nationkey,
+        count(*) AS n, round(sum(c_acctbal), 2) AS total_bal,
+        grouping_id() AS gid
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+      ORDER BY gid, c_mktsegment, c_nationkey""")
+  }
+
+  private val groupingSetsOracle =
+    """SELECT c_mktsegment, c_nationkey,
+      |  count(*) AS n, round(sum(c_acctbal), 2) AS total_bal,
+      |  CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+      |ORDER BY gid, c_mktsegment, c_nationkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("olap_rollup_orders", rollupOrders, Some(rollupOracle)),
+    Q("olap_cube_orders", cubeOrders, Some(cubeOracle)),
+    Q("olap_grouping_sets", groupingSets, Some(groupingSetsOracle)),
     Q("sql_surface_join", sqlSurface, Some(sqlSurfaceOracle)))
 }

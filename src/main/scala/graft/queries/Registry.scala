@@ -9,7 +9,7 @@ object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Financial.queries ++ TextAnalysis.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
-      MultimodalQueries.queries ++ Olap.queries
+      MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
