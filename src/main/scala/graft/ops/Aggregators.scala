@@ -26,6 +26,46 @@ object Aggregators {
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch over an
+    * already-hashed column: keep the k smallest DISTINCT hash values;
+    * estimate = (k-1)·M / h_k where h_k is the k-th smallest hash and M
+    * the hash space (2^28, TextOps.portableHashBase). Constant memory
+    * per group, merge = union-and-trim — the classic mergeable distinct
+    * sketch (Bar-Yossef et al.), here over the engine-portable md5
+    * prefix so a DuckDB oracle derives the IDENTICAL k-th smallest hash
+    * and therefore the identical estimate — a deterministic,
+    * cross-engine-checkable approximate aggregate (unlike HLL++, whose
+    * sketch layout is engine-private). Below k distinct hashes the
+    * sketch is exhaustive and returns the exact count.
+    *
+    * Buffer is a plain list compacted (distinct → sort → take k) only
+    * when it grows past 8k, so per-row reduce is O(1) amortized.
+    */
+  final class KmvDistinct(k: Int) extends Aggregator[Long, List[Long], Long] {
+    private val M = 268435456.0 // 2^28: portableHashBase space
+
+    private def compact(b: List[Long]): List[Long] =
+      b.distinct.sorted.take(k)
+
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], h: Long): List[Long] = {
+      val nb = h :: b
+      if (nb.lengthCompare(8 * k) >= 0) compact(nb) else nb
+    }
+    override def merge(x: List[Long], y: List[Long]): List[Long] =
+      compact(x ++ y)
+    override def finish(b: List[Long]): Long = {
+      val d = compact(b)
+      if (d.lengthCompare(k) < 0) d.length.toLong
+      // max(h_k, 1): hash 0 in the sketch would divide by zero; the
+      // oracle mirrors with greatest(h, 1)
+      else math.round((k - 1) * M / math.max(d(k - 1), 1L))
+    }
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Bounded top-k by score: keeps at most k (score, payload) pairs per
     * group — constant memory per group regardless of group size, the
     * aggregation-side alternative to window row_number + filter when

@@ -9,7 +9,8 @@ object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Financial.queries ++ TextAnalysis.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
-      MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries
+      MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
+      Sketches.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

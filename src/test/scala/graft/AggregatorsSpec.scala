@@ -17,6 +17,25 @@ class AggregatorsSpec extends SparkSpec {
     assert(got == Seq((1, "a b c"), (2, "x")))
   }
 
+  test("KmvDistinct: exact below k, matches k-th-smallest formula above") {
+    val k = 16
+    val kmv = udaf(new Aggregators.KmvDistinct(k))
+    // below k distinct values: exhaustive, returns the exact count
+    val small = (1 to 10).flatMap(i => Seq(i.toLong, i.toLong)).toDF("h")
+      .repartition(4)
+      .agg(kmv($"h")).first().getLong(0)
+    assert(small == 10L)
+    // above k: (k-1)*M / h_k with h_k the k-th smallest distinct hash
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq.fill(500)(rnd.nextLong().abs % (1L << 28))
+    val got = hashes.toDF("h").repartition(8).agg(kmv($"h")).first().getLong(0)
+    val hk = hashes.distinct.sorted.apply(k - 1)
+    val expected = math.round((k - 1) * 268435456.0 / math.max(hk, 1L))
+    assert(got == expected)
+    // sanity: the estimate is in the right ballpark of the true count
+    assert(got > 200 && got < 1200, s"estimate $got wildly off")
+  }
+
   test("TopKByScore: bounded per-group top-k equals window ranking") {
     val udafCol = udaf(new Aggregators.TopKByScore(3))
     val rnd = new scala.util.Random(11)
