@@ -8,7 +8,10 @@ sb ++= "top-k via TakeOrderedAndProject, no shuffle joins where a broadcast\n"
 sb ++= "fits. Regenerate with tools/plans.sc.\n\n"
 for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue",
               "topk_orders","dedup_minhash_lsh","dedup_embedding_lsh","dedup_jaccard_blocked","events_asof_orders","orders_above_cust_avg","q10_returned_items","multimodal_features",
-              "ann_ivf_topk","events_session_window")) {
+              "ann_ivf_topk","events_session_window",
+              "dedup_simhash","q04_late_shipments","range_join_events_orders",
+              "cheapest_order_per_cust","custkeys_except","olap_cube_orders",
+              "kmv_distinct_parts")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
