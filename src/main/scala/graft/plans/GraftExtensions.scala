@@ -31,10 +31,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       make(exprs(0), exprs(1))
     })
 
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(binary("vec_dot", DotProduct.apply,
       "vec_dot(a, b) - dot product of two float vectors (double result)"))
     e.injectFunction(binary("vec_cosine", CosineSimilarity.apply,
       "vec_cosine(a, b) - cosine similarity of two float vectors"))
+    e.injectFunction(binary("sorted_intersect_count", SortedIntersectCount.apply,
+      "sorted_intersect_count(a, b) - |a ∩ b| of two sorted distinct bigint arrays"))
+    e.injectFunction((FunctionIdentifier("simhash"),
+      info("simhash", "simhash(text, bits, seed) - majority-bit fingerprint over seeded md5 token hashes"),
+      { exprs =>
+        require(exprs.length == 3, s"simhash expects 3 arguments, got ${exprs.length}")
+        Simhash(exprs(0), litInt(exprs(1), "simhash"), litInt(exprs(2), "simhash"))
+      }))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(text, k, n) - n-component MinHash signature of k-word shingles"),
+      { exprs =>
+        require(exprs.length == 3, s"minhash_sig expects 3 arguments, got ${exprs.length}")
+        MinhashSig(exprs(0), litInt(exprs(1), "minhash_sig"), litInt(exprs(2), "minhash_sig"))
+      }))
+    e.injectFunction((FunctionIdentifier("shingle_hash_set"),
+      info("shingle_hash_set", "shingle_hash_set(text, k) - sorted distinct k-word shingle hashes"),
+      { exprs =>
+        require(exprs.length == 2, s"shingle_hash_set expects 2 arguments, got ${exprs.length}")
+        ShingleHashSet(exprs(0), litInt(exprs(1), "shingle_hash_set"), sorted = true)
+      }))
   }
 }

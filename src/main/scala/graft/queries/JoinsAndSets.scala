@@ -173,7 +173,37 @@ object JoinsAndSets {
        |GROUP BY o_orderkey
        |ORDER BY o_orderkey""".stripMargin
 
+  /** The 100 TB global-ID path through the oracle gate: two-pass
+    * zipWithIndex IDs (range partition → per-partition number + offset,
+    * no single-task window funnel — see Ids.withScalableGlobalId) must
+    * produce EXACTLY the permutation a global row_number defines. The
+    * per-priority (count, min, max, sum) signature over the IDs pins
+    * every position without shipping 150k raw rows through Verify.
+    */
+  private def idsScalableOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withId = graft.ops.Ids.withScalableGlobalId(
+      Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+      "rid", Seq($"o_orderkey"))
+    withId.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), min($"rid").as("min_id"),
+        max($"rid").as("max_id"), sum($"rid").as("sum_id"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val idsScalableOracle =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  min(rid) AS min_id, max(rid) AS max_id,
+      |  CAST(sum(rid) AS BIGINT) AS sum_id
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rid
+      |  FROM orders)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("ids_scalable_orders", idsScalableOrders, Some(idsScalableOracle)),
     Q("nations_intersect", nationsIntersect, Some(nationsIntersectOracle)),
     Q("custkeys_except", custkeysExcept, Some(custkeysExceptOracle)),
     Q("q04_late_shipments", q04LateShipments, Some(q04Oracle)),

@@ -26,6 +26,22 @@ class ExtensionsSpec extends SparkSpec {
           |""".stripMargin).collect()(0)
       assert(r.getDouble(0) == 1.0)
       assert(r.getDouble(1) == 7.0)
+      // text-hash functions: SQL surface matches the Column API values
+      val t = s.sql(
+        """SELECT simhash('a b c d', 24, 99) AS sh,
+          |       minhash_sig('a b c d e', 3, 4) AS ms,
+          |       shingle_hash_set('a b c d', 2) AS hs,
+          |       sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic
+          |""".stripMargin).collect()(0)
+      import org.apache.spark.sql.functions.{col, lit}
+      val expect = s.range(1).select(
+        graft.ops.DedupOps.simhashNative(lit("a b c d"), 24, 99).as("sh"),
+        graft.ops.DedupOps.minhashSigNative(lit("a b c d e"), 3, 4).as("ms"),
+        graft.ops.DedupOps.shingleHashSetNative(lit("a b c d"), 2).as("hs")).collect()(0)
+      assert(t.getLong(0) == expect.getLong(0))
+      assert(t.getSeq[Long](1) == expect.getSeq[Long](1))
+      assert(t.getSeq[Long](2) == expect.getSeq[Long](2))
+      assert(t.getInt(3) == 2)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
