@@ -98,6 +98,18 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, keeping per-key state only within the watermark horizon —
+    * the unbounded-input form of the batch `dedup_exact` query. State
+    * is one entry per distinct key per watermark window, evicted as
+    * event time advances: bounded memory on an infinite stream (a plain
+    * `dropDuplicates` on a stream would grow state forever).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Memory-sink runner for tests/demos: drains all available input,
     * returns the result table name.
     */

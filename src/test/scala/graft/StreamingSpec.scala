@@ -55,6 +55,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((Some("gold"), 1L), (Some("silver"), 1L), (None, 1L)))
   }
 
+  test("dedupStream: duplicate event_ids collapse across micro-batches") {
+    val tmp = Files.createTempDirectory("graft_dedup").toString
+    // one file per micro-batch (maxFilesPerTrigger=1); event 2 repeats in
+    // both batches and event 1 repeats within the first
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tmp/in")
+    Seq(
+      (2L, ts("2024-01-01 10:01:00"), 8L, "view", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 9L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+
+    val stream = Streaming.readEventsStream(spark, s"$tmp/in", maxFilesPerTrigger = 1)
+    Streaming.runToMemory(Streaming.dedupStream(stream), "dedup_stream_test", "append")
+    val got = spark.table("dedup_stream_test")
+      .select($"event_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("watermark drops late data in append mode") {
     val tmp = Files.createTempDirectory("graft_late").toString
     // batch 1: events up to 12:00 -> watermark advances to 10:00 (2h)
