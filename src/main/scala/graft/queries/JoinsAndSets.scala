@@ -202,8 +202,63 @@ object JoinsAndSets {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q14 shape: conditional-aggregate ratio — promo-type revenue
+    * share in one month. part is the broadcast dim against the filtered
+    * fact; the CASE rides map-side, one scalar output row.
+    */
+  private def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-03-01") && $"l_shipdate" < lit("1996-04-01"))
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    li.join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .agg(round(
+        lit(100.0) * sum(when($"p_type" === "PROMO", rev).otherwise(0.0)) / sum(rev),
+        4).as("promo_pct"))
+  }
+
+  private val q14Oracle =
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q18 shape: HAVING over a fact aggregate, joined back to the
+    * dimension — customers whose single order carries > 300 units. The
+    * qualifying-orderkey set is produced by one partial-aggregated
+    * shuffle on the fact, then semi-joins the detail rows; nothing
+    * materializes the full fact×fact product.
+    */
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy($"l_orderkey")
+      .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+      .filter($"total_qty" > 300)
+    big.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  private val q18Oracle =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM (
+      |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300) b
+      |JOIN orders ON b.l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ids_scalable_orders", idsScalableOrders, Some(idsScalableOracle)),
+    Q("q14_promo_revenue", q14PromoRevenue, Some(q14Oracle)),
+    Q("q18_large_orders", q18LargeOrders, Some(q18Oracle)),
     Q("nations_intersect", nationsIntersect, Some(nationsIntersectOracle)),
     Q("custkeys_except", custkeysExcept, Some(custkeysExceptOracle)),
     Q("q04_late_shipments", q04LateShipments, Some(q04Oracle)),

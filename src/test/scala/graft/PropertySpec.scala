@@ -22,6 +22,36 @@ class PropertySpec extends SparkSpec {
   private val asciiGen: Gen[String] =
     Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString.take(300))
 
+  // words with repeats and occasional empties (double spaces) — the
+  // token shapes that stress split/shingle boundary semantics
+  private val docGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.oneOf("a", "b", "cc", "dd", "e f"),
+        Gen.alphaNumStr.map(_.take(6))))
+      .map(_.mkString(" ").take(400))
+
+  test("native hash kernels == HOF pipelines on arbitrary docs") {
+    check(Prop.forAll(Gen.listOfN(6, docGen)) { ss =>
+      ss.isEmpty || {
+        val df = ss.toDF("text")
+        val rows = df.select(
+            DedupOps.shingleHashSetNative($"text", 3).as("n_hs"),
+            when(size(DedupOps.shingleHashes($"text", 3)) > 0,
+              array_sort(array_distinct(DedupOps.shingleHashes($"text", 3)))).as("h_hs"),
+            DedupOps.minhashSigNative($"text", 3, 4).as("n_sig"),
+            when(size(DedupOps.shingleHashes($"text", 3)) > 0,
+              DedupOps.minhashFromHashes(DedupOps.shingleHashes($"text", 3), 4)).as("h_sig"),
+            DedupOps.simhashNative($"text", 16, 5).as("n_sim"),
+            DedupOps.simhashFromHashes(DedupOps.tokenHashes($"text", 5), 16).as("h_sim"))
+          .collect()
+        rows.forall { r =>
+          r.getSeq[Long](0) == r.getSeq[Long](1) &&
+            r.getSeq[Long](2) == r.getSeq[Long](3) &&
+            r.getLong(4) == r.getLong(5)
+        }
+      }
+    }, minTests = 10)
+  }
+
   test("coerceNumeric: never null, batch-size preserved") {
     check(Prop.forAll(Gen.listOfN(12, Gen.oneOf(asciiGen, Gen.numStr,
         Gen.double.map(_.toString)))) { ss =>
