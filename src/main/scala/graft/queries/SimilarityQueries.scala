@@ -90,34 +90,44 @@ object SimilarityQueries {
       .filter($"vec_id" < NumCells).orderBy($"vec_id")
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().map { case (id, v) => (id.toInt, v) }
+    // centroid ids are 0..NumCells-1 in order, so the argmax INDEX is the
+    // cell id; array_position finds the FIRST maximum — lowest cid wins
+    // ties, matching the oracle's row_number ORDER BY score DESC, cid.
+    // One linear array pass per row instead of a CASE chain that embeds
+    // the full 8-cosine tree in every branch.
+    require(cents.map(_._1).toSeq == cents.indices.toSeq,
+      "centroid ids must be 0..n-1")
     def cellOf(v: org.apache.spark.sql.Column) = {
-      val scores = cents.map { case (cid, c) =>
-        cid -> VectorOps.cosine(v, typedlit(c)) }
-      val best = scores.map(_._2).reduce(greatest(_, _))
-      // first (lowest-cid) max wins ties — matches the oracle's
-      // row_number ORDER BY score DESC, cid
-      scores.foldRight(lit(-1)) { case ((cid, sc), acc) =>
-        when(sc === best, lit(cid)).otherwise(acc)
-      }
+      val scores = array(cents.map { case (_, c) =>
+        VectorOps.cosine(v, typedlit(c)) }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
     }
-    // probe cells for the query vector, scored through the same Spark
-    // expressions so the doubles are bit-identical to cell assignment
-    val qVec = Tables.embeddings(s, dir).filter($"vec_id" === QueryVecId)
-      .select($"embedding").as[Array[Float]].collect().head
-    val qScores = s.range(1).select(
-        cents.map { case (cid, c) =>
-          VectorOps.cosine(typedlit(qVec), typedlit(c)).as(s"s$cid") }: _*)
-      .collect().head
-    val probe = cents.indices
-      .map(i => (cents(i)._1, qScores.getDouble(i)))
+    // the query vector IS centroid QueryVecId (< NumCells), so one
+    // collect serves both; probe scoring runs driver-side with the SAME
+    // loop CosineSimilarity.nullSafeEval executes (identical operation
+    // order → bit-identical IEEE doubles), avoiding two extra Spark jobs
+    require(QueryVecId < NumCells, "query vector must be among the centroids")
+    val qVec = cents(QueryVecId)._2
+    def cosScala(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x(i).toDouble; val yv = y(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = cents
+      .map { case (cid, c) => (cid, cosScala(qVec, c)) }
       .sortBy { case (cid, sc) => (-sc, cid) }
-      .take(NProbe).map(_._1)
+      .take(NProbe).map(_._1).toSeq
     Tables.fanOut(Tables.embeddings(s, dir))
       .filter($"vec_id" =!= QueryVecId)
       .withColumn("cell", cellOf($"embedding"))
       .filter($"cell".isin(probe: _*))
-      .crossJoin(broadcast(queryVec(s, dir)))
-      .withColumn("cos_raw", VectorOps.cosine($"embedding", $"qv"))
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVec)))
       .orderBy($"cos_raw".desc, $"vec_id")
       .limit(IvfTopK)
       .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
