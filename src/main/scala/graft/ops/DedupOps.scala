@@ -128,6 +128,70 @@ object DedupOps {
     inter.cast("double") / nullif(size(a) + size(b) - inter, lit(0))
   }
 
+  /** Connected components over an undirected edge list (columns
+    * `src`, `dst` — ONE row per direction; use [[symmetrize]] first if
+    * the input has each edge once). Component id = min vertex id.
+    *
+    * Iterative min-label propagation: each round every vertex adopts the
+    * minimum label among itself and its neighbors — one equi-join + one
+    * groupBy per round, converging in ≤ diameter rounds. (Pointer
+    * jumping was tried and measured SLOWER here: the extra per-round
+    * self-join outweighs the saved rounds at LSH-component diameters.)
+    *
+    * Scale hygiene, sized for deep components at 100 TB:
+    *  - every `checkpointEvery` rounds the label frame is
+    *    `localCheckpoint()`-ed — without it each round stacks
+    *    join+groupBy on the last round's plan and a 50-round run
+    *    overflows the planner/driver stack long before the data hurts;
+    *  - intermediate cached frames are unpersisted as soon as the next
+    *    round materializes;
+    *  - the returned frame is checkpointed and all working caches are
+    *    dropped — callers hold no hidden pinned storage.
+    *
+    * An unconverged run is a hard error (wrong labels must never be
+    * silently emitted).
+    */
+  def connectedComponents(edgesIn: DataFrame, maxIter: Int = 50,
+      checkpointEvery: Int = 5): DataFrame = {
+    val edges = edgesIn.toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+      val merged = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // localCheckpoint is eager: it materializes AND truncates lineage
+      val updated =
+        if ((iter + 1) % checkpointEvery == 0) merged.localCheckpoint()
+        else merged.persist()
+      val changed = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    // hand back a lineage-free frame and drop the last working cache —
+    // no storage stays pinned after the call
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
+  }
+
+  /** Both directions of a one-row-per-edge list — the input shape
+    * [[connectedComponents]] expects.
+    */
+  def symmetrize(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("src", "dst")
+    p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** One portable hash per whitespace token (the expensive md5 step of
     * SimHash, done exactly once per token).
     */

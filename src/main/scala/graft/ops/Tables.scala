@@ -18,10 +18,19 @@ object Tables {
     * busy core. No-op when the scan is already parallel enough (at real
     * scale the file splits alone exceed core count, so this never
     * coalesces a big scan).
+    *
+    * The split estimate comes from optimizer statistics (file bytes /
+    * maxPartitionBytes), NOT from `df.rdd.getNumPartitions` — the RDD
+    * probe forces physical planning per call and can pin the plan.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val s = df.sparkSession
+    val target = s.sparkContext.defaultParallelism
+    val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (estBytes / maxPartitionBytes).toLong + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")
@@ -34,9 +43,17 @@ object Tables {
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read nanos as raw long and truncate to micros —
     * exactly what DuckDB's reader does, so oracles agree.
+    *
+    * The session must be BUILT with `spark.sql.legacy.parquet.nanosAsLong
+    * = true` (Bench/Verify builders and the test session do this) — a
+    * loader mutating session config would silently change parquet
+    * semantics for every other read in the session.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     // integer `div`, NOT `/`: Column./ promotes to double, which cannot
     // represent 1.7e18 nanos exactly and corrupts the low microseconds
     load(s, dir, "events").withColumn("ts",

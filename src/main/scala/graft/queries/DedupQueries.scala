@@ -129,49 +129,14 @@ object DedupQueries {
 
   /** Near-dup clustering: connected components over the candidate-pair
     * graph, cluster id = min doc_id in the component. Spark side is
-    * iterative min-label propagation (each round one join + groupBy; at
-    * 100 TB add periodic checkpoints to truncate lineage); the oracle is
-    * a recursive CTE computing the same transitive closure.
+    * [[DedupOps.connectedComponents]] (iterative min-label propagation
+    * with periodic lineage checkpoints); the oracle is a recursive CTE
+    * computing the same transitive closure.
     */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashPairs(s, dir).select($"doc_a", $"doc_b")
-    // symmetric edge list (both directions) so propagation is undirected;
-    // cached — every iteration joins against it, and without the cache
-    // each action would recompute the whole MinHash pipeline
-    val edges = pairs.unionByName(
-        pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst")
-      .persist()
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("label", $"id")
-      .persist()
-    var converged = false
-    var iter = 0
-    val maxIter = 50 // propagation needs <= component diameter rounds
-    // (pointer jumping — adopting the label of one's label — was tried
-    // and measured SLOWER here: the extra per-round self-join outweighs
-    // the saved rounds because LSH components have tiny diameters)
-    while (!converged && iter < maxIter) {
-      val viaNeighbors = edges.join(labels, $"dst" === $"id")
-        .select($"src".as("id"), $"label")
-      val updated = labels.unionByName(viaNeighbors)
-        .groupBy($"id").agg(min($"label").as("label"))
-        .persist()
-      val changed = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.label") =!= col("l.label")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      iter += 1
-    }
-    edges.unpersist()
-    // wrong labels must never be silently emitted: the oracle computes
-    // the full closure, so an unconverged result is a hard error
-    require(converged, s"label propagation did not converge in $maxIter rounds")
-    // the final `labels` cache stays alive until the session ends or the
-    // plan is re-run — a few MB per invocation, deliberate trade against
-    // recomputing the MinHash pipeline if the caller re-executes the DF
+    val labels = DedupOps.connectedComponents(
+      DedupOps.symmetrize(minhashPairs(s, dir).select($"doc_a", $"doc_b")))
     labels.select($"id".as("doc_id"), $"label".as("cluster"))
       .withColumn("is_keeper", $"doc_id" === $"cluster")
       .orderBy($"doc_id")

@@ -69,14 +69,25 @@ object Financial {
   /** F-layer scalar suite (SURVEY.md §2.4) exercised end-to-end in one
     * projection: clean_text v1/v2 (F1/F2), thousands-strip (F4), numeric
     * coercion (F3), Indonesian month map (F5), quarter label (F6), null
-    * guard stringify (F12). Pure expression pipeline — single scan, no
-    * shuffle, whole-stage codegen throughout.
+    * guard stringify (F12), date-pattern extraction (F7) over synthesized
+    * `Pada Tanggal d month yyyy` strings (every 7th row deliberately has
+    * no date → empty extraction, the reference's `re.search` → None path),
+    * and substring-between-markers (F8) across an embedded newline (the
+    * `(?s)` span). Pure expression pipeline — single scan, no shuffle,
+    * whole-stage codegen throughout.
     */
   private def fnScalarSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val monthArr = typedlit(bulanNames)
     val mname = element_at(monthArr, month($"o_orderdate"))
     val mnum = Clean.monthNumber(mname)
+    val tanggal = when($"o_orderkey" % 7 === 0, lit("tanpa tanggal"))
+      .otherwise(concat(
+        lit("Pada Tanggal "), dayofmonth($"o_orderdate").cast("string"),
+        lit(" "), mname, lit(" "), year($"o_orderdate").cast("string")))
+    val marked = concat(
+      lit("hdr\nMulai "), $"o_orderstatus", lit(" no "),
+      $"o_orderpriority", lit("\nbody Selesai tail"))
     Tables.fanOut(Tables.orders(s, dir))
       .select(
         $"o_orderkey",
@@ -88,12 +99,25 @@ object Financial {
         Clean.stripThousands(
           concat($"o_custkey".cast("string"), lit(","), lit("250"))).as("thousands"),
         Clean.coerceNumeric($"o_orderstatus").as("coerced_zero"),
-        Clean.stringify($"o_custkey").as("custkey_str"))
+        Clean.stringify($"o_custkey").as("custkey_str"),
+        Clean.extractDay(tanggal).as("tgl_day"),
+        Clean.extractMonth(tanggal).as("tgl_month"),
+        Clean.extractYear(tanggal).as("tgl_year"),
+        Clean.extractBetween(marked, "Mulai ", " Selesai").as("between_txt"))
       .orderBy($"o_orderkey")
   }
 
   private val fnScalarOracle =
-    s"""SELECT o_orderkey,
+    s"""WITH o AS (
+       |  SELECT *,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN 'tanpa tanggal'
+       |      ELSE 'Pada Tanggal ' || CAST(day(o_orderdate) AS VARCHAR)
+       |        || ' ' || list_extract($bulanSqlList, month(o_orderdate))
+       |        || ' ' || CAST(year(o_orderdate) AS VARCHAR) END AS tanggal,
+       |    'hdr' || chr(10) || 'Mulai ' || o_orderstatus || ' no '
+       |      || o_orderpriority || chr(10) || 'body Selesai tail' AS marked
+       |  FROM orders)
+       |SELECT o_orderkey,
        |  substr(regexp_replace(o_orderpriority, '[^\\w\\s]', '', 'g'), 1, 255) AS prio_clean,
        |  regexp_replace(substr(regexp_replace(coalesce(CAST(o_orderstatus AS VARCHAR), ''), '[^\\x00-\\x7F]+', '', 'g'), 1, 255), '^\\s+|\\s+$$', '', 'g') AS status_clean,
        |  list_extract($bulanSqlList, month(o_orderdate)) AS month_name,
@@ -101,8 +125,12 @@ object Financial {
        |  'Q' || CAST(((month(o_orderdate) - 1) // 3) + 1 AS VARCHAR) || ' ' || CAST(year(o_orderdate) AS VARCHAR) AS quarter_label,
        |  try_cast(replace(CAST(o_custkey AS VARCHAR) || ',' || '250', ',', '') AS DOUBLE) AS thousands,
        |  coalesce(try_cast(o_orderstatus AS DOUBLE), 0.0) AS coerced_zero,
-       |  coalesce(CAST(o_custkey AS VARCHAR), '') AS custkey_str
-       |FROM orders
+       |  coalesce(CAST(o_custkey AS VARCHAR), '') AS custkey_str,
+       |  regexp_extract(tanggal, 'Pada Tanggal (\\d{1,2}) (\\w+) (\\d{4})', 1) AS tgl_day,
+       |  regexp_extract(tanggal, 'Pada Tanggal (\\d{1,2}) (\\w+) (\\d{4})', 2) AS tgl_month,
+       |  regexp_extract(tanggal, 'Pada Tanggal (\\d{1,2}) (\\w+) (\\d{4})', 3) AS tgl_year,
+       |  regexp_extract(marked, '(?s)Mulai (.*?) Selesai', 1) AS between_txt
+       |FROM o
        |ORDER BY o_orderkey""".stripMargin
 
   /** G2 sectionizer (detail_notes.py:23-79) over the documents table:

@@ -138,6 +138,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("connectedComponents: long-diameter chain needs >20 rounds, bounded plans") {
+    // 0-1-2-...-24 in a single chain: min-label propagation moves the 0
+    // label one hop per round, so convergence takes ~24 rounds — well past
+    // several checkpoint intervals, proving lineage stays bounded and the
+    // loop still converges (the LSH graphs in the queries have tiny
+    // diameters and would never exercise this path)
+    val n = 25
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val labels = DedupOps.connectedComponents(
+        DedupOps.symmetrize(chain.toDF("src", "dst")), maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n)
+    assert(labels.values.toSet == Set(0L)) // one component, min id 0
+    // two components + an isolated-pair sanity pass through the same API
+    val two = DedupOps.connectedComponents(DedupOps.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents refuses to emit unconverged labels") {
+    val chain = (0 until 10).map(i => (i.toLong, (i + 1).toLong))
+    intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(
+        DedupOps.symmetrize(chain.toDF("src", "dst")), maxIter = 2)
+    }
+  }
+
   test("portableHash64 is stable across invocations") {
     val v1 = Seq(1).toDF("x").select(TextOps.portableHash64(lit("abc"), 0)).first().getLong(0)
     val v2 = Seq(1).toDF("x").select(TextOps.portableHash64(lit("abc"), 0)).first().getLong(0)
