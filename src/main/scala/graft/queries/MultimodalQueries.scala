@@ -74,7 +74,36 @@ object MultimodalQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** True binary-file ingestion: a directory of opaque files read with
+    * Spark's `binaryFile` source — (path, length, content, modTime) per
+    * file, executor-side, splittable across files — feeding the decode
+    * stub. This is the ingest edge for real media AND for binary PDFs
+    * (SURVEY.md §2.1 S3): bytes land in a DataFrame with per-file
+    * metadata, a parser hook away from pages/frames. Fixtures are
+    * committed under fixtures/bin (deterministic full-byte-range
+    * content); the digest is md5 over the HEX encoding because the
+    * oracle's md5 only accepts text — both engines hash the same string.
+    */
+  private def binaryIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load("/root/repo/fixtures/bin/*.bin")
+      .select(
+        element_at(split($"path", "/"), -1).as("file_name"),
+        Multimodal.decodeBytesStub($"content").as("f"),
+        md5(hex($"content")).as("digest"))
+      .select($"file_name", $"f.n_bytes".cast("long").as("n_bytes"), $"digest")
+      .orderBy($"file_name")
+  }
+
+  private val binaryIngestOracle =
+    """SELECT parse_filename(filename) AS file_name,
+      |  size AS n_bytes,
+      |  md5(hex(content)) AS digest
+      |FROM read_blob('/root/repo/fixtures/bin/*.bin')
+      |ORDER BY file_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("multimodal_features", mediaFeatures, Some(mediaFeaturesOracle)),
-    Q("multimodal_frames", frameSample, Some(frameSampleOracle)))
+    Q("multimodal_frames", frameSample, Some(frameSampleOracle)),
+    Q("binary_ingest", binaryIngest, Some(binaryIngestOracle)))
 }

@@ -10,7 +10,7 @@ object Registry {
     Relational.queries ++ Financial.queries ++ TextAnalysis.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
       MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
-      Sketches.queries
+      Sketches.queries ++ ScaleOps.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -315,7 +315,123 @@ object Relational {
       |GROUP BY ship_month
       |ORDER BY ship_month""".stripMargin
 
+  /** TPC-H Q19 shape: disjunctive mixed predicates spanning both join
+    * sides, carried IN the join condition. Catalyst extracts the
+    * common `l_partkey = p_partkey` equi-key (hash join, part broadcast)
+    * and derives single-side filters from the OR-of-ANDs (constraint
+    * propagation), so both scans still prune before the join.
+    */
+  private def q19MixedPredicates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cond =
+      ($"p_brand" === "Brand#12" && $"p_size".between(1, 10) && $"l_quantity".between(1, 15)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(5, 25) && $"l_quantity".between(10, 30)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) && $"l_quantity".between(25, 50))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey" && cond)
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Oracle =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper of a
+    * multi-supplier finished order ("late" adapted to this schema:
+    * shipped >1000 days after the order date — no receipt/commit dates
+    * here). The EXISTS becomes a left-semi self-join on the fact's
+    * (orderkey, other-supplier) pairs and the NOT EXISTS a left-anti on
+    * the late subset — both shuffle on orderkey, never more than the
+    * fact's own key cardinality; supplier is broadcast at the end.
+    */
+  private def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val late = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 1000 DAYS"))
+      .select($"l_orderkey", $"l_suppkey")
+    val pairs = li.select($"l_orderkey", $"l_suppkey").distinct()
+    val waiting = late.as("x")
+      .join(pairs.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey")
+          && col("x.l_suppkey") =!= col("y.l_suppkey"), "left_semi")
+      .join(late.distinct().as("z"),
+        col("x.l_orderkey") === col("z.l_orderkey")
+          && col("x.l_suppkey") =!= col("z.l_suppkey"), "left_anti")
+    waiting
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(10)
+  }
+
+  private val q21Oracle =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 1000 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 1000 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q22 shape: rich idle customers — acctbal above the global
+    * positive average (scalar subquery) and no order since 1999
+    * (NOT EXISTS → left-anti against a date-pruned orders scan), counted
+    * per nation (stand-in for the phone prefix this schema lacks).
+    * The scalar is a one-row driver bridge (the same A2 pattern as
+    * Compose.firstScalar): the average lands as a LITERAL, so the
+    * comparison pushes into the customer scan as
+    * `GreaterThan(c_acctbal, …)` — strictly better than the 1-row
+    * BroadcastNestedLoopJoin a cross-join formulation plans.
+    */
+  private def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0)
+      .agg(avg($"c_acctbal")).first().getDouble(0)
+    val recent = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1999-01-01"))
+      .select($"o_custkey")
+    cust.filter($"c_acctbal" > lit(avgBal))
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum($"c_acctbal"), 2).as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val q22Oracle =
+    """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q19_mixed_predicates", q19MixedPredicates, Some(q19Oracle)),
+    Q("q21_waiting_suppliers", q21WaitingSuppliers, Some(q21Oracle)),
+    Q("q22_idle_customers", q22IdleCustomers, Some(q22Oracle)),
     Q("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
     Q("q12_ship_priority", q12ShipPriority, Some(q12Oracle)),
     Q("orders_above_cust_avg", ordersAboveCustAvg, Some(aboveAvgOracle)),

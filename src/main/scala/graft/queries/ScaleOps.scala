@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Skew, Tables}
+
+/** Scale-mechanism queries: the techniques that keep 100 TB plans healthy
+  * — skew salting and bucket pruning — proven SEMANTICS-PRESERVING by
+  * running them through the same DuckDB oracle gate as every other query
+  * (the oracle computes the plain, unsalted/unbucketed form).
+  */
+object ScaleOps {
+
+  /** Salted fact⋈dim join on a synthetically skewed key: half the fact
+    * lands on hot key 0 (the classic null/default-key hot spot), the
+    * rest spreads over the dim's 25 keys. [[Skew.saltedJoin]] splits the
+    * hot key across 8 salt buckets so no single task owns 50% of the
+    * rows; the oracle is the plain join — identical output proves
+    * salting changes the schedule, not the answer.
+    */
+  private def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables.lineitem(s, dir)
+      .withColumn("hotkey",
+        when($"l_orderkey" % 2 === 0, lit(0))
+          .otherwise(pmod($"l_suppkey", lit(25))).cast("int"))
+    val dim = Tables.nation(s, dir)
+      .select($"n_nationkey".cast("int").as("hotkey"), $"n_name")
+    Skew.saltedJoin(fact, dim, "hotkey", salts = 8)
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice"), 2).as("gross"))
+      .orderBy($"n_name")
+  }
+
+  private val skewSaltedOracle =
+    """WITH fact AS (
+      |  SELECT *, CASE WHEN l_orderkey % 2 = 0 THEN 0
+      |    ELSE l_suppkey % 25 END AS hotkey
+      |  FROM lineitem)
+      |SELECT n_name, count(*) AS n_lines,
+      |  round(sum(l_extendedprice), 2) AS gross
+      |FROM fact JOIN nation ON hotkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Bucket-pruned keyed aggregate: orders written once per session as a
+    * bucketed table (8 buckets on o_custkey), then an IN-filter +
+    * groupBy on the bucket column. Two bucketing payoffs in one plan:
+    * the IN list prunes to only the buckets that can hold those keys
+    * (`SelectedBucketsCount: k out of 8` in the scan — the read-side
+    * analogue of partition pruning for high-cardinality keys), and the
+    * groupBy on the bucket column needs NO exchange (data is already
+    * hash-distributed by the layout). At 100 TB the bucketing write is
+    * paid once; every keyed lookup/agg/join after that skips most of
+    * the data and the shuffle. The oracle reads the raw parquet —
+    * identical output proves bucketing changes layout, not semantics.
+    */
+  private def bucketPrunedOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = s"orders_bucketed_${math.abs(dir.hashCode)}"
+    if (!s.catalog.tableExists(table)) {
+      Tables.orders(s, dir).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(table)
+    }
+    s.table(table)
+      .filter($"o_custkey".isin(401, 421, 433))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("spend"))
+      .orderBy($"o_custkey")
+  }
+
+  private val bucketPrunedOracle =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS spend
+      |FROM orders
+      |WHERE o_custkey IN (401, 421, 433)
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("skew_salted_join", skewSaltedJoin, Some(skewSaltedOracle)),
+    Q("bucket_pruned_orders", bucketPrunedOrders, Some(bucketPrunedOracle)))
+}

@@ -42,6 +42,20 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucket pruning engages on IN-filter + groupBy over the bucket column") {
+    val got = graft.queries.Registry.queries("bucket_pruned_orders")(
+      spark, "/root/testdata/sf0.001")
+    val plan = got.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in:\n${plan.take(1000)}")
+    assert(sel.get.group(1).toInt < 8, "IN-filter should prune at least one bucket")
+    // the groupBy on the bucket column must not need a pre-agg exchange:
+    // the only exchange is the final orderBy's range partitioning
+    assert(!"Exchange hashpartitioning\\(o_custkey".r.findFirstIn(plan).isDefined,
+      s"unexpected agg shuffle in:\n$plan")
+    assert(got.count() >= 0)
+  }
+
   test("partition pruning on a partitioned parquet sink") {
     val tmp = Files.createTempDirectory("graft_prune").toString
     val dir = "/root/testdata/sf0.001"

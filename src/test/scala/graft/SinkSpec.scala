@@ -26,6 +26,29 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("JDBC round-trip against embedded Derby: overwrite, truncate, append") {
+    // Derby ships with Spark (/opt/spark/jars/derby-*.jar) — a real JDBC
+    // database, so the sink path (executor-side batched inserts, truncate
+    // vs drop-recreate, append) is exercised for real, not structurally
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    val df1 = Seq((1, "a", 10.5), (2, "b", 20.25)).toDF("id", "name", "v")
+    Sink.jdbcOverwrite(df1, url, "t_sink", props)
+    assert(spark.read.jdbc(url, "t_sink", props).count() == 2)
+    // second overwrite hits the truncate path (table now exists)
+    val df2 = Seq((3, "c", 1.0)).toDF("id", "name", "v")
+    Sink.jdbcOverwrite(df2, url, "t_sink", props)
+    val afterOverwrite = spark.read.jdbc(url, "t_sink", props)
+      .as[(Int, String, Double)].collect().toSet
+    assert(afterOverwrite == Set((3, "c", 1.0)))
+    // append adds on top of the truncated-then-written table
+    Sink.jdbcAppend(df1, url, "t_sink", props)
+    val all = spark.read.jdbc(url, "t_sink", props)
+      .as[(Int, String, Double)].collect().toSet
+    assert(all == Set((1, "a", 10.5), (2, "b", 20.25), (3, "c", 1.0)))
+  }
+
   test("parquetPartitioned writes hive-style partition dirs") {
     val tmp = Files.createTempDirectory("graft_sink").toString
     val df = Seq(("2024-01-01", "click", 1), ("2024-01-02", "view", 2))

@@ -11,7 +11,9 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "ann_ivf_topk","events_session_window",
               "dedup_simhash","q04_late_shipments","range_join_events_orders",
               "cheapest_order_per_cust","custkeys_except","olap_cube_orders",
-              "kmv_distinct_parts")) {
+              "kmv_distinct_parts","q19_mixed_predicates","q21_waiting_suppliers",
+              "q22_idle_customers","skew_salted_join","bucket_pruned_orders",
+              "binary_ingest")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
@@ -21,6 +23,8 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
   if (pf.nonEmpty) sb ++= pf.map(f => s"- $f").mkString("", "\n", "\n")
   val rs = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList.distinct.take(3)
   if (rs.nonEmpty) sb ++= rs.map(r => s"- ${r.take(180)}").mkString("", "\n", "\n")
+  val bk = "SelectedBucketsCount: [^,\\n]*".r.findAllIn(plan).toList.distinct
+  if (bk.nonEmpty) sb ++= bk.map(b => s"- $b").mkString("", "\n", "\n")
   sb ++= "\n"
 }
 Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
