@@ -18,8 +18,12 @@ import org.apache.spark.sql.SparkSession
   *     in "suspect" so a reader knows those numbers are host noise, not
   *     engine cost.
   *
-  * Per-pass times are emitted under "passes" so the artifact itself
-  * shows the noise (a 2s/60s split is a burst; 60s/60s is the engine).
+  * Artifact strategy (round-4 lesson): the driver captures only the LAST
+  * ~2000 chars of stdout, so the round-3 JSON line — bloated by a
+  * per-pass map — was truncated into unparseability. Now stdout gets ONE
+  * COMPACT line (2-decimal seconds, no pass detail) printed last, and
+  * the full artifact (per-pass times, failure counts, suspect flags)
+  * goes to BENCH_FULL.json in the repo, committed every round.
   */
 object Bench {
 
@@ -41,8 +45,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val watermarks = loadWatermarks(
-      sys.env.getOrElse("SPARK_GRAFT_WATERMARKS", "/root/repo/BENCH_WATERMARKS.json"))
+    val wmPath = sys.env.getOrElse("SPARK_GRAFT_WATERMARKS", "/root/repo/BENCH_WATERMARKS.json")
+    val watermarks = loadWatermarks(wmPath)
+    if (watermarks.isEmpty)
+      System.err.println(s"[bench] WARNING: no watermarks at $wmPath — " +
+        "adaptive noise retry is INERT; commit clean-host minima there")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,27 +70,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val passes = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    // per query: (seconds, succeeded) per attempt — failed attempts'
+    // durations never enter the reported min (a fast crash is not a time)
+    val passes = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Double, Boolean)]]
 
-    def onePass(name: String): Double = {
+    def onePass(name: String): Unit = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); failed -= name }
-      catch { case _: Throwable => failed += name }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      passes(name) = passes.getOrElse(name, Vector.empty) :+ sec
-      sec
+      passes(name) = passes.getOrElse(name, Vector.empty) :+ (sec, ok)
     }
 
-    // a query is suspect when its best pass is >3× the clean-host
-    // watermark (plus a 0.5s floor: sub-second queries jitter harmlessly)
+    def okTimes(name: String): Vector[Double] =
+      passes(name).collect { case (s, true) => s }
+    def failCount(name: String): Int = passes(name).count(!_._2)
+    // a query "failed" iff it never succeeded
+    def isFailed(name: String): Boolean = okTimes(name).isEmpty
+    // reported time: min over SUCCESSFUL passes; if none, min over all
+    // (flagged failed, so the number is understood as attempt duration)
+    def bestTime(name: String): Double = {
+      val ok = okTimes(name)
+      if (ok.nonEmpty) ok.min else passes(name).map(_._1).min
+    }
+
+    // a query is suspect when its best successful pass is >3× the
+    // clean-host watermark (plus a 0.5s floor: sub-second queries jitter
+    // harmlessly)
     def suspect(name: String): Boolean = watermarks.get(name) match {
-      case Some(w) => passes(name).min > math.max(3.0 * w, w + 0.5)
+      case Some(w) => bestTime(name) > math.max(3.0 * w, w + 0.5)
       case None    => false
     }
 
-    val names = SparkEntry.queries.keys.toVector
+    // optional positional args restrict the run to named queries (dev loop)
+    val names0 = SparkEntry.queries.keys.toVector
+    val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
     names.foreach { n => onePass(n); onePass(n) }
     var sweep = 0
     while (sweep < 3 && names.exists(suspect)) {
@@ -94,22 +120,35 @@ object Bench {
     }
 
     val results = names.map { n =>
-      val sec = passes(n).min
-      val flags = (if (failed(n)) "  FAILED" else "") +
+      val sec = bestTime(n)
+      val fails = failCount(n)
+      val flags = (if (isFailed(n)) "  FAILED" else if (fails > 0) s"  ($fails/${passes(n).size} passes failed)" else "") +
         (if (suspect(n)) "  SUSPECT(host noise)" else "")
-      System.err.println(f"[bench] $n%-28s $sec%8.2fs (passes: ${passes(n).map(t => f"$t%.2f").mkString(", ")})$flags")
+      System.err.println(f"[bench] $n%-28s $sec%8.2fs (passes: ${passes(n).map { case (t, ok) => f"$t%.2f${if (ok) "" else "!"}" }.mkString(", ")})$flags")
       n -> sec
     }
-    if (failed.nonEmpty)
-      System.err.println(s"[bench] FAILED queries (times are of the failed attempt): ${failed.mkString(", ")}")
+    val failedQ = names.filter(isFailed)
+    if (failedQ.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (times are of the failed attempt): ${failedQ.mkString(", ")}")
 
-    def arr(xs: Seq[Double]) = xs.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val passJson = names.map(n => s"\"$n\":${arr(passes(n))}").mkString("{", ",", "}")
+    def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val suspectJson = names.filter(suspect).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
+    val failedJson = jarr(failedQ.map("\"" + _ + "\""))
+    val suspectJson = jarr(names.filter(suspect).map("\"" + _ + "\""))
+    // full artifact (per-pass detail; failed attempts negated so they
+    // can't be mistaken for times) → repo file, committed each round
+    val passJson = names.map(n => s""""$n":${jarr(passes(n).map { case (t, ok) => f"${if (ok) t else -t}%.3f" })}""").mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$fullQs,"passes":$passJson,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir","cpus":$cpus}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }
+    // stdout: ONE compact line printed LAST — the driver keeps only the
+    // last ~2000 chars of output, so 2-decimal values (no pass detail)
+    // keep ~65 queries inside that window
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

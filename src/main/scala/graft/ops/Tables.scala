@@ -19,17 +19,23 @@ object Tables {
     * scale the file splits alone exceed core count, so this never
     * coalesces a big scan).
     *
-    * The split estimate comes from optimizer statistics (file bytes /
-    * maxPartitionBytes), NOT from `df.rdd.getNumPartitions` — the RDD
-    * probe forces physical planning per call and can pin the plan.
+    * The split estimate comes from ANALYZED-plan statistics (full
+    * relation bytes, before column pruning / filter selectivity shrink
+    * them) clamped from below by the scan's file count (each file is at
+    * least one split, and openCostInBytes padding makes small files
+    * produce more splits than bytes/maxPartitionBytes suggests) — NOT
+    * from `df.rdd.getNumPartitions`, whose RDD probe forces physical
+    * planning per call and can pin the plan.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val target = s.sparkContext.defaultParallelism
     val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estSplits = (estBytes / maxPartitionBytes).toLong + 1
+    val estBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val estSplits = math.max(
+      (estBytes / maxPartitionBytes).toLong + 1,
+      df.inputFiles.length.toLong)
     if (estSplits < target) df.repartition(target) else df
   }
 

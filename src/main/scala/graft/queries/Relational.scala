@@ -402,12 +402,23 @@ object Relational {
     * comparison pushes into the customer scan as
     * `GreaterThan(c_acctbal, …)` — strictly better than the 1-row
     * BroadcastNestedLoopJoin a cross-join formulation plans.
+    *
+    * Determinism: a raw double average differs between engines (and
+    * across partitionings) in the last ulps, so a customer sitting
+    * exactly on the boundary could flip the row set. Both sides instead
+    * compare against the EXACT integer-cent threshold: balances are
+    * 2-decimal, so `cents > floor(sum_cents / n)` ⟺ `c_acctbal >
+    * (floor(sum_cents/n) + 0.5) / 100` — sum_cents (< 2^53) and the
+    * division/floor are bit-identical in every engine, and the ±0.005
+    * dead zone absorbs double-representation noise.
     */
   private def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = Tables.customer(s, dir)
-    val avgBal = cust.filter($"c_acctbal" > 0)
-      .agg(avg($"c_acctbal")).first().getDouble(0)
+    val row = cust.filter($"c_acctbal" > 0)
+      .agg(count(lit(1)).as("n"), round(sum($"c_acctbal" * 100), 0).as("cents"))
+      .first()
+    val avgBal = ((row.getDouble(1) / row.getLong(0)).floor + 0.5) / 100.0
     val recent = Tables.orders(s, dir)
       .filter($"o_orderdate" >= lit("1999-01-01"))
       .select($"o_custkey")
@@ -421,7 +432,8 @@ object Relational {
   private val q22Oracle =
     """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
       |FROM customer
-      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |WHERE c_acctbal > (SELECT (floor(round(sum(c_acctbal * 100)) / count(*)) + 0.5) / 100
+      |                   FROM customer WHERE c_acctbal > 0)
       |  AND NOT EXISTS (
       |    SELECT 1 FROM orders
       |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')

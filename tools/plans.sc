@@ -1,5 +1,9 @@
 import graft.queries.Registry
 import java.nio.file.{Files, Paths}
+// events.parquet is TIMESTAMP(NANOS); Tables.events requires this at the
+// session level. A runtime set suffices: the parquet reader consults
+// SQLConf at scan planning, and no events read happens before this line.
+spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 val sb = new StringBuilder
 sb ++= "# PLANS - physical-plan audit (generated against sf0.01)\n\n"
 sb ++= "Evidence that the flagship plans are the plans we want: filters\n"
