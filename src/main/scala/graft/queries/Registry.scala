@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
   lazy val all: Seq[Q] =
-    Relational.queries ++ Financial.queries ++ TextAnalysis.queries ++
+    Relational.queries ++ RelationalDeep.queries ++ Financial.queries ++ TextAnalysis.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
       MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
       Sketches.queries ++ ScaleOps.queries
