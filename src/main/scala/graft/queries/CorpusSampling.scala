@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, Tables}
+
+/** Corpus sampling & mixing — the selection stage of a training-data
+  * pipeline (after cleaning/dedup, before tokenization): stratified
+  * down-sampling by language, availability-capped domain mixing, and
+  * train/val/test splitting. All three are deterministic hash gates
+  * ([[Sampling]]): pure map-side membership, reproducible across engines
+  * and partitionings — which is exactly what lets DuckDB verify the
+  * SAME sample row-for-row.
+  */
+object CorpusSampling {
+
+  /** Stratified sample: languages are kept at different per-mille rates
+    * (en 50%, de 25%, long-tail 10%) — the standard rebalance when one
+    * language dominates a crawl. Pure map-side filter; the rate CASE
+    * rides on the row.
+    */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", lit(500L))
+      .when($"lang" === "de", lit(250L))
+      .otherwise(lit(100L))
+    Tables.documents(s, dir)
+      .filter(Sampling.keep($"doc_id", 7, rate))
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  private val stratifiedOracle =
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+      |  < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Domain mix: every source gets an equal document budget (15), capped
+    * by availability — rate_s = min(1000, 15000 div count_s) per mille.
+    * Integer arithmetic end-to-end, so the rates (and therefore the
+    * sample) are bit-identical in every engine. Two phases: a tiny
+    * per-source count (one shuffle over |sources| groups), then a
+    * broadcast of the rate table onto a map-side gate — at 100 TB the
+    * fact is read twice but never shuffled.
+    */
+  private def domainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val rates = docs.groupBy($"source").agg(count(lit(1)).as("cnt"))
+      .withColumn("rate_permille", least(lit(1000L), expr("15000 div cnt")))
+      .select($"source", $"rate_permille")
+    docs.join(broadcast(rates), "source")
+      .filter(Sampling.keep($"doc_id", 11, $"rate_permille"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"), max($"rate_permille").as("rate_permille"))
+      .orderBy($"source")
+  }
+
+  private val domainMixOracle =
+    """WITH rates AS (
+      |  SELECT source, LEAST(1000, 15000 // count(*)) AS rate_permille
+      |  FROM documents GROUP BY source)
+      |SELECT d.source, count(*) AS n_sampled, max(rate_permille) AS rate_permille
+      |FROM documents d JOIN rates USING (source)
+      |WHERE ('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+      |  < rate_permille
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
+  /** Train/val/test split (90/5/5) with per-split volume stats. Split
+    * membership is a monotone hash-cut assignment ([[Sampling.split]]):
+    * re-running, re-partitioning, or growing a later split never moves a
+    * document between earlier splits.
+    */
+  private def splitStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        Sampling.split($"doc_id", 13, Seq("train" -> 900, "val" -> 950), "test").as("split"),
+        $"n_chars")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
+  }
+
+  private val splitStatsOracle =
+    """SELECT
+      |  CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (
+      |  SELECT n_chars,
+      |    ('0x' || substr(md5('13|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h
+      |  FROM documents)
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("corpus_stratified_sample", stratifiedSample, Some(stratifiedOracle)),
+    Q("corpus_domain_mix", domainMix, Some(domainMixOracle)),
+    Q("corpus_split_stats", splitStats, Some(splitStatsOracle)))
+}

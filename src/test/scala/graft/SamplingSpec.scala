@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = spark.range(0, 2000).toDF("id")
+
+  test("hash gate is deterministic and partition-independent") {
+    val a = ids.filter(Sampling.keep($"id", 7, lit(300L))).select($"id")
+      .collect().map(_.getLong(0)).sorted
+    val b = ids.repartition(7).filter(Sampling.keep($"id", 7, lit(300L)))
+      .select($"id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("keep rate tracks the requested per-mille within tolerance") {
+    val kept = ids.filter(Sampling.keep($"id", 3, lit(250L))).count()
+    assert(math.abs(kept / 2000.0 - 0.25) < 0.05, s"kept=$kept")
+  }
+
+  test("different seeds give decorrelated samples") {
+    val overlap = ids
+      .filter(Sampling.keep($"id", 1, lit(500L)) && Sampling.keep($"id", 2, lit(500L)))
+      .count()
+    // independent 50% gates overlap on ~25%
+    assert(overlap > 2000 * 0.15 && overlap < 2000 * 0.35, s"overlap=$overlap")
+  }
+
+  test("split covers every row and growing a later cut is monotone") {
+    val cuts = Seq("train" -> 900, "val" -> 950)
+    val s1 = ids.select($"id", Sampling.split($"id", 13, cuts, "test").as("sp"))
+    assert(s1.groupBy($"sp").count().collect().map(_.getLong(1)).sum == 2000)
+    // widen val: 950 -> 980. No row may move between train and val/test
+    // in a way that crosses the unchanged 900 cut.
+    val s2 = ids.select($"id", Sampling.split($"id", 13, Seq("train" -> 900, "val" -> 980), "test").as("sp2"))
+    val moved = s1.join(s2, "id")
+      .filter(($"sp" === "train") =!= ($"sp2" === "train")).count()
+    assert(moved == 0)
+    // and only test -> val movement happens, never val -> test
+    val shrunk = s1.join(s2, "id").filter($"sp" === "val" && $"sp2" === "test").count()
+    assert(shrunk == 0)
+  }
+}
