@@ -157,6 +157,17 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
+    // Convergence witness: labels only ever DECREASE under min-
+    // propagation, so sum(label) is strictly monotone until the fixpoint
+    // — equal sums across a round ⟺ no label changed (element-wise
+    // domination + equal sums implies element-wise equality). One cheap
+    // map-side aggregate per round instead of a join+filter+count. The
+    // sum is exact decimal(38,0): 60-bit hashed ids × billions of
+    // vertices stay far inside 38 digits, so no long-overflow wrap can
+    // fake a fixpoint.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -168,11 +179,11 @@ object DedupOps {
       val updated =
         if ((iter + 1) % checkpointEvery == 0) merged.localCheckpoint()
         else merged.persist()
-      val changed = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.label") =!= col("l.label")).count()
+      val newSum = labelSum(updated)
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()
