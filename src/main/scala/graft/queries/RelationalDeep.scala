@@ -284,12 +284,136 @@ object RelationalDeep {
       |  HAVING sum(l_quantity) > 400)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q2 shape, adapted: cheapest supplier per part within a region.
+    * The reference prices from partsupp.ps_supplycost (absent); unit cost
+    * here is min(l_extendedprice / l_quantity) observed in lineitem —
+    * same structure: region-filtered supplier dim, per-part min, join
+    * back on equality to recover the argmin rows (ties keep all, so no
+    * engine-specific tie-break exists). The equality compares the SAME
+    * double (the min of identical inputs) on both sides — no boundary
+    * risk. Part/supplier/min sides all broadcast; the fact shuffles once
+    * for the per-part min.
+    */
+  private def q02MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val euSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+    val sized = Tables.part(s, dir).filter($"p_size" === 15).select($"p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(sized), $"l_partkey" === $"p_partkey")
+      .join(broadcast(euSupp), $"l_suppkey" === $"s_suppkey")
+      .withColumn("unit_cost", $"l_extendedprice" / $"l_quantity")
+    val minCost = li.groupBy($"p_partkey".as("mp"))
+      .agg(min($"unit_cost").as("min_cost"))
+    li.join(broadcast(minCost), $"p_partkey" === $"mp" && $"unit_cost" === $"min_cost")
+      .select($"p_partkey", $"s_suppkey", $"s_name", $"n_name",
+        round($"unit_cost", 4).as("unit_cost"))
+      .distinct()
+      .orderBy($"p_partkey", $"s_suppkey")
+      .limit(100)
+  }
+
+  private val q02Oracle =
+    """WITH eu AS (
+      |  SELECT s_suppkey, s_name, n_name
+      |  FROM supplier, nation, region
+      |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE'),
+      |li AS (
+      |  SELECT p_partkey, s_suppkey, s_name, n_name,
+      |         l_extendedprice / l_quantity AS unit_cost
+      |  FROM lineitem, part, eu
+      |  WHERE l_partkey = p_partkey AND p_size = 15 AND l_suppkey = s_suppkey),
+      |mc AS (SELECT p_partkey AS mp, min(unit_cost) AS min_cost FROM li GROUP BY p_partkey)
+      |SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name,
+      |       round(unit_cost, 4) AS unit_cost
+      |FROM li JOIN mc ON p_partkey = mp AND unit_cost = min_cost
+      |ORDER BY p_partkey, s_suppkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 shape, adapted: parts whose shipped value from one
+    * nation's suppliers exceeds 1/1000 of that nation's total. The
+    * reference values partsupp stock (absent); shipped l_extendedprice
+    * stands in. The HAVING threshold is the classic cross-engine trap —
+    * a double grand total differs in final ulps — so both sides quantize
+    * group sums to exact integer cents FIRST and gate on
+    * `cents > total_cents div 1000`: pure integer arithmetic, no
+    * boundary to flip. The grand total is a 1-row driver bridge off the
+    * already-grouped frame.
+    */
+  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n5 = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter($"n_name" === "NATION_5")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val grouped = Tables.lineitem(s, dir)
+      .join(broadcast(n5), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(round(sum($"l_extendedprice" * 100), 0).cast("long").as("value_cents"))
+    val totalCents = grouped.agg(sum($"value_cents")).first().getLong(0)
+    grouped.filter($"value_cents" > totalCents / 1000)
+      .select($"l_partkey".as("p_partkey"), $"value_cents")
+      .orderBy($"value_cents".desc, $"p_partkey")
+  }
+
+  private val q11Oracle =
+    """WITH g AS (
+      |  SELECT l_partkey AS p_partkey,
+      |         CAST(round(sum(l_extendedprice * 100)) AS BIGINT) AS value_cents
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_5'
+      |  GROUP BY l_partkey)
+      |SELECT p_partkey, value_cents
+      |FROM g
+      |WHERE value_cents > (SELECT sum(value_cents) FROM g) // 1000
+      |ORDER BY value_cents DESC, p_partkey""".stripMargin
+
+  /** TPC-H Q16 shape: distinct-supplier counts per part attribute with
+    * NOT-IN exclusions on both part predicates and a supplier denylist.
+    * The part⟷supplier relation comes from lineitem (partsupp is
+    * absent) — count(DISTINCT l_suppkey) does the same distinct work.
+    * Denylist is a broadcast anti-join (never a shuffled NOT IN).
+    */
+  private def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, dir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 5, 9, 15, 21, 25))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val denied = Tables.supplier(s, dir).filter($"s_name".contains("7"))
+      .select($"s_suppkey")
+    Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(denied), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  private val q16Oracle =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 9, 15, 21, 25)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q02_min_cost_supplier", q02MinCostSupplier, Some(q02Oracle)),
     Q("q07_nation_volume", q07NationVolume, Some(q07Oracle)),
     Q("q08_market_share", q08MarketShare, Some(q08Oracle)),
     Q("q09_profit_by_nation", q09ProfitByNation, Some(q09Oracle)),
+    Q("q11_important_parts", q11ImportantParts, Some(q11Oracle)),
     Q("q13_order_counts", q13OrderCounts, Some(q13Oracle)),
     Q("q15_top_supplier", q15TopSupplier, Some(q15Oracle)),
+    Q("q16_supplier_counts", q16SupplierCounts, Some(q16Oracle)),
     Q("q17_small_quantity", q17SmallQuantity, Some(q17Oracle)),
     Q("q20_excess_shippers", q20ExcessShippers, Some(q20Oracle)))
 }

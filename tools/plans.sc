@@ -19,7 +19,9 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "q22_idle_customers","skew_salted_join","bucket_pruned_orders",
               "binary_ingest","q07_nation_volume","q08_market_share",
               "q09_profit_by_nation","q13_order_counts","q15_top_supplier",
-              "q17_small_quantity","q20_excess_shippers")) {
+              "q17_small_quantity","q20_excess_shippers","q02_min_cost_supplier",
+              "q11_important_parts","q16_supplier_counts",
+              "corpus_stratified_sample","corpus_domain_mix","corpus_split_stats")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
