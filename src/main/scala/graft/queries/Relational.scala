@@ -345,10 +345,14 @@ object Relational {
   /** TPC-H Q21 shape: suppliers who were the SOLE late shipper of a
     * multi-supplier finished order ("late" adapted to this schema:
     * shipped >1000 days after the order date — no receipt/commit dates
-    * here). The EXISTS becomes a left-semi self-join on the fact's
-    * (orderkey, other-supplier) pairs and the NOT EXISTS a left-anti on
-    * the late subset — both shuffle on orderkey, never more than the
-    * fact's own key cardinality; supplier is broadcast at the end.
+    * here). The EXISTS/NOT-EXISTS pair collapses into two per-order
+    * aggregates: a late line is "waiting" iff its order has more than
+    * one distinct supplier (EXISTS another supplier) and exactly one
+    * distinct LATE supplier (NOT EXISTS another late one — and that one
+    * is necessarily this line's). All three frames shuffle on the same
+    * orderkey, so the joins are co-partitioned exchange-reuses instead
+    * of the distinct + semi + anti cascade; supplier broadcasts at the
+    * end.
     */
   private def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -359,15 +363,13 @@ object Relational {
     val late = li.join(ord, $"l_orderkey" === $"o_orderkey")
       .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 1000 DAYS"))
       .select($"l_orderkey", $"l_suppkey")
-    val pairs = li.select($"l_orderkey", $"l_suppkey").distinct()
-    val waiting = late.as("x")
-      .join(pairs.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey")
-          && col("x.l_suppkey") =!= col("y.l_suppkey"), "left_semi")
-      .join(late.distinct().as("z"),
-        col("x.l_orderkey") === col("z.l_orderkey")
-          && col("x.l_suppkey") =!= col("z.l_suppkey"), "left_anti")
-    waiting
+    val nSupp = li.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"))
+    val nLate = late.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_late"))
+    late
+      .join(nSupp, "l_orderkey").join(nLate, "l_orderkey")
+      .filter($"n_supp" > 1 && $"n_late" === 1)
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
