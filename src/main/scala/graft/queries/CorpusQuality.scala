@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Repetition-based quality signals and sequence packing — the two
+  * corpus-preparation steps between filtering and tokenization.
+  *
+  * Repetition scoring follows the published Gopher/MassiveText rule
+  * family (duplicate-word fraction, most-frequent-n-gram fraction):
+  * documents dominated by one repeated phrase are boilerplate. All
+  * fractions divide exact integer counts, and the repetitive FLAG
+  * compares integers (freq × 10 > n_bigrams), so no double boundary can
+  * flip a row between engines.
+  */
+object CorpusQuality {
+
+  private def toks(c: Column) = split(c, " ")
+
+  /** Per-document repetition profile: token counts, duplicate-word
+    * fraction, top-bigram fraction, and an integer-compare repetitive
+    * flag. Pure map-side HOF work over the fanned-out scan; the bigram
+    * frequency scan is O(distinct² ) per row, bounded by document length
+    * — never a join.
+    */
+  private def docRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    // guard: Spark's sequence(1, 0) steps DESCENDING (DuckDB's
+    // generate_series(1, 0) is empty) — 1-token docs need an explicit
+    // empty bigram list
+    val bg = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", t.as("t"), bg.as("bg"))
+      // barrier: materialize token/bigram arrays once (interpreted HOFs
+      // get no codegen CSE; without this every consumer re-splits)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        $"doc_id",
+        size($"t").as("n_tokens"),
+        size(array_distinct($"t")).as("n_distinct"),
+        size($"bg").as("n_bigrams"),
+        when(size($"bg") > 0,
+          array_max(transform(array_distinct($"bg"),
+            x => size(filter($"bg", y => y === x)))))
+          .otherwise(lit(0)).as("top_bigram_freq"))
+      .select(
+        $"doc_id", $"n_tokens",
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_tokens", 6).as("dup_word_frac"),
+        $"top_bigram_freq",
+        ($"top_bigram_freq" * 10 > $"n_bigrams").as("is_repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  private val docRepetitionOracle =
+    """SELECT doc_id,
+      |  len(t) AS n_tokens,
+      |  round(1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS dup_word_frac,
+      |  top_bigram_freq,
+      |  top_bigram_freq * 10 > n_bigrams AS is_repetitive
+      |FROM (
+      |  SELECT doc_id, t, bg,
+      |    len(bg) AS n_bigrams,
+      |    CASE WHEN len(bg) > 0 THEN
+      |      list_max(list_transform(list_distinct(bg),
+      |        x -> len(list_filter(bg, y -> y = x))))
+      |    ELSE 0 END AS top_bigram_freq
+      |  FROM (
+      |    SELECT doc_id, t,
+      |      list_transform(generate_series(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i + 1]) AS bg
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Contiguous sequence packing: documents are packed source-by-source
+    * in doc_id order into fixed 512-token bins — pack k holds the docs
+    * whose cumulative token count starts in [k·512, (k+1)·512). The
+    * window sum is exact integer arithmetic, so bin membership is
+    * deterministic. Parallelism is per-source (the window partition
+    * key); at 100 TB the partition key becomes (source, hash-bucket) so
+    * no single window task owns a whole domain — same plan shape.
+    */
+  private def tokenPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", size(toks($"text")).as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("pack_id", (($"cum" - $"n_tokens") / 512).cast("long"))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"))
+      .orderBy($"source", $"pack_id")
+  }
+
+  private val tokenPackingOracle =
+    """SELECT source, pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id
+      |  FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |        FROM documents))
+      |GROUP BY source, pack_id
+      |ORDER BY source, pack_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("doc_repetition", docRepetition, Some(docRepetitionOracle)),
+    Q("token_packing", tokenPacking, Some(tokenPackingOracle)))
+}

@@ -10,7 +10,8 @@ object Registry {
     Relational.queries ++ RelationalDeep.queries ++ Financial.queries ++ TextAnalysis.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
       MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
-      Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries
+      Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries ++
+      CorpusQuality.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
