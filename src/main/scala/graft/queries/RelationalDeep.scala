@@ -194,7 +194,10 @@ object RelationalDeep {
       .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1996-04-01"))
       .groupBy($"l_suppkey")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("total_revenue"))
-    val maxRev = revenue.agg(max($"total_revenue")).first().getDouble(0)
+    // max over an empty frame is NULL; NaN compares equal to nothing, so
+    // the filter then yields the same empty result as the oracle
+    val maxRow = revenue.agg(max($"total_revenue")).first()
+    val maxRev = if (maxRow.isNullAt(0)) Double.NaN else maxRow.getDouble(0)
     revenue.filter($"total_revenue" === lit(maxRev))
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"total_revenue")
@@ -354,7 +357,11 @@ object RelationalDeep {
       .join(broadcast(n5), $"l_suppkey" === $"s_suppkey")
       .groupBy($"l_partkey")
       .agg(round(sum($"l_extendedprice" * 100), 0).cast("long").as("value_cents"))
-    val totalCents = grouped.agg(sum($"value_cents")).first().getLong(0)
+    // sum over an empty frame is NULL (a small sf may have no shipments
+    // from this nation) — treat as 0 so the filter yields the same empty
+    // result as the oracle's NULL comparison
+    val totalRow = grouped.agg(sum($"value_cents")).first()
+    val totalCents = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     grouped.filter($"value_cents" > totalCents / 1000)
       .select($"l_partkey".as("p_partkey"), $"value_cents")
       .orderBy($"value_cents".desc, $"p_partkey")

@@ -20,17 +20,26 @@ object SimilarityQueries {
   private val LshBits = 8
   private val LshTopK = 5
 
-  private def queryVec(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+  /** The query vector as a LITERAL column (1-row driver bridge, the A2
+    * scalar pattern): a broadcast cross join of a 1-row frame plans as a
+    * BroadcastNestedLoopJoin — harmless here but indistinguishable from
+    * the genuinely dangerous BNLJ shapes, and strictly worse than no
+    * join at all. As a literal, the query side constant-folds (the LSH
+    * variant's query bucket becomes a compile-time constant).
+    */
+  private def queryVecLit(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
+    import s.implicits._
+    typedlit(Tables.embeddings(s, dir)
       .filter(col("vec_id") === QueryVecId)
-      .select(col("embedding").as("qv"))
+      .select(col("embedding")).as[Array[Float]].first())
+  }
 
   private def annTopkCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val qv = queryVecLit(s, dir)
     Tables.fanOut(Tables.embeddings(s, dir))
       .filter($"vec_id" =!= QueryVecId)
-      .crossJoin(broadcast(queryVec(s, dir)))
-      .withColumn("cos_raw", VectorOps.cosine($"embedding", $"qv"))
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", qv))
       .orderBy($"cos_raw".desc, $"vec_id")
       .limit(TopK)
       .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
@@ -47,12 +56,12 @@ object SimilarityQueries {
 
   private def annLshTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val qv = queryVecLit(s, dir)
     Tables.fanOut(Tables.embeddings(s, dir))
       .filter($"vec_id" =!= QueryVecId)
-      .crossJoin(broadcast(queryVec(s, dir)))
       .filter(VectorOps.signBucket($"embedding", LshBits)
-        === VectorOps.signBucket($"qv", LshBits))
-      .withColumn("cos_raw", VectorOps.cosine($"embedding", $"qv"))
+        === VectorOps.signBucket(qv, LshBits))
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", qv))
       .orderBy($"cos_raw".desc, $"vec_id")
       .limit(LshTopK)
       .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
