@@ -336,8 +336,66 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Benchmark decontamination: train-pool documents sharing any
+    * k-shingle with a held-out benchmark source (src0), scored by how
+    * many benchmark docs and distinct shingles they collide with — the
+    * published n-gram-overlap contamination check, as cross-SET
+    * containment rather than within-set similarity. Shingle hashing is
+    * the native per-row kernel; the only shuffle is the equi-join on the
+    * (high-cardinality, evenly distributed) shingle hash — never
+    * doc × doc. At 100 TB the benchmark side is millions of shingles at
+    * most: broadcastable, making the check a map-side probe.
+    *
+    * k is longer than the dedup shingle (8 vs 3): contamination wants
+    * near-verbatim spans, not shared phrases — the published checks use
+    * 8-13-grams for the same reason.
+    */
+  private val DecontamK = 8
+
+  private def decontaminateOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"source",
+        DedupOps.shingleHashSetNative($"text", DecontamK).as("hs"))
+      .filter($"hs".isNotNull)
+    val bench = docs.filter($"source" === "src0")
+      .select($"doc_id".as("bench_id"), explode($"hs").as("h"))
+    val train = docs.filter($"source" =!= "src0")
+      .select($"doc_id".as("train_id"), explode($"hs").as("h"))
+    train.join(broadcast(bench), "h")
+      .groupBy($"train_id")
+      .agg(
+        countDistinct($"bench_id").as("n_bench_docs"),
+        countDistinct($"h").as("n_shared_shingles"))
+      .orderBy($"train_id")
+  }
+
+  private val decontamShinglesSql =
+    s"""list_distinct(CASE WHEN len($toksSql) >= $DecontamK
+       |    THEN list_transform(generate_series(1, len($toksSql) - ${DecontamK - 1}),
+       |         i -> array_to_string(list_slice($toksSql, i, i + ${DecontamK - 1}), ' '))
+       |    ELSE [] END)""".stripMargin
+
+  private val decontaminateOracle =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, $decontamShinglesSql AS shingles FROM documents),
+       |h AS (
+       |  SELECT doc_id, source, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, unnest(hs) AS h FROM h WHERE source = 'src0'),
+       |train AS (
+       |  SELECT doc_id AS train_id, unnest(hs) AS h FROM h WHERE source <> 'src0')
+       |SELECT train_id,
+       |  count(DISTINCT bench_id) AS n_bench_docs,
+       |  count(DISTINCT h) AS n_shared_shingles
+       |FROM train JOIN bench USING (h)
+       |GROUP BY train_id
+       |ORDER BY train_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    Q("decontaminate_overlap", decontaminateOverlap, Some(decontaminateOracle)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
