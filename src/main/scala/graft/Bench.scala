@@ -43,6 +43,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // f"" interpolators delegate to String.format with the DEFAULT
+    // locale — a decimal-comma locale would emit invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val wmPath = sys.env.getOrElse("SPARK_GRAFT_WATERMARKS", "/root/repo/BENCH_WATERMARKS.json")
@@ -144,11 +147,23 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }
-    // stdout: ONE compact line printed LAST — the driver keeps only the
-    // last ~2000 chars of output, so 2-decimal values (no pass detail)
-    // keep ~65 queries inside that window
-    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
+    // stdout: ONE compact line printed LAST. The driver keeps only the
+    // last ~2000 chars of stdout AND appends its own runner footer
+    // ("[success] Total time …", ~75 chars) inside that window — at 74
+    // queries a full per-query map is 1989 chars and gets decapitated
+    // (round 4's artifact). So the compact line carries total/failed/
+    // suspect plus only the SLOWEST queries, capped so the whole line
+    // stays ≤1200 chars; the complete map lives in BENCH_FULL.json.
+    val slowestBudget = 600 // chars for the partial "queries" map
+    val slowSorted = results.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowSorted.foreach { case (k, v) =>
+      val ent = f""""$k":$v%.2f"""
+      if (used + ent.length + 1 <= slowestBudget) { kept += ent; used += ent.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${names.size},"queries_slowest":$qs,"failed":$failedJson,"suspect":$suspectJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -165,8 +165,13 @@ object DedupOps {
     // sum is exact decimal(38,0): 60-bit hashed ids × billions of
     // vertices stay far inside 38 digits, so no long-overflow wrap can
     // fake a fixpoint.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+      // non-ANSI Spark returns NULL on decimal overflow; a null sum here
+      // would surface as an opaque NPE in compareTo — fail loudly instead
+      require(s != null, "connectedComponents: label-sum overflowed decimal(38,0)")
+      s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -29,9 +29,12 @@ object SimilarityQueries {
     */
   private def queryVecLit(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
     import s.implicits._
-    typedlit(Tables.embeddings(s, dir)
+    val rows = Tables.embeddings(s, dir)
       .filter(col("vec_id") === QueryVecId)
-      .select(col("embedding")).as[Array[Float]].first())
+      .select(col("embedding")).as[Array[Float]].head(1)
+    require(rows.nonEmpty,
+      s"ANN query vector vec_id=$QueryVecId not found in $dir/embeddings.parquet")
+    typedlit(rows.head)
   }
 
   private def annTopkCosine(s: SparkSession, dir: String): DataFrame = {
