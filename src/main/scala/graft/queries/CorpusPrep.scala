@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs between raw
+  * ingestion and tokenization: corpus vocabulary statistics, tf-idf
+  * keyword extraction, unigram language-model quality scoring (the CCNet
+  * perplexity-filter family), and PII redaction.
+  *
+  * Scale design notes (these run over the WHOLE corpus at 100 TB):
+  *  - Term statistics are two-phase exact aggregations — groupBy
+  *    (doc_id, term) first so the second phase sees one row per distinct
+  *    pair, never a count-distinct expansion. Both phases get map-side
+  *    partial aggregation; skewed terms ("the") are absorbed by phase 1
+  *    because the key includes doc_id.
+  *  - The vocabulary / document-frequency frames are vocabulary-sized
+  *    (bounded by the language, not the corpus), so the joins back to
+  *    per-doc data are broadcast, never a shuffle of the corpus side.
+  *  - Corpus-level scalars (doc count N, token count T) are single-row
+  *    aggregate bridges — the A2 pattern (SURVEY §2.6), collected once
+  *    and folded in as literals.
+  *  - PII redaction is pure map-side expression work (regexp_count /
+  *    regexp_replace are codegen'd), zero shuffles.
+  */
+object CorpusPrep {
+
+  /** One row per (doc_id, term) with its in-document count — the shared
+    * first phase of every term-statistics query.
+    */
+  private def docTermCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  private val docTermSql =
+    """SELECT doc_id, term, count(*) AS c
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |      FROM documents)
+      |GROUP BY doc_id, term""".stripMargin
+
+  // ---------------------------------------------------------------- vocab
+
+  /** Top-50 corpus vocabulary by total occurrences, with document
+    * frequency. Exact counts via the two-phase aggregation; the final
+    * top-k is a TakeOrdered over the vocabulary-sized frame.
+    */
+  private def vocabTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docTermCounts(s, dir)
+      .groupBy($"term")
+      .agg(sum($"c").as("term_count"), count(lit(1)).as("doc_freq"))
+      .orderBy($"term_count".desc, $"term")
+      .limit(50)
+  }
+
+  private val vocabTopkOracle =
+    s"""SELECT term, CAST(sum(c) AS BIGINT) AS term_count,
+       |  CAST(count(*) AS BIGINT) AS doc_freq
+       |FROM ($docTermSql)
+       |GROUP BY term
+       |ORDER BY term_count DESC, term
+       |LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------- tf-idf
+
+  /** Top-3 tf-idf keywords per document. tf from the per-doc term counts
+    * (document length recovered as a window sum over the same partition
+    * key — no second scan), idf = ln(N/df) with df from the broadcast
+    * vocabulary frame. Ranking compares the ROUNDED score so the
+    * tie-break (term asc) is engine-portable.
+    */
+  private def tfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docTermCounts(s, dir)
+    val withLen = dt.withColumn("n_tokens",
+      sum($"c").over(Window.partitionBy($"doc_id")))
+    val dfreq = dt.groupBy($"term").agg(count(lit(1)).as("df"))
+    // corpus doc count: single-row scalar bridge (A2 pattern)
+    val n = Tables.documents(s, dir).count()
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    withLen.join(broadcast(dfreq), "term")
+      .withColumn("score",
+        round(($"c" / $"n_tokens") * log(lit(n.toDouble) / $"df"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  private val tfidfOracle =
+    s"""WITH dt AS ($docTermSql),
+       |wl AS (SELECT doc_id, term, c,
+       |         sum(c) OVER (PARTITION BY doc_id) AS n_tokens FROM dt),
+       |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |sc AS (SELECT doc_id, wl.term,
+       |         round((c / n_tokens) * ln(n.n / dfreq.df), 6) AS score
+       |       FROM wl CROSS JOIN n JOIN dfreq ON wl.term = dfreq.term)
+       |SELECT doc_id, rnk, term, score FROM (
+       |  SELECT doc_id, term, score,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term) AS INTEGER) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  // ------------------------------------------------- unigram LM quality
+
+  /** Per-document unigram log-loss against the corpus unigram model —
+    * the CCNet-style perplexity quality filter with the corpus itself as
+    * the model. p(term) = term_total / corpus_tokens; the score is the
+    * count-weighted mean of -ln p over the document. Documents made of
+    * rare terms score high (surprising), boilerplate scores low.
+    */
+  private def unigramQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docTermCounts(s, dir)
+    val termTotals = dt.groupBy($"term").agg(sum($"c").as("ct")).persist()
+    // corpus token count: single-row aggregate bridge over the
+    // vocabulary-sized frame (exact, cheap)
+    val t = termTotals.agg(sum($"ct")).first().getLong(0).toDouble
+    val out = dt.join(broadcast(termTotals), "term")
+      .withColumn("nll", $"c" * log(lit(t) / $"ct"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_tokens"),
+        round(sum($"nll") / sum($"c").cast("double"), 4).as("logloss"))
+      .orderBy($"doc_id")
+    termTotals.unpersist()
+    out
+  }
+
+  private val unigramOracle =
+    s"""WITH dt AS ($docTermSql),
+       |tt AS (SELECT term, sum(c) AS ct FROM dt GROUP BY term),
+       |t AS (SELECT CAST(sum(ct) AS DOUBLE) AS t FROM tt)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  round(sum(c * ln(t.t / ct)) / CAST(sum(c) AS DOUBLE), 4) AS logloss
+       |FROM dt JOIN tt USING (term) CROSS JOIN t
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- PII redact
+
+  // The synthetic corpus contains no PII, so the query deterministically
+  // plants an email / phone on doc_id % 5 ∈ {0, 1} (same augmentation in
+  // the oracle) and then redacts — proving match-count and replacement
+  // semantics on rows with and without hits.
+  private val EmailRe = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+  private val PhoneRe = """\+1-[0-9]{3}-[0-9]{4}"""
+
+  /** Map-side PII scrub: count then redact emails/phones, emit a digest
+    * of the scrubbed text. At 100 TB this is the shape of every
+    * compliance pass — a zero-shuffle full-corpus map with a verifiable
+    * output fingerprint.
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = when(pmod($"doc_id", lit(5)) === 0,
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com")))
+      .when(pmod($"doc_id", lit(5)) === 1,
+        concat($"text", lit(" call +1-555-"),
+          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"), lit(" now")))
+      .otherwise($"text")
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", planted.as("text2"))
+      .select(
+        $"doc_id",
+        regexp_count($"text2", lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count($"text2", lit(PhoneRe)).cast("int").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace($"text2", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("digest"))
+      .orderBy($"doc_id")
+  }
+
+  private val piiOracle =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN
+       |           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         WHEN doc_id % 5 = 1 THEN
+       |           text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+       |         ELSE text END AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text2, '$EmailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text2, '$PhoneRe')) AS INTEGER) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text2, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g')) AS digest
+       |FROM aug
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
+    Q("tfidf_keywords", tfidfKeywords, Some(tfidfOracle)),
+    Q("unigram_quality", unigramQuality, Some(unigramOracle)),
+    Q("pii_redact", piiRedact, Some(piiOracle)))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.CorpusPrep
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    CorpusPrep.queries.find(_.name == name).get.fn(spark, dir)
+
+  test("vocab_topk: counts are consistent and ordering is by total desc") {
+    val rows = run("vocab_topk")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 50)
+    // term_count >= doc_freq (a term occurs at least once per doc it's in)
+    rows.foreach { case (t, tc, dfq) =>
+      assert(tc >= dfq, s"$t: term_count $tc < doc_freq $dfq")
+      assert(dfq >= 1)
+    }
+    assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
+  }
+
+  test("tfidf_keywords: <=3 ranked keywords per doc, scores non-increasing") {
+    val rows = run("tfidf_keywords")
+      .as[(Long, Int, String, Double)].collect().toSeq
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.size <= 3 && rs.map(_._2).sorted == rs.map(_._2))
+      val scoresByRank = rs.sortBy(_._2).map(_._4)
+      assert(scoresByRank == scoresByRank.sorted.reverse,
+        s"doc $doc: tf-idf not non-increasing by rank: $scoresByRank")
+    }
+  }
+
+  test("unigram_quality: logloss bounded by the corpus vocab surprisal range") {
+    val rows = run("unigram_quality").as[(Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // -ln p is in (0, ln T]; the count-weighted mean inherits the bound
+    rows.foreach { case (doc, n, ll) =>
+      assert(n > 0 && ll > 0.0, s"doc $doc: n=$n logloss=$ll")
+    }
+  }
+
+  test("pii_redact: planted PII is counted and scrubbed deterministically") {
+    val rows = run("pii_redact")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    rows.foreach { case (doc, ne, np, digest) =>
+      if (doc % 5 == 0) assert(ne == 1 && np == 0, s"doc $doc: $ne/$np")
+      else if (doc % 5 == 1) assert(ne == 0 && np == 1, s"doc $doc: $ne/$np")
+      else assert(ne == 0 && np == 0, s"doc $doc: $ne/$np")
+      assert(digest.matches("[0-9a-f]{32}"))
+    }
+    // digests are stable across runs (pure function of input)
+    val again = run("pii_redact").as[(Long, Int, Int, String)].collect().toSeq
+    assert(rows == again)
+  }
+}
