@@ -42,6 +42,32 @@ object Bench {
     }
   }
 
+  /** The single stdout artifact line. The driver keeps only the LAST
+    * ~2000 chars of stdout and appends its own runner footer (~75 chars)
+    * inside that window, so this line must stay far below that cap no
+    * matter how many queries register: it carries total/failed/suspect
+    * plus only the SLOWEST queries under a fixed character budget; the
+    * complete per-query map lives in BENCH_FULL.json. BenchSpec pins the
+    * length invariant.
+    */
+  def compactLine(results: Seq[(String, Double)], failed: Seq[String],
+      suspect: Seq[String], sfDir: String): String = {
+    def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val slowestBudget = 600 // chars for the partial "queries" map
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val ent = String.format(java.util.Locale.ROOT, "\"%s\":%.2f", k, Double.box(v))
+      if (used + ent.length + 1 <= slowestBudget) { kept += ent; used += ent.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
+    s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},""" +
+      s""""queries_slowest":$qs,"failed":${jarr(failed.map("\"" + _ + "\""))},""" +
+      s""""suspect":${jarr(suspect.map("\"" + _ + "\""))},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     // f"" interpolators delegate to String.format with the DEFAULT
     // locale — a decimal-comma locale would emit invalid JSON
@@ -147,23 +173,9 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }
-    // stdout: ONE compact line printed LAST. The driver keeps only the
-    // last ~2000 chars of stdout AND appends its own runner footer
-    // ("[success] Total time …", ~75 chars) inside that window — at 74
-    // queries a full per-query map is 1989 chars and gets decapitated
-    // (round 4's artifact). So the compact line carries total/failed/
-    // suspect plus only the SLOWEST queries, capped so the whole line
-    // stays ≤1200 chars; the complete map lives in BENCH_FULL.json.
-    val slowestBudget = 600 // chars for the partial "queries" map
-    val slowSorted = results.sortBy(-_._2)
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    slowSorted.foreach { case (k, v) =>
-      val ent = f""""$k":$v%.2f"""
-      if (used + ent.length + 1 <= slowestBudget) { kept += ent; used += ent.length + 1 }
-    }
-    val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n_queries":${names.size},"queries_slowest":$qs,"failed":$failedJson,"suspect":$suspectJson,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    // stdout: ONE compact line printed LAST (see compactLine scaladoc —
+    // round-4's full per-query map outgrew the driver's capture window)
+    println(compactLine(results, failedQ, names.filter(suspect), sfDir))
     spark.stop()
   }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stdout artifact's length invariant: the driver keeps
+  * only the last ~2000 chars of stdout (plus its own ~75-char runner
+  * footer), so the compact line must stay far below that no matter how
+  * many queries register. Round 4 shipped an unparseable artifact
+  * because the full per-query map crossed the window.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def fakeResults(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => f"some_quite_long_query_name_$i%03d" -> (i * 0.37))
+
+  test("compact line stays under 1500 chars even at 300 queries") {
+    for (n <- Seq(1, 10, 74, 150, 300)) {
+      val line = Bench.compactLine(fakeResults(n), Nil, Nil, "/root/testdata/sf0.1")
+      assert(line.length < 1500, s"n=$n: line is ${line.length} chars")
+      assert(line.startsWith("{\"metric\":\"total\""))
+      assert(line.endsWith("}"))
+    }
+  }
+
+  test("compact line keeps the slowest queries and valid JSON punctuation") {
+    val line = Bench.compactLine(fakeResults(100), Seq("bad_q"), Seq("noisy_q"),
+      "/root/testdata/sf0.1")
+    // slowest entry (i=100) must be present; fastest must be dropped
+    assert(line.contains("some_quite_long_query_name_100"))
+    assert(!line.contains("\"some_quite_long_query_name_001\""))
+    assert(line.contains("\"failed\":[\"bad_q\"]"))
+    assert(line.contains("\"suspect\":[\"noisy_q\"]"))
+    assert(line.contains("\"n_queries\":100"))
+    // no decimal commas (digit,digit) regardless of platform locale
+    assert("[0-9],[0-9]".r.findFirstIn(line).isEmpty, line)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("decimal formatting is locale-independent") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.compactLine(Seq("q" -> 1.5), Nil, Nil, "sf")
+      assert(line.contains("\"q\":1.50"), line)
+    } finally java.util.Locale.setDefault(prev)
+  }
+}

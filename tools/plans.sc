@@ -21,7 +21,8 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "q09_profit_by_nation","q13_order_counts","q15_top_supplier",
               "q17_small_quantity","q20_excess_shippers","q02_min_cost_supplier",
               "q11_important_parts","q16_supplier_counts",
-              "corpus_stratified_sample","corpus_domain_mix","corpus_split_stats")) {
+              "corpus_stratified_sample","corpus_domain_mix","corpus_split_stats",
+              "vocab_topk","tfidf_keywords","unigram_quality","pii_redact")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
