@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.Tables
+import graft.ops.{Tables, TextOps}
 
 /** Corpus-preparation operators a training-data pipeline runs between raw
   * ingestion and tokenization: corpus vocabulary statistics, tf-idf
@@ -200,9 +200,98 @@ object CorpusPrep {
        |FROM aug
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- exact substring dedup
+
+  /** Minimum shared run length (tokens) to report. 12 is inside the
+    * published range for verbatim-passage detection (longer than the
+    * 8-gram contamination check, far shorter than the 50-token
+    * suffix-array threshold — the corpus documents are short).
+    */
+  private val RunK = 12
+
+  /** Exact substring (shared-passage) dedup — the "Deduplicating
+    * Training Data Makes Language Models Better" family, done
+    * relationally instead of with a monolithic suffix array: positioned
+    * k-gram fingerprints, an equi-join on the fingerprint, then
+    * gaps-and-islands over each (pair, diagonal) to recover the MAXIMAL
+    * shared run — two docs sharing an L-token passage produce L-K+1
+    * consecutive matches on one diagonal, so max_run_tokens = run+K-1
+    * reports the true passage length, which bag-of-shingles overlap
+    * cannot.
+    *
+    * Scale: the only corpus-sized shuffle is the equi-join on the 60-bit
+    * gram hash (high-cardinality, uniform); runs-analysis windows
+    * partition by (pair, diagonal) — millions of tiny partitions, no
+    * skew. A boilerplate gram shared by M docs fans out M², so at 100 TB
+    * the standard guard is dropping grams above a document-frequency cap
+    * before the join (the suffix-array papers apply the same stop-gram
+    * cut); unnecessary at harness scale and deliberately not applied so
+    * the oracle stays exact.
+    */
+  /** Core of [[substringDedup]], reusable on any (doc_id, text) frame
+    * (unit-tested on constructed passages in CorpusPrepSpec).
+    */
+  def sharedPassages(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = split($"text", " ")
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => TextOps.portableHash64(concat_ws(" ", slice(toks, i + 1, lit(k))), 0)))
+      .otherwise(array().cast("array<long>"))
+    val g = docs.select($"doc_id", posexplode(grams).as(Seq("pos", "h")))
+    val m = g.select($"doc_id".as("doc_a"), $"pos".as("pa"), $"h")
+      .join(g.select($"doc_id".as("doc_b"), $"pos".as("pb"), $"h"), Seq("h"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("diag", $"pa" - $"pb")
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    m.withColumn("grp", $"pa" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(
+        (max($"run") + (k - 1)).as("max_run_tokens"),
+        sum($"run").as("n_gram_matches"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def substringDedup(s: SparkSession, dir: String): DataFrame =
+    sharedPassages(
+      Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"), col("text")),
+      RunK)
+
+  private val substringOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |gr AS (SELECT doc_id,
+       |         CASE WHEN len(toks) >= $RunK THEN
+       |           list_transform(generate_series(1, len(toks) - $RunK + 1),
+       |             i -> ('0x' || substr(md5('0|' ||
+       |                    array_to_string(list_slice(toks, i, i + $RunK - 1), ' ')),
+       |                  1, 15))::BIGINT)
+       |         ELSE [] END AS ghs
+       |       FROM t),
+       |g AS (SELECT doc_id, unnest(generate_series(1, len(ghs))) AS pos,
+       |             unnest(ghs) AS h
+       |      FROM gr WHERE len(ghs) > 0),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |             a.pos - b.pos AS diag
+       |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (SELECT doc_a, doc_b, diag, pa,
+       |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |                                ORDER BY pa) AS grp
+       |      FROM m),
+       |runs AS (SELECT doc_a, doc_b, count(*) AS run
+       |         FROM r GROUP BY doc_a, doc_b, diag, grp)
+       |SELECT doc_a, doc_b,
+       |  CAST(max(run) + ${RunK - 1} AS BIGINT) AS max_run_tokens,
+       |  CAST(sum(run) AS BIGINT) AS n_gram_matches
+       |FROM runs
+       |GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     Q("tfidf_keywords", tfidfKeywords, Some(tfidfOracle)),
     Q("unigram_quality", unigramQuality, Some(unigramOracle)),
-    Q("pii_redact", piiRedact, Some(piiOracle)))
+    Q("pii_redact", piiRedact, Some(piiOracle)),
+    Q("substring_dedup", substringDedup, Some(substringOracle)))
 }

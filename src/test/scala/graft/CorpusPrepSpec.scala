@@ -42,6 +42,30 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("sharedPassages: recovers the exact planted passage length") {
+    // doc 1 and doc 2 share exactly one 15-token passage; doc 3 is clean
+    val passage = (1 to 15).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      (2L, s"x y z $passage q r"),
+      (3L, "totally unrelated words only here")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.CorpusPrep.sharedPassages(docs, 12)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // a 15-token passage at k=12 yields 4 consecutive diagonal matches:
+    // max run = 4 + 12 - 1 = 15 — the true passage length
+    assert(got == Seq((1L, 2L, 15L, 4L)))
+  }
+
+  test("sharedPassages: below-threshold overlap reports nothing") {
+    val short = (1 to 11).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $short d"),
+      (2L, s"e f $short g h")
+    ).toDF("doc_id", "text")
+    assert(graft.queries.CorpusPrep.sharedPassages(docs, 12).count() == 0)
+  }
+
   test("pii_redact: planted PII is counted and scrubbed deterministically") {
     val rows = run("pii_redact")
       .as[(Long, Int, Int, String)].collect().toSeq
