@@ -110,6 +110,39 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the SAME user that land within `bound` after it — the
+    * attribution-join shape (click → purchase within N minutes). Both
+    * sides carry watermarks and the join condition carries the time
+    * range, so Spark can bound the buffered state on each side and evict
+    * rows as event time advances — without both, a stream-stream join is
+    * unbounded state. Batch parity by construction: on bounded frames the
+    * same function degenerates to a plain range join (watermarks are
+    * no-ops in batch).
+    *
+    * Columns are prefixed l_/r_ because both sides share the events
+    * schema.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      bound: String = "30 minutes",
+      leftWatermark: String = "1 hour",
+      rightWatermark: String = "2 hours"): DataFrame = {
+    val l = left.select(
+        col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+        col("user_id").as("user_id"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", leftWatermark)
+    val r = right.select(
+        col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user_id"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", rightWatermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $bound"))
+      .select(col("user_id"), col("l_event_id"), col("l_type"), col("l_ts"),
+        col("r_event_id"), col("r_type"), col("r_ts"))
+  }
+
   /** Memory-sink runner for tests/demos: drains all available input,
     * returns the result table name.
     */

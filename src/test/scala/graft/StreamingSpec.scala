@@ -55,6 +55,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((Some("gold"), 1L), (Some("silver"), 1L), (None, 1L)))
   }
 
+  test("intervalJoin: stream-stream attribution join matches batch") {
+    val tmp = Files.createTempDirectory("graft_ssj").toString
+    val clicks = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (11L, ts("2024-01-01 10:40:00"), 7L, "click", 1.0, "{}"),
+      (12L, ts("2024-01-01 10:00:00"), 8L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val buys = Seq(
+      // within 30m of click 10 (user 7)
+      (20L, ts("2024-01-01 10:20:00"), 7L, "purchase", 5.0, "{}"),
+      // within 30m of click 11 only
+      (21L, ts("2024-01-01 10:55:00"), 7L, "purchase", 6.0, "{}"),
+      // wrong user for clicks 10/11; outside 30m of click 12
+      (22L, ts("2024-01-01 11:00:00"), 8L, "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    clicks.coalesce(1).write.parquet(s"$tmp/l")
+    buys.coalesce(1).write.parquet(s"$tmp/r")
+
+    val joined = Streaming.intervalJoin(
+      Streaming.readEventsStream(spark, s"$tmp/l"),
+      Streaming.readEventsStream(spark, s"$tmp/r"))
+    Streaming.runToMemory(joined, "ssj_test", "append")
+    val got = spark.table("ssj_test")
+      .select($"user_id", $"l_event_id", $"r_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val batch = Streaming.intervalJoin(clicks, buys)
+      .select($"user_id", $"l_event_id", $"r_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got == Set((7L, 10L, 20L), (7L, 11L, 21L)))
+  }
+
   test("dedupStream: duplicate event_ids collapse across micro-batches") {
     val tmp = Files.createTempDirectory("graft_dedup").toString
     // one file per micro-batch (maxFilesPerTrigger=1); event 2 repeats in
