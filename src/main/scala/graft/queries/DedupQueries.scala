@@ -393,6 +393,88 @@ object DedupQueries {
        |GROUP BY train_id
        |ORDER BY train_id""".stripMargin
 
+  // ---- incremental ingest: classify a new batch against the corpus ----
+
+  /** The held-out "new batch" source and the near-dup admission bar. */
+  private val NewSource = "src19"
+  private val NearJ = 0.5
+
+  /** Incremental-ingestion classification — the shape of every
+    * continuously-growing corpus: for each document of the incoming
+    * batch (source src19), decide `exact_dup` (fingerprint match in the
+    * corpus), `near_dup` (exact Jaccard ≥ 0.5 vs some corpus doc), or
+    * `novel`.
+    *
+    * Scale: the exact check is a semi-join on the 60-bit fingerprint;
+    * the near check reuses AllPairs prefix filtering CROSS-SET at
+    * t = 0.5 (prefix = len − ⌈len/2⌉ + 1, plus the 2·min ≥ max length
+    * bound) — lossless for J ≥ t, so the shuffle carries O(batch·prefix)
+    * rows and never batch × corpus. best_jaccard is clamped to 0 below
+    * the bar because sub-threshold pairs are exactly what the pruning is
+    * allowed to skip (the DuckDB oracle runs the UNPRUNED all-pairs
+    * check and clamps identically — every green run is a proof the
+    * pruning lost nothing).
+    */
+  private def incrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"source", TextOps.fingerprint64($"text").as("fp64"),
+        DedupOps.shingleHashSetNative($"text", ShingleK).as("hs"))
+    val batch = d.filter($"source" === NewSource).select($"doc_id", $"fp64", $"hs")
+    val corpus = d.filter($"source" =!= NewSource)
+      .select($"doc_id".as("c_id"), $"fp64".as("c_fp"), $"hs".as("c_hs"))
+    // t = 0.5: ceil(len/2) = (len+1) div 2 in exact integer math
+    val bp = batch.filter($"hs".isNotNull).withColumn("len", size($"hs"))
+      .withColumn("pl", expr("len - ((len+1) div 2) + 1"))
+      .select($"doc_id", $"hs", $"len",
+        explode(slice($"hs", lit(1), $"pl")).as("tok"))
+    val cp = corpus.filter($"c_hs".isNotNull).withColumn("clen", size($"c_hs"))
+      .withColumn("cpl", expr("clen - ((clen+1) div 2) + 1"))
+      .select($"c_id", $"c_hs", $"clen",
+        explode(slice($"c_hs", lit(1), $"cpl")).as("tok"))
+    val bestJ = bp.join(cp,
+        bp("tok") === cp("tok")
+          && lit(2) * least($"len", $"clen") >= greatest($"len", $"clen"))
+      .dropDuplicates("doc_id", "c_id")
+      .select($"doc_id", round(DedupOps.jaccardSorted($"hs", $"c_hs"), 4).as("j"))
+      .groupBy($"doc_id").agg(max($"j").as("bj"))
+    val exact = batch.join(corpus, $"fp64" === $"c_fp", "left_semi")
+      .select($"doc_id", lit(true).as("is_exact"))
+    batch.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(bestJ, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        when($"is_exact", lit("exact_dup"))
+          .when($"bj" >= NearJ, lit("near_dup"))
+          .otherwise(lit("novel")).as("category"),
+        when($"bj" >= NearJ, $"bj").otherwise(lit(0.0)).as("best_jaccard"))
+      .orderBy($"doc_id")
+  }
+
+  private val incrementalOracle =
+    s"""WITH sh AS (SELECT doc_id, source, text, $shinglesSql AS shingles FROM documents),
+       |d AS (SELECT doc_id, source,
+       |        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64,
+       |        CASE WHEN len(shingles) > 0 THEN list_sort($shingleHashesSql) ELSE NULL END AS hs
+       |      FROM sh),
+       |b AS (SELECT doc_id, fp64, hs FROM d WHERE source = '$NewSource'),
+       |c AS (SELECT doc_id AS c_id, fp64 AS c_fp, hs AS c_hs FROM d
+       |      WHERE source <> '$NewSource'),
+       |ex AS (SELECT DISTINCT doc_id FROM b JOIN c ON b.fp64 = c.c_fp),
+       |jp AS (SELECT b.doc_id,
+       |         round(CAST(len(list_intersect(b.hs, c.c_hs)) AS DOUBLE)
+       |           / (len(b.hs) + len(c.c_hs) - len(list_intersect(b.hs, c.c_hs))), 4) AS j
+       |       FROM b JOIN c ON len(list_intersect(b.hs, c.c_hs)) > 0),
+       |bj AS (SELECT doc_id, max(j) AS bj FROM jp GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN bj.bj >= $NearJ THEN 'near_dup'
+       |       ELSE 'novel' END AS category,
+       |  CASE WHEN bj.bj >= $NearJ THEN bj.bj ELSE 0.0 END AS best_jaccard
+       |FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN bj USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("decontaminate_overlap", decontaminateOverlap, Some(decontaminateOracle)),
@@ -401,5 +483,6 @@ object DedupQueries {
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
-    Q("corpus_select", corpusSelect, Some(corpusSelectOracle)))
+    Q("corpus_select", corpusSelect, Some(corpusSelectOracle)),
+    Q("incremental_ingest", incrementalIngest, Some(incrementalOracle)))
 }
