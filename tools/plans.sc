@@ -22,7 +22,8 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "q17_small_quantity","q20_excess_shippers","q02_min_cost_supplier",
               "q11_important_parts","q16_supplier_counts",
               "corpus_stratified_sample","corpus_domain_mix","corpus_split_stats",
-              "vocab_topk","tfidf_keywords","unigram_quality","pii_redact")) {
+              "vocab_topk","tfidf_keywords","unigram_quality","pii_redact",
+              "substring_dedup","incremental_ingest")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
