@@ -170,8 +170,101 @@ object SimilarityQueries {
        |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, a.vec_id
        |LIMIT $IvfTopK""".stripMargin
 
+  // ------------------------------------------- k-means codebook training
+
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** Distributed Lloyd's k-means over the embedding column — the codebook
+    * trainer that upgrades IVF from "first-k vectors as cells" to trained
+    * cells. Per iteration: (1) assignment is map-side argmax of cosine
+    * against k BROADCAST centroid literals; (2) the update is a
+    * (cell, dim)-keyed exact aggregation — k·dim rows collected to the
+    * driver, the legitimate A2-bridge size (k·dim ≪ corpus, the same
+    * boundary every distributed k-means implementation uses).
+    *
+    * Engine-portability: new centroids are rounded HALF_UP to 6 decimals
+    * and float32-quantized each iteration on BOTH engines, absorbing the
+    * double-accumulation-order difference between Spark's partial aggs
+    * and DuckDB's sequential avg, so assignments never diverge. A cluster
+    * that empties drops out on both sides (means are computed from
+    * members only). Output: per-cell population and mean member cosine
+    * after a final assignment under the trained codebook.
+    */
+  private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+      .select($"vec_id", $"embedding")
+    // deterministic init: the k lowest vec_ids (float32 as stored)
+    var cents: Array[(Int, Array[Float])] = emb.filter($"vec_id" < KmK)
+      .orderBy($"vec_id").select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id.toInt, v) }
+    def cellAndScore = {
+      val scores = array(cents.map { case (_, c) =>
+        VectorOps.cosine($"embedding", typedlit(c)) }: _*)
+      val idx = array_position(scores, array_max(scores)).cast("int")
+      (element_at(typedlit(cents.map(_._1)), idx).as("cell"),
+        array_max(scores).as("score"))
+    }
+    for (_ <- 1 to KmIters) {
+      val (cell, _) = cellAndScore
+      val assigned = emb.select($"embedding", cell)
+      val means = assigned
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      cents = means.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(t =>
+          BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toFloat))
+      }
+    }
+    val (cell, score) = cellAndScore
+    emb.select(cell, score)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), round(avg($"score"), 4).as("avg_cos"))
+      .orderBy($"cell")
+  }
+
+  /** One Lloyd iteration in SQL: assign (argmax cosine, lowest cid wins
+    * ties) then per-(cid, dim) mean, rounded and float32-quantized
+    * exactly as the Spark side.
+    */
+  private def kmIterSql(prev: String, n: Int): String =
+    s"""a$n AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_cosine_similarity(embedding::DOUBLE[], c::DOUBLE[]) DESC, cid) AS rn
+       |  FROM e CROSS JOIN $prev),
+       |m$n AS (
+       |  SELECT cid, pos, CAST(round(avg(x), 6) AS FLOAT) AS mx
+       |  FROM (SELECT cid, unnest(embedding) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS pos
+       |        FROM a$n WHERE rn = 1)
+       |  GROUP BY cid, pos),
+       |c$n AS (SELECT cid, list(mx ORDER BY pos) AS c FROM m$n GROUP BY cid)""".stripMargin
+
+  private val kmeansOracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < $KmK),
+       |${kmIterSql("c0", 1)},
+       |${kmIterSql("c1", 2)},
+       |fin AS (
+       |  SELECT vec_id, cid,
+       |    list_cosine_similarity(embedding::DOUBLE[], c::DOUBLE[]) AS score,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_cosine_similarity(embedding::DOUBLE[], c::DOUBLE[]) DESC, cid) AS rn
+       |  FROM e CROSS JOIN c2)
+       |SELECT CAST(cid AS INTEGER) AS cell, count(*) AS n,
+       |  round(avg(score), 4) AS avg_cos
+       |FROM fin WHERE rn = 1
+       |GROUP BY cid
+       |ORDER BY cell""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
     Q("ann_lsh_topk", annLshTopk, Some(annLshOracle)),
-    Q("ann_ivf_topk", annIvfTopk, Some(annIvfOracle)))
+    Q("ann_ivf_topk", annIvfTopk, Some(annIvfOracle)),
+    Q("kmeans_train", kmeansTrain, Some(kmeansOracle)))
 }
