@@ -21,23 +21,42 @@ object Events {
     */
   private def tumblingHourly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Micro-unit accounting: values quantized to 1e-6 per row, summed as
+    // exact BIGINTs, rounded HALF-AWAY to 4dp in integer arithmetic.
+    // round(double) is NOT engine-portable on "nice" inputs — Spark
+    // rounds the exact binary expansion HALF_UP while DuckDB rounds the
+    // ×1e4-scaled double half-to-even, and averages of few-significant-
+    // digit values land on that boundary often (observed at sf0.1).
+    // Integer micro-units make every step order-independent and
+    // tie-rule-free until the final exact small-decimal → double cast.
     Tables.events(s, dir)
+      .withColumn("v_micro", expr("CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(
         count(lit(1)).as("n"),
-        round(sum($"value"), 4).as("sum_value"),
-        round(avg($"value"), 4).as("avg_value"))
-      .select($"w.start".as("hour_start"), $"event_type", $"n", $"sum_value", $"avg_value")
+        sum($"v_micro").as("s_micro"))
+      .select($"w.start".as("hour_start"), $"event_type", $"n",
+        expr("""CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) div 100
+               |     ELSE -((-s_micro + 50) div 100) END AS DOUBLE) / 10000""".stripMargin)
+          .as("sum_value"),
+        expr("""CAST(CASE WHEN s_micro >= 0 THEN (2 * s_micro + n * 100) div (200 * n)
+               |     ELSE -((2 * (-s_micro) + n * 100) div (200 * n)) END AS DOUBLE) / 10000""".stripMargin)
+          .as("avg_value"))
       .orderBy($"hour_start", $"event_type")
   }
 
   private val tumblingOracle =
-    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-      |  count(*) AS n,
-      |  round(sum(value), 4) AS sum_value,
-      |  round(avg(value), 4) AS avg_value
-      |FROM events
-      |GROUP BY hour_start, event_type
+    """SELECT hour_start, event_type, n,
+      |  CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) // 100
+      |       ELSE -((-s_micro + 50) // 100) END AS DOUBLE) / 10000 AS sum_value,
+      |  CAST(CASE WHEN s_micro >= 0 THEN (2 * s_micro + n * 100) // (200 * n)
+      |       ELSE -((2 * (-s_micro) + n * 100) // (200 * n)) END AS DOUBLE) / 10000 AS avg_value
+      |FROM (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s_micro
+      |  FROM events
+      |  GROUP BY hour_start, event_type)
       |ORDER BY hour_start, event_type""".stripMargin
 
   /** Gap-based sessionization: a >30-minute silence starts a new session.
@@ -146,12 +165,18 @@ object Events {
     */
   private def sessionWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // micro-unit integer sum (see tumblingHourly — round(double) is not
+    // engine-portable; exact BIGINT accounting is)
     Tables.events(s, dir)
+      .withColumn("v_micro", expr("CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
       .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
       .agg(count(lit(1)).as("n_events"),
-        round(sum($"value"), 4).as("sum_value"))
+        sum($"v_micro").as("s_micro"))
       .select($"user_id", $"w.start".as("session_start"),
-        $"w.end".as("session_end"), $"n_events", $"sum_value")
+        $"w.end".as("session_end"), $"n_events",
+        expr("""CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) div 100
+               |     ELSE -((-s_micro + 50) div 100) END AS DOUBLE) / 10000""".stripMargin)
+          .as("sum_value"))
       .orderBy($"user_id", $"session_start")
   }
 
@@ -172,12 +197,16 @@ object Events {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       |  FROM flagged)
       |SELECT user_id,
-      |  min(ts) AS session_start,
-      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-      |  count(*) AS n_events,
-      |  round(sum(value), 4) AS sum_value
-      |FROM sess
-      |GROUP BY user_id, session_no
+      |  min_ts AS session_start,
+      |  max_ts + INTERVAL 30 MINUTE AS session_end,
+      |  n_events,
+      |  CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) // 100
+      |       ELSE -((-s_micro + 50) // 100) END AS DOUBLE) / 10000 AS sum_value
+      |FROM (
+      |  SELECT user_id, session_no, min(ts) AS min_ts, max(ts) AS max_ts,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s_micro
+      |  FROM sess GROUP BY user_id, session_no)
       |ORDER BY user_id, session_start""".stripMargin
 
   /** AS-OF join: each event picks up the user's most recent order-day

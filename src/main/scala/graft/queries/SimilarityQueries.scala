@@ -191,36 +191,70 @@ object SimilarityQueries {
     * members only). Output: per-cell population and mean member cosine
     * after a final assignment under the trained codebook.
     */
-  private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+  /** Deterministic init: the k lowest vec_ids (float32 as stored). */
+  private def initCents(emb: DataFrame, k: Int): Array[(Int, Array[Float])] = {
+    import emb.sparkSession.implicits._
+    emb.filter($"vec_id" < k).orderBy($"vec_id")
       .select($"vec_id", $"embedding")
-    // deterministic init: the k lowest vec_ids (float32 as stored)
-    var cents: Array[(Int, Array[Float])] = emb.filter($"vec_id" < KmK)
-      .orderBy($"vec_id").select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect()
       .map { case (id, v) => (id.toInt, v) }
-    def cellAndScore = {
-      val scores = array(cents.map { case (_, c) =>
-        VectorOps.cosine($"embedding", typedlit(c)) }: _*)
-      val idx = array_position(scores, array_max(scores)).cast("int")
-      (element_at(typedlit(cents.map(_._1)), idx).as("cell"),
-        array_max(scores).as("score"))
-    }
-    for (_ <- 1 to KmIters) {
-      val (cell, _) = cellAndScore
-      val assigned = emb.select($"embedding", cell)
-      val means = assigned
-        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      cents = means.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, rows) =>
+  }
+
+  /** (cell, score) columns: argmax of cosine against the centroid
+    * literals, lowest cid winning ties (array_position finds the FIRST
+    * maximum; centroids are in ascending-cid order).
+    */
+  private def assignCols(cents: Array[(Int, Array[Float])])
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val scores = array(cents.map { case (_, c) =>
+      VectorOps.cosine(col("embedding"), typedlit(c)) }: _*)
+    val idx = array_position(scores, array_max(scores)).cast("int")
+    (element_at(typedlit(cents.map(_._1)), idx).as("cell"),
+      array_max(scores).as("score"))
+  }
+
+  /** One Lloyd step: assign, then per-(cell, dim) mean — k·dim rows
+    * across the driver bridge — rounded HALF_UP to 6 decimals and
+    * float32-quantized (the engine-portability contract shared with the
+    * DuckDB mirror [[kmIterSql]]). Emptied clusters drop out.
+    */
+  private def lloydStep(emb: DataFrame,
+      cents: Array[(Int, Array[Float])]): Array[(Int, Array[Float])] = {
+    import emb.sparkSession.implicits._
+    val (cell, _) = assignCols(cents)
+    emb.select($"embedding", cell)
+      .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toArray.sortBy(_._1).map { case (cid, rows) =>
         (cid, rows.sortBy(_._2).map(t =>
           BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toFloat))
       }
+  }
+
+  /** Same accumulation order as CosineSimilarity.nullSafeEval — driver-
+    * side probe scoring stays bit-identical to executor-side scoring.
+    */
+  private def cosF32(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x(i).toDouble; val yv = y(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
     }
-    val (cell, score) = cellAndScore
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+      .select($"vec_id", $"embedding")
+    var cents = initCents(emb, KmK)
+    for (_ <- 1 to KmIters) cents = lloydStep(emb, cents)
+    val (cell, score) = assignCols(cents)
     emb.select(cell, score)
       .groupBy($"cell")
       .agg(count(lit(1)).as("n"), round(avg($"score"), 4).as("avg_cos"))
@@ -245,6 +279,60 @@ object SimilarityQueries {
        |  GROUP BY cid, pos),
        |c$n AS (SELECT cid, list(mx ORDER BY pos) AS c FROM m$n GROUP BY cid)""".stripMargin
 
+  /** IVF search over the TRAINED codebook — [[kmeansTrain]] (one Lloyd
+    * iteration) composed with the [[annIvfTopk]] probe: vectors are
+    * binned by trained centroid, the query probes its NProbe closest
+    * trained cells, exact cosine ranks the survivors. Same plan shape as
+    * the untrained IVF (map-side assignment, no joins on the corpus
+    * side); the training cost is the one extra assignment + k·dim
+    * aggregation up front.
+    */
+  private def annIvfTrainedTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+      .select($"vec_id", $"embedding", $"label")
+    val init = initCents(emb.select($"vec_id", $"embedding"), KmK)
+    require(init.nonEmpty && init.map(_._1).contains(QueryVecId),
+      s"query vector vec_id=$QueryVecId must be among the init centroids")
+    val qVec = init.find(_._1 == QueryVecId).get._2
+    val cents = lloydStep(emb.select($"vec_id", $"embedding"), init)
+    val probe = cents
+      .map { case (cid, c) => (cid, cosF32(qVec, c)) }
+      .sortBy { case (cid, sc) => (-sc, cid) }
+      .take(NProbe).map(_._1).toSeq
+    val (cell, _) = assignCols(cents)
+    emb.filter($"vec_id" =!= QueryVecId)
+      .withColumn("cell", cell)
+      .filter($"cell".isin(probe: _*))
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVec)))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(IvfTopK)
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
+  }
+
+  private val annIvfTrainedOracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < $KmK),
+       |${kmIterSql("c0", 1)},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |fin AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_cosine_similarity(embedding::DOUBLE[], c::DOUBLE[]) DESC, cid) AS rn
+       |  FROM e CROSS JOIN c1),
+       |qc AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY
+       |      list_cosine_similarity(q.qv::DOUBLE[], c.c::DOUBLE[]) DESC, c.cid) AS rn
+       |    FROM c1 c, q) WHERE rn <= $NProbe)
+       |SELECT f.vec_id, emb.label,
+       |  round(list_cosine_similarity(emb.embedding::DOUBLE[], q.qv::DOUBLE[]), 4) AS cos
+       |FROM fin f JOIN qc USING (cid)
+       |  JOIN embeddings emb ON emb.vec_id = f.vec_id, q
+       |WHERE f.rn = 1 AND f.vec_id <> $QueryVecId
+       |ORDER BY list_cosine_similarity(emb.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, f.vec_id
+       |LIMIT $IvfTopK""".stripMargin
+
   private val kmeansOracle =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < $KmK),
@@ -266,5 +354,6 @@ object SimilarityQueries {
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
     Q("ann_lsh_topk", annLshTopk, Some(annLshOracle)),
     Q("ann_ivf_topk", annIvfTopk, Some(annIvfOracle)),
-    Q("kmeans_train", kmeansTrain, Some(kmeansOracle)))
+    Q("kmeans_train", kmeansTrain, Some(kmeansOracle)),
+    Q("ann_ivf_trained_topk", annIvfTrainedTopk, Some(annIvfTrainedOracle)))
 }

@@ -40,10 +40,17 @@ object TextAnalysis {
         round(TextOps.stopwordHits($"toks", stopwords).cast("double")
           / nullif(size($"toks"), lit(0)), 4).as("stopword_ratio"),
         TextOps.punctRatio($"text").as("punct_ratio"))
-      .withColumn("quality", round(
-        lit(0.3) * $"stopword_ratio"
-          + lit(0.3) * least($"n_tokens".cast("double") / 200.0, lit(1.0))
-          + lit(0.4) * (lit(1.0) - $"punct_ratio"), 4))
+      // exact DECIMAL arithmetic off the already-4dp-rounded components:
+      // round(double) is not engine-portable (Spark HALF_UPs the exact
+      // binary expansion, DuckDB half-evens the scaled double) and this
+      // blend of nice 4dp inputs lands on the boundary — observed at
+      // sf0.1. Decimal literals (0.3, 0.005, 1.0) parse as DECIMAL in
+      // both engines; every product/sum below is exact, and round on
+      // DECIMAL is half-away-from-zero on both engines.
+      .withColumn("quality", expr(
+        """CAST(round(0.3 * CAST(stopword_ratio AS DECIMAL(10,4))
+          |  + 0.3 * least(n_tokens * 0.005, 1.0)
+          |  + 0.4 * (1.0 - CAST(punct_ratio AS DECIMAL(10,4))), 4) AS DOUBLE)""".stripMargin))
       .orderBy($"doc_id")
   }
 
@@ -55,11 +62,11 @@ object TextAnalysis {
        |    / nullif(len(string_split(text, ' ')), 0), 4) AS stopword_ratio,
        |  round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
        |    / nullif(length(text), 0), 4) AS punct_ratio,
-       |  round(0.3 * round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSql))) AS DOUBLE)
-       |          / nullif(len(string_split(text, ' ')), 0), 4)
-       |    + 0.3 * least(len(string_split(text, ' ')) / 200.0, 1.0)
-       |    + 0.4 * (1.0 - round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-       |          / nullif(length(text), 0), 4)), 4) AS quality
+       |  CAST(round(0.3 * CAST(round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSql))) AS DOUBLE)
+       |          / nullif(len(string_split(text, ' ')), 0), 4) AS DECIMAL(10,4))
+       |    + 0.3 * least(len(string_split(text, ' ')) * 0.005, 1.0)
+       |    + 0.4 * (1.0 - CAST(round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+       |          / nullif(length(text), 0), 4) AS DECIMAL(10,4))), 4) AS DOUBLE) AS quality
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
