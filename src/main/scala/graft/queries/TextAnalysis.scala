@@ -46,10 +46,12 @@ object TextAnalysis {
       // blend of nice 4dp inputs lands on the boundary — observed at
       // sf0.1. Decimal literals (0.3, 0.005, 1.0) parse as DECIMAL in
       // both engines; every product/sum below is exact, and round on
-      // DECIMAL is half-away-from-zero on both engines.
+      // DECIMAL is half-away-from-zero on both engines. The length cap
+      // is a CASE, not least() — DuckDB's least() on DECIMALs returns
+      // DOUBLE, silently poisoning the whole blend back to double.
       .withColumn("quality", expr(
         """CAST(round(0.3 * CAST(stopword_ratio AS DECIMAL(10,4))
-          |  + 0.3 * least(n_tokens * 0.005, 1.0)
+          |  + 0.3 * (CASE WHEN n_tokens >= 200 THEN 1.0 ELSE n_tokens * 0.005 END)
           |  + 0.4 * (1.0 - CAST(punct_ratio AS DECIMAL(10,4))), 4) AS DOUBLE)""".stripMargin))
       .orderBy($"doc_id")
   }
@@ -64,7 +66,8 @@ object TextAnalysis {
        |    / nullif(length(text), 0), 4) AS punct_ratio,
        |  CAST(round(0.3 * CAST(round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopSql))) AS DOUBLE)
        |          / nullif(len(string_split(text, ' ')), 0), 4) AS DECIMAL(10,4))
-       |    + 0.3 * least(len(string_split(text, ' ')) * 0.005, 1.0)
+       |    + 0.3 * (CASE WHEN len(string_split(text, ' ')) >= 200 THEN 1.0
+       |             ELSE len(string_split(text, ' ')) * 0.005 END)
        |    + 0.4 * (1.0 - CAST(round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
        |          / nullif(length(text), 0), 4) AS DECIMAL(10,4))), 4) AS DOUBLE) AS quality
        |FROM documents
