@@ -114,21 +114,30 @@ object Events {
       .agg(
         count(lit(1)).as("n"),
         sum($"k").as("sum_k"),
-        round(avg($"k"), 4).as("avg_k"),
         min($"k").as("min_k"),
         max($"k").as("max_k"))
+      // integer inputs: 4dp mean in exact integer arithmetic (see
+      // tumblingHourly — round(avg(double)) is not engine-portable)
+      .withColumn("avg_k",
+        expr("""CAST(CASE WHEN sum_k >= 0 THEN (20000 * sum_k + n) div (2 * n)
+               |     ELSE -((20000 * -sum_k + n) div (2 * n)) END AS DOUBLE) / 10000""".stripMargin))
+      .select($"event_type", $"n", $"sum_k", $"avg_k", $"min_k", $"max_k")
       .orderBy($"event_type")
   }
 
   private val jsonPropsOracle =
-    """SELECT event_type,
-      |  count(*) AS n,
-      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-      |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-      |FROM events
-      |GROUP BY event_type
+    """SELECT event_type, n, sum_k,
+      |  CAST(CASE WHEN sum_k >= 0 THEN (20000 * sum_k + n) // (2 * n)
+      |       ELSE -((20000 * -sum_k + n) // (2 * n)) END AS DOUBLE) / 10000 AS avg_k,
+      |  min_k, max_k
+      |FROM (
+      |  SELECT event_type,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |    min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |    max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |  FROM events
+      |  GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
 
   /** Day × event_type pivot with an explicit (fixed) pivot column list —
@@ -238,8 +247,45 @@ object Events {
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** Sliding 1-hour windows advancing every 15 minutes — each event lands
+    * in 4 overlapping windows. Spark's window(ts, len, slide) replicates
+    * rows window-side BEFORE the shuffle (map-side explode, group key
+    * cardinality = slides × types — still tiny); the oracle reproduces
+    * the replication with an explicit generate_series unnest. Counting
+    * in micro-units like tumblingHourly (round(double) portability).
+    */
+  private def slidingHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("v_micro", expr("CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_micro").as("s_micro"))
+      .select($"w.start".as("window_start"), $"event_type", $"n",
+        expr("""CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) div 100
+               |     ELSE -((-s_micro + 50) div 100) END AS DOUBLE) / 10000""".stripMargin)
+          .as("sum_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val slidingOracle =
+    """SELECT window_start, event_type, n,
+      |  CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) // 100
+      |       ELSE -((-s_micro + 50) // 100) END AS DOUBLE) / 10000 AS sum_value
+      |FROM (
+      |  SELECT window_start, event_type, count(*) AS n,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s_micro
+      |  FROM (
+      |    SELECT event_type, value,
+      |      make_timestamp(epoch_us(ts) // 900000000 * 900000000
+      |        - k.k * 900000000) AS window_start
+      |    FROM events
+      |    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+      |  GROUP BY window_start, event_type)
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("events_asof_orders", eventsAsofOrders, Some(eventsAsofOracle)),
+    Q("events_sliding_hourly", slidingHourly, Some(slidingOracle)),
     Q("events_tumbling_hourly", tumblingHourly, Some(tumblingOracle)),
     Q("events_sessionize", sessionize, Some(sessionizeOracle)),
     Q("events_session_window", sessionWindow, Some(sessionWindowOracle)),

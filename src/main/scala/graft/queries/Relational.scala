@@ -259,6 +259,40 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Price-distribution deciles per order priority: ntile(10) over a
+    * TOTAL order (price, then orderkey — ntile is rank-based, so a
+    * non-total order would be engine-ambiguous on price ties). Window
+    * partitions by the low-cardinality priority but the heavy work is
+    * the per-partition sort — at scale the same query runs on a
+    * range-partitioned sort, same plan shape. min/max stay on the 2dp
+    * input grid (no rounding hazard), counts are exact.
+    */
+  private def priceDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"o_orderpriority", $"decile")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"o_orderpriority", $"decile")
+  }
+
+  private val decilesOracle =
+    """SELECT o_orderpriority, decile, count(*) AS n,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
+      |FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ntile(10) OVER (PARTITION BY o_orderpriority
+      |                    ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |GROUP BY o_orderpriority, decile
+      |ORDER BY o_orderpriority, decile""".stripMargin
+
   /** TPC-H Q10 shape: revenue lost to returned items per customer, top
     * 20. Fact⋈fact shuffle join on orderkey; customer/nation broadcast;
     * TakeOrderedAndProject for the top-k.
@@ -450,6 +484,7 @@ object Relational {
     Q("q12_ship_priority", q12ShipPriority, Some(q12Oracle)),
     Q("orders_above_cust_avg", ordersAboveCustAvg, Some(aboveAvgOracle)),
     Q("price_percentiles", pricePercentiles, Some(percentilesOracle)),
+    Q("orders_price_deciles", priceDeciles, Some(decilesOracle)),
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q03_shipping_priority", q03ShippingPriority, Some(q03Oracle)),
     Q("q05_region_revenue", q05RegionRevenue, Some(q05Oracle)),
