@@ -23,7 +23,8 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "q11_important_parts","q16_supplier_counts",
               "corpus_stratified_sample","corpus_domain_mix","corpus_split_stats",
               "vocab_topk","tfidf_keywords","unigram_quality","pii_redact",
-              "substring_dedup","incremental_ingest","kmeans_train","ann_ivf_trained_topk")) {
+              "substring_dedup","incremental_ingest","kmeans_train","ann_ivf_trained_topk",
+              "events_sliding_hourly","orders_price_deciles","nation_pagerank")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
