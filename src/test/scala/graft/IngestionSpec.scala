@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.TextSources
+
+/** The PERMISSIVE quarantine contract: malformed lines are CAPTURED
+  * (whole, in _corrupt) rather than dropped or fatal — the half of the
+  * ingestion story the DuckDB oracle can't see (ignore_errors skips).
+  */
+class IngestionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jsonlSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  test("jsonl: 2 malformed lines quarantined whole, 8 parsed") {
+    val df = TextSources.readJsonl(spark, "/root/repo/fixtures/text/docs.jsonl",
+      jsonlSchema).cache()
+    val corrupt = df.filter(col(TextSources.CorruptCol).isNotNull)
+    assert(corrupt.count() == 2)
+    // the raw line is preserved for audit
+    val lines = corrupt.select(TextSources.CorruptCol).as[String].collect().toSet
+    assert(lines.exists(_.contains("broken json line")))
+    assert(lines.exists(_.contains("another totally malformed line")))
+    assert(df.filter(col(TextSources.CorruptCol).isNull).count() == 8)
+    df.unpersist()
+  }
+
+  test("csv: type-mismatched row quarantined, valid rows typed") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_words", IntegerType)))
+    val df = TextSources.readCsv(spark, "/root/repo/fixtures/text/docs.csv",
+      schema).cache()
+    val corrupt = df.filter(col(TextSources.CorruptCol).isNotNull)
+    assert(corrupt.count() == 1)
+    assert(corrupt.select(TextSources.CorruptCol).as[String].head().contains("notanumber"))
+    assert(df.filter(col(TextSources.CorruptCol).isNull).count() == 6)
+    df.unpersist()
+  }
+}
