@@ -259,6 +259,50 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Sampled quantiles — the constant-memory scale path for
+    * [[pricePercentiles]] (exact percentile() sorts every group; at
+    * 100 TB that's the operator you replace first). The sample is the
+    * BOTTOM-K ROWS BY PORTABLE HASH of the row key: a deterministic,
+    * order-independent, MERGEABLE set (bottom-k of a union = bottom-k of
+    * merged bottom-ks — the KMV property), so executors keep k rows per
+    * group, results are reproducible run-to-run, and the DuckDB oracle
+    * reconstructs the identical sample. Same interpolation as the exact
+    * form, evaluated on the sample.
+    */
+  private val SampleK = 512
+
+  private def sampledPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(graft.ops.TextOps.portableHash64($"o_orderkey".cast("string"), 7),
+        $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= SampleK)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_sample"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val sampledPercentilesOracle =
+    s"""SELECT o_orderpriority,
+       |  count(*) AS n_sample,
+       |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+       |FROM (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY ('0x' || substr(md5('7|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT,
+       |               o_orderkey) AS rn
+       |  FROM orders)
+       |WHERE rn <= $SampleK
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Price-distribution deciles per order priority: ntile(10) over a
     * TOTAL order (price, then orderkey — ntile is rank-based, so a
     * non-total order would be engine-ambiguous on price ties). Window
@@ -485,6 +529,7 @@ object Relational {
     Q("orders_above_cust_avg", ordersAboveCustAvg, Some(aboveAvgOracle)),
     Q("price_percentiles", pricePercentiles, Some(percentilesOracle)),
     Q("orders_price_deciles", priceDeciles, Some(decilesOracle)),
+    Q("price_quantiles_sampled", sampledPercentiles, Some(sampledPercentilesOracle)),
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q03_shipping_priority", q03ShippingPriority, Some(q03Oracle)),
     Q("q05_region_revenue", q05RegionRevenue, Some(q05Oracle)),
