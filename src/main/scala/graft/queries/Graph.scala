@@ -42,13 +42,22 @@ object Graph {
     import s.implicits._
     val edges0 = tradeEdges(s, dir)
     val wOut = edges0.groupBy($"src").agg(sum($"w").as("w_out"))
-    val edges = edges0.join(wOut, "src").persist()
+    // transition probability in nano-units, quantized ONCE at build time:
+    // p ≤ 1e9, so every per-iteration product p·r ≤ 1e18 stays inside
+    // BIGINT at ANY edge weight — w·r directly would overflow once
+    // per-pair lineitem counts reach 1e10 (the 100 TB regime). The
+    // DECIMAL(38,0) widening covers w·1e9 in the one-time precompute.
+    val edges = edges0.join(wOut, "src")
+      .select($"src", $"dst",
+        expr("CAST((CAST(w AS DECIMAL(38,0)) * 1000000000) div w_out AS BIGINT)")
+          .as("p_nano"))
+      .persist()
     val nations = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
     var ranks = nations.select($"n_nationkey".as("node"))
       .withColumn("r", lit(InitNano))
     for (_ <- 1 to Iters) {
       val contrib = edges.join(ranks, $"src" === $"node")
-        .select($"dst", expr("(w * r) div w_out").as("c"))
+        .select($"dst", expr("(p_nano * r) div 1000000000").as("c"))
       ranks = nations.select($"n_nationkey".as("node"))
         .join(contrib.groupBy($"dst").agg(sum($"c").as("sc")),
           $"node" === $"dst", "left")
@@ -69,7 +78,7 @@ object Graph {
        |    $TeleportNano + (850 * coalesce(sc.sc, 0)) // 1000 AS r
        |  FROM (SELECT n_nationkey AS node FROM nation) nn
        |  LEFT JOIN (
-       |    SELECT e.dst, CAST(sum((e.w * p.r) // e.w_out) AS BIGINT) AS sc
+       |    SELECT e.dst, CAST(sum((e.p_nano * p.r) // 1000000000) AS BIGINT) AS sc
        |    FROM e JOIN $prev p ON e.src = p.node
        |    GROUP BY e.dst) sc ON nn.node = sc.dst)""".stripMargin
 
@@ -83,7 +92,9 @@ object Graph {
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  GROUP BY src, dst),
        |e AS (
-       |  SELECT e0.*, w_out FROM e0
+       |  SELECT e0.src, e0.dst,
+       |    CAST((CAST(w AS HUGEINT) * 1000000000) // w_out AS BIGINT) AS p_nano
+       |  FROM e0
        |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM e0 GROUP BY src) t
        |  USING (src)),
        |r0 AS (SELECT n_nationkey AS node, CAST($InitNano AS BIGINT) AS r FROM nation),
