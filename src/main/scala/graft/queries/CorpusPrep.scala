@@ -122,19 +122,21 @@ object CorpusPrep {
   private def unigramQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dt = docTermCounts(s, dir)
+    // vocabulary-sized; cached because it serves both the scalar bridge
+    // below (the one action that runs here) and the broadcast in the
+    // returned plan. No eager unpersist — that would unmark the cache
+    // before the caller's action reads it; LRU owns the tiny frame.
     val termTotals = dt.groupBy($"term").agg(sum($"c").as("ct")).persist()
     // corpus token count: single-row aggregate bridge over the
     // vocabulary-sized frame (exact, cheap)
     val t = termTotals.agg(sum($"ct")).first().getLong(0).toDouble
-    val out = dt.join(broadcast(termTotals), "term")
+    dt.join(broadcast(termTotals), "term")
       .withColumn("nll", $"c" * log(lit(t) / $"ct"))
       .groupBy($"doc_id")
       .agg(
         sum($"c").as("n_tokens"),
         round(sum($"nll") / sum($"c").cast("double"), 4).as("logloss"))
       .orderBy($"doc_id")
-    termTotals.unpersist()
-    out
   }
 
   private val unigramOracle =

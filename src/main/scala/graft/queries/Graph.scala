@@ -64,11 +64,14 @@ object Graph {
         .select($"node",
           (lit(TeleportNano) + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
     }
-    val out = nations.join(ranks, $"n_nationkey" === $"node")
+    // NO unpersist here: the whole loop above only BUILDS plans (no
+    // action runs until the caller executes the returned frame), so an
+    // eager unpersist would unmark the cache before it ever serves the
+    // 3 iteration reads + the final join — defeating it entirely. The
+    // cached frame is ≤ nations² rows; LRU eviction owns its lifetime.
+    nations.join(ranks, $"n_nationkey" === $"node")
       .select($"n_name", $"r".as("rank_nano"))
       .orderBy($"rank_nano".desc, $"n_name")
-    edges.unpersist()
-    out
   }
 
   /** One integer-PageRank iteration as SQL; `prev` holds (node, r). */

@@ -250,8 +250,14 @@ object SimilarityQueries {
 
   private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached: each Lloyd step is an ACTION (the k·dim mean collect), so
+    // the scan would otherwise re-run per iteration + once for the
+    // returned plan. No eager unpersist (it would unmark before the
+    // caller's action); LRU owns it. At 100 TB the honest alternative
+    // is re-scanning parquet per iteration — swap persist() for nothing
+    // and the code is unchanged.
     val emb = Tables.fanOut(Tables.embeddings(s, dir))
-      .select($"vec_id", $"embedding")
+      .select($"vec_id", $"embedding").persist()
     var cents = initCents(emb, KmK)
     for (_ <- 1 to KmIters) cents = lloydStep(emb, cents)
     val (cell, score) = assignCols(cents)
@@ -289,8 +295,10 @@ object SimilarityQueries {
     */
   private def annIvfTrainedTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached for the same reason as kmeansTrain (training actions + the
+    // returned search plan share the scan)
     val emb = Tables.fanOut(Tables.embeddings(s, dir))
-      .select($"vec_id", $"embedding", $"label")
+      .select($"vec_id", $"embedding", $"label").persist()
     val init = initCents(emb.select($"vec_id", $"embedding"), KmK)
     require(init.nonEmpty && init.map(_._1).contains(QueryVecId),
       s"query vector vec_id=$QueryVecId must be among the init centroids")
