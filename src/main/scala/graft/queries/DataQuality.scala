@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Data-quality audit — the constraint-validation pass a pipeline runs
+  * before trusting a drop: null counts, domain/range checks, duplicate
+  * keys, referential integrity. Each check is a conditional aggregate
+  * (one map-side pass per table) except the FK probe, which is an
+  * anti-join on the key — the shapes that stay cheap at 100 TB because
+  * nothing materializes violating ROWS unless a human asks; the audit
+  * only moves counts.
+  */
+object DataQuality {
+
+  private def dataQualityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val customer = Tables.customer(s, dir)
+    val docs = Tables.documents(s, dir)
+
+    // each `violations` frame is a 1-row global aggregate with column v
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"), $"v".as("n_violations"))
+
+    val checks = Seq(
+      // nullability
+      check("orders_null_custkey",
+        orders.agg(count(when($"o_custkey".isNull, 1)).as("v"))),
+      // domain: quantity must be a positive whole number <= 50
+      check("lineitem_qty_out_of_range",
+        lineitem.agg(count(when($"l_quantity" < 1 || $"l_quantity" > 50
+          || $"l_quantity" =!= floor($"l_quantity"), 1)).as("v"))),
+      // domain: discount within [0, 0.1]
+      check("lineitem_discount_out_of_range",
+        lineitem.agg(count(when($"l_discount" < 0 || $"l_discount" > 0.1, 1)).as("v"))),
+      // key uniqueness
+      check("orders_duplicate_orderkey",
+        orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(when($"c" > 1, $"c" - 1)), lit(0L)).as("v"))),
+      // referential integrity: every order's customer must exist
+      check("orders_orphan_custkey",
+        orders.select($"o_custkey")
+          .join(customer.select($"c_custkey"), $"o_custkey" === $"c_custkey",
+            "left_anti")
+          .agg(count(lit(1)).as("v"))),
+      // corpus hygiene: empty documents
+      check("documents_empty_text",
+        docs.agg(count(when(length(trim($"text")) === 0 || $"text".isNull, 1))
+          .as("v"))))
+
+    checks.reduce(_.unionByName(_)).orderBy($"check_name")
+  }
+
+  private val auditOracle =
+    """SELECT check_name, n_violations FROM (
+      |  SELECT 'orders_null_custkey' AS check_name,
+      |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_out_of_range',
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_quantity < 1 OR l_quantity > 50 OR l_quantity <> floor(l_quantity))
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_out_of_range',
+      |    (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+      |  UNION ALL
+      |  SELECT 'orders_duplicate_orderkey',
+      |    (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+      |       SELECT count(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1)
+      |  UNION ALL
+      |  SELECT 'orders_orphan_custkey',
+      |    (SELECT count(*) FROM orders
+      |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  UNION ALL
+      |  SELECT 'documents_empty_text',
+      |    (SELECT count(*) FROM documents
+      |     WHERE text IS NULL OR length(trim(text)) = 0))
+      |ORDER BY check_name""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("data_quality_audit", dataQualityAudit, Some(auditOracle)))
+}
