@@ -41,9 +41,12 @@ object DataQuality {
       check("orders_duplicate_orderkey",
         orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
           .agg(coalesce(sum(when($"c" > 1, $"c" - 1)), lit(0L)).as("v"))),
-      // referential integrity: every order's customer must exist
+      // referential integrity: every order's customer must exist. NULL
+      // keys are excluded — they belong to the null check above, and an
+      // anti-join would count them while SQL NOT IN would not (the
+      // planted-violation spec caught exactly that divergence).
       check("orders_orphan_custkey",
-        orders.select($"o_custkey")
+        orders.select($"o_custkey").filter($"o_custkey".isNotNull)
           .join(customer.select($"c_custkey"), $"o_custkey" === $"c_custkey",
             "left_anti")
           .agg(count(lit(1)).as("v"))),
@@ -73,7 +76,7 @@ object DataQuality {
       |  UNION ALL
       |  SELECT 'orders_orphan_custkey',
       |    (SELECT count(*) FROM orders
-      |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |     WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer))
       |  UNION ALL
       |  SELECT 'documents_empty_text',
       |    (SELECT count(*) FROM documents
