@@ -83,6 +83,59 @@ object DataQuality {
       |     WHERE text IS NULL OR length(trim(text)) = 0))
       |ORDER BY check_name""".stripMargin
 
+  /** ANALYZE-style column profile of the orders table — the catalog
+    * statistics pass: per column, row/null/distinct counts plus min and
+    * max rendered to strings. One aggregate pass per profiled column;
+    * count(DISTINCT) here is exact because catalog stats feed the
+    * optimizer's estimates (at 100 TB swap in the KMV sketch — see
+    * kmv_distinct_parts — without changing the output shape).
+    */
+  private def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    def prof(colName: String, renderMin: org.apache.spark.sql.Column,
+        renderMax: org.apache.spark.sql.Column): DataFrame =
+      orders.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(colName).isNull, 1)).as("n_null"),
+        countDistinct(col(colName)).as("n_distinct"),
+        renderMin.as("min_str"), renderMax.as("max_str"))
+        .select(lit(colName).as("column_name"), $"n_rows", $"n_null",
+          $"n_distinct", $"min_str", $"max_str")
+    prof("o_custkey",
+        min($"o_custkey").cast("string"), max($"o_custkey").cast("string"))
+      .unionByName(prof("o_orderpriority",
+        min($"o_orderpriority"), max($"o_orderpriority")))
+      .unionByName(prof("o_totalprice",
+        min($"o_totalprice").cast("decimal(18,2)").cast("string"),
+        max($"o_totalprice").cast("decimal(18,2)").cast("string")))
+      .orderBy($"column_name")
+  }
+
+  private val profileOracle =
+    """SELECT column_name, n_rows, n_null, n_distinct, min_str, max_str FROM (
+      |  SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+      |    count(*) FILTER (o_custkey IS NULL) AS n_null,
+      |    count(DISTINCT o_custkey) AS n_distinct,
+      |    CAST(min(o_custkey) AS VARCHAR) AS min_str,
+      |    CAST(max(o_custkey) AS VARCHAR) AS max_str
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', count(*),
+      |    count(*) FILTER (o_orderpriority IS NULL),
+      |    count(DISTINCT o_orderpriority),
+      |    min(o_orderpriority), max(o_orderpriority)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', count(*),
+      |    count(*) FILTER (o_totalprice IS NULL),
+      |    count(DISTINCT o_totalprice),
+      |    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+      |    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+      |  FROM orders)
+      |ORDER BY column_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("data_quality_audit", dataQualityAudit, Some(auditOracle)))
+    Q("data_quality_audit", dataQualityAudit, Some(auditOracle)),
+    Q("column_profile", columnProfile, Some(profileOracle)))
 }
