@@ -61,4 +61,25 @@ object Sink {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes / targetBytes⌉ files. The file count comes from the source's
+    * ON-DISK size (sum of data-file lengths), not row estimates, so the
+    * decision is exact and cheap (driver-side listing — no data read).
+    * Uses coalesce, not repartition: compaction must not pay a shuffle;
+    * at 100 TB per-partition skew is already bounded by the source
+    * files' sizes. Returns the target file count.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, targetBytes: Long): Int = {
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(src).filter(_.isFile)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcPath).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dstPath)
+    nFiles
+  }
 }

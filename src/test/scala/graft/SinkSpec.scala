@@ -59,4 +59,27 @@ class SinkSpec extends SparkSpec {
     assert(back.columns.contains("day"))
     assert(new java.io.File(s"$tmp/out/day=2024-01-01").exists())
   }
+
+  test("compactParquet rewrites many small files into the computed count") {
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    // 16 tiny files
+    (1 to 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+      .repartition(16).write.parquet(s"$tmp/src")
+    val srcFiles = new java.io.File(s"$tmp/src").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(srcFiles == 16)
+    val bytes = new java.io.File(s"$tmp/src").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target = half the total -> exactly 2 output files
+    val n = Sink.compactParquet(spark, s"$tmp/src", s"$tmp/dst",
+      math.ceil(bytes / 2.0).toLong)
+    assert(n == 2)
+    val dstFiles = new java.io.File(s"$tmp/dst").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(dstFiles == 2)
+    // content preserved
+    assert(spark.read.parquet(s"$tmp/dst").count() == 1000)
+    assert(spark.read.parquet(s"$tmp/dst").agg(sum($"id")).head.getLong(0)
+      == 1000L * 1001 / 2)
+  }
 }
