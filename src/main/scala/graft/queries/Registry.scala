@@ -11,7 +11,8 @@ object Registry {
       DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
       MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
       Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries ++
-      CorpusQuality.queries ++ CorpusPrep.queries ++ Graph.queries ++ Ingestion.queries ++ DataQuality.queries
+      CorpusQuality.queries ++ CorpusPrep.queries ++ Graph.queries ++ Ingestion.queries ++ DataQuality.queries ++
+      Behavioral.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
