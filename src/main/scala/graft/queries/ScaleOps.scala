@@ -81,7 +81,41 @@ object ScaleOps {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** Bloom-pruned fact join ([[graft.ops.BloomOps]]): build a 16 KB
+    * Bloom filter over the selective dim side (one customer segment),
+    * prune the orders scan with the codegen'd probe BEFORE any shuffle,
+    * then run the real (broadcast) join — the hand-rolled runtime
+    * filter / semi-join reduction that cuts a 100 TB fact shuffle to
+    * the ~1/5 that can match. The filter has false positives only, so
+    * the result is bit-identical to the oracle's plain unpruned join —
+    * which is the point of putting it through the gate.
+    */
+  private def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "MACHINERY")
+      .select($"c_custkey")
+    val words = graft.ops.BloomOps.buildBloom(dim, "c_custkey")
+    Tables.orders(s, dir)
+      .filter(graft.ops.BloomOps.mightContain($"o_custkey", words))
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum($"cents").cast("double") / 100).as("spend"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val bloomPrunedOracle =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'MACHINERY'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("skew_salted_join", skewSaltedJoin, Some(skewSaltedOracle)),
-    Q("bucket_pruned_orders", bucketPrunedOrders, Some(bucketPrunedOracle)))
+    Q("bucket_pruned_orders", bucketPrunedOrders, Some(bucketPrunedOracle)),
+    Q("bloom_pruned_join", bloomPrunedJoin, Some(bloomPrunedOracle)))
 }

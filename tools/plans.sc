@@ -27,7 +27,8 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "events_sliding_hourly","orders_price_deciles","nation_pagerank",
               "jsonl_ingest","csv_ingest","price_quantiles_sampled","data_quality_audit","column_profile",
               "funnel_steps","retention_cohorts","cdc_latest_state","scd2_order_priority",
-              "gapfill_daily_revenue","anomaly_orders","price_histogram")) {
+              "gapfill_daily_revenue","anomaly_orders","price_histogram",
+              "bloom_pruned_join")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
