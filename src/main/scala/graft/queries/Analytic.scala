@@ -1,0 +1,428 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Analytic breadth the warehouse's report layer needs beyond plain
+  * aggregation: time-RANGE rolling windows, the full rank-function
+  * family, graph triangle counting, BM25 document ranking, batch
+  * MERGE/upsert semantics, pivot↔unpivot reshaping, and exact
+  * median/mode aggregates.
+  *
+  * Scale design notes:
+  *  - The rolling window runs over the CALENDAR axis after a daily
+  *    pre-aggregation — the windowed frame is bounded by days-in-range
+  *    (≈2.5k rows here, ~37k for a century) regardless of data volume,
+  *    so the single-task sort can never blow up. The expensive part
+  *    (the daily groupBy) shuffles on the date key with map-side
+  *    partial aggregation.
+  *  - Rank functions shuffle once on the partition key; all four
+  *    functions share one WindowExec over the same (partition, order).
+  *  - Triangle counting uses the compact-forward orientation: every
+  *    edge points from its lower-(degree, id) endpoint to the higher,
+  *    so wedge generation is bounded by sum-of-C(out-degree,2) with
+  *    out-degrees O(sqrt(edges)) — the classic bound that keeps the
+  *    two self-joins from going quadratic on skewed (celebrity)
+  *    vertices. All joins are equi-joins on vertex ids.
+  *  - BM25 follows the CorpusPrep two-phase term-count discipline:
+  *    per-(doc, term) counts first, vocabulary-sized df frame
+  *    broadcast, corpus scalars via single-row aggregate bridges.
+  *  - MERGE is a single full-outer shuffle join on the key — the
+  *    standard distributed upsert (no driver loop, no per-row RPC).
+  *  - Median/mode are exact but shuffle only group-sized partitions
+  *    (partition key = the groupBy key); the median avoids a global
+  *    sort by ranking within each group.
+  *
+  * Portability discipline (see Q.scala): money in integer cents,
+  * dates as integer epoch-days, doubles rounded on both sides, every
+  * output totally ordered.
+  */
+object Analytic {
+
+  private def centsCol = expr(
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+  // -------------------------------------------------- rolling 7d revenue
+
+  /** Trailing-7-day revenue: daily pre-aggregation, then a RANGE frame
+    * over integer epoch-days ([-6, 0] relative to the current day), so
+    * silent days correctly shrink the trailing sum — a ROWS frame would
+    * silently span gaps. The un-partitioned window is over the bounded
+    * calendar axis (see scale notes above).
+    */
+  private def rolling7dRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // o_orderdate is TIMESTAMP_NTZ — epoch-days via datediff (unix_micros
+    // rejects NTZ), matching DuckDB's DATE subtraction
+    val daily = Tables.orders(s, dir)
+      .select(datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("bigint").as("day_no"),
+        centsCol.as("cents"))
+      .groupBy($"day_no")
+      .agg(sum($"cents").as("cents"))
+    val trailing = Window.orderBy($"day_no").rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_cents", sum($"cents").over(trailing))
+      .select($"day_no",
+        ($"cents".cast("double") / 100).as("revenue"),
+        ($"rolling_cents".cast("double") / 100).as("rolling_7d"))
+      .orderBy($"day_no")
+  }
+
+  private val rollingOracle =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_no,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT day_no,
+      |  CAST(cents AS DOUBLE) / 100 AS revenue,
+      |  CAST(CAST(sum(cents) OVER (ORDER BY day_no
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 100
+      |    AS rolling_7d
+      |FROM daily
+      |ORDER BY day_no""".stripMargin
+
+  // -------------------------------------------------- rank-function suite
+
+  /** The full rank family over order price within priority: rank /
+    * dense_rank / percent_rank / cume_dist share one tie-respecting
+    * window (they depend only on the ORDER BY key, so ties are
+    * engine-stable); ntile needs a total order, so it gets its own
+    * window with the unique o_orderkey tie-break. percent_rank and
+    * cume_dist are exact rational doubles — IEEE division is
+    * deterministic, rounding is belt-and-braces.
+    */
+  private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ties = Window.partitionBy($"o_orderpriority").orderBy($"cents".desc)
+    val total = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority", centsCol.as("cents"))
+      .withColumn("rnk", rank().over(ties).cast("bigint"))
+      .withColumn("drnk", dense_rank().over(ties).cast("bigint"))
+      .withColumn("pct_rank", round(percent_rank().over(ties), 9))
+      .withColumn("cume", round(cume_dist().over(ties), 9))
+      .withColumn("quartile", ntile(4).over(total).cast("bigint"))
+      .select($"o_orderkey", $"o_orderpriority",
+        ($"cents".cast("double") / 100).as("price"),
+        $"rnk", $"drnk", $"pct_rank", $"cume", $"quartile")
+      .orderBy($"o_orderkey")
+  }
+
+  private val rankSuiteOracle =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(cents AS DOUBLE) / 100 AS price,
+      |  CAST(rank() OVER ties AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER ties AS BIGINT) AS drnk,
+      |  round(percent_rank() OVER ties, 9) AS pct_rank,
+      |  round(cume_dist() OVER ties, 9) AS cume,
+      |  CAST(ntile(4) OVER total AS BIGINT) AS quartile
+      |FROM (SELECT o_orderkey, o_orderpriority,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |      FROM orders)
+      |WINDOW ties AS (PARTITION BY o_orderpriority ORDER BY cents DESC),
+      |       total AS (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ triangle count
+
+  /** Triangle count over a deterministic synthetic customer graph
+    * (edge per order: o_custkey — 1 + (o_orderkey·31 mod |customer|),
+    * canonicalized, self-loops dropped). Spark side counts via
+    * compact-forward: orient edges by (degree, id), generate wedges
+    * from co-oriented edge pairs, close each wedge against the
+    * oriented edge set. Every triangle is counted exactly once
+    * (its unique lowest-(degree,id) vertex generates the wedge). The
+    * oracle counts the same triangles the textbook way — a triple
+    * self-join on canonical x<y<z edges — which is fine at oracle
+    * scale and spectacularly not fine at 100 TB; the orientation trick
+    * IS the operator under test.
+    */
+  private def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // |customer| via single-row scalar bridge (A2 pattern)
+    val nCust = Tables.customer(s, dir).count()
+    val raw = Tables.orders(s, dir)
+      .select($"o_custkey".as("u"),
+        (lit(1L) + ($"o_orderkey" * 31) % nCust).as("v"))
+    val edges = raw
+      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+      .persist()
+    // ord = degree · 2^32 + id: one sortable long encoding the
+    // (degree, id) total order used for orientation
+    val deg = edges.select($"a".as("x")).unionAll(edges.select($"b".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("d"))
+      .select($"x", ($"d" * 4294967296L + $"x").as("ord"))
+    val withOrd = edges
+      .join(deg.withColumnRenamed("x", "a").withColumnRenamed("ord", "ord_a"), "a")
+      .join(deg.withColumnRenamed("x", "b").withColumnRenamed("ord", "ord_b"), "b")
+    val oriented = withOrd.select(
+      when($"ord_a" < $"ord_b", $"a").otherwise($"b").as("src"),
+      when($"ord_a" < $"ord_b", $"b").otherwise($"a").as("dst"),
+      greatest($"ord_a", $"ord_b").as("ord_dst"))
+      .persist()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src")
+        && col("e1.ord_dst") < col("e2.ord_dst"))
+      .select(col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    val closing = oriented.select($"src".as("w1"), $"dst".as("w2"))
+    // no eager unpersist: the returned plan still references both caches
+    // (see CorpusPrep.unigramQuality) — LRU owns the small frames
+    wedges.join(closing, Seq("w1", "w2"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  private val triangleOracle =
+    """WITH n AS (SELECT count(*) AS c FROM customer),
+      |e AS (
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      |  FROM (SELECT o_custkey AS u, 1 + (o_orderkey * 31) % (SELECT c FROM n) AS v
+      |        FROM orders)
+      |  WHERE u <> v)
+      |SELECT CAST(count(*) AS BIGINT) AS triangles
+      |FROM e e1
+      |JOIN e e2 ON e2.a = e1.b
+      |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
+
+  // ------------------------------------------------------------ BM25 rank
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) ranking of documents for the query
+    * {join, vector, slow}: per-term scores summed over matching terms.
+    * idf uses the +1 form (always positive). Term counts reuse the
+    * CorpusPrep two-phase shape; df and the corpus scalars (N, avgdl)
+    * are vocabulary-sized / single-row bridges, so the only corpus-wide
+    * shuffles are the two exact aggregations. Top-20 via TakeOrdered on
+    * the rounded score with doc_id tie-break.
+    */
+  private def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("join", "vector", "slow")
+    val dt = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    // corpus scalars: N docs, average document length (one-row bridges)
+    val nDocs = Tables.documents(s, dir).count()
+    val avgdl = dl.agg(sum($"dl")).first().getLong(0).toDouble / nDocs
+    val dfreq = dt.filter($"term".isin(terms: _*))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    // per-term contribution quantized to integer micro-units BEFORE the
+    // sum: a double fold over floats is addition-order-dependent (Spark's
+    // partial aggregation vs the oracle's scan order), a BIGINT sum is
+    // exact and order-free
+    dt.filter($"term".isin(terms: _*))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1))
+      .withColumn("tfn", ($"tf" * 2.2) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl)))
+      .withColumn("micro",
+        round($"idf" * $"tfn" * 1000000, 0).cast("bigint"))
+      .groupBy($"doc_id")
+      .agg((sum($"micro").cast("double") / 1000000).as("bm25"),
+        count(lit(1)).as("terms_hit"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+  }
+
+  private val bm25Oracle =
+    """WITH dt AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY doc_id),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |avg_dl AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+      |dfreq AS (SELECT term, count(*) AS df FROM dt
+      |          WHERE term IN ('join', 'vector', 'slow') GROUP BY term),
+      |contrib AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(((SELECT n FROM n) - df + 0.5) / (df + 0.5) + 1)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM avg_dl)))
+      |      * 1000000, 0) AS BIGINT) AS micro
+      |  FROM dt
+      |  JOIN dfreq USING (term)
+      |  JOIN dl USING (doc_id))
+      |SELECT doc_id,
+      |  CAST(sum(micro) AS DOUBLE) / 1000000 AS bm25,
+      |  CAST(count(*) AS BIGINT) AS terms_hit
+      |FROM contrib
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------- MERGE/upsert
+
+  /** Batch MERGE INTO orders: a deterministic change batch (every 10th
+    * key gets a $5.00 price bump; keys ≡ 3 mod 7 come back shifted past
+    * max(o_orderkey) as fresh inserts). WHEN MATCHED THEN UPDATE / WHEN
+    * NOT MATCHED THEN INSERT, realized as ONE full-outer equi-join on
+    * the key — the scalable upsert shape (contrast: per-row driver
+    * RPCs). Output is the merged table plus an `op` audit column.
+    */
+  private def mergeUpsertOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = Tables.orders(s, dir)
+      .select($"o_orderkey".as("t_key"), $"o_orderstatus".as("t_status"),
+        centsCol.as("t_cents"))
+    // max key via single-row scalar bridge — insert keys land above it
+    val maxKey = Tables.orders(s, dir).agg(max($"o_orderkey")).first().getLong(0)
+    val updates = target.filter($"t_key" % 10 === 0)
+      .select($"t_key".as("s_key"), ($"t_cents" + 500L).as("s_cents"),
+        lit("update").as("s_op"))
+    val inserts = target.filter($"t_key" % 7 === 3)
+      .select(($"t_key" + maxKey + 1L).as("s_key"), $"t_cents".as("s_cents"),
+        lit("insert").as("s_op"))
+    val source = updates.unionAll(inserts)
+    target.join(source, $"t_key" === $"s_key", "full_outer")
+      .select(
+        coalesce($"t_key", $"s_key").as("o_orderkey"),
+        coalesce($"t_status", lit("N")).as("status"),
+        (coalesce($"s_cents", $"t_cents").cast("double") / 100).as("price"),
+        coalesce($"s_op", lit("keep")).as("op"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val mergeOracle =
+    """WITH t AS (
+      |  SELECT o_orderkey AS t_key, o_orderstatus AS t_status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t_cents
+      |  FROM orders),
+      |mk AS (SELECT max(t_key) AS mk FROM t),
+      |src AS (
+      |  SELECT t_key AS s_key, t_cents + 500 AS s_cents, 'update' AS s_op
+      |  FROM t WHERE t_key % 10 = 0
+      |  UNION ALL
+      |  SELECT t_key + (SELECT mk FROM mk) + 1, t_cents, 'insert'
+      |  FROM t WHERE t_key % 7 = 3)
+      |SELECT coalesce(t_key, s_key) AS o_orderkey,
+      |  coalesce(t_status, 'N') AS status,
+      |  CAST(coalesce(s_cents, t_cents) AS DOUBLE) / 100 AS price,
+      |  coalesce(s_op, 'keep') AS op
+      |FROM t FULL OUTER JOIN src ON t_key = s_key
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------- pivot → unpivot melt
+
+  /** Round-trip reshape: revenue pivoted WIDE (one column per order
+    * priority) by month, then melted back LONG with Dataset.unpivot —
+    * absent (month, priority) cells surface as explicit zero rows, the
+    * contract a downstream dense-matrix consumer needs. The pivot's
+    * column set is the fixed 5-value priority domain (never
+    * data-inferred — a data-driven pivot would need an extra pass and
+    * could explode on dirty data).
+    */
+  private def unpivotRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val wide = Tables.orders(s, dir)
+      .select((datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("bigint") / lit(30L)).cast("bigint").as("month_no"),
+        $"o_orderpriority", centsCol.as("cents"))
+      .groupBy($"month_no")
+      .pivot("o_orderpriority", prios)
+      .agg(sum($"cents"))
+    wide.unpivot(Array($"month_no"), prios.map(col).toArray, "priority", "cents")
+      .select($"month_no", $"priority",
+        (coalesce($"cents", lit(0L)).cast("double") / 100).as("revenue"))
+      .orderBy($"month_no", $"priority")
+  }
+
+  private val unpivotOracle =
+    """WITH base AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) // 30 AS month_no,
+      |    o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |agg AS (SELECT month_no, o_orderpriority, CAST(sum(cents) AS BIGINT) AS cents
+      |        FROM base GROUP BY 1, 2),
+      |months AS (SELECT DISTINCT month_no FROM base),
+      |prios AS (SELECT unnest(['1-URGENT', '2-HIGH', '3-MEDIUM',
+      |                         '4-NOT SPECIFIED', '5-LOW']) AS priority)
+      |SELECT m.month_no, p.priority,
+      |  CAST(coalesce(a.cents, 0) AS DOUBLE) / 100 AS revenue
+      |FROM months m CROSS JOIN prios p
+      |LEFT JOIN agg a ON a.month_no = m.month_no AND a.o_orderpriority = p.priority
+      |ORDER BY m.month_no, p.priority""".stripMargin
+
+  // --------------------------------------------------- exact median/mode
+
+  /** Exact median and mode of order price per priority, formulated so
+    * both engines compute identical integers: median = mean of the
+    * middle one-or-two cents values (rank-picked within each group —
+    * no global sort), mode = most frequent cents value with
+    * smallest-value tie-break. The /2.0 and /100 divisions are exact
+    * in double (cents ≪ 2^52).
+    */
+  private def medianModeByPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("prio"), centsCol.as("cents"))
+    val byVal = Window.partitionBy($"prio").orderBy($"cents")
+    val med = o
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"prio")))
+      // `div`, not `/`: Column./ is double division in Spark, and the
+      // rank comparison must stay integral ((n+1)/2 = 2.5 matches nothing)
+      .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+      .groupBy($"prio")
+      .agg((sum($"cents").cast("double") /
+        count(lit(1)) / 100).as("median_price"))
+    val byFreq = Window.partitionBy($"prio")
+      .orderBy($"cnt".desc, $"cents")
+    val mode = o.groupBy($"prio", $"cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byFreq))
+      .filter($"rn" === 1)
+      .select($"prio", ($"cents".cast("double") / 100).as("mode_price"),
+        $"cnt".as("mode_count"))
+    med.join(mode, "prio")
+      .select($"prio", $"median_price", $"mode_price", $"mode_count")
+      .orderBy($"prio")
+  }
+
+  private val medianModeOracle =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT prio, cents,
+      |    row_number() OVER (PARTITION BY prio ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY prio) AS n
+      |  FROM o),
+      |med AS (
+      |  SELECT prio,
+      |    CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS median_price
+      |  FROM ranked
+      |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |  GROUP BY prio),
+      |freq AS (
+      |  SELECT prio, cents, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY prio
+      |      ORDER BY count(*) DESC, cents) AS rn
+      |  FROM o GROUP BY prio, cents)
+      |SELECT med.prio, median_price,
+      |  CAST(freq.cents AS DOUBLE) / 100 AS mode_price,
+      |  CAST(cnt AS BIGINT) AS mode_count
+      |FROM med JOIN freq ON med.prio = freq.prio AND freq.rn = 1
+      |ORDER BY med.prio""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("rolling_7d_revenue", rolling7dRevenue, Some(rollingOracle)),
+    Q("window_rank_suite", windowRankSuite, Some(rankSuiteOracle)),
+    Q("triangle_count", triangleCount, Some(triangleOracle)),
+    Q("bm25_rank", bm25Rank, Some(bm25Oracle)),
+    Q("merge_upsert_orders", mergeUpsertOrders, Some(mergeOracle)),
+    Q("unpivot_revenue", unpivotRevenue, Some(unpivotOracle)),
+    Q("median_mode_by_priority", medianModeByPriority, Some(medianModeOracle)))
+}
