@@ -66,6 +66,45 @@ object Aggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Misra–Gries heavy-hitters summary: at most `c` counters per group,
+    * constant memory regardless of input size. reduce: bump a present
+    * key, admit if a slot is free, else decrement every counter (the
+    * classic frequent-items step). merge (Agarwal et al., "Mergeable
+    * Summaries"): sum counterparts, and if over capacity subtract the
+    * (c+1)-th largest count from all and drop the non-positive — the
+    * error bound n/(c+1) survives arbitrary merge trees, which is what
+    * makes this safe under Spark's partial aggregation. When the true
+    * distinct count ≤ c no decrement ever fires and the summary is
+    * EXACT — the property the oracle gate exploits (bounded-domain
+    * column, generous capacity).
+    */
+  final class MisraGries(c: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    private def trim(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= c) m
+      else {
+        val bar = m.values.toSeq.sorted(Ordering[Long].reverse)(c)
+        m.collect { case (k, v) if v > bar => k -> (v - bar) }
+      }
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], key: String): Map[String, Long] =
+      b.get(key) match {
+        case Some(v)            => b.updated(key, v + 1)
+        case None if b.size < c => b.updated(key, 1L)
+        case None => // decrement-all; evict exhausted counters
+          b.collect { case (k, v) if v > 1 => k -> (v - 1) }
+      }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      trim(y.foldLeft(x) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      })
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Bounded top-k by score: keeps at most k (score, payload) pairs per
     * group — constant memory per group regardless of group size, the
     * aggregation-side alternative to window row_number + filter when

@@ -50,6 +50,30 @@ object Sketches {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** Event-type heavy hitters via the Misra–Gries summary (capacity 64).
+    * The event_type domain is far below capacity, so the sketch is
+    * provably exact here and the oracle is a plain GROUP BY count — while
+    * the execution is the real sketch path: constant-memory partial
+    * summaries per partition merged in one reduce (contrast with the
+    * groupBy, whose shuffle width is the distinct-key count). The spec
+    * covers the lossy regime (capacity < distinct) the oracle can't.
+    */
+  private def heavyHittersEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mg = udaf(new Aggregators.MisraGries(64))
+    Tables.events(s, dir)
+      .agg(mg($"event_type").as("sketch"))
+      .select(explode($"sketch").as(Seq("event_type", "cnt")))
+      .orderBy($"cnt".desc, $"event_type")
+  }
+
+  private val heavyHittersOracle =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY cnt DESC, event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
-    Q("kmv_distinct_parts", kmvDistinctParts, Some(kmvOracle)))
+    Q("kmv_distinct_parts", kmvDistinctParts, Some(kmvOracle)),
+    Q("heavy_hitters_events", heavyHittersEvents, Some(heavyHittersOracle)))
 }

@@ -36,6 +36,31 @@ class AggregatorsSpec extends SparkSpec {
     assert(got > 200 && got < 1200, s"estimate $got wildly off")
   }
 
+  test("MisraGries: exact below capacity, bounded error above it") {
+    // exact regime: distinct (3) <= capacity (8) -> true counts
+    val mg8 = udaf(new Aggregators.MisraGries(8))
+    val small = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+    val exact = small.toDF("k").repartition(8)
+      .agg(mg8($"k")).first().getMap[String, Long](0)
+    assert(exact == Map("a" -> 50L, "b" -> 30L, "c" -> 20L))
+
+    // lossy regime: capacity 2 over 12 distinct keys, n = 400.
+    // MG guarantee: every key with true count > n/(c+1) survives, and
+    // estimates sit in [true - n/(c+1), true] — regardless of partial
+    // aggregation order (repartition(8) forces multi-buffer merges).
+    val mg2 = udaf(new Aggregators.MisraGries(2))
+    val n = 400
+    val heavy = Seq.fill(200)("hot") ++ Seq.fill(120)("warm")
+    val tail = (0 until n - 320).map(i => s"t${i % 10}")
+    val got = (heavy ++ tail).toDF("k").repartition(8)
+      .agg(mg2($"k")).first().getMap[String, Long](0)
+    val err = n / 3 // n/(c+1)
+    assert(got.contains("hot"), s"hot (true 200 > $err) must survive: $got")
+    assert(got("hot") <= 200 && got("hot") >= 200 - err, s"hot estimate ${got("hot")}")
+    got.get("warm").foreach(v => assert(v <= 120, s"warm overestimated: $v"))
+    assert(got.size <= 2)
+  }
+
   test("TopKByScore: bounded per-group top-k equals window ranking") {
     val udafCol = udaf(new Aggregators.TopKByScore(3))
     val rnd = new scala.util.Random(11)
