@@ -15,6 +15,36 @@ import graft.ops.{Sampling, Tables}
   */
 object CorpusSampling {
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis, top-k by
+    * key u^(1/w), equivalently argmax ln(u)/w): longer documents are
+    * proportionally likelier to be drawn. u comes from the engine-portable
+    * 28-bit md5 hash — u = (h+1)/(2^28+1) ∈ (0,1] — so the "randomness"
+    * is deterministic and the oracle draws the IDENTICAL sample. The
+    * entire computation is map-side + one TakeOrdered: the distributed
+    * weighted-reservoir shape (no shuffle of the corpus, no rejection
+    * loop), which is why ES keys are the standard way to weighted-sample
+    * a 100 TB corpus.
+    */
+  private def weightedSampleDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars",
+        (log((graft.ops.TextOps.portableHashBase($"doc_id".cast("string")) + 1) /
+          268435457.0) / $"n_chars").as("es_key"))
+      .orderBy($"es_key".desc, $"doc_id")
+      .limit(50)
+      .select($"doc_id", $"n_chars", round($"es_key" * 1e9, 3).as("es_key_nano"))
+  }
+
+  private val weightedSampleOracle =
+    """SELECT doc_id, n_chars,
+      |  round(ln((('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)
+      |    / 268435457.0) / n_chars * 1e9, 3) AS es_key_nano
+      |FROM documents
+      |ORDER BY ln((('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)
+      |    / 268435457.0) / n_chars DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   /** Stratified sample: languages are kept at different per-mille rates
     * (en 50%, de 25%, long-tail 10%) — the standard rebalance when one
     * language dominates a crawl. Pure map-side filter; the rate CASE
@@ -99,6 +129,7 @@ object CorpusSampling {
       |ORDER BY split""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("weighted_sample_docs", weightedSampleDocs, Some(weightedSampleOracle)),
     Q("corpus_stratified_sample", stratifiedSample, Some(stratifiedOracle)),
     Q("corpus_domain_mix", domainMix, Some(domainMixOracle)),
     Q("corpus_split_stats", splitStats, Some(splitStatsOracle)))

@@ -114,7 +114,59 @@ object ScaleOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Incremental materialized-view refresh: the per-priority revenue MV
+    * is maintained as ALGEBRAIC partial state (count, sum, min, max) —
+    * the "base" partials (orders before 1996-01-01) are merged with the
+    * "delta" batch's partials instead of recomputing from scratch, and
+    * derived values (avg) are produced only at finish. The merge is a
+    * full-outer join on the tiny group-key frame, so a daily refresh at
+    * 100 TB touches ONLY the delta partition plus MV-sized state. The
+    * oracle recomputes the whole thing in one pass — identical output
+    * proves merge(partial(base), partial(delta)) = full recompute, the
+    * algebraic-aggregate law the technique rests on.
+    */
+  private def mvIncrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    def partials(df: DataFrame): DataFrame =
+      df.select($"o_orderpriority".as("prio"), cents.as("cents"))
+        .groupBy($"prio")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+          min($"cents").as("lo"), max($"cents").as("hi"))
+    val all = Tables.orders(s, dir)
+    val base = partials(all.filter($"o_orderdate" < lit("1996-01-01")))
+    val delta = partials(all.filter($"o_orderdate" >= lit("1996-01-01")))
+    base.as("b").join(delta.as("d"), col("b.prio") === col("d.prio"), "full_outer")
+      .select(
+        coalesce(col("b.prio"), col("d.prio")).as("prio"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("s"),
+        least(coalesce(col("b.lo"), col("d.lo")), coalesce(col("d.lo"), col("b.lo"))).as("lo"),
+        greatest(coalesce(col("b.hi"), col("d.hi")), coalesce(col("d.hi"), col("b.hi"))).as("hi"))
+      .select($"prio", $"n",
+        ($"s".cast("double") / 100).as("revenue"),
+        round($"s".cast("double") / $"n" / 100, 6).as("avg_price"),
+        ($"lo".cast("double") / 100).as("min_price"),
+        ($"hi".cast("double") / 100).as("max_price"))
+      .orderBy($"prio")
+  }
+
+  private val mvRefreshOracle =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100 AS revenue,
+      |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*) / 100, 6) AS avg_price,
+      |  CAST(min(cents) AS DOUBLE) / 100 AS min_price,
+      |  CAST(max(cents) AS DOUBLE) / 100 AS max_price
+      |FROM o
+      |GROUP BY prio
+      |ORDER BY prio""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("mv_incremental_refresh", mvIncrementalRefresh, Some(mvRefreshOracle)),
     Q("skew_salted_join", skewSaltedJoin, Some(skewSaltedOracle)),
     Q("bucket_pruned_orders", bucketPrunedOrders, Some(bucketPrunedOracle)),
     Q("bloom_pruned_join", bloomPrunedJoin, Some(bloomPrunedOracle)))

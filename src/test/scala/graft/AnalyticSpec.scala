@@ -117,6 +117,34 @@ class AnalyticSpec extends SparkSpec {
       (3L, 3L, 2L, 1.0, 1.0, 3L)))
   }
 
+  test("mv_incremental_refresh merges a priority present only in the delta") {
+    val dir = Files.createTempDirectory("graft_mv").toString
+    writeOrders(dir, Seq(
+      // 2-HIGH: one base row (1995) + one delta row (1997) -> merged stats
+      (1L, 1L, "O", 100.0, Timestamp.valueOf("1995-06-01 00:00:00"), "2-HIGH"),
+      (2L, 1L, "O", 300.0, Timestamp.valueOf("1997-06-01 00:00:00"), "2-HIGH"),
+      // 5-LOW: delta-only -> base side of the full-outer join is NULL
+      (3L, 1L, "O", 40.0, Timestamp.valueOf("1997-01-01 00:00:00"), "5-LOW")))
+    val out = Registry.queries("mv_incremental_refresh")(spark, dir)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("2-HIGH", 2L, 400.0, 200.0, 100.0, 300.0),
+      ("5-LOW", 1L, 40.0, 40.0, 40.0, 40.0)))
+  }
+
+  test("weighted_sample_docs is biased toward long documents, keys <= 0") {
+    val sf = "/root/testdata/sf0.001"
+    val sample = Registry.queries("weighted_sample_docs")(spark, sf)
+      .select("n_chars", "es_key_nano").as[(Long, Double)].collect()
+    assert(sample.length === 50)
+    assert(sample.forall(_._2 <= 0.0)) // ln(u) <= 0, w > 0
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(avg($"n_chars")).as[Double].head()
+    val sampleMean = sample.map(_._1).sum.toDouble / sample.length
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("bm25_rank scores more query-term hits above fewer on sf0.001") {
     val out = Registry.queries("bm25_rank")(spark, "/root/testdata/sf0.001")
       .select("bm25", "terms_hit").as[(Double, Long)].collect()
