@@ -114,6 +114,40 @@ object ScaleOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Per-group top-k via the BOUNDED Aggregator ([[graft.ops.Aggregators.TopKByScore]])
+    * instead of window row_number + filter: the window form sorts every
+    * group in full (a group with 10^9 rows sorts 10^9 rows to keep 3);
+    * the aggregator keeps ≤ k pairs per partial buffer, so memory and
+    * spill are O(k·groups) at any scale. The oracle IS the window form
+    * — identical output proves the cheap shape computes the same top-k
+    * (ties broken by orderkey asc on both sides).
+    */
+  private def topkAggPerPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top3 = udaf(new graft.ops.Aggregators.TopKByScore(3))
+    Tables.orders(s, dir)
+      .select($"o_orderpriority",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(top3($"cents".cast("double"), $"o_orderkey").as("top"))
+      .select($"o_orderpriority", posexplode($"top"))
+      .select($"o_orderpriority", ($"pos" + 1).cast("bigint").as("rnk"),
+        $"col".as("o_orderkey"))
+      .orderBy($"o_orderpriority", $"rnk")
+  }
+
+  private val topkAggOracle =
+    """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+      |               o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
   /** Incremental materialized-view refresh: the per-priority revenue MV
     * is maintained as ALGEBRAIC partial state (count, sum, min, max) —
     * the "base" partials (orders before 1996-01-01) are merged with the
@@ -166,6 +200,7 @@ object ScaleOps {
       |ORDER BY prio""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("topk_agg_per_priority", topkAggPerPriority, Some(topkAggOracle)),
     Q("mv_incremental_refresh", mvIncrementalRefresh, Some(mvRefreshOracle)),
     Q("skew_salted_join", skewSaltedJoin, Some(skewSaltedOracle)),
     Q("bucket_pruned_orders", bucketPrunedOrders, Some(bucketPrunedOracle)),

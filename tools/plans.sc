@@ -28,7 +28,11 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "jsonl_ingest","csv_ingest","price_quantiles_sampled","data_quality_audit","column_profile",
               "funnel_steps","retention_cohorts","cdc_latest_state","scd2_order_priority",
               "gapfill_daily_revenue","anomaly_orders","price_histogram",
-              "bloom_pruned_join")) {
+              "bloom_pruned_join",
+              "rolling_7d_revenue","window_rank_suite","triangle_count",
+              "bm25_rank","merge_upsert_orders","unpivot_revenue",
+              "median_mode_by_priority","heavy_hitters_events",
+              "weighted_sample_docs","mv_incremental_refresh","topk_agg_per_priority")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
