@@ -12,7 +12,8 @@ object Registry {
       MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
       Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries ++
       CorpusQuality.queries ++ CorpusPrep.queries ++ Graph.queries ++ Ingestion.queries ++ DataQuality.queries ++
-      Behavioral.queries ++ Analytic.queries
+      Behavioral.queries ++ Analytic.queries ++ LayoutQueries.queries ++
+      NestedOps.queries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
