@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -141,6 +142,72 @@ object Streaming {
         col("r_ts") <= col("l_ts") + expr(s"interval $bound"))
       .select(col("user_id"), col("l_event_id"), col("l_type"), col("l_ts"),
         col("r_event_id"), col("r_type"), col("r_ts"))
+  }
+
+  /** Stream-static enrichment: join each micro-batch against a bounded
+    * dimension frame. The static side is re-planned per batch (so a
+    * refreshed dim parquet is picked up) and broadcast — the streaming
+    * side never shuffles, which is the only sane shape when the stream
+    * is the big side. Same function works on a batch frame (parity
+    * asserted in StreamingSpec).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** foreachBatch incremental upsert: maintains a per-user latest-state
+    * table in parquet across micro-batches. Each batch is reduced to one
+    * row per key FIRST (max ts wins, event_id tie-break), then merged
+    * with the current state by a full-outer join — the streaming form of
+    * the batch `merge_upsert_orders` / `mv_incremental_refresh`
+    * algebra: state size is O(distinct keys), independent of stream
+    * length, and each batch touches state once.
+    *
+    * The new state lands in a fresh `v<epoch>` subdirectory and the
+    * `current` pointer file flips afterwards (parquet can't
+    * read-and-overwrite the same path in one job; versioned dirs give
+    * atomic swap + time travel, the mini table-format pattern).
+    */
+  def foreachBatchUpsert(events: DataFrame, stateDir: String): DataFrame = {
+    def currentPath: Option[String] = {
+      val p = java.nio.file.Paths.get(stateDir, "current")
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
+      else None
+    }
+    events.writeStream
+      .outputMode("update")
+      // the checkpoint makes successive invocations INCREMENTAL: a
+      // second run over the same source dir processes only new files,
+      // so the merge below really is delta-vs-state, not a recompute
+      .option("checkpointLocation", s"$stateDir/_ckpt")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val byKey = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("ts").as("last_ts"))
+        val merged = currentPath match {
+          case None => latest
+          case Some(v) =>
+            val state = spark.read.parquet(s"$stateDir/$v")
+            state.as("s").join(latest.as("b"),
+                col("s.user_id") === col("b.user_id"), "full_outer")
+              .select(
+                coalesce(col("b.user_id"), col("s.user_id")).as("user_id"),
+                coalesce(col("b.last_event_id"), col("s.last_event_id")).as("last_event_id"),
+                coalesce(col("b.last_type"), col("s.last_type")).as("last_type"),
+                coalesce(col("b.last_ts"), col("s.last_ts")).as("last_ts"))
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$epoch")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(stateDir, "current"), s"v$epoch")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    events.sparkSession.read.parquet(s"$stateDir/${currentPath.get}")
   }
 
   /** Memory-sink runner for tests/demos: drains all available input,

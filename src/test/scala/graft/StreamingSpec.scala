@@ -43,16 +43,43 @@ class StreamingSpec extends SparkSpec {
     val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
 
     val stream = Streaming.readEventsStream(spark, s"$tmp/in")
-    val enriched = stream.join(dim, Seq("user_id"), "left")
+    val enriched = Streaming.enrichStream(stream, dim, "user_id")
       .groupBy($"tier").agg(count(lit(1)).as("n"))
     Streaming.runToMemory(enriched, "enrich_test", "complete")
     val got = spark.table("enrich_test")
       .as[(Option[String], Long)].collect().toSet
-    val batch = events.join(dim, Seq("user_id"), "left")
+    val batch = Streaming.enrichStream(events, dim, "user_id")
       .groupBy($"tier").agg(count(lit(1)).as("n"))
       .as[(Option[String], Long)].collect().toSet
     assert(got == batch)
     assert(got == Set((Some("gold"), 1L), (Some("silver"), 1L), (None, 1L)))
+  }
+
+  test("foreachBatchUpsert maintains latest-state across incremental runs") {
+    val tmp = Files.createTempDirectory("graft_upsert").toString
+    val in = s"$tmp/in"; val state = s"$tmp/state"
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 1.0, "{}")
+
+    // run 1: users 7 and 8
+    Seq(ev(1, "2024-01-01 10:00:00", 7, "signup"),
+        ev(2, "2024-01-01 11:00:00", 7, "click"),
+        ev(3, "2024-01-01 10:30:00", 8, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    val s1 = Streaming.foreachBatchUpsert(Streaming.readEventsStream(spark, in), state)
+    assert(s1.select($"user_id", $"last_type").as[(Long, String)].collect().toSet
+      == Set((7L, "click"), (8L, "view")))
+
+    // run 2: user 7 advances, user 9 appears, user 8 untouched —
+    // checkpoint means ONLY the new file is processed, yet 8 survives
+    Seq(ev(4, "2024-01-01 12:00:00", 7, "purchase"),
+        ev(5, "2024-01-01 12:30:00", 9, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    val s2 = Streaming.foreachBatchUpsert(Streaming.readEventsStream(spark, in), state)
+    assert(s2.select($"user_id", $"last_type").as[(Long, String)].collect().toSet
+      == Set((7L, "purchase"), (8L, "view"), (9L, "signup")))
   }
 
   test("intervalJoin: stream-stream attribution join matches batch") {
