@@ -111,6 +111,58 @@ object CorpusPrep {
        |WHERE rnk <= 3
        |ORDER BY doc_id, rnk""".stripMargin
 
+  // ----------------------------------------------- end-to-end pipeline
+
+  /** The corpus-prep stages COMPOSED as one declarative plan — exact
+    * dedup (min-doc_id keeper per md5 fingerprint), token/length
+    * quality gate, language-stratified hash sampling, and per-(lang,
+    * source) token accounting. This is the capstone composability
+    * proof: each stage is the same logic its standalone query runs, and
+    * because all of it is one DAG, Catalyst fuses the gates into the
+    * scan side of the single fingerprint shuffle — the whole pipeline
+    * is ONE wide exchange, which is exactly what you want for a 100 TB
+    * nightly corpus build (three chained jobs would shuffle thrice).
+    */
+  private def corpusPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Sampling
+    val keepRate = when($"lang" === "en", lit(400L)).otherwise(lit(800L))
+    Tables.fanOut(Tables.documents(s, dir))
+      .withColumn("fp64", TextOps.fingerprint64($"text"))
+      .withColumn("keeper", min($"doc_id").over(Window.partitionBy($"fp64")))
+      .filter($"doc_id" === $"keeper")
+      .withColumn("n_tokens", TextOps.nTokens($"text").cast("bigint"))
+      .filter($"n_tokens" >= 20 && $"n_chars" <= 4000)
+      .filter(Sampling.keep($"doc_id", 23, keepRate))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val pipelineE2eOracle =
+    """WITH fp AS (
+      |  SELECT doc_id, lang, source, text, n_chars,
+      |    ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64
+      |  FROM documents),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT fp.*, min(doc_id) OVER (PARTITION BY fp64) AS keeper FROM fp)
+      |  WHERE doc_id = keeper),
+      |q AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM kept
+      |  WHERE len(string_split(text, ' ')) >= 20 AND n_chars <= 4000),
+      |s AS (
+      |  SELECT * FROM q
+      |  WHERE ('0x' || substr(md5('23|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+      |    < CASE WHEN lang = 'en' THEN 400 ELSE 800 END)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM s
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   // ------------------------------------------------- unigram LM quality
 
   /** Per-document unigram log-loss against the corpus unigram model —
@@ -292,6 +344,7 @@ object CorpusPrep {
 
   val queries: Seq[Q] = Seq(
     Q("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
+    Q("corpus_pipeline_e2e", corpusPipelineE2e, Some(pipelineE2eOracle)),
     Q("tfidf_keywords", tfidfKeywords, Some(tfidfOracle)),
     Q("unigram_quality", unigramQuality, Some(unigramOracle)),
     Q("pii_redact", piiRedact, Some(piiOracle)),
