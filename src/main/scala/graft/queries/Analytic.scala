@@ -195,10 +195,12 @@ object Analytic {
   /** Okapi BM25 (k1 = 1.2, b = 0.75) ranking of documents for the query
     * {join, vector, slow}: per-term scores summed over matching terms.
     * idf uses the +1 form (always positive). Term counts reuse the
-    * CorpusPrep two-phase shape; df and the corpus scalars (N, avgdl)
-    * are vocabulary-sized / single-row bridges, so the only corpus-wide
-    * shuffles are the two exact aggregations. Top-20 via TakeOrdered on
-    * the rounded score with doc_id tie-break.
+    * CorpusPrep two-phase shape; the corpus scalars (N, avgdl) are
+    * single-row bridges. df rides a window over partitionBy(term) on the
+    * query-filtered frame — its input is already pruned to the query's
+    * terms, so the shuffle is tiny, and no fact-derived aggregate is
+    * broadcast (PlanAuditSpec gates that shape). Top-20 via TakeOrdered
+    * on the rounded score with doc_id tie-break.
     */
   private def bm25Rank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -212,14 +214,12 @@ object Analytic {
     // corpus scalars: N docs, average document length (one-row bridges)
     val nDocs = Tables.documents(s, dir).count()
     val avgdl = dl.agg(sum($"dl")).first().getLong(0).toDouble / nDocs
-    val dfreq = dt.filter($"term".isin(terms: _*))
-      .groupBy($"term").agg(count(lit(1)).as("df"))
     // per-term contribution quantized to integer micro-units BEFORE the
     // sum: a double fold over floats is addition-order-dependent (Spark's
     // partial aggregation vs the oracle's scan order), a BIGINT sum is
     // exact and order-free
     dt.filter($"term".isin(terms: _*))
-      .join(broadcast(dfreq), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
       .join(dl, "doc_id")
       .withColumn("idf",
         log((lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1))

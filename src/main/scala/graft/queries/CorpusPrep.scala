@@ -70,22 +70,25 @@ object CorpusPrep {
 
   // --------------------------------------------------------------- tf-idf
 
-  /** Top-3 tf-idf keywords per document. tf from the per-doc term counts
-    * (document length recovered as a window sum over the same partition
-    * key — no second scan), idf = ln(N/df) with df from the broadcast
-    * vocabulary frame. Ranking compares the ROUNDED score so the
-    * tie-break (term asc) is engine-portable.
+  /** Top-3 tf-idf keywords per document. tf from the per-doc term counts,
+    * idf = ln(N/df). Both document length and document frequency are
+    * WINDOW sums over the same (doc_id, term) frame — df as a window
+    * over partitionBy(term), not a grouped aggregate joined back via
+    * broadcast: the vocabulary grows with the corpus, so a broadcast df
+    * frame is the q02-class driver-OOM shape (PlanAuditSpec gates it).
+    * The df window shuffles on term once; the n_tokens and ranking
+    * windows share the doc_id partitioning (one shuffle, then sort-only).
+    * Ranking compares the ROUNDED score so the tie-break (term asc) is
+    * engine-portable.
     */
   private def tfidfKeywords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dt = docTermCounts(s, dir)
-    val withLen = dt.withColumn("n_tokens",
-      sum($"c").over(Window.partitionBy($"doc_id")))
-    val dfreq = dt.groupBy($"term").agg(count(lit(1)).as("df"))
     // corpus doc count: single-row scalar bridge (A2 pattern)
     val n = Tables.documents(s, dir).count()
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-    withLen.join(broadcast(dfreq), "term")
+    dt.withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      .withColumn("n_tokens", sum($"c").over(Window.partitionBy($"doc_id")))
       .withColumn("score",
         round(($"c" / $"n_tokens") * log(lit(n.toDouble) / $"df"), 6))
       .withColumn("rnk", row_number().over(w))
@@ -174,15 +177,13 @@ object CorpusPrep {
   private def unigramQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dt = docTermCounts(s, dir)
-    // vocabulary-sized; cached because it serves both the scalar bridge
-    // below (the one action that runs here) and the broadcast in the
-    // returned plan. No eager unpersist — that would unmark the cache
-    // before the caller's action reads it; LRU owns the tiny frame.
-    val termTotals = dt.groupBy($"term").agg(sum($"c").as("ct")).persist()
-    // corpus token count: single-row aggregate bridge over the
-    // vocabulary-sized frame (exact, cheap)
-    val t = termTotals.agg(sum($"ct")).first().getLong(0).toDouble
-    dt.join(broadcast(termTotals), "term")
+    // corpus token count: single-row scalar bridge (exact, cheap)
+    val t = dt.agg(sum($"c")).first().getLong(0).toDouble
+    // per-term totals as a window over partitionBy(term), NOT a grouped
+    // aggregate broadcast back onto dt — the vocabulary grows with the
+    // corpus, so that broadcast is the q02-class driver-OOM shape
+    // (PlanAuditSpec gates it). One shuffle on term, one on doc_id.
+    dt.withColumn("ct", sum($"c").over(Window.partitionBy($"term")))
       .withColumn("nll", $"c" * log(lit(t) / $"ct"))
       .groupBy($"doc_id")
       .agg(

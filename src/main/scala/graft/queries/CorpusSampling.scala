@@ -72,9 +72,11 @@ object CorpusSampling {
     * by availability — rate_s = min(1000, 15000 div count_s) per mille.
     * Integer arithmetic end-to-end, so the rates (and therefore the
     * sample) are bit-identical in every engine. Two phases: a tiny
-    * per-source count (one shuffle over |sources| groups), then a
-    * broadcast of the rate table onto a map-side gate — at 100 TB the
-    * fact is read twice but never shuffled.
+    * per-source count (one shuffle over |sources| groups), then the rate
+    * table joins back onto a map-side gate. The rate frame is
+    * |sources|-sized — domain counts are small in practice but still
+    * corpus-derived, so no forced broadcast hint: AQE broadcasts it at
+    * runtime when it fits (it always should), keeping the fact unshuffled.
     */
   private def domainMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -82,7 +84,7 @@ object CorpusSampling {
     val rates = docs.groupBy($"source").agg(count(lit(1)).as("cnt"))
       .withColumn("rate_permille", least(lit(1000L), expr("15000 div cnt")))
       .select($"source", $"rate_permille")
-    docs.join(broadcast(rates), "source")
+    docs.join(rates, "source")
       .filter(Sampling.keep($"doc_id", 11, $"rate_permille"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_sampled"), max($"rate_permille").as("rate_permille"))

@@ -343,8 +343,10 @@ object DedupQueries {
     * containment rather than within-set similarity. Shingle hashing is
     * the native per-row kernel; the only shuffle is the equi-join on the
     * (high-cardinality, evenly distributed) shingle hash — never
-    * doc × doc. At 100 TB the benchmark side is millions of shingles at
-    * most: broadcastable, making the check a map-side probe.
+    * doc × doc. The benchmark side is usually small (millions of
+    * shingles), but it is still corpus-derived, so it carries no forced
+    * broadcast hint — AQE broadcasts it at runtime when it actually
+    * fits, and degrades to the hash-key shuffle join when it doesn't.
     *
     * k is longer than the dedup shingle (8 vs 3): contamination wants
     * near-verbatim spans, not shared phrases — the published checks use
@@ -362,7 +364,7 @@ object DedupQueries {
       .select($"doc_id".as("bench_id"), explode($"hs").as("h"))
     val train = docs.filter($"source" =!= "src0")
       .select($"doc_id".as("train_id"), explode($"hs").as("h"))
-    train.join(broadcast(bench), "h")
+    train.join(bench, "h")
       .groupBy($"train_id")
       .agg(
         countDistinct($"bench_id").as("n_bench_docs"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Tables
@@ -219,22 +220,24 @@ object RelationalDeep {
       |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q17 shape: revenue from small-quantity orders of one brand —
-    * a correlated per-part average. The per-part threshold is computed
-    * only over the brand's rows (filtering by part first selects whole
-    * parts, so the per-part average is unchanged) — at 100 TB this keeps
-    * the avg shuffle proportional to the brand slice, not the whole fact.
-    * Quantities are integer-valued, so sum(l_quantity) is exact in double
-    * regardless of order and `0.2 * sum/count` is bit-identical across
-    * engines — the `<` boundary cannot flip.
+    * a correlated per-part average. The per-part threshold is a window
+    * avg over partitionBy(partkey) on the brand slice — one shuffle, one
+    * fact pass, and no broadcast of a per-part aggregate (per-part
+    * cardinality scales with |part|: the q02-class driver-OOM shape).
+    * Filtering by part first selects whole parts, so the per-part
+    * average is unchanged and the shuffle is proportional to the brand
+    * slice, not the whole fact. Quantities are integer-valued, so
+    * sum(l_quantity) is exact in double regardless of order and
+    * `0.2 * sum/count` is bit-identical across engines — the `<`
+    * boundary cannot flip.
     */
   private def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val brandParts = Tables.part(s, dir).filter($"p_brand" === "Brand#1").select($"p_partkey")
-    val branded = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
-    val thresholds = branded.groupBy($"p_partkey".as("t_partkey"))
-      .agg((lit(0.2) * avg($"l_quantity")).as("qty_threshold"))
-    branded.join(broadcast(thresholds), $"p_partkey" === $"t_partkey")
+      .withColumn("qty_threshold",
+        lit(0.2) * avg($"l_quantity").over(Window.partitionBy($"p_partkey")))
       .filter($"l_quantity" < $"qty_threshold")
       .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
   }
@@ -265,11 +268,12 @@ object RelationalDeep {
       .agg(sum($"l_quantity").as("sum_qty"))
       .filter($"sum_qty" > 400)
       .select($"l_suppkey")
-    // the post-having side is a filtered aggregate (tiny relative to the
-    // supplier dimension at any scale) — broadcast it rather than letting
-    // unknown agg stats fall back to a sort-merge semi-join
+    // the post-having side groups by l_suppkey, whose cardinality scales
+    // with |supplier| — no forced broadcast (that bets the driver on the
+    // having-filter's selectivity); AQE sees the aggregate's runtime size
+    // and broadcasts the semi-join side only when it actually fits
     Tables.supplier(s, dir)
-      .join(broadcast(qualified), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
       .select($"s_suppkey", $"s_name", $"s_nationkey")
       .orderBy($"s_suppkey")
   }
@@ -290,12 +294,16 @@ object RelationalDeep {
   /** TPC-H Q2 shape, adapted: cheapest supplier per part within a region.
     * The reference prices from partsupp.ps_supplycost (absent); unit cost
     * here is min(l_extendedprice / l_quantity) observed in lineitem —
-    * same structure: region-filtered supplier dim, per-part min, join
-    * back on equality to recover the argmin rows (ties keep all, so no
-    * engine-specific tie-break exists). The equality compares the SAME
-    * double (the min of identical inputs) on both sides — no boundary
-    * risk. Part/supplier/min sides all broadcast; the fact shuffles once
-    * for the per-part min.
+    * same structure: region-filtered supplier dim, per-part min, argmin
+    * rows recovered by equality (ties keep all, so no engine-specific
+    * tie-break exists). The equality compares the SAME double (the min
+    * of identical inputs) on both sides — no boundary risk.
+    *
+    * Scale shape: the per-part min is a window over partitionBy(partkey),
+    * NOT a groupBy re-joined via broadcast — a fact-derived aggregate's
+    * row count grows with |part| (unbounded at 100 TB), so broadcasting
+    * it is a driver-OOM time bomb. The window gives ONE shuffle on
+    * partkey and a single pass over the fact; dims still broadcast.
     */
   private def q02MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -309,9 +317,9 @@ object RelationalDeep {
       .join(broadcast(sized), $"l_partkey" === $"p_partkey")
       .join(broadcast(euSupp), $"l_suppkey" === $"s_suppkey")
       .withColumn("unit_cost", $"l_extendedprice" / $"l_quantity")
-    val minCost = li.groupBy($"p_partkey".as("mp"))
-      .agg(min($"unit_cost").as("min_cost"))
-    li.join(broadcast(minCost), $"p_partkey" === $"mp" && $"unit_cost" === $"min_cost")
+    li.withColumn("min_cost",
+        min($"unit_cost").over(Window.partitionBy($"p_partkey")))
+      .filter($"unit_cost" === $"min_cost")
       .select($"p_partkey", $"s_suppkey", $"s_name", $"n_name",
         round($"unit_cost", 4).as("unit_cost"))
       .distinct()

@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.{broadcast, min, sum}
+
 import graft.queries.Registry
 
 /** Plan-regression gate: PLANS.md documents the plans we want; this spec
@@ -8,6 +11,14 @@ import graft.queries.Registry
   * must never contain a BroadcastNestedLoopJoin or CartesianProduct —
   * the two shapes that mean "a join lost its equi-condition or its
   * broadcast hint" and that detonate at 100× scale.
+  *
+  * Second gate: broadcast PROVENANCE. A `broadcast()` hint whose subtree
+  * reads a fact table is a driver-OOM time bomb — the broadcast side's
+  * row count grows with the data (the round-5 q02 bug: broadcasting a
+  * per-partkey min over lineitem). The gate walks the optimized logical
+  * plan's join hints and fails any broadcast side that scans a fact
+  * table with no row-bounding operator (limit / scalar aggregate /
+  * 1-row sample bridge) between the scan and the exchange.
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -20,6 +31,81 @@ class PlanAuditSpec extends SparkSpec {
         catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
       val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
       if (bad.nonEmpty) Some(s"${q.name}: ${bad.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** Tables whose size grows with the corpus — never broadcastable raw. */
+  private val factTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
+
+  /** A leaf that reads a fact table. LogicalRelation's string form omits
+    * the path, so inspect the file index directly; cached subtrees
+    * (InMemoryRelation) surface the originating FileScan in their
+    * physical-plan string, which does carry the location.
+    */
+  private def isFactScan(leaf: LogicalPlan): Boolean = leaf match {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.rootPaths.exists(p =>
+            factTables.exists(t => p.toString.endsWith(s"/$t.parquet")))
+        case _ => false
+      }
+    case _ =>
+      val s = leaf.toString
+      factTables.exists(t => s.contains(s"/$t.parquet"))
+  }
+
+  /** True when `p`'s output is bounded regardless of input size: an
+    * explicit limit, or a global (no-key) aggregate — 1 row. Grouped
+    * aggregates do NOT bound (|groups| scales with data), which is
+    * exactly the q02 failure mode.
+    */
+  private def bounds(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit => true
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case _ => false
+  }
+
+  /** Does this broadcast-side subtree reach a fact scan without passing
+    * a bounding operator on the way down?
+    */
+  private def unboundedFactSubtree(p: LogicalPlan): Boolean =
+    if (bounds(p)) false
+    else if (p.children.isEmpty) isFactScan(p)
+    else p.children.exists(unboundedFactSubtree) ||
+      p.subqueries.exists(unboundedFactSubtree)
+
+  private def broadcastOffences(plan: LogicalPlan): Seq[String] =
+    plan.collect { case j: Join =>
+      Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+        case (Some(h), side)
+            if h.strategy.contains(BROADCAST) && unboundedFactSubtree(side) =>
+          s"broadcast of unbounded fact-derived subtree:\n${side.treeString}"
+      }
+    }.flatten
+
+  test("broadcast provenance detector flags the q02-class bug shape") {
+    // Reconstruction of the round-5 q02 defect: a per-key aggregate over
+    // lineitem, broadcast back onto lineitem. MUST be caught.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val agg = li.groupBy("l_partkey").agg(min("l_quantity").as("mq"))
+    val bad = li.join(broadcast(agg), "l_partkey")
+    assert(broadcastOffences(bad.queryExecution.optimizedPlan).nonEmpty,
+      "detector failed to flag a broadcast of a grouped aggregate over lineitem")
+    // ...while a bounded derivation (scalar aggregate) is legitimate.
+    val scalar = li.agg(sum("l_quantity").as("total"))
+    val ok = li.crossJoin(broadcast(scalar))
+    assert(broadcastOffences(ok.queryExecution.optimizedPlan).isEmpty,
+      "detector wrongly flagged a 1-row scalar-aggregate broadcast")
+  }
+
+  test("no registered query broadcasts an unbounded fact-derived subtree") {
+    val offenders = Registry.all.flatMap { q =>
+      val plan =
+        try q.fn(spark, dir).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+      broadcastOffences(plan).map(o => s"${q.name}: $o")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
