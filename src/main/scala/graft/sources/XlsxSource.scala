@@ -1,20 +1,28 @@
 package graft.sources
 
-import java.util.zip.ZipFile
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** S1/S2 — Excel worksheet source (`pd.read_excel`, project-dask.py:23-25,
   * dask-with-dataframe.py:35,64).
   *
   * XLSX is a zip of XML; this reads a worksheet with nothing beyond the
-  * JDK (zip + StAX) — no external dependency, zero egress. Parsing runs
-  * on the DRIVER, deliberately: spreadsheets are a small-file format (the
-  * reference's workbook is 354 KB); bulk data arrives via
-  * parquet/csv/jdbc. `spark.createDataFrame` then distributes the rows.
+  * JDK (zip + StAX) — no external dependency, zero egress. Two paths:
+  *
+  *  - [[toDataFrame]] parses ONE workbook on the driver — right for the
+  *    reference's single 354 KB file; `spark.createDataFrame` then
+  *    distributes the rows.
+  *  - [[readMany]] scans a GLOB of workbooks via `binaryFile` and parses
+  *    each file inside the executors — the lake-of-thousands-of-workbooks
+  *    shape. One workbook = one unsplittable file = one task's unit of
+  *    work, which is the correct parallelism grain for a zip container
+  *    (the format is not block-splittable).
   *
   * All cells surface as strings (pandas' inference is replaced by the
   * explicit downstream coercion ops, graft.ops.Clean.coerceNumeric —
@@ -32,16 +40,41 @@ object XlsxSource {
   }
 
   /** Dense row matrix of a worksheet (empty cells filled with ""). */
-  def readSheet(path: String, sheetName: String): Vector[Vector[String]] = {
-    val zip = new ZipFile(path)
+  def readSheet(path: String, sheetName: String): Vector[Vector[String]] =
+    readSheetBytes(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), sheetName)
+
+  /** Bytes-based variant — the executor-side entry point (binaryFile
+    * hands whole-file byte arrays). A workbook's entries are materialized
+    * into a map first: zip central-directory order is arbitrary, and the
+    * files this path exists for are small by construction.
+    */
+  def readSheetBytes(bytes: Array[Byte], sheetName: String): Vector[Vector[String]] = {
+    val entries = readEntries(bytes)
+    def entry(name: String): Option[Array[Byte]] = entries.get(name)
+    val shared = entry("xl/sharedStrings.xml")
+      .map(b => parseSharedStrings(new ByteArrayInputStream(b)))
+      .getOrElse(Vector.empty)
+    val target = sheetTarget(entry, sheetName)
+    val sheetPath = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+    val sheet = entry(sheetPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"worksheet entry not found for sheet '$sheetName'"))
+    val rdr = factory.createXMLStreamReader(new ByteArrayInputStream(sheet))
+    try parseSheet(rdr, shared) finally rdr.close()
+  }
+
+  private def readEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, Array[Byte]]
     try {
-      val shared = readSharedStrings(zip)
-      val target = sheetTarget(zip, sheetName)
-      val entry = zip.getEntry(if (target.startsWith("/")) target.drop(1) else s"xl/$target")
-      require(entry != null, s"worksheet entry not found for sheet '$sheetName'")
-      val rdr = factory.createXMLStreamReader(zip.getInputStream(entry))
-      try parseSheet(rdr, shared) finally rdr.close()
-    } finally zip.close()
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out += e.getName -> zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
   }
 
   /** Worksheet → DataFrame.
@@ -70,6 +103,62 @@ object XlsxSource {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Distributed ingest of MANY workbooks sharing one layout.
+    *
+    * `binaryFile` lists and reads the glob as a distributed scan; each
+    * file's bytes are parsed executor-side by [[readSheetBytes]] — the
+    * per-file semantics of the reference's per-file read loop
+    * (project-dask.py:23-25), at lake parallelism. The column schema is
+    * fixed at plan time from ONE sample workbook (first path in glob
+    * order, read driver-side through the Hadoop FS so any scheme works);
+    * every file is then conformed to it — rows are padded / truncated to
+    * the sample's width, which is the "same layout" contract this API
+    * is for.
+    *
+    * Output carries `src_file` (file name) and `row_no` (0-based data-row
+    * ordinal within its file) ahead of the data columns, so per-file
+    * order — the property the reference's concat preserves — survives
+    * the distributed scan.
+    */
+  def readMany(spark: SparkSession, glob: String, sheetName: String,
+      header: Option[Int]): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val firstPath = files.select("path").orderBy("path")
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"no files match $glob"))
+      .getString(0)
+    val names = {
+      val p = new org.apache.hadoop.fs.Path(firstPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val rows = readSheetBytes(bytes, sheetName)
+      val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+      header match {
+        case Some(h) => mangle(rows.lift(h).getOrElse(Vector.empty).padTo(width, ""))
+        case None => (0 until width).map(i => s"_c$i").toVector
+      }
+    }
+    val schema = StructType(
+      StructField("src_file", StringType, nullable = false) +:
+      StructField("row_no", LongType, nullable = false) +:
+      names.map(n => StructField(n, StringType)))
+    val width = names.length
+    files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
+      val fileName = path.substring(path.lastIndexOf('/') + 1)
+      val rows = readSheetBytes(bytes, sheetName)
+      val data = header match {
+        case Some(h) => rows.drop(h + 1)
+        case None => rows
+      }
+      data.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(fileName +: i.toLong +: r.padTo(width, "").take(width))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** pandas-style header mangling: "" → `Unnamed: i`; duplicates → `.k`. */
   private def mangle(hdr: Vector[String]): Vector[String] = {
     val seen = mutable.Map.empty[String, Int]
@@ -83,9 +172,12 @@ object XlsxSource {
   }
 
   /** sheet name → worksheet zip path via workbook.xml + its rels. */
-  private def sheetTarget(zip: ZipFile, sheetName: String): String = {
-    val wb = factory.createXMLStreamReader(
-      zip.getInputStream(zip.getEntry("xl/workbook.xml")))
+  private def sheetTarget(entry: String => Option[Array[Byte]],
+      sheetName: String): String = {
+    def open(name: String): XMLStreamReader =
+      factory.createXMLStreamReader(new ByteArrayInputStream(entry(name)
+        .getOrElse(throw new IllegalArgumentException(s"missing zip entry $name"))))
+    val wb = open("xl/workbook.xml")
     var rid: String = null
     try {
       while (wb.hasNext && rid == null) {
@@ -96,8 +188,7 @@ object XlsxSource {
       }
     } finally wb.close()
     require(rid != null, s"sheet '$sheetName' not in workbook")
-    val rels = factory.createXMLStreamReader(
-      zip.getInputStream(zip.getEntry("xl/_rels/workbook.xml.rels")))
+    val rels = open("xl/_rels/workbook.xml.rels")
     try {
       while (rels.hasNext) {
         if (rels.next() == XMLStreamConstants.START_ELEMENT
@@ -109,10 +200,8 @@ object XlsxSource {
     throw new IllegalArgumentException(s"no relationship for sheet '$sheetName'")
   }
 
-  private def readSharedStrings(zip: ZipFile): Vector[String] = {
-    val e = zip.getEntry("xl/sharedStrings.xml")
-    if (e == null) return Vector.empty
-    val r = factory.createXMLStreamReader(zip.getInputStream(e))
+  private def parseSharedStrings(in: ByteArrayInputStream): Vector[String] = {
+    val r = factory.createXMLStreamReader(in)
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var inSi = false

@@ -57,6 +57,42 @@ class XlsxIngestSpec extends SparkSpec {
     assert(out.filter($"CurrentYearInstant" =!= 0.0).count() > 50)
   }
 
+  test("readMany: N-workbook distributed ingest equals the driver path per file") {
+    // lake shape: the reference workbook replicated N times under a glob
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_lake")
+    val n = 4
+    (1 to n).foreach { i =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(wb),
+        dir.resolve(f"wb_$i%02d.xlsx"))
+    }
+    val many = XlsxSource.readMany(spark, s"$dir/*.xlsx", "1311000",
+      header = Some(1)).persist()
+    val one = XlsxSource.toDataFrame(spark, wb, "1311000", header = Some(1))
+    val oneRows = one.collect().map(_.toSeq)
+    // same columns (after the provenance prefix), N files, n×rows
+    assert(many.columns.take(2).toSeq == Seq("src_file", "row_no"))
+    assert(many.columns.drop(2).toSeq == one.columns.toSeq)
+    assert(many.select("src_file").distinct().count() == n)
+    assert(many.count() == n.toLong * oneRows.length)
+    // each file's rows equal the driver path's, in row_no order
+    (1 to n).foreach { i =>
+      val got = many.filter($"src_file" === f"wb_$i%02d.xlsx")
+        .orderBy($"row_no").drop("src_file", "row_no")
+        .collect().map(_.toSeq)
+      assert(got.toSeq == oneRows.toSeq, s"file $i diverged from driver path")
+    }
+    many.unpersist()
+  }
+
+  test("readMany: headerless mode emits positional columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_raw")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(wb), dir.resolve("a.xlsx"))
+    val many = XlsxSource.readMany(spark, s"$dir/*.xlsx", "1000000", header = None)
+    val one = XlsxSource.toDataFrame(spark, wb, "1000000", header = None)
+    assert(many.columns.drop(2).toSeq == one.columns.toSeq)
+    assert(many.count() == one.count())
+  }
+
   test("Canon: positional rename, truncate, strict drop, pin-first") {
     val df = Seq((1, 2, 3)).toDF("a", "b", "c")
     assert(Canon.renamePositional(df, Seq("x", "y")).columns.toSeq
