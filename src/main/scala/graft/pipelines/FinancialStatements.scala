@@ -39,6 +39,41 @@ object FinancialStatements {
       .filter(col("LaporanDetail") =!= "")
   }
 
+  /** Full pipeline A (project-dask.py:23-88): the same three statement
+    * sheets, but with the reference A-script's op order — truncate-64
+    * identifiers (P7) → strict drop of the spillover column (P2) →
+    * per-sheet sequential ID minted BEFORE the union (O3; IDs restart at
+    * 1 in every statement, pandas' per-frame `range(1, len+1)`) →
+    * emitent + LaporanKeuangan stamps → canonical positional rename →
+    * reorder → concat (U1).
+    */
+  def pipelineA(spark: SparkSession, xlsxPath: String,
+      sheets: Seq[(String, String)] = Seq(
+        "1311000" -> "Laba Rugi",
+        "1510000" -> "Arus Kas",
+        "1210000" -> "Posisi Keuangan")): DataFrame = {
+    val info = Ingest.excelRaw(spark, xlsxPath, "1000000")
+    val emitent = Compose
+      .lookupScalar(info, "_c0", "Kode entitas", "_c1")
+      .getOrElse(throw new IllegalStateException("Kode entitas not found"))
+    val frames = sheets.map { case (sheet, label) =>
+      val raw = Ingest.withLineNo(Ingest.excel(spark, xlsxPath, sheet, headerRow = 1))
+      // P7 then P2: the real workbook's 4th header cell is blank → pandas
+      // mangles it to `Unnamed: 3`, the exact name the reference drops
+      val canon = Canon.dropStrict(Canon.truncateNames(raw, 64), Seq("Unnamed: 3"))
+      val renamed = Canon.renamePositional(canon, CanonicalColumns)
+      Ids.withGlobalId(renamed, "ID", Seq(col("line_no")))
+        .withColumn("emitent", lit(emitent))
+        .withColumn("LaporanKeuangan", lit(label))
+        .select(
+          col("ID"), col("emitent"), col("LaporanKeuangan"),
+          Clean.cleanTextV1(col("LaporanDetail")).as("LaporanDetail"),
+          Clean.coerceNumeric(col("CurrentYearInstant")).as("CurrentYearInstant"),
+          Clean.coerceNumeric(col("PriorYearInstant")).as("PriorYearInstant"))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
   /** Full pipeline B. `sheets` maps sheet name → statement label
     * (defaults = the reference's three statements).
     */

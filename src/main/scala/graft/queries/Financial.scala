@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clean, Compose, Ids, Sectionize, Tables}
+import graft.ops.{Canon, Clean, Compose, Ids, Sectionize, Tables}
 
 /** Reference-parity pipelines (SURVEY.md §3, §7.2-7.3) over the harness
   * star schema: the pipeline-B union shape, the F-layer scalar suite, the
@@ -65,6 +65,61 @@ object Financial {
       |  coalesce(try_cast(p_retailprice AS DOUBLE), 0.0) AS value
       |FROM src
       |ORDER BY id""".stripMargin
+
+  /** >64-char identifier — exercises the P7 truncation on the real op
+    * path (the reference truncates for MySQL's 64-char identifier cap,
+    * project-dask.py:31-38).
+    */
+  private val LongItemName =
+    "LaporanDetailDenganNamaIdentifierPanjangSekaliYangMelebihiBatasEnamPuluhEmpatKarakterMySQL"
+  private val TruncItemName = LongItemName.take(64)
+
+  /** Pipeline A end-to-end (project-dask.py:23-88): three sources →
+    * truncate-64 identifiers (P7) → strict column drop (P2) → per-table
+    * sequential IDs minted BEFORE the union (O3 — contrast pipeline B's
+    * post-union global ID: here IDs restart at 1 within each statement,
+    * the reference's per-frame `range(1, len+1)`) → literal
+    * emitent/group stamps (O1) → canonical projection (P3) → union-all
+    * (U1). Per-sheet ID windows order by the slice's own line_no; the
+    * final ORDER BY is oracle determinism only.
+    */
+  private def aFinancialUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.part(s, dir)
+    def sheet(pred: org.apache.spark.sql.Column, grup: String) = {
+      val raw = part.filter(pred)
+        .select(
+          $"p_partkey".as("line_no"),
+          Clean.cleanTextV1($"p_name").as(LongItemName),
+          Clean.coerceNumeric($"p_retailprice").as("CurrentYearInstant"),
+          $"p_type".as("Unnamed: 3"))
+      val canon = Canon.dropStrict(Canon.truncateNames(raw, 64), Seq("Unnamed: 3"))
+      Ids.withGlobalId(canon, "ID", Seq($"line_no"))
+        .withColumn("emitent", lit("ACES"))
+        .withColumn("LaporanKeuangan", lit(grup))
+        .select($"ID", $"emitent", $"LaporanKeuangan",
+          col(TruncItemName), $"CurrentYearInstant")
+    }
+    sheet($"p_size" >= 11 && $"p_size" <= 25, "Laba Rugi")
+      .unionAll(sheet($"p_size" > 25, "Arus Kas"))
+      .unionAll(sheet($"p_size" <= 10, "Posisi Keuangan"))
+      .orderBy($"LaporanKeuangan", $"ID")
+  }
+
+  private val aFinancialOracle =
+    raw"""WITH sheet AS (
+       |  SELECT p_partkey AS line_no, p_name, p_retailprice,
+       |    CASE WHEN p_size BETWEEN 11 AND 25 THEN 'Laba Rugi'
+       |         WHEN p_size > 25 THEN 'Arus Kas'
+       |         ELSE 'Posisi Keuangan' END AS LaporanKeuangan
+       |  FROM part)
+       |SELECT CAST(row_number() OVER (
+       |    PARTITION BY LaporanKeuangan ORDER BY line_no) AS INTEGER) AS ID,
+       |  'ACES' AS emitent, LaporanKeuangan,
+       |  substr(regexp_replace(p_name, '[^\w\s]', '', 'g'), 1, 255) AS "$TruncItemName",
+       |  coalesce(try_cast(p_retailprice AS DOUBLE), 0.0) AS CurrentYearInstant
+       |FROM sheet
+       |ORDER BY LaporanKeuangan, ID""".stripMargin
 
   /** F-layer scalar suite (SURVEY.md §2.4) exercised end-to-end in one
     * projection: clean_text v1/v2 (F1/F2), thousands-strip (F4), numeric
@@ -263,6 +318,7 @@ object Financial {
       |ORDER BY p_brand, item, value, rest""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("a_financial_union", aFinancialUnion, Some(aFinancialOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),
     Q("calk_sectionizer", calkSectionize, Some(calkOracle)),

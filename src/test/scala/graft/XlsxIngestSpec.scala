@@ -57,6 +57,25 @@ class XlsxIngestSpec extends SparkSpec {
     assert(out.filter($"CurrentYearInstant" =!= 0.0).count() > 50)
   }
 
+  test("pipeline A over the real workbook: per-sheet IDs restart at 1") {
+    val out = FinancialStatements.pipelineA(spark, wb).persist()
+    val rows = out.collect()
+    assert(rows.length > 300)
+    assert(out.columns.toSeq == Seq("ID", "emitent", "LaporanKeuangan",
+      "LaporanDetail", "CurrentYearInstant", "PriorYearInstant"))
+    assert(rows.forall(_.getAs[String]("emitent") == "ACES"))
+    val groups = out.select("LaporanKeuangan").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(groups == Seq("Arus Kas", "Laba Rugi", "Posisi Keuangan"))
+    // O3 contract: IDs are 1..len per sheet, not global
+    groups.foreach { g =>
+      val ids = rows.filter(_.getAs[String]("LaporanKeuangan") == g)
+        .map(_.getAs[Int]("ID")).sorted.toSeq
+      assert(ids == (1 to ids.length), s"$g IDs not contiguous from 1")
+    }
+    out.unpersist()
+  }
+
   test("readMany: N-workbook distributed ingest equals the driver path per file") {
     // lake shape: the reference workbook replicated N times under a glob
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_lake")
