@@ -358,10 +358,72 @@ object SimilarityQueries {
        |GROUP BY cid
        |ORDER BY cell""".stripMargin
 
+  // ------------------------------------------------------ IVF recall gate
+
+  /** recall@k of the trained-IVF search against the exact brute-force
+    * top-k — the accountability number every ANN index owes its users.
+    * Both top-k sets are TakeOrderedAndProject plans (bounded by
+    * construction); the overlap is a k-row semi-join and the recall an
+    * exact integer ratio, so the score is engine-portable with no
+    * float tolerance. IvfRecallSpec asserts the floor; this query makes
+    * the number part of the oracle-gated surface so a regression in the
+    * codebook or probe logic shows up as a correctness diff, not a
+    * silent quality drop.
+    */
+  private def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ivf = annIvfTrainedTopk(s, dir).select($"vec_id")
+    val exact = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", queryVecLit(s, dir)))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(IvfTopK)
+      .select($"vec_id")
+    ivf.join(exact, Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / IvfTopK).as("recall_at_k"))
+      .select(lit(IvfTopK).as("k"), $"recall_at_k")
+  }
+
+  private val annIvfRecallOracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < $KmK),
+       |${kmIterSql("c0", 1)},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |fin AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_cosine_similarity(embedding::DOUBLE[], c::DOUBLE[]) DESC, cid) AS rn
+       |  FROM e CROSS JOIN c1),
+       |qc AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY
+       |      list_cosine_similarity(q.qv::DOUBLE[], c.c::DOUBLE[]) DESC, c.cid) AS rn
+       |    FROM c1 c, q) WHERE rn <= $NProbe),
+       |ivf AS (
+       |  SELECT f.vec_id
+       |  FROM fin f JOIN qc USING (cid)
+       |    JOIN embeddings emb ON emb.vec_id = f.vec_id, q
+       |  WHERE f.rn = 1 AND f.vec_id <> $QueryVecId
+       |  ORDER BY list_cosine_similarity(emb.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, f.vec_id
+       |  LIMIT $IvfTopK),
+       |exact AS (
+       |  SELECT e2.vec_id FROM embeddings e2, q
+       |  WHERE e2.vec_id <> $QueryVecId
+       |  ORDER BY list_cosine_similarity(e2.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e2.vec_id
+       |  LIMIT $IvfTopK)
+       |SELECT $IvfTopK AS k,
+       |  CAST(count(*) AS DOUBLE) / $IvfTopK AS recall_at_k
+       |FROM ivf JOIN exact USING (vec_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
     Q("ann_lsh_topk", annLshTopk, Some(annLshOracle)),
     Q("ann_ivf_topk", annIvfTopk, Some(annIvfOracle)),
     Q("kmeans_train", kmeansTrain, Some(kmeansOracle)),
-    Q("ann_ivf_trained_topk", annIvfTrainedTopk, Some(annIvfTrainedOracle)))
+    Q("ann_ivf_trained_topk", annIvfTrainedTopk, Some(annIvfTrainedOracle)),
+    Q("ann_ivf_recall", annIvfRecall, Some(annIvfRecallOracle)))
+
+  /** Exposed for IvfRecallSpec's floor assertion. */
+  private[graft] def ivfRecallFrame(s: SparkSession, dir: String): DataFrame =
+    annIvfRecall(s, dir)
 }

@@ -36,12 +36,27 @@ class SinkSpec extends SparkSpec {
     val df1 = Seq((1, "a", 10.5), (2, "b", 20.25)).toDF("id", "name", "v")
     Sink.jdbcOverwrite(df1, url, "t_sink", props)
     assert(spark.read.jdbc(url, "t_sink", props).count() == 2)
-    // second overwrite hits the truncate path (table now exists)
+    // prove the second overwrite TRUNCATEs rather than drop+recreates
+    // (pandas' if_exists='replace' drops; truncate=true keeps the DDL):
+    // an index created out-of-band must survive the overwrite
+    val conn = java.sql.DriverManager.getConnection(url)
+    // Spark passes the table name through unquoted (Derby uppercases it)
+    // but quotes column names case-exactly — match both conventions
+    conn.createStatement().execute("""CREATE INDEX t_sink_idx ON t_sink("id")""")
     val df2 = Seq((3, "c", 1.0)).toDF("id", "name", "v")
     Sink.jdbcOverwrite(df2, url, "t_sink", props)
     val afterOverwrite = spark.read.jdbc(url, "t_sink", props)
       .as[(Int, String, Double)].collect().toSet
     assert(afterOverwrite == Set((3, "c", 1.0)))
+    val idx = {
+      val rs = conn.getMetaData.getIndexInfo(null, null, "T_SINK", false, false)
+      val names = scala.collection.mutable.Set.empty[String]
+      while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(names += _)
+      rs.close(); names
+    }
+    assert(idx.contains("T_SINK_IDX"),
+      s"index dropped by overwrite — got $idx: sink drop+recreated instead of truncating")
+    conn.close()
     // append adds on top of the truncated-then-written table
     Sink.jdbcAppend(df1, url, "t_sink", props)
     val all = spark.read.jdbc(url, "t_sink", props)
