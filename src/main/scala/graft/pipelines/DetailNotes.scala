@@ -21,8 +21,18 @@ object DetailNotes {
   val SectionMarker = "Catatan Atas Laporan Keuangan"
 
   /** Extract CALK sections from a text file of notes lines. */
-  def extractCalk(spark: SparkSession, path: String): DataFrame = {
-    val lines = Ingest.textWithLineNo(spark, path)
+  def extractCalk(spark: SparkSession, path: String): DataFrame =
+    extractCalkLines(spark, Ingest.textWithLineNo(spark, path))
+
+  /** Extract CALK sections straight from a PDF (the reference's actual
+    * input, detail_notes.py:30-38): PdfTextSource supplies the ordered
+    * line stream, the sectionizer algebra is shared with the text path.
+    */
+  def extractCalkPdf(spark: SparkSession, pdfPath: String): DataFrame =
+    extractCalkLines(spark,
+      graft.sources.PdfTextSource.toLinesDataFrame(spark, pdfPath))
+
+  private def extractCalkLines(spark: SparkSession, lines: DataFrame): DataFrame = {
     // marker gate: keep only lines STRICTLY AFTER the first marker line
     // (the reference consumes the marker line itself, detail_notes.py:42-44)
     val markerNo = lines

@@ -317,8 +317,33 @@ object Financial {
       |WHERE regexp_matches(line, '^(.+?)\s+([\d,.]+)\s*(.*)$')
       |ORDER BY p_brand, item, value, rest""".stripMargin
 
+  /** The reference's true S3/S4 edge exercised end-to-end: PDF bytes →
+    * PdfTextSource line stream → marker gate → stateful sectionizer.
+    * The input is the checked-in fixture PDF (FlateDecode + raw streams,
+    * tools/make_pdf_fixture.py); the oracle states the expected sections
+    * as literals — hand-derivable from the fixture's definition, so the
+    * whole decode→sectionize path is pinned, not self-referential.
+    */
+  private def pdfCalkSectionizer(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.DetailNotes.extractCalkPdf(
+      s, "/root/repo/fixtures/bin/calk_notes.pdf")
+
+  private val pdfCalkOracle =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), '1.', '1. Umum',
+      |   'Entitas didirikan di Jakarta pada tahun 1995. Kantor pusat beralamat di Jalan Sudirman.'),
+      |  (CAST(2 AS BIGINT), '2.', '2. Ikhtisar Kebijakan Akuntansi',
+      |   'Dasar penyusunan laporan keuangan adalah biaya historis.'),
+      |  (CAST(3 AS BIGINT), '2.a.', '2.a. Pernyataan Kepatuhan',
+      |   'Laporan keuangan disusun sesuai SAK.'),
+      |  (CAST(4 AS BIGINT), '3.', '3. Kas dan Setara Kas',
+      |   'Saldo kas (lihat catatan 5) adalah 1.234.')
+      |) AS t(id, Nomor, calk, deskripsi)
+      |ORDER BY id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("a_financial_union", aFinancialUnion, Some(aFinancialOracle)),
+    Q("pdf_calk_sectionizer", pdfCalkSectionizer, Some(pdfCalkOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),
     Q("calk_sectionizer", calkSectionize, Some(calkOracle)),
