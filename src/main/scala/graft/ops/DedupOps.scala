@@ -154,8 +154,15 @@ object DedupOps {
   def connectedComponents(edgesIn: DataFrame, maxIter: Int = 50,
       checkpointEvery: Int = 5): DataFrame = {
     val edges = edgesIn.toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seeded init: label₀ = min(id, min(neighbors)) — the same shuffle
+    // the plain distinct would pay (every vertex appears as src in the
+    // symmetrized list), but it bakes round 1's propagation into the
+    // initialization, so every component converges one round earlier
+    // and single-edge components (the common near-dup case) need only
+    // the confirming round.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .persist()
     // Convergence witness: labels only ever DECREASE under min-
     // propagation, so sum(label) is strictly monotone until the fixpoint
