@@ -341,9 +341,35 @@ object Financial {
       |) AS t(id, Nomor, calk, deskripsi)
       |ORDER BY id""".stripMargin
 
+  /** S2 oracle-gated through the REAL workbook: the headerless
+    * general-information sheet read by XlsxSource, projected to the
+    * key-value pairs the reference's P1 lookups consume
+    * (dask-with-dataframe.py:64-68). The oracle states the expected
+    * pairs as literals — hand-verifiable against the workbook — so the
+    * zip+StAX decode path itself sits behind the correctness gate, not
+    * only behind unit tests.
+    */
+  private def xlsxInfoLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Ingest.excelRaw(
+        s, "/root/reference/Data/FinancialStatement-2024-I-ACES.xlsx", "1000000")
+      .filter($"_c0".isin("Kode entitas", "Nama entitas", "Sektor"))
+      .select($"_c0".as("key"), $"_c1".as("value"))
+      .orderBy($"key")
+  }
+
+  private val xlsxInfoOracle =
+    """SELECT * FROM (VALUES
+      |  ('Kode entitas', 'ACES'),
+      |  ('Nama entitas', 'Ace Hardware Indonesia Tbk'),
+      |  ('Sektor', 'E. Consumer Cyclicals')
+      |) AS t(key, value)
+      |ORDER BY key""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("a_financial_union", aFinancialUnion, Some(aFinancialOracle)),
     Q("pdf_calk_sectionizer", pdfCalkSectionizer, Some(pdfCalkOracle)),
+    Q("xlsx_info_lookup", xlsxInfoLookup, Some(xlsxInfoOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),
     Q("calk_sectionizer", calkSectionize, Some(calkOracle)),

@@ -423,34 +423,37 @@ object Relational {
   /** TPC-H Q21 shape: suppliers who were the SOLE late shipper of a
     * multi-supplier finished order ("late" adapted to this schema:
     * shipped >1000 days after the order date — no receipt/commit dates
-    * here). The EXISTS/NOT-EXISTS pair collapses into two per-order
-    * aggregates: a late line is "waiting" iff its order has more than
-    * one distinct supplier (EXISTS another supplier) and exactly one
-    * distinct LATE supplier (NOT EXISTS another late one — and that one
-    * is necessarily this line's). All three frames shuffle on the same
-    * orderkey, so the joins are co-partitioned exchange-reuses instead
-    * of the distinct + semi + anti cascade; supplier broadcasts at the
-    * end.
+    * here). The EXISTS/NOT-EXISTS pair collapses into a two-level
+    * rollup: per (order, supplier) fold the line rows once (late-line
+    * count + any-late flag), then per order count suppliers and late
+    * suppliers — "waiting" iff n_supp > 1 and exactly one supplier was
+    * late, in which case that supplier's late-line count is the order's
+    * contribution. Two grouped shuffles on order-prefixed keys replace
+    * the countDistinct expands and the two joins back onto the line
+    * rows; supplier broadcasts at the end (true dimension).
     */
   private def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ord = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
       .select($"o_orderkey", $"o_orderdate")
-    val li = Tables.lineitem(s, dir)
+    val perOrdSupp = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-    val late = li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 1000 DAYS"))
-      .select($"l_orderkey", $"l_suppkey")
-    val nSupp = li.groupBy($"l_orderkey")
-      .agg(countDistinct($"l_suppkey").as("n_supp"))
-    val nLate = late.groupBy($"l_orderkey")
-      .agg(countDistinct($"l_suppkey").as("n_late"))
-    late
-      .join(nSupp, "l_orderkey").join(nLate, "l_orderkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .withColumn("is_late",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 1000 DAYS")).cast("long"))
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"is_late").as("any_late"), sum($"is_late").as("n_late_lines"))
+    perOrdSupp
+      .groupBy($"l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum($"any_late").as("n_late"),
+        max(when($"any_late" === 1, $"l_suppkey")).as("late_supp"),
+        sum(when($"any_late" === 1, $"n_late_lines")).as("late_lines"))
       .filter($"n_supp" > 1 && $"n_late" === 1)
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"late_supp" === $"s_suppkey")
       .groupBy($"s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum($"late_lines").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
       .limit(10)
   }
