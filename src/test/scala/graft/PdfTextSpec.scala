@@ -57,6 +57,67 @@ class PdfTextSpec extends SparkSpec {
       "Saldo kas (lihat catatan 5) adalah 1.234."))
   }
 
+  test("property: build→extract round-trips arbitrary ASCII lines") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // printable ASCII incl ( ) \ — the escape-sensitive characters
+    val lineGen = Gen.nonEmptyListOf(Gen.choose(32.toChar, 126.toChar))
+      .map(_.mkString.trim).suchThat(_.nonEmpty)
+    val docGen = for {
+      lines <- Gen.nonEmptyListOf(lineGen).map(_.take(20))
+      flate <- Gen.oneOf(true, false)
+      asHex <- Gen.listOfN(lines.length, Gen.oneOf(true, false))
+    } yield (lines, flate, asHex)
+    val prop = Prop.forAll(docGen) { case (lines, flate, asHex) =>
+      val bytes = buildPdf(lines.zip(asHex), flate)
+      PdfTextSource.extractLines(bytes) == lines.toVector
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Minimal single-page PDF builder (test-only mirror of
+    * tools/make_pdf_fixture.py): each line shown as a literal string
+    * (escaped) or a hex string; the content stream optionally
+    * Flate-compressed.
+    */
+  private def buildPdf(lines: Seq[(String, Boolean)], flate: Boolean): Array[Byte] = {
+    def esc(s: String) = s.replace("\\", "\\\\")
+      .replace("(", "\\(").replace(")", "\\)")
+    def hex(s: String) = s.map(c => f"${c.toInt}%02X").mkString
+    val body = lines.zipWithIndex.map { case ((l, asHex), j) =>
+      val move = if (j == 0) "72 720 Td" else "0 -16 Td"
+      val show = if (asHex) s"<${hex(l)}> Tj" else s"(${esc(l)}) Tj"
+      s"$move $show"
+    }.mkString("BT /F1 12 Tf\n", "\n", "\nET")
+    val raw = body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val data = if (flate) {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    } else raw
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val objs = Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      ("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        + "/Contents 4 0 R >>\nendobj\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      (s"4 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        ++ data ++ "\nendstream\nendobj\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val offsets = objs.map { o => val off = out.size(); out.write(o); off }
+    val xref = out.size()
+    out.write((s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+      + offsets.map(o => f"$o%010d 00000 n \n").mkString
+      + s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n"
+      + s"startxref\n$xref\n%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
   test("readMany parses N PDFs executor-side with per-file line order") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf_lake")
     (1 to 3).foreach { i =>
