@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video travel as opaque
   * `binary` columns with a typed metadata struct. The Spark-side
   * machinery (schema, batching, partitioning, explode-based frame
-  * sampling) is real and tested; the actual codec work is STUBBED with
-  * deterministic fakes — the decode libraries are not in this
-  * environment. Swap [[decodeBytesStub]] for a real codec to productionize.
+  * sampling) is real and tested. IMAGE decode is REAL — [[decodeImages]]
+  * runs JDK ImageIO (PNG/JPEG/BMP/GIF, no external library) inside the
+  * executors at the mapPartitions batch boundary. Audio/video codecs do
+  * not exist in this environment, so their decode stays a deterministic
+  * stub ([[decodeBytesStub]]) behind the same seam.
   */
 object Multimodal {
 
@@ -45,16 +47,76 @@ object Multimodal {
         passthrough): _*)
   }
 
-  /** STUB decode: deterministic per-payload "features" (byte length,
-    * content digest, crc). A real implementation would decode pixels /
-    * PCM here; everything downstream (columns, grouping, joins) is
-    * unchanged when that swap happens.
+  /** STUB decode for the modalities whose codecs are absent here
+    * (audio/video): deterministic per-payload "features" (byte length,
+    * content digest, crc). Images go through [[decodeImages]], which is
+    * a real decoder; everything downstream (columns, grouping, joins)
+    * is identical across the two.
     */
   def decodeBytesStub(media: Column): Column =
     struct(
       length(media).as("n_bytes"),
       md5(media).as("digest"),
       crc32(media).as("crc"))
+
+  /** REAL image decode: JDK ImageIO executed per partition inside the
+    * executors. Input: (idCol string, bytesCol binary); output one row
+    * per image — width, height, n_pixels, per-channel means (rounded to
+    * 4 dp for engine-portable comparisons), or NULL dims for bytes that
+    * don't decode (the per-source failure-isolation contract: corrupt
+    * media must not kill the job).
+    *
+    * Scale shape: mapPartitions is the codec batch boundary — ImageIO's
+    * reader registry is JVM-static (initialized once per executor); a
+    * native decoder with per-thread contexts would init in the same
+    * place. Feature extraction is one pass over getRGB per pixel; no
+    * row leaves the executor carrying pixel data, only the fixed-width
+    * feature struct — the property that keeps a 100 TB image corpus
+    * shuffle-light.
+    */
+  def decodeImages(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("media_key", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("avg_r", DoubleType),
+      StructField("avg_g", DoubleType),
+      StructField("avg_b", DoubleType)))
+    df.select(col(idCol).cast("string"), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (key, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) {
+            org.apache.spark.sql.Row(key, null, null, null, null, null, null)
+          } else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var r = 0L; var g = 0L; var b = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            def avg(sum: Long) =
+              BigDecimal(sum.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+            org.apache.spark.sql.Row(key, w, h, n, avg(r), avg(g), avg(b))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
 
   /** Frame sampling: one output row per sampled frame index, stride
     * `every`. Pure explode(sequence(...)) — a codegen'd Generator, no

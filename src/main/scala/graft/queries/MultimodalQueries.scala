@@ -102,8 +102,36 @@ object MultimodalQueries {
       |FROM read_blob('/root/repo/fixtures/bin/*.bin')
       |ORDER BY file_name""".stripMargin
 
+  /** REAL image decode end-to-end: binaryFile scan over the committed
+    * PNG fixtures → JDK ImageIO decode inside the executors
+    * (Multimodal.decodeImages) → per-image dimensions and channel
+    * means. The fixtures are written byte-by-byte with zlib only
+    * (tools/make_png_fixtures.py), so every expected value below is
+    * exact by construction and the oracle states them as literals —
+    * the decoder is pinned against ground truth, not against itself.
+    */
+  private def imageDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile").load("/root/repo/fixtures/img/*.png")
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+    Multimodal.decodeImages(files, "file_name", "content")
+      .select($"media_key".as("file_name"), $"width", $"height",
+        $"n_pixels", $"avg_r", $"avg_g", $"avg_b")
+      .orderBy($"file_name")
+  }
+
+  private val imageDecodeOracle =
+    """SELECT * FROM (VALUES
+      |  ('checker_2x2.png',   2,  2, CAST(4  AS BIGINT), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE)),
+      |  ('gradient_16x2.png', 16, 2, CAST(32 AS BIGINT), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE)),
+      |  ('solid_gray_4x4.png', 4, 4, CAST(16 AS BIGINT), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE)),
+      |  ('solid_red_8x6.png',  8, 6, CAST(48 AS BIGINT), CAST(255.0 AS DOUBLE), CAST(0.0 AS DOUBLE),   CAST(0.0 AS DOUBLE))
+      |) AS t(file_name, width, height, n_pixels, avg_r, avg_g, avg_b)
+      |ORDER BY file_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("multimodal_features", mediaFeatures, Some(mediaFeaturesOracle)),
     Q("multimodal_frames", frameSample, Some(frameSampleOracle)),
+    Q("image_decode_features", imageDecodeFeatures, Some(imageDecodeOracle)),
     Q("binary_ingest", binaryIngest, Some(binaryIngestOracle)))
 }

@@ -43,4 +43,20 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L) == (11L, 'h'.toInt))
     assert(byId(2L) == (3L, 'a'.toInt))
   }
+
+  test("decodeImages: real ImageIO decode, corrupt bytes isolate as NULLs") {
+    val red = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/img/solid_red_8x6.png"))
+    val rows = Multimodal.decodeImages(
+        Seq(("ok", red), ("bad", "not a png".getBytes("UTF-8")))
+          .toDF("k", "bytes").repartition(2),
+        "k", "bytes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ok = rows("ok")
+    assert(ok.getInt(1) == 8 && ok.getInt(2) == 6 && ok.getLong(3) == 48L)
+    assert(ok.getDouble(4) == 255.0 && ok.getDouble(5) == 0.0 && ok.getDouble(6) == 0.0)
+    // corrupt media must not kill the job — dims come back NULL
+    val bad = rows("bad")
+    assert((1 to 6).forall(bad.isNullAt))
+  }
 }
