@@ -118,6 +118,41 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** REAL image resize: decode → scale onto a w×h RGB canvas → re-encode
+    * PNG, all executor-side at the same mapPartitions batch boundary as
+    * [[decodeImages]]. Output: (media_key, png binary or NULL for
+    * undecodable input). The payload stays inside the executor between
+    * decode and re-encode — at 100 TB the only thing that matters about
+    * a media transform is that pixels never ride a shuffle.
+    */
+  def resizeImages(df: DataFrame, idCol: String, bytesCol: String,
+      w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("media_key", StringType),
+      StructField("png", BinaryType)))
+    df.select(col(idCol).cast("string"), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (key, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) org.apache.spark.sql.Row(key, null)
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            org.apache.spark.sql.Row(key, out.toByteArray)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Frame sampling: one output row per sampled frame index, stride
     * `every`. Pure explode(sequence(...)) — a codegen'd Generator, no
     * UDTF, parallelizes row-wise.

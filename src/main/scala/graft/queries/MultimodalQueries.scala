@@ -129,9 +129,35 @@ object MultimodalQueries {
       |) AS t(file_name, width, height, n_pixels, avg_r, avg_g, avg_b)
       |ORDER BY file_name""".stripMargin
 
+  /** Resize → re-decode round trip on the SOLID fixtures (whose channel
+    * means are invariant under any interpolation, so the expected values
+    * stay exact literals regardless of the scaler's kernel): proves the
+    * executor-side decode→scale→re-encode chain produces images with the
+    * requested geometry and unchanged color content.
+    */
+  private def imageResizeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile")
+      .load("/root/repo/fixtures/img/solid_*.png")
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+    val resized = Multimodal.resizeImages(files, "file_name", "content", 4, 3)
+    Multimodal.decodeImages(resized, "media_key", "png")
+      .select($"media_key".as("file_name"), $"width", $"height",
+        $"n_pixels", $"avg_r", $"avg_g", $"avg_b")
+      .orderBy($"file_name")
+  }
+
+  private val imageResizeOracle =
+    """SELECT * FROM (VALUES
+      |  ('solid_gray_4x4.png', 4, 3, CAST(12 AS BIGINT), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE)),
+      |  ('solid_red_8x6.png',  4, 3, CAST(12 AS BIGINT), CAST(255.0 AS DOUBLE), CAST(0.0 AS DOUBLE),   CAST(0.0 AS DOUBLE))
+      |) AS t(file_name, width, height, n_pixels, avg_r, avg_g, avg_b)
+      |ORDER BY file_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("multimodal_features", mediaFeatures, Some(mediaFeaturesOracle)),
     Q("multimodal_frames", frameSample, Some(frameSampleOracle)),
     Q("image_decode_features", imageDecodeFeatures, Some(imageDecodeOracle)),
+    Q("image_resize_roundtrip", imageResizeRoundtrip, Some(imageResizeOracle)),
     Q("binary_ingest", binaryIngest, Some(binaryIngestOracle)))
 }
