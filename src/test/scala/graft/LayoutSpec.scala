@@ -69,4 +69,29 @@ class LayoutSpec extends SparkSpec {
     val files = q.select(input_file_name()).distinct().as[String].collect()
     assert(files.nonEmpty && files.forall(_.contains("bucket=2")))
   }
+
+  test("IVF probe over a partition-by-cell layout prunes to the probed cells") {
+    // the ANN scale claim made concrete: embeddings written once with
+    // their cell assignment as a partition column; a probe touching
+    // NProbe cells plans PartitionFilters and reads only those dirs —
+    // the corpus outside the probed cells is never scanned
+    import graft.ops.{Tables, VectorOps}
+    val dir = s"${Files.createTempDirectory("graft_ivf_layout")}/emb"
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("cell", VectorOps.signBucket($"embedding", 3))
+      .write.partitionBy("cell").parquet(dir)
+    val probe = Seq(1, 5)
+    val q = spark.read.parquet(dir).filter($"cell".isin(probe: _*))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning in:\n$plan")
+    val files = q.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty
+      && files.forall(f => probe.exists(c => f.contains(s"cell=$c"))),
+      s"probe read outside its cells: ${files.mkString(", ")}")
+    // and the pruned read returns exactly the cells' vectors
+    val expected = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(VectorOps.signBucket($"embedding", 3).isin(probe: _*)).count()
+    assert(q.count() === expected && expected > 0)
+  }
 }
