@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video travel as opaque
   * `binary` columns with a typed metadata struct. The Spark-side
   * machinery (schema, batching, partitioning, explode-based frame
-  * sampling) is real and tested. IMAGE decode is REAL — [[decodeImages]]
-  * runs JDK ImageIO (PNG/JPEG/BMP/GIF, no external library) inside the
-  * executors at the mapPartitions batch boundary. Audio/video codecs do
-  * not exist in this environment, so their decode stays a deterministic
-  * stub ([[decodeBytesStub]]) behind the same seam.
+  * sampling) is real and tested. IMAGE decode/resize and AUDIO decode
+  * are REAL — [[decodeImages]]/[[resizeImages]] run JDK ImageIO
+  * (PNG/JPEG/BMP/GIF) and [[decodeAudio]] runs javax.sound.sampled
+  * (WAV/AIFF/AU PCM) inside the executors at the mapPartitions batch
+  * boundary, no external library. Video codecs do not exist in this
+  * environment, so video decode stays a deterministic stub
+  * ([[decodeBytesStub]]) behind the same seam.
   */
 object Multimodal {
 
@@ -113,6 +115,64 @@ object Multimodal {
               BigDecimal(sum.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
                 .toDouble
             org.apache.spark.sql.Row(key, w, h, n, avg(r), avg(g), avg(b))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** REAL audio decode: JDK javax.sound.sampled parses WAV/AIFF/AU
+    * (PCM) executor-side at the same mapPartitions batch boundary as
+    * [[decodeImages]]. Output per clip: sample rate, channels, bits,
+    * frame count, duration, and mean absolute 16-bit amplitude across
+    * all channels (exact integer arithmetic until the final division,
+    * rounded to 4 dp). Undecodable bytes isolate as NULLs.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("media_key", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("mean_abs", DoubleType)))
+    df.select(col(idCol).cast("string"), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (key, bytes) =>
+          val in =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (in == null) {
+            org.apache.spark.sql.Row(key, null, null, null, null, null, null)
+          } else {
+            val f = in.getFormat
+            val pcm = in.readAllBytes(); in.close()
+            val little = !f.isBigEndian
+            var sum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val lo = pcm(i) & 0xFF; val hi = pcm(i + 1) & 0xFF
+              val v = (if (little) (hi << 8) | lo else (lo << 8) | hi).toShort
+              sum += math.abs(v.toLong)
+              i += 2
+            }
+            val nSamples = pcm.length / 2
+            val frames = nSamples.toLong / f.getChannels
+            val rate = f.getSampleRate.toInt
+            val mean =
+              if (nSamples == 0) 0.0
+              else BigDecimal(sum.toDouble / nSamples)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            org.apache.spark.sql.Row(key, rate, f.getChannels,
+              f.getSampleSizeInBits, frames, frames * 1000L / rate, mean)
           }
         }
       }(org.apache.spark.sql.Encoders.row(schema))

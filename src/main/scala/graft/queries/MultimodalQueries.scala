@@ -154,10 +154,35 @@ object MultimodalQueries {
       |) AS t(file_name, width, height, n_pixels, avg_r, avg_g, avg_b)
       |ORDER BY file_name""".stripMargin
 
+  /** REAL audio decode end-to-end: binaryFile over the committed WAV
+    * fixtures → javax.sound.sampled parse inside the executors
+    * (Multimodal.decodeAudio) → rate/channels/frames/duration and the
+    * exact mean |amplitude| each fixture was constructed to have
+    * (tools/make_wav_fixtures.py, stdlib-only writer).
+    */
+  private def audioDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile").load("/root/repo/fixtures/audio/*.wav")
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+    Multimodal.decodeAudio(files, "file_name", "content")
+      .select($"media_key".as("file_name"), $"sample_rate", $"channels",
+        $"bits", $"n_frames", $"duration_ms", $"mean_abs")
+      .orderBy($"file_name")
+  }
+
+  private val audioDecodeOracle =
+    """SELECT * FROM (VALUES
+      |  ('const_mono_8k.wav',  8000, 1, 16, CAST(800 AS BIGINT), CAST(100 AS BIGINT), CAST(1000.0 AS DOUBLE)),
+      |  ('square_mono_4k.wav', 4000, 1, 16, CAST(400 AS BIGINT), CAST(100 AS BIGINT), CAST(2000.0 AS DOUBLE)),
+      |  ('stereo_8k.wav',      8000, 2, 16, CAST(160 AS BIGINT), CAST(20  AS BIGINT), CAST(1000.0 AS DOUBLE))
+      |) AS t(file_name, sample_rate, channels, bits, n_frames, duration_ms, mean_abs)
+      |ORDER BY file_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("multimodal_features", mediaFeatures, Some(mediaFeaturesOracle)),
     Q("multimodal_frames", frameSample, Some(frameSampleOracle)),
     Q("image_decode_features", imageDecodeFeatures, Some(imageDecodeOracle)),
     Q("image_resize_roundtrip", imageResizeRoundtrip, Some(imageResizeOracle)),
+    Q("audio_decode_features", audioDecodeFeatures, Some(audioDecodeOracle)),
     Q("binary_ingest", binaryIngest, Some(binaryIngestOracle)))
 }

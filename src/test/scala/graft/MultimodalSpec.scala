@@ -59,4 +59,20 @@ class MultimodalSpec extends SparkSpec {
     val bad = rows("bad")
     assert((1 to 6).forall(bad.isNullAt))
   }
+
+  test("decodeAudio: real WAV decode, corrupt bytes isolate as NULLs") {
+    val wav = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/audio/stereo_8k.wav"))
+    val rows = Multimodal.decodeAudio(
+        Seq(("ok", wav), ("bad", Array[Byte](1, 2, 3)))
+          .toDF("k", "bytes").repartition(2),
+        "k", "bytes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ok = rows("ok")
+    assert(ok.getInt(1) == 8000 && ok.getInt(2) == 2 && ok.getInt(3) == 16)
+    assert(ok.getLong(4) == 160L && ok.getLong(5) == 20L)
+    assert(ok.getDouble(6) == 1000.0) // |+500| and |-1500| average to 1000
+    val bad = rows("bad")
+    assert((1 to 6).forall(bad.isNullAt))
+  }
 }
