@@ -178,6 +178,79 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** REAL video CONTAINER metadata: a box walk over ISO-BMFF (MP4/MOV)
+    * bytes — big-endian (size, tag) pairs, `moov/mvhd` for timescale +
+    * duration, `moov/trak` children counted. Executor-side at the same
+    * batch boundary as the other decoders; no codec involved (frame
+    * decode stays behind [[decodeBytesStub]] — no video codec exists in
+    * this environment, and container metadata is what a 100 TB curation
+    * pass filters on anyway: duration caps, track presence, brand).
+    * Non-BMFF bytes isolate as NULLs.
+    */
+  def probeVideo(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("media_key", StringType),
+      StructField("brand", StringType),
+      StructField("timescale", LongType),
+      StructField("duration_ms", LongType),
+      StructField("n_tracks", IntegerType)))
+    df.select(col(idCol).cast("string"), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (key, bytes) =>
+          probeBmff(bytes) match {
+            case Some((brand, ts, durMs, tracks)) =>
+              org.apache.spark.sql.Row(key, brand, ts, durMs, tracks)
+            case None =>
+              org.apache.spark.sql.Row(key, null, null, null, null)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** (brand, timescale, duration_ms, n_tracks) of ISO-BMFF bytes, or
+    * None when the bytes aren't a box structure with ftyp + moov/mvhd.
+    */
+  private[ops] def probeBmff(bytes: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    def u32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def tag(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // children of [from, until): Seq of (tag, payloadStart, payloadEnd)
+    def boxes(from: Int, until: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= until) {
+        val size = u32(off)
+        if (size < 8 || off + size > until) ok = false
+        else {
+          out += ((tag(off + 4), off + 8, off + size.toInt))
+          off += size.toInt
+        }
+      }
+      if (ok) out.result() else Seq.empty
+    }
+    val top = boxes(0, bytes.length)
+    for {
+      ftyp <- top.find(_._1 == "ftyp")
+      moov <- top.find(_._1 == "moov")
+      kids = boxes(moov._2, moov._3)
+      mvhd <- kids.find(_._1 == "mvhd")
+      // mvhd v0: version/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+      ts = u32(mvhd._2 + 12)
+      if ts > 0
+      dur = u32(mvhd._2 + 16)
+    } yield (
+      new String(bytes, ftyp._2, 4, java.nio.charset.StandardCharsets.US_ASCII),
+      ts, dur * 1000L / ts, kids.count(_._1 == "trak"))
+  }
+
   /** REAL image resize: decode → scale onto a w×h RGB canvas → re-encode
     * PNG, all executor-side at the same mapPartitions batch boundary as
     * [[decodeImages]]. Output: (media_key, png binary or NULL for

@@ -178,11 +178,35 @@ object MultimodalQueries {
       |) AS t(file_name, sample_rate, channels, bits, n_frames, duration_ms, mean_abs)
       |ORDER BY file_name""".stripMargin
 
+  /** Video container metadata end-to-end: binaryFile over the committed
+    * minimal MP4s → ISO-BMFF box walk inside the executors
+    * (Multimodal.probeVideo) → brand/timescale/duration/track-count,
+    * every value exact by fixture construction
+    * (tools/make_mp4_fixtures.py).
+    */
+  private def videoProbeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile").load("/root/repo/fixtures/video/*.mp4")
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+    Multimodal.probeVideo(files, "file_name", "content")
+      .select($"media_key".as("file_name"), $"brand", $"timescale",
+        $"duration_ms", $"n_tracks")
+      .orderBy($"file_name")
+  }
+
+  private val videoProbeOracle =
+    """SELECT * FROM (VALUES
+      |  ('clip_av.mp4', 'isom', CAST(1000 AS BIGINT), CAST(2500 AS BIGINT), 2),
+      |  ('clip_v.mp4',  'mp42', CAST(600  AS BIGINT), CAST(2000 AS BIGINT), 1)
+      |) AS t(file_name, brand, timescale, duration_ms, n_tracks)
+      |ORDER BY file_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("multimodal_features", mediaFeatures, Some(mediaFeaturesOracle)),
     Q("multimodal_frames", frameSample, Some(frameSampleOracle)),
     Q("image_decode_features", imageDecodeFeatures, Some(imageDecodeOracle)),
     Q("image_resize_roundtrip", imageResizeRoundtrip, Some(imageResizeOracle)),
     Q("audio_decode_features", audioDecodeFeatures, Some(audioDecodeOracle)),
+    Q("video_probe_features", videoProbeFeatures, Some(videoProbeOracle)),
     Q("binary_ingest", binaryIngest, Some(binaryIngestOracle)))
 }

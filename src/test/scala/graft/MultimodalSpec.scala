@@ -60,6 +60,21 @@ class MultimodalSpec extends SparkSpec {
     assert((1 to 6).forall(bad.isNullAt))
   }
 
+  test("probeVideo: real BMFF box walk, non-container bytes isolate as NULLs") {
+    val mp4 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/video/clip_av.mp4"))
+    val rows = Multimodal.probeVideo(
+        Seq(("ok", mp4), ("bad", "mpeg? no".getBytes("UTF-8")))
+          .toDF("k", "bytes").repartition(2),
+        "k", "bytes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ok = rows("ok")
+    assert(ok.getString(1) == "isom" && ok.getLong(2) == 1000L)
+    assert(ok.getLong(3) == 2500L && ok.getInt(4) == 2)
+    val bad = rows("bad")
+    assert((1 to 4).forall(bad.isNullAt))
+  }
+
   test("decodeAudio: real WAV decode, corrupt bytes isolate as NULLs") {
     val wav = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/repo/fixtures/audio/stereo_8k.wav"))
