@@ -91,20 +91,23 @@ object Multimodal {
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (key, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+          val img = readImage(bytes)
           if (img == null) {
             org.apache.spark.sql.Row(key, null, null, null, null, null, null)
           } else {
             val w = img.getWidth
             val h = img.getHeight
+            // one bulk RGB fetch per row stripe — per-pixel getRGB pays a
+            // ColorModel conversion + bounds check per CALL, several times
+            // slower on the corpus-scale hot loop this kernel is
+            val row = new Array[Int](w)
             var r = 0L; var g = 0L; var b = 0L
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
               var x = 0
               while (x < w) {
-                val p = img.getRGB(x, y)
+                val p = row(x)
                 r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
                 x += 1
               }
@@ -119,6 +122,16 @@ object Multimodal {
         }
       }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /** Decoded image or null — NULL payloads and undecodable/corrupt bytes
+    * must isolate, never throw (the failure-isolation contract all the
+    * media kernels share).
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
 
   /** REAL audio decode: JDK javax.sound.sampled parses WAV/AIFF/AU
     * (PCM) executor-side at the same mapPartitions batch boundary as
@@ -143,34 +156,49 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (key, bytes) =>
           val in =
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.BufferedInputStream(
-                new java.io.ByteArrayInputStream(bytes)))
-            catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => null
-              case _: java.io.IOException => null
-            }
-          if (in == null) {
+            if (bytes == null) null
+            else
+              try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.BufferedInputStream(
+                  new java.io.ByteArrayInputStream(bytes)))
+              catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException => null
+                case _: java.io.IOException => null
+              }
+          val f = if (in == null) null else in.getFormat
+          // a header with no positive rate / frame size cannot be
+          // interpreted — isolate it like undecodable bytes
+          if (f == null || f.getSampleRate <= 0 || f.getFrameSize <= 0) {
+            if (in != null) in.close()
             org.apache.spark.sql.Row(key, null, null, null, null, null, null)
           } else {
-            val f = in.getFormat
             val pcm = in.readAllBytes(); in.close()
-            val little = !f.isBigEndian
-            var sum = 0L
-            var i = 0
-            while (i + 1 < pcm.length) {
-              val lo = pcm(i) & 0xFF; val hi = pcm(i + 1) & 0xFF
-              val v = (if (little) (hi << 8) | lo else (lo << 8) | hi).toShort
-              sum += math.abs(v.toLong)
-              i += 2
-            }
-            val nSamples = pcm.length / 2
-            val frames = nSamples.toLong / f.getChannels
+            // frame accounting from the FORMAT's frame size — never a
+            // hardcoded width (8/24/32-bit PCM frames are not 2 bytes)
+            val frames = pcm.length.toLong / f.getFrameSize
             val rate = f.getSampleRate.toInt
-            val mean =
-              if (nSamples == 0) 0.0
-              else BigDecimal(sum.toDouble / nSamples)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            // mean |amplitude| is defined for 16-bit integer PCM only;
+            // other widths report NULL rather than a garbage number
+            val sixteen =
+              f.getSampleSizeInBits == 16 &&
+                (f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            val mean: Any =
+              if (!sixteen) null
+              else {
+                val little = !f.isBigEndian
+                var sum = 0L
+                var i = 0
+                while (i + 1 < pcm.length) {
+                  val lo = pcm(i) & 0xFF; val hi = pcm(i + 1) & 0xFF
+                  val v = (if (little) (hi << 8) | lo else (lo << 8) | hi).toShort
+                  sum += math.abs(v.toLong)
+                  i += 2
+                }
+                val nSamples = pcm.length / 2
+                if (nSamples == 0) 0.0
+                else BigDecimal(sum.toDouble / nSamples)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              }
             org.apache.spark.sql.Row(key, rate, f.getChannels,
               f.getSampleSizeInBits, frames, frames * 1000L / rate, mean)
           }
@@ -212,40 +240,60 @@ object Multimodal {
 
   /** (brand, timescale, duration_ms, n_tracks) of ISO-BMFF bytes, or
     * None when the bytes aren't a box structure with ftyp + moov/mvhd.
+    * Handles both mvhd versions (v1 widens ctime/mtime/duration to 64
+    * bits) and the spec's irregular sizes: size==1 (64-bit largesize)
+    * and size==0 (box runs to the end of its container). A malformed
+    * TRAILING box does not discard the boxes already parsed — a valid
+    * ftyp+moov prefix stays probeable.
     */
-  private[ops] def probeBmff(bytes: Array[Byte]): Option[(String, Long, Long, Int)] = {
+  private[graft] def probeBmff(bytes: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    if (bytes == null) return None
     def u32(off: Int): Long =
-      if (off + 4 > bytes.length) -1L
+      if (off < 0 || off + 4 > bytes.length) -1L
       else ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
         ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long =
+      if (off < 0 || off + 8 > bytes.length) -1L
+      else (u32(off) << 32) | u32(off + 4)
     def tag(off: Int): String =
       if (off + 4 > bytes.length) ""
       else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // children of [from, until): Seq of (tag, payloadStart, payloadEnd)
+    // children of [from, until): Seq of (tag, payloadStart, payloadEnd);
+    // stops at the first irregularity but KEEPS what parsed before it
     def boxes(from: Int, until: Int): Seq[(String, Int, Int)] = {
       val out = Seq.newBuilder[(String, Int, Int)]
       var off = from
       var ok = true
       while (ok && off + 8 <= until) {
-        val size = u32(off)
-        if (size < 8 || off + size > until) ok = false
-        else {
-          out += ((tag(off + 4), off + 8, off + size.toInt))
-          off += size.toInt
+        u32(off) match {
+          case 0 => // box extends to the end of the container (last box)
+            out += ((tag(off + 4), off + 8, until)); off = until
+          case 1 => // 64-bit largesize follows the tag
+            val size = u64(off + 8)
+            if (size < 16 || off + size > until) ok = false
+            else { out += ((tag(off + 4), off + 16, off + size.toInt)); off += size.toInt }
+          case size =>
+            if (size < 8 || off + size > until) ok = false
+            else { out += ((tag(off + 4), off + 8, off + size.toInt)); off += size.toInt }
         }
       }
-      if (ok) out.result() else Seq.empty
+      out.result()
     }
     val top = boxes(0, bytes.length)
     for {
       ftyp <- top.find(_._1 == "ftyp")
+      if ftyp._3 - ftyp._2 >= 4 // brand needs 4 payload bytes
       moov <- top.find(_._1 == "moov")
       kids = boxes(moov._2, moov._3)
       mvhd <- kids.find(_._1 == "mvhd")
-      // mvhd v0: version/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
-      ts = u32(mvhd._2 + 12)
+      if mvhd._3 > mvhd._2 // need at least the version byte
+      v = bytes(mvhd._2) & 0xFF
+      // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+      // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+      ts = if (v == 1) u32(mvhd._2 + 20) else u32(mvhd._2 + 12)
       if ts > 0
-      dur = u32(mvhd._2 + 16)
+      dur = if (v == 1) u64(mvhd._2 + 24) else u32(mvhd._2 + 16)
+      if dur >= 0
     } yield (
       new String(bytes, ftyp._2, 4, java.nio.charset.StandardCharsets.US_ASCII),
       ts, dur * 1000L / ts, kids.count(_._1 == "trak"))
@@ -269,9 +317,7 @@ object Multimodal {
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (key, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+          val img = readImage(bytes)
           if (img == null) org.apache.spark.sql.Row(key, null)
           else {
             val dst = new java.awt.image.BufferedImage(

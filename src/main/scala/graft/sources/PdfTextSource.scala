@@ -28,9 +28,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object PdfTextSource {
 
-  /** All text lines of the document, in stream order. */
+  /** All text lines of the document, in stream order. Non-content
+    * streams (fonts, images, metadata — recognized by dict type or by
+    * failing to parse as text operators) contribute nothing; a stream
+    * that errors mid-parse is skipped, never fatal (the per-source
+    * failure-isolation contract).
+    */
   def extractLines(bytes: Array[Byte]): Vector[String] =
-    contentStreams(bytes).flatMap(textLines).toVector
+    contentStreams(bytes).flatMap { data =>
+      try textLines(data) catch { case _: RuntimeException => Seq.empty }
+    }.toVector
 
   /** One PDF → (line_no, line), the same shape as Ingest.textWithLineNo —
     * DetailNotes runs unchanged on it. Driver-side parse (one report is
@@ -72,14 +79,24 @@ object PdfTextSource {
 
   // ------------------------------------------------------------ streams
 
-  /** Decoded bytes of every stream object, in file order. The stream
-    * extent comes from the dict's direct /Length when present, else the
-    * next `endstream`; /FlateDecode bodies are inflated with JDK zlib.
+  /** Dict types whose streams are never page text: embedded fonts,
+    * images, metadata, compressed-object/xref containers.
+    */
+  private val NonContentMarkers = Seq(
+    "/FontFile", "/Subtype /Image", "/Subtype/Image",
+    "/Type /Metadata", "/Type/Metadata", "/Type /ObjStm", "/Type/ObjStm",
+    "/Type /XRef", "/Type/XRef")
+
+  /** Decoded bytes of every candidate content stream, in file order.
+    * The stream extent comes from the dict's direct /Length when
+    * present (`\d++` is possessive: an indirect `/Length 12 0 R` must
+    * NOT backtrack into matching the "1" — it falls through to the
+    * endstream scan); /FlateDecode bodies are inflated with JDK zlib.
     */
   private def contentStreams(bytes: Array[Byte]): Vector[Array[Byte]] = {
     val s = new String(bytes, ISO_8859_1)
     val out = Vector.newBuilder[Array[Byte]]
-    val lengthRe = """/Length\s+(\d+)(?!\s+0\s+R)""".r
+    val lengthRe = """/Length\s+(\d++)(?!\s+0\s+R)""".r
     var idx = 0
     var next = s.indexOf("stream", idx)
     while (next >= 0) {
@@ -97,8 +114,20 @@ object PdfTextSource {
           if (de > dataStart && s.charAt(de - 1) == '\r') de -= 1
           de
       }
-      val raw = bytes.slice(dataStart, dataEnd)
-      out += (if (dict.contains("/FlateDecode")) inflate(raw) else raw)
+      if (!NonContentMarkers.exists(dict.contains)) {
+        val raw = bytes.slice(dataStart, dataEnd)
+        // corrupt deflate data yields an empty stream, never an error
+        val data =
+          if (dict.contains("/FlateDecode"))
+            try inflate(raw)
+            catch { case _: java.util.zip.DataFormatException => Array.emptyByteArray }
+          else raw
+        // cheap content-stream gate: page text lives in BT..ET blocks;
+        // anything without both markers has no text to offer and is
+        // skipped rather than run through the tokenizer
+        val ds = new String(data, ISO_8859_1)
+        if (ds.contains("BT") && ds.contains("ET")) out += data
+      }
       val esIdx = s.indexOf("endstream", dataEnd)
       idx = if (esIdx >= 0) esIdx + "endstream".length else dataEnd
       next = s.indexOf("stream", idx)
@@ -223,15 +252,24 @@ object PdfTextSource {
     (out.toString, i)
   }
 
-  /** `<...>` hex string (whitespace-tolerant, odd digit padded with 0). */
+  /** `<...>` hex string (whitespace-tolerant, odd digit padded with 0).
+    * Non-hex bytes mean this is binary data that happened to parse as a
+    * string opener, not a PDF hex string — yield nothing rather than
+    * throw (the tokenizer must survive arbitrary bytes).
+    */
   private def hexString(s: String, start: Int): (String, Int) = {
     val hex = new StringBuilder
+    var valid = true
     var i = start + 1
     while (i < s.length && s.charAt(i) != '>') {
       val c = s.charAt(i)
-      if (!c.isWhitespace) hex += c
+      if (!c.isWhitespace) {
+        if (Character.digit(c, 16) >= 0) hex += c else valid = false
+      }
       i += 1
     }
+    val end = if (i < s.length) i + 1 else i
+    if (!valid) return ("", end)
     if (hex.length % 2 == 1) hex += '0'
     val out = new StringBuilder
     var j = 0
@@ -239,6 +277,6 @@ object PdfTextSource {
       out += Integer.parseInt(hex.substring(j, j + 2), 16).toChar
       j += 2
     }
-    (out.toString, if (i < s.length) i + 1 else i)
+    (out.toString, end)
   }
 }

@@ -75,6 +75,53 @@ class MultimodalSpec extends SparkSpec {
     assert((1 to 4).forall(bad.isNullAt))
   }
 
+  test("media kernels isolate NULL payloads (resize→decode chaining)") {
+    val nullRow = Seq(("k", null: Array[Byte])).toDF("k", "bytes")
+    assert((1 to 6).forall(
+      Multimodal.decodeImages(nullRow, "k", "bytes").first().isNullAt))
+    assert(Multimodal.resizeImages(nullRow, "k", "bytes", 4, 3).first().isNullAt(1))
+    assert((1 to 6).forall(
+      Multimodal.decodeAudio(nullRow, "k", "bytes").first().isNullAt))
+    assert((1 to 4).forall(
+      Multimodal.probeVideo(nullRow, "k", "bytes").first().isNullAt))
+    // the chain that produces NULLs in practice: resize of junk → decode
+    val junk = Seq(("k", "junk".getBytes("UTF-8"))).toDF("k", "bytes")
+    val chained = Multimodal.decodeImages(
+      Multimodal.resizeImages(junk, "k", "bytes", 4, 3), "media_key", "png")
+    assert((1 to 6).forall(chained.first().isNullAt))
+  }
+
+  test("probeBmff: mvhd version 1 and size-0/largesize boxes parse") {
+    import java.nio.ByteBuffer
+    def box(tag: String, payload: Array[Byte], sizeOverride: Option[Long] = None): Array[Byte] = {
+      sizeOverride match {
+        case Some(0L) => // to-end-of-container box
+          ByteBuffer.allocate(8 + payload.length)
+            .putInt(0).put(tag.getBytes("US-ASCII")).put(payload).array()
+        case Some(1L) => // largesize
+          ByteBuffer.allocate(16 + payload.length)
+            .putInt(1).put(tag.getBytes("US-ASCII"))
+            .putLong(16L + payload.length).put(payload).array()
+        case _ =>
+          ByteBuffer.allocate(8 + payload.length)
+            .putInt(8 + payload.length).put(tag.getBytes("US-ASCII"))
+            .put(payload).array()
+      }
+    }
+    // mvhd v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+    val mvhdV1 = ByteBuffer.allocate(32)
+      .put(1.toByte).put(Array[Byte](0, 0, 0))
+      .putLong(0L).putLong(0L).putInt(90000).putLong(270000L).array()
+    val moov = box("moov", box("mvhd", mvhdV1) ++ box("trak", Array[Byte]()))
+    val ftyp = box("ftyp", "isomxxxx".getBytes("US-ASCII"))
+    // moov written with largesize, trailing mdat with size 0 (to-EOF)
+    val full = ftyp ++ box("moov", box("mvhd", mvhdV1) ++ box("trak", Array[Byte]()),
+      Some(1L)) ++ box("mdat", Array[Byte](1, 2, 3), Some(0L))
+    assert(Multimodal.probeBmff(ftyp ++ moov)
+      .contains(("isom", 90000L, 3000L, 1)))
+    assert(Multimodal.probeBmff(full).contains(("isom", 90000L, 3000L, 1)))
+  }
+
   test("decodeAudio: real WAV decode, corrupt bytes isolate as NULLs") {
     val wav = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/repo/fixtures/audio/stereo_8k.wav"))

@@ -57,6 +57,38 @@ class PdfTextSpec extends SparkSpec {
       "Saldo kas (lihat catatan 5) adalah 1.234."))
   }
 
+  test("indirect /Length (N 0 R) falls through to the endstream scan") {
+    // rewrite the fixture's RAW stream dict to an indirect length ref —
+    // a backtracking /Length regex would truncate the stream to 1 byte
+    // and silently lose page 2's text
+    val s = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pdf)),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val rewritten = s.replaceFirst("""<< /Length \d+ >>""", "<< /Length 12 0 R >>")
+    assert(rewritten != s, "fixture should contain a raw-stream dict")
+    val lines = PdfTextSource.extractLines(
+      rewritten.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(lines == expectedLines)
+  }
+
+  test("binary streams and garbage hex runs never crash extraction") {
+    // a fake image XObject whose binary payload contains BT/ET and a
+    // non-hex '<' run — must contribute nothing and must not throw
+    val junkStream = ("9 0 obj\n<< /Subtype /Image /Length 16 >>\nstream\n"
+      + "BT <zz!!> Tj ET\n" + "\nendstream\nendobj\n")
+    val base = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pdf)),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doctored = (base + junkStream)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfTextSource.extractLines(doctored) == expectedLines)
+    // same bytes but WITHOUT the image marker: the garbage hex run
+    // yields an empty string instead of NumberFormatException
+    val doctored2 = (base + junkStream.replace("/Subtype /Image ", ""))
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfTextSource.extractLines(doctored2) == expectedLines)
+  }
+
   test("property: build→extract round-trips arbitrary ASCII lines") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // printable ASCII incl ( ) \ — the escape-sensitive characters
