@@ -115,7 +115,13 @@ object Aggregators {
     private def trim(b: List[(Double, Long)]) =
       b.sortBy { case (s, id) => (-s, id) }.take(k)
     override def zero: List[(Double, Long)] = Nil
-    override def reduce(b: List[(Double, Long)], a: (Double, Long)) = trim(a :: b)
+    // amortized O(log k)/row: let the buffer grow to 2k unsorted, then
+    // trim — a full sort per input row would make the hot per-row path
+    // O(k log k) for no behavioral difference (merge/finish re-trim)
+    override def reduce(b: List[(Double, Long)], a: (Double, Long)) = {
+      val nb = a :: b
+      if (nb.lengthCompare(2 * k) >= 0) trim(nb) else nb
+    }
     override def merge(x: List[(Double, Long)], y: List[(Double, Long)]) = trim(x ++ y)
     override def finish(b: List[(Double, Long)]): Seq[Long] = trim(b).map(_._2)
     override def bufferEncoder: Encoder[List[(Double, Long)]] =

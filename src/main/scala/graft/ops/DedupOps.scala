@@ -179,6 +179,15 @@ object DedupOps {
       require(s != null, "connectedComponents: label-sum overflowed decimal(38,0)")
       s
     }
+    // empty edge list (a corpus with no duplicate pairs): sum over zero
+    // rows is NULL — that is the legitimate empty-graph case, not an
+    // overflow; return the (empty) label frame without iterating
+    if (labels.isEmpty) {
+      edges.unpersist()
+      val out = labels.localCheckpoint()
+      labels.unpersist()
+      return out
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

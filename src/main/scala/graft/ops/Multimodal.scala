@@ -167,8 +167,10 @@ object Multimodal {
               }
           val f = if (in == null) null else in.getFormat
           // a header with no positive rate / frame size cannot be
-          // interpreted — isolate it like undecodable bytes
-          if (f == null || f.getSampleRate <= 0 || f.getFrameSize <= 0) {
+          // interpreted — isolate it like undecodable bytes. The rate
+          // gate is on the TRUNCATED int (a float rate in (0,1) would
+          // pass `> 0` yet divide by zero below)
+          if (f == null || f.getSampleRate.toInt <= 0 || f.getFrameSize <= 0) {
             if (in != null) in.close()
             org.apache.spark.sql.Row(key, null, null, null, null, null, null)
           } else {
@@ -338,9 +340,12 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, every: Int = 1): DataFrame = {
     val keep = df.columns.filterNot(_ == "media").map(col) // payload stays put
-    df.select(
-        keep :+ explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every)))
-          .as("frame_idx"): _*)
+    // n_frames <= 0 (legal under mediaSchema) contributes zero rows:
+    // sequence(0, -1, +1) would throw, so gate it — explode of NULL
+    // drops the row, which is the correct zero-frame semantics
+    val frames = when(col("meta.n_frames") >= 1,
+      sequence(lit(0), col("meta.n_frames") - 1, lit(every)))
+    df.select(keep :+ explode(frames).as("frame_idx"): _*)
       .withColumn("frame_key",
         md5(concat(col("media_id").cast("string"), lit("#"),
           col("frame_idx").cast("string"))))
@@ -356,9 +361,11 @@ object Multimodal {
     val out = df.select(col("media_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // batch-at-a-time boundary: a real codec would init once here
+        // batch-at-a-time boundary: a real codec would init once here;
+        // NULL payloads isolate like empty ones (never an executor NPE)
         batch.map { case (id, bytes) =>
-          (id, bytes.length.toLong, if (bytes.nonEmpty) bytes(0).toInt else -1)
+          if (bytes == null || bytes.isEmpty) (id, 0L, -1)
+          else (id, bytes.length.toLong, bytes(0).toInt)
         }
       }
     out.toDF("media_id", "n_bytes", "head_byte")

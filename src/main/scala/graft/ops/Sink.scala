@@ -74,9 +74,15 @@ object Sink {
       srcPath: String, dstPath: String, targetBytes: Long): Int = {
     val src = new org.apache.hadoop.fs.Path(srcPath)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(src).filter(_.isFile)
-      .filter(f => f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // RECURSIVE listing: a hive-partitioned layout keeps its data files
+    // in key=value subdirectories — a flat listStatus would see zero
+    // bytes and collapse the whole dataset into one file
+    val it = fs.listFiles(src, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(srcPath).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(dstPath)

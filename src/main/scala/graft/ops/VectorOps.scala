@@ -24,11 +24,19 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     graft.plans.VectorExpressions.vecCosine(a, b)
 
-  def dotHof(a: Column, b: Column): Column =
+  def dotHof(a: Column, b: Column): Column = {
+    // slice to the common prefix first: zip_with PADS the shorter array
+    // with nulls, which would turn a ragged pair into a NULL dot product
+    // where the native kernel returns the min(n)-element sum — the two
+    // forms must agree on every input for the cross-check to mean
+    // anything
+    val n = least(size(a), size(b))
     aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
+        (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

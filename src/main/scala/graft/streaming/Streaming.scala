@@ -84,7 +84,14 @@ object Streaming {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                  cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+                  // max/min, not assignment: a CROSS-batch late event
+                  // (e.ts_us < s.last_us from an earlier batch) must not
+                  // rewind the session clock — that would spuriously
+                  // gap-close against the rewound time and regress end_us
+                  cur = Some(s.copy(
+                    start_us = math.min(s.start_us, e.ts_us),
+                    last_us = math.max(s.last_us, e.ts_us),
+                    n = s.n + 1))
                 case Some(s) =>
                   closed += SessionOut(userId, s.start_us, s.last_us, s.n, "gap")
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1))
@@ -192,13 +199,25 @@ object Streaming {
           case None => latest
           case Some(v) =>
             val state = spark.read.parquet(s"$stateDir/$v")
+            // max-ts-wins for real: a late-arriving batch whose maximum
+            // ts is OLDER than the stored state must not regress it —
+            // compare batch vs state, don't blindly prefer the batch
+            // (tie-break on event_id, same order as byKey above)
+            val takeBatch = col("s.user_id").isNull ||
+              (col("b.user_id").isNotNull &&
+                (col("b.last_ts") > col("s.last_ts") ||
+                  (col("b.last_ts") === col("s.last_ts") &&
+                    col("b.last_event_id") >= col("s.last_event_id"))))
             state.as("s").join(latest.as("b"),
                 col("s.user_id") === col("b.user_id"), "full_outer")
               .select(
                 coalesce(col("b.user_id"), col("s.user_id")).as("user_id"),
-                coalesce(col("b.last_event_id"), col("s.last_event_id")).as("last_event_id"),
-                coalesce(col("b.last_type"), col("s.last_type")).as("last_type"),
-                coalesce(col("b.last_ts"), col("s.last_ts")).as("last_ts"))
+                when(takeBatch, col("b.last_event_id"))
+                  .otherwise(col("s.last_event_id")).as("last_event_id"),
+                when(takeBatch, col("b.last_type"))
+                  .otherwise(col("s.last_type")).as("last_type"),
+                when(takeBatch, col("b.last_ts"))
+                  .otherwise(col("s.last_ts")).as("last_ts"))
         }
         merged.write.mode("overwrite").parquet(s"$stateDir/v$epoch")
         java.nio.file.Files.writeString(
@@ -207,7 +226,21 @@ object Streaming {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
-    events.sparkSession.read.parquet(s"$stateDir/${currentPath.get}")
+    // zero batches processed (empty source, nothing new) → no pointer
+    // file was ever written; hand back an empty state frame, not a .get
+    currentPath match {
+      case Some(v) => events.sparkSession.read.parquet(s"$stateDir/$v")
+      case None =>
+        val sch = events.schema
+        val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+          sch("user_id"),
+          sch("event_id").copy(name = "last_event_id"),
+          sch("event_type").copy(name = "last_type"),
+          sch("ts").copy(name = "last_ts")))
+        events.sparkSession.createDataFrame(
+          events.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          stateSchema)
+    }
   }
 
   /** Memory-sink runner for tests/demos: drains all available input,

@@ -158,6 +158,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(two == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: empty edge list yields an empty label frame") {
+    // a corpus with no duplicate pairs is routine, not an error — the
+    // NULL sum over zero rows must not fire the overflow guard
+    val out = DedupOps.connectedComponents(
+      DedupOps.symmetrize(Seq.empty[(Long, Long)].toDF("src", "dst")))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "label"))
+  }
+
   test("connectedComponents refuses to emit unconverged labels") {
     val chain = (0 until 10).map(i => (i.toLong, (i + 1).toLong))
     intercept[IllegalArgumentException] {

@@ -75,6 +75,18 @@ class MultimodalSpec extends SparkSpec {
     assert((1 to 4).forall(bad.isNullAt))
   }
 
+  test("sampleFrames: n_frames = 0 contributes zero rows, not a crash") {
+    val m = Seq((1L, Array[Byte](1), "x", 10, 10, 0),
+        (2L, Array[Byte](2), "x", 10, 10, 2))
+      .toDF("media_id", "media", "fmt", "w", "h", "nf")
+      .select($"media_id", $"media",
+        struct($"fmt".as("format"), $"w".as("width"),
+          $"h".as("height"), $"nf".as("n_frames")).as("meta"))
+    val frames = Multimodal.sampleFrames(m)
+      .select($"media_id").as[Long].collect().toSeq.sorted
+    assert(frames == Seq(2L, 2L)) // two frames for id 2, none for id 1
+  }
+
   test("media kernels isolate NULL payloads (resize→decode chaining)") {
     val nullRow = Seq(("k", null: Array[Byte])).toDF("k", "bytes")
     assert((1 to 6).forall(

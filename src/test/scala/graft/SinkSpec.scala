@@ -75,6 +75,18 @@ class SinkSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp/out/day=2024-01-01").exists())
   }
 
+  test("compactParquet sizes a hive-partitioned source recursively") {
+    val tmp = Files.createTempDirectory("graft_compact_part").toString
+    (1 to 500).map(i => (i.toLong, s"d${i % 4}"))
+      .toDF("id", "day").repartition(4)
+      .write.partitionBy("day").parquet(s"$tmp/src")
+    // flat listing would see 0 bytes (files live under day=*/) and
+    // silently coalesce everything to one file regardless of target
+    val n = Sink.compactParquet(spark, s"$tmp/src", s"$tmp/dst", 1L)
+    assert(n > 1, "recursive listing must see the partitioned data files")
+    assert(spark.read.parquet(s"$tmp/dst").count() == 500)
+  }
+
   test("compactParquet rewrites many small files into the computed count") {
     val tmp = Files.createTempDirectory("graft_compact").toString
     // 16 tiny files

@@ -80,6 +80,29 @@ class StreamingSpec extends SparkSpec {
     val s2 = Streaming.foreachBatchUpsert(Streaming.readEventsStream(spark, in), state)
     assert(s2.select($"user_id", $"last_type").as[(Long, String)].collect().toSet
       == Set((7L, "purchase"), (8L, "view"), (9L, "signup")))
+
+    // run 3: a LATE batch — user 7's event is older than the stored
+    // state; max-ts-wins means the state must NOT regress to it
+    Seq(ev(6, "2024-01-01 09:00:00", 7, "late_view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    val s3 = Streaming.foreachBatchUpsert(Streaming.readEventsStream(spark, in), state)
+    assert(s3.select($"user_id", $"last_type").as[(Long, String)].collect().toSet
+      == Set((7L, "purchase"), (8L, "view"), (9L, "signup")))
+
+    // run 4: nothing new — zero batches, state read must not throw
+    val s4 = Streaming.foreachBatchUpsert(Streaming.readEventsStream(spark, in), state)
+    assert(s4.count() == 3)
+  }
+
+  test("foreachBatchUpsert over an empty source returns an empty state frame") {
+    val tmp = Files.createTempDirectory("graft_upsert_empty").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    val out = Streaming.foreachBatchUpsert(
+      Streaming.readEventsStream(spark, s"$tmp/in"), s"$tmp/state")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq
+      == Seq("user_id", "last_event_id", "last_type", "last_ts"))
   }
 
   test("intervalJoin: stream-stream attribution join matches batch") {

@@ -43,6 +43,14 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ragged arrays: HOF dot matches the native min(n) semantics") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val (native, hof) = df.select(
+        VectorOps.dot($"a", $"b"), VectorOps.dotHof($"a", $"b"))
+      .as[(Double, Double)].first()
+    assert(native == 5.0 && hof == 5.0) // 1*1 + 2*2 over the common prefix
+  }
+
   test("signBucket partitions by leading-dim signs") {
     val r = Seq(
       (Array(1f, 1f, -1f, 1f), 0),
