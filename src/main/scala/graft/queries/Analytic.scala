@@ -42,8 +42,7 @@ import graft.ops.Tables
   */
 object Analytic {
 
-  private def centsCol = expr(
-    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+  private def centsCol = graft.ops.Exact.cents("o_totalprice")
 
   // -------------------------------------------------- rolling 7d revenue
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.Tables
+import graft.ops.{Exact, Tables}
 
 /** Behavioral / temporal warehouse analytics the reference's downstream
   * consumers run on event and order history: funnel conversion, cohort
@@ -185,7 +185,7 @@ object Behavioral {
       .select(explode(sequence(lit(mm.getDate(0)), lit(mm.getDate(1)))).as("day"))
     val daily = orders
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+      .agg(sum(Exact.cents("o_totalprice")).as("cents"))
     val byDay = Window.orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     days.join(daily, Seq("day"), "left")
@@ -229,7 +229,7 @@ object Behavioral {
   private def anomalyOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
-      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("cents", Exact.cents("o_totalprice"))
     val stats = o.groupBy($"o_custkey".as("ck"))
       .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
         sum(expr("CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))")).as("ss"))
@@ -270,7 +270,7 @@ object Behavioral {
   private def priceHistogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir)
-      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("cents", Exact.cents("o_totalprice"))
       .withColumn("bucket", least(expr("cents div 3000000"), lit(19L)))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"),

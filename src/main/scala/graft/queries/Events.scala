@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.Tables
+import graft.ops.{Exact, Tables}
 
 /** Event-stream analytics over the `events` table (batch semantics —
   * the reference defines no streaming, SURVEY.md §2.11; the same
@@ -30,31 +30,25 @@ object Events {
     // Integer micro-units make every step order-independent and
     // tie-rule-free until the final exact small-decimal → double cast.
     Tables.events(s, dir)
-      .withColumn("v_micro", expr("CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
+      .withColumn("v_micro", Exact.micro("value"))
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(
         count(lit(1)).as("n"),
         sum($"v_micro").as("s_micro"))
       .select($"w.start".as("hour_start"), $"event_type", $"n",
-        expr("""CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) div 100
-               |     ELSE -((-s_micro + 50) div 100) END AS DOUBLE) / 10000""".stripMargin)
-          .as("sum_value"),
-        expr("""CAST(CASE WHEN s_micro >= 0 THEN (2 * s_micro + n * 100) div (200 * n)
-               |     ELSE -((2 * (-s_micro) + n * 100) div (200 * n)) END AS DOUBLE) / 10000""".stripMargin)
-          .as("avg_value"))
+        Exact.microSumTo4dp("s_micro").as("sum_value"),
+        Exact.microAvgTo4dp("s_micro", "n").as("avg_value"))
       .orderBy($"hour_start", $"event_type")
   }
 
   private val tumblingOracle =
-    """SELECT hour_start, event_type, n,
-      |  CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) // 100
-      |       ELSE -((-s_micro + 50) // 100) END AS DOUBLE) / 10000 AS sum_value,
-      |  CAST(CASE WHEN s_micro >= 0 THEN (2 * s_micro + n * 100) // (200 * n)
-      |       ELSE -((2 * (-s_micro) + n * 100) // (200 * n)) END AS DOUBLE) / 10000 AS avg_value
+    s"""SELECT hour_start, event_type, n,
+      |  ${Exact.microSumTo4dpSql("s_micro", Exact.DuckDiv)} AS sum_value,
+      |  ${Exact.microAvgTo4dpSql("s_micro", "n", Exact.DuckDiv)} AS avg_value
       |FROM (
       |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |    count(*) AS n,
-      |    CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s_micro
+      |    CAST(sum(${Exact.microSql("value")}) AS BIGINT) AS s_micro
       |  FROM events
       |  GROUP BY hour_start, event_type)
       |ORDER BY hour_start, event_type""".stripMargin
@@ -177,20 +171,18 @@ object Events {
     // micro-unit integer sum (see tumblingHourly — round(double) is not
     // engine-portable; exact BIGINT accounting is)
     Tables.events(s, dir)
-      .withColumn("v_micro", expr("CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
+      .withColumn("v_micro", Exact.micro("value"))
       .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
       .agg(count(lit(1)).as("n_events"),
         sum($"v_micro").as("s_micro"))
       .select($"user_id", $"w.start".as("session_start"),
         $"w.end".as("session_end"), $"n_events",
-        expr("""CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) div 100
-               |     ELSE -((-s_micro + 50) div 100) END AS DOUBLE) / 10000""".stripMargin)
-          .as("sum_value"))
+        Exact.microSumTo4dp("s_micro").as("sum_value"))
       .orderBy($"user_id", $"session_start")
   }
 
   private val sessionWindowOracle =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT user_id, ts, value,
       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
       |  FROM events),
@@ -209,12 +201,11 @@ object Events {
       |  min_ts AS session_start,
       |  max_ts + INTERVAL 30 MINUTE AS session_end,
       |  n_events,
-      |  CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) // 100
-      |       ELSE -((-s_micro + 50) // 100) END AS DOUBLE) / 10000 AS sum_value
+      |  ${Exact.microSumTo4dpSql("s_micro", Exact.DuckDiv)} AS sum_value
       |FROM (
       |  SELECT user_id, session_no, min(ts) AS min_ts, max(ts) AS max_ts,
       |    count(*) AS n_events,
-      |    CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s_micro
+      |    CAST(sum(${Exact.microSql("value")}) AS BIGINT) AS s_micro
       |  FROM sess GROUP BY user_id, session_no)
       |ORDER BY user_id, session_start""".stripMargin
 
@@ -257,23 +248,20 @@ object Events {
   private def slidingHourly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .withColumn("v_micro", expr("CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)"))
+      .withColumn("v_micro", Exact.micro("value"))
       .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), sum($"v_micro").as("s_micro"))
       .select($"w.start".as("window_start"), $"event_type", $"n",
-        expr("""CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) div 100
-               |     ELSE -((-s_micro + 50) div 100) END AS DOUBLE) / 10000""".stripMargin)
-          .as("sum_value"))
+        Exact.microSumTo4dp("s_micro").as("sum_value"))
       .orderBy($"window_start", $"event_type")
   }
 
   private val slidingOracle =
-    """SELECT window_start, event_type, n,
-      |  CAST(CASE WHEN s_micro >= 0 THEN (s_micro + 50) // 100
-      |       ELSE -((-s_micro + 50) // 100) END AS DOUBLE) / 10000 AS sum_value
+    s"""SELECT window_start, event_type, n,
+      |  ${Exact.microSumTo4dpSql("s_micro", Exact.DuckDiv)} AS sum_value
       |FROM (
       |  SELECT window_start, event_type, count(*) AS n,
-      |    CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s_micro
+      |    CAST(sum(${Exact.microSql("value")}) AS BIGINT) AS s_micro
       |  FROM (
       |    SELECT event_type, value,
       |      make_timestamp(epoch_us(ts) // 900000000 * 900000000

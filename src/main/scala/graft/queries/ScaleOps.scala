@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Skew, Tables}
+import graft.ops.{Exact, Skew, Tables}
 
 /** Scale-mechanism queries: the techniques that keep 100 TB plans healthy
   * — skew salting and bucket pruning — proven SEMANTICS-PRESERVING by
@@ -60,7 +60,11 @@ object ScaleOps {
     */
   private def bucketPrunedOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val table = s"orders_bucketed_${math.abs(dir.hashCode)}"
+    // table name derives from the SANITIZED path, not its hashCode —
+    // hashCode collisions (or Int.MinValue's negative abs) would
+    // silently serve one dataset's bucketed table for another's query
+    val table = "orders_bucketed_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("_+", "_").stripPrefix("_")
     if (!s.catalog.tableExists(table)) {
       Tables.orders(s, dir).write
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -99,7 +103,7 @@ object ScaleOps {
     Tables.orders(s, dir)
       .filter(graft.ops.BloomOps.mightContain($"o_custkey", words))
       .join(broadcast(dim), $"o_custkey" === $"c_custkey")
-      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("cents", Exact.cents("o_totalprice"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         (sum($"cents").cast("double") / 100).as("spend"))
@@ -127,7 +131,7 @@ object ScaleOps {
     val top3 = udaf(new graft.ops.Aggregators.TopKByScore(3))
     Tables.orders(s, dir)
       .select($"o_orderpriority",
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        Exact.cents("o_totalprice").as("cents"),
         $"o_orderkey")
       .groupBy($"o_orderpriority")
       .agg(top3($"cents".cast("double"), $"o_orderkey").as("top"))
@@ -161,7 +165,7 @@ object ScaleOps {
     */
   private def mvIncrementalRefresh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val cents = Exact.cents("o_totalprice")
     def partials(df: DataFrame): DataFrame =
       df.select($"o_orderpriority".as("prio"), cents.as("cents"))
         .groupBy($"prio")

@@ -115,24 +115,14 @@ object SimilarityQueries {
       (array_position(scores, array_max(scores)) - 1).cast("int")
     }
     // the query vector IS centroid QueryVecId (< NumCells), so one
-    // collect serves both; probe scoring runs driver-side with the SAME
-    // loop CosineSimilarity.nullSafeEval executes (identical operation
-    // order → bit-identical IEEE doubles), avoiding two extra Spark jobs
+    // collect serves both; probe scoring runs driver-side with cosF32 —
+    // the SAME loop CosineSimilarity.nullSafeEval executes (identical
+    // operation order → bit-identical IEEE doubles), avoiding two extra
+    // Spark jobs
     require(QueryVecId < NumCells, "query vector must be among the centroids")
     val qVec = cents(QueryVecId)._2
-    def cosScala(x: Array[Float], y: Array[Float]): Double = {
-      val n = math.min(x.length, y.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val xv = x(i).toDouble; val yv = y(i).toDouble
-        dot += xv * yv; na += xv * xv; nb += yv * yv
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val probe = cents
-      .map { case (cid, c) => (cid, cosScala(qVec, c)) }
+      .map { case (cid, c) => (cid, cosF32(qVec, c)) }
       .sortBy { case (cid, sc) => (-sc, cid) }
       .take(NProbe).map(_._1).toSeq
     Tables.fanOut(Tables.embeddings(s, dir))

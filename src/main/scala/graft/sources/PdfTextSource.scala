@@ -96,7 +96,12 @@ object PdfTextSource {
   private def contentStreams(bytes: Array[Byte]): Vector[Array[Byte]] = {
     val s = new String(bytes, ISO_8859_1)
     val out = Vector.newBuilder[Array[Byte]]
-    val lengthRe = """/Length\s+(\d++)(?!\s+0\s+R)""".r
+    // the lookahead excludes indirect refs with ANY generation number
+    // (`/Length 12 1 R` is legal, not just gen 0); `\d++` is possessive
+    // so the ref case cannot backtrack into a partial digit match; the
+    // value parses as Long (a hostile 11-digit length must fall through
+    // to the endstream scan, not throw)
+    val lengthRe = """/Length\s+(\d++)(?!\s+\d+\s+R)""".r
     var idx = 0
     var next = s.indexOf("stream", idx)
     while (next >= 0) {
@@ -105,8 +110,11 @@ object PdfTextSource {
       var dataStart = next + "stream".length
       if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
       if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-      val dataEnd = lengthRe.findFirstMatchIn(dict).map(_.group(1).toInt) match {
-        case Some(len) if dataStart + len <= s.length => dataStart + len
+      val declaredLen = lengthRe.findFirstMatchIn(dict)
+        .flatMap(m => m.group(1).toLongOption)
+      val dataEnd = declaredLen match {
+        case Some(len) if len <= Int.MaxValue && dataStart + len <= s.length =>
+          dataStart + len.toInt
         case _ =>
           val e = s.indexOf("endstream", dataStart)
           var de = if (e < 0) s.length else e
@@ -135,6 +143,11 @@ object PdfTextSource {
     out.result()
   }
 
+  /** Inflated output is capped: a crafted high-ratio deflate stream (zip
+    * bomb) must bound at the cap and yield nothing, not OOM an executor.
+    */
+  private val MaxInflatedBytes = 256 * 1024 * 1024
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
@@ -143,7 +156,10 @@ object PdfTextSource {
     var going = true
     while (going && !inf.finished()) {
       val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n) else going = false
+      if (n > 0) {
+        out.write(buf, 0, n)
+        if (out.size() > MaxInflatedBytes) { inf.end(); return Array.emptyByteArray }
+      } else going = false
     }
     inf.end()
     out.toByteArray

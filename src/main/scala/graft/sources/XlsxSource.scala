@@ -159,15 +159,27 @@ object XlsxSource {
     }(Encoders.row(schema))
   }
 
-  /** pandas-style header mangling: "" → `Unnamed: i`; duplicates → `.k`. */
-  private def mangle(hdr: Vector[String]): Vector[String] = {
-    val seen = mutable.Map.empty[String, Int]
+  /** pandas-style header mangling: "" → `Unnamed: i`; duplicates → `.k`,
+    * CASCADING past literal collisions the way pandas does — a header
+    * ["x", "x.1", "x"] must yield ["x", "x.1", "x.2"], never a second
+    * "x.1" (duplicate StructType fields make every by-name access an
+    * ambiguous-reference error downstream).
+    */
+  private[graft] def mangle(hdr: Vector[String]): Vector[String] = {
+    val used = mutable.Set.empty[String]
+    val nextK = mutable.Map.empty[String, Int]
     hdr.zipWithIndex.map { case (raw, i) =>
       val base = if (raw.trim.isEmpty) s"Unnamed: $i" else raw
-      seen.get(base) match {
-        case None => seen(base) = 0; base
-        case Some(k) => seen(base) = k + 1; s"$base.${k + 1}"
-      }
+      val name =
+        if (!used.contains(base)) base
+        else {
+          var k = nextK.getOrElse(base, 0) + 1
+          while (used.contains(s"$base.$k")) k += 1
+          nextK(base) = k
+          s"$base.$k"
+        }
+      used += name
+      name
     }
   }
 

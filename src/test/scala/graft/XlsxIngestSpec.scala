@@ -103,6 +103,17 @@ class XlsxIngestSpec extends SparkSpec {
     many.unpersist()
   }
 
+  test("mangle cascades past literal collisions like pandas") {
+    // ["x", "x.1", "x"] must NOT produce a second "x.1" (duplicate
+    // StructType fields make every by-name access ambiguous)
+    assert(XlsxSource.mangle(Vector("x", "x.1", "x"))
+      == Vector("x", "x.1", "x.2"))
+    assert(XlsxSource.mangle(Vector("a", "a", "a"))
+      == Vector("a", "a.1", "a.2"))
+    assert(XlsxSource.mangle(Vector("", "b", ""))
+      == Vector("Unnamed: 0", "b", "Unnamed: 2"))
+  }
+
   test("readMany: headerless mode emits positional columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_raw")
     java.nio.file.Files.copy(java.nio.file.Paths.get(wb), dir.resolve("a.xlsx"))
