@@ -171,7 +171,46 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Unicode NFC canonicalization (graft.plans.UnicodeNormalize — a
+    * codegen'd native expression; Spark ships no normalizer and a UDF
+    * would break whole-stage codegen on this corpus-wide pass).
+    * Visually identical text with decomposed codepoints defeats exact
+    * dedup fingerprints and token statistics; canonicalize-first is the
+    * fix. The synthetic corpus is ASCII, so decomposed sequences are
+    * PLANTED deterministically (doc_id % 3) and the char counts must
+    * shrink under NFC; DuckDB's nfc_normalize is the oracle mirror.
+    */
+  private def nfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.TextNormExpressions.unicodeNormalize
+    // the appended literal is byte-level DECOMPOSED (e + U+0301,
+    // c + U+0327): the whole point is that NFC composes it; a
+    // precomposed literal would test nothing
+    val planted = when(pmod($"doc_id", lit(3)) === 0,
+        concat($"text", lit(" Café français")))
+      .otherwise($"text")
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", planted.as("t"))
+      .select($"doc_id",
+        length($"t").as("n_chars_raw"),
+        length(unicodeNormalize($"t")).as("n_chars_nfc"),
+        md5(unicodeNormalize($"t")).as("digest"))
+      .orderBy($"doc_id")
+  }
+
+  private val nfcOracle =
+    """SELECT doc_id,
+      |  CAST(length(t) AS INTEGER) AS n_chars_raw,
+      |  CAST(length(nfc_normalize(t)) AS INTEGER) AS n_chars_nfc,
+      |  md5(nfc_normalize(t)) AS digest
+      |FROM (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |        THEN text || ' Cafe' || chr(769) || ' franc' || chr(807) || 'ais'
+      |        ELSE text END AS t
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("text_nfc_normalize", nfcNormalize, Some(nfcOracle)),
     Q("text_stats", textStats, Some(textStatsOracle)),
     Q("lang_id", langIdQuery, Some(langIdOracle)),
     Q("token_budget", tokenBudget, Some(tokenBudgetOracle)),
