@@ -62,5 +62,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, s"shingle_hash_set expects 2 arguments, got ${exprs.length}")
         ShingleHashSet(exprs(0), litInt(exprs(1), "shingle_hash_set"), sorted = true)
       }))
+    e.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(text[, form]) - Unicode normalization (NFC default; NFKC/NFD/NFKD)"),
+      { exprs =>
+        require(exprs.length == 1 || exprs.length == 2,
+          s"unicode_normalize expects 1-2 arguments, got ${exprs.length}")
+        val form = if (exprs.length == 1) "NFC" else exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize expects a literal form name, got $other")
+        }
+        UnicodeNormalize(exprs(0), form)
+      }))
   }
 }

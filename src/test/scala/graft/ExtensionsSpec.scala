@@ -42,6 +42,17 @@ class ExtensionsSpec extends SparkSpec {
       assert(t.getSeq[Long](1) == expect.getSeq[Long](1))
       assert(t.getSeq[Long](2) == expect.getSeq[Long](2))
       assert(t.getInt(3) == 2)
+      // unicode_normalize: 1-arg NFC default + explicit form (inputs
+      // built from codepoints so the source stays ASCII: e+U+0301
+      // composes, the U+FB01 ligature folds to "fi" under NFKC)
+      val u = s.sql(
+        // Spark's chr() wraps at 256, so multibyte codepoints come in
+        // as UTF-8 bytes: CC81 = U+0301, EFAC81 = U+FB01
+        """SELECT unicode_normalize('Cafe' || decode(unhex('CC81'), 'UTF-8')) AS nfc,
+          |       unicode_normalize(decode(unhex('EFAC81'), 'UTF-8') || 'sh', 'NFKC') AS nfkc
+          |""".stripMargin).collect()(0)
+      assert(u.getString(0) == "Caf\u00e9")
+      assert(u.getString(1) == "fish")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
