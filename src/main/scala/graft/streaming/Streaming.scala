@@ -64,6 +64,37 @@ object Streaming {
     * mapGroupsWithState form of the batch `events_sessionize` query —
     * state per key is O(1), so it scales to any number of users.
     */
+  /** One batch's worth of session-state transition for one user — the
+    * pure core of [[sessionize]], extracted so cross-batch behavior
+    * (late events arriving after state was committed) is directly unit-
+    * testable without driving a streaming runtime.
+    */
+  private[graft] def advanceSession(userId: Long, batch: Seq[SessionEvent],
+      prior: Option[SessionState], gapUs: Long)
+      : (Option[SessionState], List[SessionOut]) = {
+    var cur = prior
+    val closed = List.newBuilder[SessionOut]
+    batch.sortBy(_.ts_us).foreach { e =>
+      cur match {
+        case Some(s) if e.ts_us - s.last_us <= gapUs =>
+          // max/min, not assignment: a CROSS-batch late event
+          // (e.ts_us < s.last_us from an earlier batch) must not
+          // rewind the session clock — that would spuriously
+          // gap-close against the rewound time and regress end_us
+          cur = Some(s.copy(
+            start_us = math.min(s.start_us, e.ts_us),
+            last_us = math.max(s.last_us, e.ts_us),
+            n = s.n + 1))
+        case Some(s) =>
+          closed += SessionOut(userId, s.start_us, s.last_us, s.n, "gap")
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+      }
+    }
+    (cur, closed.result())
+  }
+
   def sessionize(events: Dataset[SessionEvent], gapUs: Long,
       timeoutMs: Long = 60000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -78,30 +109,11 @@ object Streaming {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts_us)
-            var cur = state.getOption
-            val closed = List.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                  // max/min, not assignment: a CROSS-batch late event
-                  // (e.ts_us < s.last_us from an earlier batch) must not
-                  // rewind the session clock — that would spuriously
-                  // gap-close against the rewound time and regress end_us
-                  cur = Some(s.copy(
-                    start_us = math.min(s.start_us, e.ts_us),
-                    last_us = math.max(s.last_us, e.ts_us),
-                    n = s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(userId, s.start_us, s.last_us, s.n, "gap")
-                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-              }
-            }
+            val (cur, closed) =
+              advanceSession(userId, rows.toSeq, state.getOption, gapUs)
             cur.foreach(state.update)
             state.setTimeoutDuration(timeoutMs)
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

@@ -205,4 +205,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(
       SessionOut(1L, 0L, 10 * 60 * 1000000L, 2L, "gap")))
   }
+
+  test("sessionize: a cross-batch late event must not rewind the clock") {
+    // drives the extracted per-group transition directly — the state
+    // handoff IS the cross-batch boundary (an end-to-end AvailableNow
+    // run would work but ProcessingTimeTimeout makes it spin until
+    // every timer fires: documented Spark behavior, minutes of wall
+    // clock for nothing this test needs)
+    import Streaming.{SessionEvent, SessionState}
+    val (s1, c1) = Streaming.advanceSession(
+      1L, Seq(SessionEvent(1L, 100L)), None, gapUs = 80)
+    assert(c1.isEmpty && s1.contains(SessionState(100L, 100L, 1L)))
+    // batch 2: a LATE event (50, within gap of state last=100) plus a
+    // fresh one (160). A rewound clock would see 160-50=110 > 80 and
+    // spuriously close the session; the max()-clock sees 160-100=60
+    val (s2, c2) = Streaming.advanceSession(
+      1L, Seq(SessionEvent(1L, 50L), SessionEvent(1L, 160L)), s1, gapUs = 80)
+    assert(c2.isEmpty, s"late in-gap event split a live session: $c2")
+    assert(s2.contains(SessionState(50L, 160L, 3L)))
+    // and a genuinely-too-late event still opens a fresh session
+    val (s3, c3) = Streaming.advanceSession(
+      1L, Seq(SessionEvent(1L, 300L)), s2, gapUs = 80)
+    assert(c3.map(_.closed_by) == List("gap"))
+    assert(s3.contains(SessionState(300L, 300L, 1L)))
+  }
 }
