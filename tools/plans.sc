@@ -33,7 +33,8 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "bm25_rank","merge_upsert_orders","unpivot_revenue",
               "median_mode_by_priority","heavy_hitters_events",
               "weighted_sample_docs","mv_incremental_refresh","topk_agg_per_priority",
-              "a_financial_union","ann_ivf_recall","decontaminate_overlap")) {
+              "a_financial_union","ann_ivf_recall","decontaminate_overlap",
+              "text_nfc_normalize")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
