@@ -52,20 +52,33 @@ object Bench {
     */
   def compactLine(results: Seq[(String, Double)], failed: Seq[String],
       suspect: Seq[String], sfDir: String): String = {
-    def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // the headline total is over SUCCEEDED queries only: a failed
+    // query's fallback number is its crash duration, and a fast crash
+    // would otherwise read as a round-over-round speedup
+    val failedSet = failed.toSet
+    val total = results.collect { case (k, v) if !failedSet(k) => v }.sum
     val slowestBudget = 600 // chars for the partial "queries" map
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
+    var open = true
+    // entries arrive sorted descending; STOP at the first that doesn't
+    // fit — skipping it but keeping later (faster) ones would misstate
+    // which queries are the slowest
     results.sortBy(-_._2).foreach { case (k, v) =>
-      val ent = String.format(java.util.Locale.ROOT, "\"%s\":%.2f", k, Double.box(v))
-      if (used + ent.length + 1 <= slowestBudget) { kept += ent; used += ent.length + 1 }
+      val ent = String.format(java.util.Locale.ROOT, "%s:%.2f",
+        Json.str(k), Double.box(v))
+      if (open && used + ent.length + 1 <= slowestBudget) {
+        kept += ent; used += ent.length + 1
+      } else open = false
     }
     val qs = kept.mkString("{", ",", "}")
     val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
+    // failed/suspect are CAPPED name lists (counts carried alongside):
+    // a mass failure must not blow the driver's ~2000-char capture
     s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},""" +
-      s""""queries_slowest":$qs,"failed":${jarr(failed.map("\"" + _ + "\""))},""" +
-      s""""suspect":${jarr(suspect.map("\"" + _ + "\""))},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s""""queries_slowest":$qs,"n_failed":${failed.size},""" +
+      s""""failed":${Json.cappedStrArr(failed)},"n_suspect":${suspect.size},""" +
+      s""""suspect":${Json.cappedStrArr(suspect)},"full":"BENCH_FULL.json","sf":${Json.str(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,6 +103,10 @@ object Bench {
       // byte-tiny but CPU-heavy downstream (hashing, set ops) — keep
       // them spread across cores
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      // SAME semantics as the correctness gate: Verify runs UTC, so the
+      // bench must too — a host-local timezone would time (or crash)
+      // different work than what was verified
+      .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); set at session build (a
       // loader must not mutate global parquet semantics mid-session)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -107,8 +124,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
+        // NonFatal only: an OutOfMemoryError or similar VM corruption
+        // must abort the run visibly, not be logged as a per-query
+        // failure while every later timing runs in a broken JVM
         try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           false
         }
@@ -136,8 +156,13 @@ object Bench {
       case None    => false
     }
 
-    // optional positional args restrict the run to named queries (dev loop)
+    // optional positional args restrict the run to named queries (dev
+    // loop); an unknown name is an ERROR — a typo silently matching
+    // nothing would overwrite BENCH_FULL.json with an empty run
     val names0 = SparkEntry.queries.keys.toVector
+    val unknown = args.filterNot(names0.toSet)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.length == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
     val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
     names.foreach { n => onePass(n); onePass(n) }
     var sweep = 0
@@ -160,19 +185,21 @@ object Bench {
     if (failedQ.nonEmpty)
       System.err.println(s"[bench] FAILED queries (times are of the failed attempt): ${failedQ.mkString(", ")}")
 
-    def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val failedJson = jarr(failedQ.map("\"" + _ + "\""))
-    val suspectJson = jarr(names.filter(suspect).map("\"" + _ + "\""))
+    // total over SUCCEEDED queries (same contract as compactLine): a
+    // fast crash must not read as a speedup
+    val total = results.collect { case (k, v) if !failedQ.contains(k) => v }.sum
+    val failedJson = Json.arr(failedQ.map(Json.str))
+    val suspectJson = Json.arr(names.filter(suspect).map(Json.str))
     // full artifact (per-pass detail; failed attempts negated so they
     // can't be mistaken for times) → repo file, committed each round
-    val passJson = names.map(n => s""""$n":${jarr(passes(n).map { case (t, ok) => f"${if (ok) t else -t}%.3f" })}""").mkString("{", ",", "}")
-    val fullQs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$fullQs,"passes":$passJson,"failed":$failedJson,"suspect":$suspectJson,"sf":"$sfDir","cpus":$cpus}"""
+    val passJson = names.map(n => s"${Json.str(n)}:${Json.arr(passes(n).map { case (t, ok) => f"${if (ok) t else -t}%.3f" })}").mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => f"${Json.str(k)}:$v%.3f" }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$fullQs,"passes":$passJson,"failed":$failedJson,"suspect":$suspectJson,"sf":${Json.str(sfDir)},"cpus":$cpus}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $fullPath: $e") }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $fullPath: $e") }
     // stdout: ONE compact line printed LAST (see compactLine scaladoc —
     // round-4's full per-query map outgrew the driver's capture window)
     println(compactLine(results, failedQ, names.filter(suspect), sfDir))

@@ -6,14 +6,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (the driver contract) delegates here.
   */
 object Registry {
-  lazy val all: Seq[Q] =
-    Relational.queries ++ RelationalDeep.queries ++ Financial.queries ++ TextAnalysis.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
-      MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
-      Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries ++
-      CorpusQuality.queries ++ CorpusPrep.queries ++ Graph.queries ++ Ingestion.queries ++ DataQuality.queries ++
-      Behavioral.queries ++ Analytic.queries ++ LayoutQueries.queries ++
-      NestedOps.queries
+  lazy val all: Seq[Q] = {
+    val qs =
+      Relational.queries ++ RelationalDeep.queries ++ Financial.queries ++ TextAnalysis.queries ++
+        DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
+        MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
+        Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries ++
+        CorpusQuality.queries ++ CorpusPrep.queries ++ Graph.queries ++ Ingestion.queries ++ DataQuality.queries ++
+        Behavioral.queries ++ Analytic.queries ++ LayoutQueries.queries ++
+        NestedOps.queries
+    // a duplicate name would silently shadow one implementation in the
+    // .toMap below — dropping it from bench, verify, AND the oracle gate
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

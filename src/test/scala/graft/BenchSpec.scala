@@ -36,6 +36,18 @@ class BenchSpec extends AnyFunSuite {
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
+  test("mass failure stays bounded and failed queries leave the total") {
+    val rs = fakeResults(300)
+    val allFailed = rs.map(_._1)
+    val line = Bench.compactLine(rs, allFailed, allFailed, "/root/testdata/sf0.1")
+    assert(line.length < 1500, s"mass failure blew the window: ${line.length}")
+    assert(line.contains("\"n_failed\":300"))
+    assert(line.contains("...+292 more"))
+    // every query failed -> succeeded-total is zero, not the sum of
+    // crash durations
+    assert(line.contains("\"value\":0.00"))
+  }
+
   test("decimal formatting is locale-independent") {
     val prev = java.util.Locale.getDefault
     try {
