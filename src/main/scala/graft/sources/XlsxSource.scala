@@ -125,19 +125,26 @@ object XlsxSource {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
-    val firstPath = files.select("path").orderBy("path")
-      .limit(1).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(s"no files match $glob"))
-      .getString(0)
-    val names = {
-      val p = new org.apache.hadoop.fs.Path(firstPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
+    val paths = files.select("path").orderBy("path")
+      .collect().map(_.getString(0)).toSeq
+    require(paths.nonEmpty, s"no files match $glob")
+    // schema from the first PARSEABLE workbook (a corrupt file may sort
+    // first; it contributes zero rows below, and it must not block the
+    // schema sample either)
+    val fs = new org.apache.hadoop.fs.Path(paths.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sampleRows = paths.iterator.map { path =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(path))
       val bytes = try in.readAllBytes() finally in.close()
-      val rows = readSheetBytes(bytes, sheetName)
-      val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+      try Some(readSheetBytes(bytes, sheetName))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.collectFirst { case Some(rows) => rows }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no workbook matching $glob could be parsed"))
+    val names = {
+      val width = if (sampleRows.isEmpty) 0 else sampleRows.map(_.length).max
       header match {
-        case Some(h) => mangle(rows.lift(h).getOrElse(Vector.empty).padTo(width, ""))
+        case Some(h) => mangle(sampleRows.lift(h).getOrElse(Vector.empty).padTo(width, ""))
         case None => (0 until width).map(i => s"_c$i").toVector
       }
     }
@@ -148,7 +155,12 @@ object XlsxSource {
     val width = names.length
     files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
       val fileName = path.substring(path.lastIndexOf('/') + 1)
-      val rows = readSheetBytes(bytes, sheetName)
+      // per-file failure isolation (§2.13, the distributed analogue of
+      // readOrEmpty): ONE corrupt workbook in a lake of thousands must
+      // contribute zero rows, not kill the whole scan
+      val rows =
+        try readSheetBytes(bytes, sheetName)
+        catch { case scala.util.control.NonFatal(_) => Vector.empty }
       val data = header match {
         case Some(h) => rows.drop(h + 1)
         case None => rows

@@ -103,6 +103,18 @@ class XlsxIngestSpec extends SparkSpec {
     many.unpersist()
   }
 
+  test("readMany: a corrupt workbook isolates to zero rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_corrupt")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(wb), dir.resolve("good.xlsx"))
+    java.nio.file.Files.write(dir.resolve("bad.xlsx"),
+      "this is not a zip".getBytes("UTF-8"))
+    val many = XlsxSource.readMany(spark, s"$dir/*.xlsx", "1311000", Some(1))
+    val bySrc = many.groupBy($"src_file").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.contains("good.xlsx") && bySrc("good.xlsx") > 50)
+    assert(!bySrc.contains("bad.xlsx"), "corrupt workbook leaked rows")
+  }
+
   test("mangle cascades past literal collisions like pandas") {
     // ["x", "x.1", "x"] must NOT produce a second "x.1" (duplicate
     // StructType fields make every by-name access ambiguous)
