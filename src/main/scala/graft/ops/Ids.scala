@@ -22,24 +22,53 @@ object Ids {
 
   /** Same ordering contract as [[withGlobalId]] (IDs are LongType here —
     * the point is >2^31 rows) but scales: range-partition by the ordering
-    * so partitions are globally ordered, then `zipWithIndex` numbers rows
-    * with one lightweight count job plus a map — no single-task funnel,
-    * no extra shuffle beyond the range exchange.
+    * so partitions are globally ordered, then number rows as
+    * (earlier partitions' row count) + (offset within the partition) —
+    * no single-task funnel, no extra shuffle beyond the range exchange,
+    * and (unlike an `rdd.zipWithIndex` bridge) the numbering plan stays
+    * in Catalyst/Tungsten: the caller's action reads a columnar
+    * `InMemoryTableScan` + one codegen'd projection (IdsSpec asserts no
+    * `Scan ExistingRDD` in the plan).
     *
-    * zipWithIndex's count job and the numbering job run over the SAME
-    * RDD, so the shuffle output is computed once and reused — the range
-    * boundaries cannot drift between the two passes (re-invoking
-    * repartitionByRange per action could re-sample them differently).
+    * `monotonically_increasing_id()` encodes `pid << 33 | offset`, so one
+    * codegen'd column yields both the partition id and the row's 0-based
+    * position in the partition's sorted order. Per-partition counts are
+    * a ≤P-row aggregate collected to the driver (the same lightweight
+    * count job `zipWithIndex` runs) and turned into a cumulative-offset
+    * LITERAL map — the numbering is then a pure per-row expression, no
+    * join, no window.
+    *
+    * Why the `DISK_ONLY` persist is load-bearing, not a cache hint: the
+    * counting pass and the numbering pass must see the SAME range
+    * boundaries, and independent executions of `repartitionByRange`
+    * re-sample them (the sample seed derives from the RDD id). Pinning
+    * the partitioned frame makes both passes read one materialization —
+    * exactly the role zipWithIndex's retained shuffle files played, at
+    * the same disk cost. A lost block recomputes through the SAME
+    * exchange instance (bounds are sampled once at planning), so IDs
+    * cannot drift even under executor failure. The caller owns
+    * `unpersist` once its action has run.
     */
   def withScalableGlobalId(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField}
-    val sorted = df.repartitionByRange(order: _*)
+    // MonotonicallyIncreasingID's layout: top 31 bits partition id,
+    // low 33 bits the row's position within the partition
+    val PidShift = 33
+    val OffsetMask = (1L << PidShift) - 1
+    val base = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
-    val outSchema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rdd, outSchema)
+      .withColumn("__graft_mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val counts: Array[(Long, Long)] = base
+      .groupBy(shiftright(col("__graft_mid"), PidShift).as("__graft_pid"))
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sortedCounts = counts.sortBy(_._1)
+    val offsets: Map[Long, Long] = sortedCounts.map(_._1)
+      .zip(sortedCounts.scanLeft(0L)(_ + _._2)).toMap
+    base
+      .withColumn(idCol,
+        element_at(typedlit(offsets), shiftright(col("__graft_mid"), PidShift))
+          + col("__graft_mid").bitwiseAND(OffsetMask) + lit(1L))
+      .drop("__graft_mid")
   }
 }

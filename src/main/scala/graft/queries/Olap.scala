@@ -12,13 +12,28 @@ import graft.ops.Tables
   */
 object Olap {
 
+  /** Sessions whose temp views are already registered, mapped to the data
+    * dir they were registered from. Weak keys: the guard must not keep a
+    * closed SparkSession alive.
+    */
+  private val registeredDirs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register every harness table as a temp view so users can address the
     * engine in plain SQL.
+    *
+    * Idempotent per (session, dir): registration costs nine parquet
+    * schema reads, so repeat calls from query bodies (bench times them)
+    * must be free. A dir change re-registers — `createOrReplaceTempView`
+    * swaps the views in place.
     */
   def registerTables(s: SparkSession, dir: String): Unit =
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings")
-      .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    if (registeredDirs.put(s, dir) != dir) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    }
 
   /** ROLLUP over (priority, status): per-pair, per-priority subtotal, and
     * grand total in one pass — Spark expands grouping sets in a single

@@ -60,11 +60,15 @@ object ScaleOps {
     */
   private def bucketPrunedOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // table name derives from the SANITIZED path, not its hashCode —
-    // hashCode collisions (or Int.MinValue's negative abs) would
-    // silently serve one dataset's bucketed table for another's query
+    // the sanitized path keeps the name readable, but sanitizing is lossy
+    // ('/a/b' and '/a_b' collapse together) — an md5 suffix of the RAW
+    // path makes the table key injective, so one dataset's bucketed table
+    // can never serve another's query
+    val rawKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val table = "orders_bucketed_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("_+", "_").stripPrefix("_")
+      dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("_+", "_").stripPrefix("_") +
+      "_" + rawKey
     if (!s.catalog.tableExists(table)) {
       Tables.orders(s, dir).write
         .bucketBy(8, "o_custkey").sortBy("o_custkey")

@@ -35,4 +35,34 @@ class IdsSpec extends SparkSpec {
     val rows = ids.select($"line_no", $"id").as[(Long, Long)].collect().sortBy(_._1)
     assert(rows.map(_._2).toSeq == (1L to 1000L))
   }
+
+  test("withScalableGlobalId stays in Catalyst: columnar cached scan, no RDD bridge") {
+    // wide schema on purpose: column pruning must not be able to split
+    // the counting and numbering passes onto different exchanges
+    val wide = spark.range(1000).toDF("line_no")
+      .withColumn("src_rank", lit(1))
+      .withColumn("a", concat(lit("x"), $"line_no"))
+      .withColumn("b", $"line_no" * 2)
+      .repartition(7)
+    val ids = Ids.withScalableGlobalId(wide, "id", Seq($"src_rank", $"line_no"))
+    val rows = ids.select($"line_no", $"id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == (1L to 1000L))
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"plan fell out of Catalyst into an RDD bridge:\n$plan")
+    // the numbering pass must read the pinned partitioned frame (one
+    // materialization shared with the count pass — range boundaries
+    // cannot drift between them) and add IDs as a pure projection: no
+    // join, no window, no further exchange
+    assert(plan.contains("InMemoryTableScan"),
+      s"numbering pass does not read the pinned frame:\n$plan")
+    // only the part ABOVE the cached scan is the numbering pass (the
+    // InMemoryRelation string embeds its own build plan, range exchange
+    // included — that one is shared with the count pass by design)
+    val numbering = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert(!numbering.contains("Exchange") && !numbering.contains("Window") &&
+      !numbering.contains("Join"),
+      s"numbering pass should be a pure projection over the cached scan:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
