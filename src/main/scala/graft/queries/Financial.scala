@@ -351,8 +351,13 @@ object Financial {
     */
   private def xlsxInfoLookup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // repo-local copy of the reference workbook (fixtures/xlsx/) so the
+    // gate holds on hosts without the reference checkout; env override
+    // points back at an external tree when one exists
     graft.ops.Ingest.excelRaw(
-        s, "/root/reference/Data/FinancialStatement-2024-I-ACES.xlsx", "1000000")
+        s, sys.env.getOrElse("SPARK_GRAFT_REF_XLSX",
+          "/root/repo/fixtures/xlsx/FinancialStatement-2024-I-ACES.xlsx"),
+        "1000000")
       .filter($"_c0".isin("Kode entitas", "Nama entitas", "Sektor"))
       .select($"_c0".as("key"), $"_c1".as("value"))
       .orderBy($"key")

@@ -58,7 +58,9 @@ object PdfTextSource {
   /** Distributed ingest of MANY PDFs: binaryFile scan over a glob,
     * per-file parse inside the executors (one PDF = one unsplittable
     * file = one task's unit, same grain as [[XlsxSource.readMany]]).
-    * Output: (src_file, line_no, line) with line_no 0-based per file.
+    * Output: (src_file, line_no, line) with line_no 0-based per file;
+    * src_file is the FULL path — same-named files in different
+    * subdirectories of the glob must stay distinct.
     */
   def readMany(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
@@ -70,9 +72,8 @@ object PdfTextSource {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val fileName = path.substring(path.lastIndexOf('/') + 1)
         extractLines(bytes).zipWithIndex.map { case (l, i) =>
-          Row(fileName, i.toLong, l)
+          Row(path, i.toLong, l)
         }
       }(Encoders.row(schema))
   }

@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * All cells surface as strings (pandas' inference is replaced by the
   * explicit downstream coercion ops, graft.ops.Clean.coerceNumeric —
-  * SURVEY.md §1.3's "canonicalize by convention").
+  * SURVEY.md §1.3's "canonicalize by convention"). Two typed-cell
+  * refinements within that contract: boolean cells render "True"/
+  * "False" (the str() of what pandas yields, not the stored "0"/"1"),
+  * and — behind the `dateSerials` opt-in — numeric cells styled with a
+  * date format render as ISO dates instead of raw serials.
   */
 object XlsxSource {
 
@@ -40,37 +44,71 @@ object XlsxSource {
   }
 
   /** Dense row matrix of a worksheet (empty cells filled with ""). */
-  def readSheet(path: String, sheetName: String): Vector[Vector[String]] =
+  def readSheet(path: String, sheetName: String,
+      dateSerials: Boolean = false): Vector[Vector[String]] =
     readSheetBytes(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), sheetName)
+      java.nio.file.Paths.get(path)), sheetName, dateSerials)
 
   /** Bytes-based variant — the executor-side entry point (binaryFile
     * hands whole-file byte arrays). A workbook's entries are materialized
     * into a map first: zip central-directory order is arbitrary, and the
     * files this path exists for are small by construction.
+    *
+    * @param dateSerials opt-in: numeric cells whose style carries a date
+    *   number format render as ISO dates ("2024-03-31", with a time part
+    *   when the serial has a fraction) instead of the raw serial — the
+    *   `pd.read_excel` shape. Default off: the raw-serial contract every
+    *   existing caller pins.
     */
-  def readSheetBytes(bytes: Array[Byte], sheetName: String): Vector[Vector[String]] = {
+  def readSheetBytes(bytes: Array[Byte], sheetName: String,
+      dateSerials: Boolean = false): Vector[Vector[String]] = {
     val entries = readEntries(bytes)
     def entry(name: String): Option[Array[Byte]] = entries.get(name)
     val shared = entry("xl/sharedStrings.xml")
       .map(b => parseSharedStrings(new ByteArrayInputStream(b)))
       .getOrElse(Vector.empty)
+    val dateStyles =
+      if (!dateSerials) Set.empty[Int]
+      else entry("xl/styles.xml")
+        .map(b => parseDateStyles(new ByteArrayInputStream(b)))
+        .getOrElse(Set.empty)
     val target = sheetTarget(entry, sheetName)
     val sheetPath = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
     val sheet = entry(sheetPath).getOrElse(
       throw new IllegalArgumentException(
         s"worksheet entry not found for sheet '$sheetName'"))
     val rdr = factory.createXMLStreamReader(new ByteArrayInputStream(sheet))
-    try parseSheet(rdr, shared) finally rdr.close()
+    try parseSheet(rdr, shared, dateStyles) finally rdr.close()
   }
+
+  /** Cumulative decompressed-bytes cap per workbook: a high-ratio deflate
+    * entry (zip bomb) must bound here and surface as an unparseable file
+    * (IllegalArgumentException is NonFatal, so [[readMany]]'s per-file
+    * isolation turns it into zero rows) — never an executor OOM.
+    */
+  private val MaxInflatedBytes: Long = 256L * 1024 * 1024
 
   private def readEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
+    var total = 0L
+    val buf = new Array[Byte](64 * 1024)
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory) out += e.getName -> zin.readAllBytes()
+        if (!e.isDirectory) {
+          val acc = new java.io.ByteArrayOutputStream()
+          var n = zin.read(buf)
+          while (n >= 0) {
+            acc.write(buf, 0, n)
+            total += n
+            if (total > MaxInflatedBytes)
+              throw new IllegalArgumentException(
+                s"workbook inflates past $MaxInflatedBytes bytes — refusing (zip bomb?)")
+            n = zin.read(buf)
+          }
+          out += e.getName -> acc.toByteArray
+        }
         e = zin.getNextEntry
       }
     } finally zin.close()
@@ -115,22 +153,30 @@ object XlsxSource {
     * the sample's width, which is the "same layout" contract this API
     * is for.
     *
-    * Output carries `src_file` (file name) and `row_no` (0-based data-row
-    * ordinal within its file) ahead of the data columns, so per-file
-    * order — the property the reference's concat preserves — survives
-    * the distributed scan.
+    * Output carries `src_file` (the file's full path, so same-named files
+    * in different subdirectories of the glob stay distinct) and `row_no`
+    * (0-based data-row ordinal within its file) ahead of the data
+    * columns, so per-file order — the property the reference's concat
+    * preserves — survives the distributed scan.
     */
+  /** How many glob-leading paths the schema probe may touch. Bounds the
+    * driver-side path collect to O(k) on a lake of millions of workbooks;
+    * a lake whose first k files are ALL corrupt fails the probe loudly.
+    */
+  private val SampleProbeLimit = 64
+
   def readMany(spark: SparkSession, glob: String, sheetName: String,
       header: Option[Int]): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
-    val paths = files.select("path").orderBy("path")
-      .collect().map(_.getString(0)).toSeq
-    require(paths.nonEmpty, s"no files match $glob")
     // schema from the first PARSEABLE workbook (a corrupt file may sort
     // first; it contributes zero rows below, and it must not block the
-    // schema sample either)
+    // schema sample either). Only the first SampleProbeLimit paths reach
+    // the driver — never the whole listing.
+    val paths = files.select("path").orderBy("path").limit(SampleProbeLimit)
+      .collect().map(_.getString(0)).toSeq
+    require(paths.nonEmpty, s"no files match $glob")
     val fs = new org.apache.hadoop.fs.Path(paths.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sampleRows = paths.iterator.map { path =>
@@ -140,7 +186,7 @@ object XlsxSource {
       catch { case scala.util.control.NonFatal(_) => None }
     }.collectFirst { case Some(rows) => rows }
       .getOrElse(throw new IllegalArgumentException(
-        s"no workbook matching $glob could be parsed"))
+        s"no parseable workbook in the first $SampleProbeLimit files of $glob"))
     val names = {
       val width = if (sampleRows.isEmpty) 0 else sampleRows.map(_.length).max
       header match {
@@ -154,7 +200,6 @@ object XlsxSource {
       names.map(n => StructField(n, StringType)))
     val width = names.length
     files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
-      val fileName = path.substring(path.lastIndexOf('/') + 1)
       // per-file failure isolation (§2.13, the distributed analogue of
       // readOrEmpty): ONE corrupt workbook in a lake of thousands must
       // contribute zero rows, not kill the whole scan
@@ -166,7 +211,7 @@ object XlsxSource {
         case None => rows
       }
       data.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(fileName +: i.toLong +: r.padTo(width, "").take(width))
+        Row.fromSeq(path +: i.toLong +: r.padTo(width, "").take(width))
       }
     }(Encoders.row(schema))
   }
@@ -255,12 +300,13 @@ object XlsxSource {
     out.result()
   }
 
-  private def parseSheet(r: XMLStreamReader,
-      shared: Vector[String]): Vector[Vector[String]] = {
+  private def parseSheet(r: XMLStreamReader, shared: Vector[String],
+      dateStyles: Set[Int]): Vector[Vector[String]] = {
     val rows = Vector.newBuilder[Vector[String]]
     var row: mutable.ArrayBuffer[String] = null
     var cellCol = -1
     var cellType = ""
+    var cellStyle = -1
     var inV = false
     var inPhonetic = false // <rPh> inside <is> is annotation, not content
     // accumulated across ALL <t>/<v> runs of a cell: rich-text inlineStr
@@ -273,6 +319,7 @@ object XlsxSource {
           case "c" if row != null =>
             cellCol = Option(attr(r, "r")).map(colIndex).getOrElse(row.length)
             cellType = Option(attr(r, "t")).getOrElse("")
+            cellStyle = Option(attr(r, "s")).flatMap(_.toIntOption).getOrElse(-1)
             v.clear()
           case "rPh" | "phoneticPr" => inPhonetic = true
           case "v" | "t" if cellCol >= 0 && !inPhonetic => inV = true
@@ -290,17 +337,92 @@ object XlsxSource {
               // empty typed cell (<c t="s"/> with no <v>) -> blank
               case "s" => raw.trim.toIntOption
                 .flatMap(shared.lift).getOrElse("")
+              // boolean cells store "0"/"1"; pandas surfaces the bool
+              // itself (str() form "True"/"False") — match that, not
+              // the storage digit (project-dask.py:23-25 semantics)
+              case "b" =>
+                raw.trim match {
+                  case "1" => "True"
+                  case "0" => "False"
+                  case _ => ""
+                }
+              // numeric cell styled with a date format → ISO date when
+              // the caller opted in (dateStyles is empty otherwise)
+              case "" | "n" if dateStyles.contains(cellStyle) =>
+                raw.trim.toDoubleOption.map(serialToIso).getOrElse(raw)
               case _ => raw
             }
             while (row.length <= cellCol) row += ""
             row(cellCol) = value
             cellCol = -1
+            cellStyle = -1
           case "row" => rows += row.toVector; row = null
           case _ =>
         }
       case _ =>
     }
     rows.result()
+  }
+
+  /** Built-in Excel number formats that are dates/times (ECMA-376 §18.8.30). */
+  private val BuiltinDateFmts: Set[Int] = (14 to 22).toSet ++ (45 to 47).toSet
+
+  /** Style indices (cellXfs order — what a cell's `s` attribute names)
+    * whose number format is a date/time. Custom formats count as dates
+    * when, after stripping quoted text, bracketed sections, and escapes,
+    * they still contain a y/m/d/h/s date token.
+    */
+  private[graft] def parseDateStyles(in: ByteArrayInputStream): Set[Int] = {
+    val r = factory.createXMLStreamReader(in)
+    val customDateFmts = mutable.Set.empty[Int]
+    val styleFmtIds = Vector.newBuilder[Int]
+    var inCellXfs = false
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(attr(r, "numFmtId")).flatMap(_.toIntOption)
+              val code = Option(attr(r, "formatCode")).getOrElse("")
+              val bare = code
+                .replaceAll("\"[^\"]*\"", "") // quoted literal text
+                .replaceAll("\\[[^\\]]*\\]", "") // [Red], [$-409], [h] elapsed
+                .replaceAll("\\\\.", "") // escaped single chars
+              if (id.isDefined && bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0))
+                customDateFmts ++= id
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              styleFmtIds += Option(attr(r, "numFmtId"))
+                .flatMap(_.toIntOption).getOrElse(0)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    } finally r.close()
+    styleFmtIds.result().zipWithIndex.collect {
+      case (fmt, i) if BuiltinDateFmts(fmt) || customDateFmts(fmt) => i
+    }.toSet
+  }
+
+  /** Excel serial → ISO-8601. Serial day 0 is 1899-12-30 (the epoch that
+    * absorbs Excel's phantom 1900-02-29 for all modern dates); a
+    * fractional part is a time-of-day. Date-only serials render as
+    * "YYYY-MM-DD", timestamps as "YYYY-MM-DD HH:MM:SS" — the str() forms
+    * of the date/Timestamp objects `pd.read_excel` yields.
+    */
+  private[graft] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    // round to whole seconds the way spreadsheet UIs do
+    val secs = math.round((serial - days) * 86400.0)
+    if (secs == 0L) date.toString
+    else if (secs >= 86400L) s"${date.plusDays(1)} 00:00:00"
+    else {
+      val t = java.time.LocalTime.ofSecondOfDay(secs)
+      f"$date ${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    }
   }
 
   /** "BC12" → 0-based column index of "BC". */

@@ -76,6 +76,13 @@ object Streaming {
     val closed = List.newBuilder[SessionOut]
     batch.sortBy(_.ts_us).foreach { e =>
       cur match {
+        // a GROSSLY late event (before even the session's start minus
+        // one gap) belongs to some long-closed earlier session — batch
+        // session_window would never merge it. Emit it as its own
+        // immediately-closed singleton instead of letting it stretch
+        // start_us arbitrarily backwards.
+        case Some(s) if e.ts_us < s.start_us - gapUs =>
+          closed += SessionOut(userId, e.ts_us, e.ts_us, 1, "late")
         case Some(s) if e.ts_us - s.last_us <= gapUs =>
           // max/min, not assignment: a CROSS-batch late event
           // (e.ts_us < s.last_us from an earlier batch) must not

@@ -158,7 +158,7 @@ class PdfTextSpec extends SparkSpec {
     }
     val many = PdfTextSource.readMany(spark, s"$dir/*.pdf").persist()
     assert(many.count() == 3L * expectedLines.length)
-    val one = many.filter($"src_file" === "notes_2.pdf")
+    val one = many.filter($"src_file".endsWith("notes_2.pdf"))
       .orderBy($"line_no").select("line").as[String].collect().toSeq
     assert(one == expectedLines)
     many.unpersist()

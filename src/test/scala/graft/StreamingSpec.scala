@@ -229,4 +229,22 @@ class StreamingSpec extends SparkSpec {
     assert(c3.map(_.closed_by) == List("gap"))
     assert(s3.contains(SessionState(300L, 300L, 1L)))
   }
+
+  test("sessionize: an ancient event cannot stretch a session backwards") {
+    import Streaming.{SessionEvent, SessionState, SessionOut}
+    // live session [1000, 1050]; an event at 10 is hours before even
+    // start_us - gap — batch session_window would put it in its own
+    // long-closed session. It must emit as a closed singleton, leaving
+    // the live session untouched (before the guard, 10 - 1050 <= gap
+    // was vacuously true and start_us rewound to 10).
+    val prior = Some(SessionState(1000L, 1050L, 2L))
+    val (s, c) = Streaming.advanceSession(
+      1L, Seq(SessionEvent(1L, 10L)), prior, gapUs = 80)
+    assert(c == List(SessionOut(1L, 10L, 10L, 1L, "late")))
+    assert(s == prior)
+    // boundary: exactly start_us - gap still merges (closed interval)
+    val (s2, c2) = Streaming.advanceSession(
+      1L, Seq(SessionEvent(1L, 920L)), prior, gapUs = 80)
+    assert(c2.isEmpty && s2.contains(SessionState(920L, 1050L, 3L)))
+  }
 }

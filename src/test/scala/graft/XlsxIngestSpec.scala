@@ -12,7 +12,7 @@ import graft.sources.XlsxSource
 class XlsxIngestSpec extends SparkSpec {
   import spark.implicits._
 
-  private val wb = "/root/reference/Data/FinancialStatement-2024-I-ACES.xlsx"
+  private val wb = "/root/repo/fixtures/xlsx/FinancialStatement-2024-I-ACES.xlsx"
 
   test("S2 + P1: headerless sheet scan and scalar lookup") {
     val info = Ingest.excelRaw(spark, wb, "1000000")
@@ -94,8 +94,9 @@ class XlsxIngestSpec extends SparkSpec {
     assert(many.select("src_file").distinct().count() == n)
     assert(many.count() == n.toLong * oneRows.length)
     // each file's rows equal the driver path's, in row_no order
+    // (src_file carries the FULL path; match on the unique suffix)
     (1 to n).foreach { i =>
-      val got = many.filter($"src_file" === f"wb_$i%02d.xlsx")
+      val got = many.filter($"src_file".endsWith(f"wb_$i%02d.xlsx"))
         .orderBy($"row_no").drop("src_file", "row_no")
         .collect().map(_.toSeq)
       assert(got.toSeq == oneRows.toSeq, s"file $i diverged from driver path")
@@ -111,8 +112,9 @@ class XlsxIngestSpec extends SparkSpec {
     val many = XlsxSource.readMany(spark, s"$dir/*.xlsx", "1311000", Some(1))
     val bySrc = many.groupBy($"src_file").count()
       .as[(String, Long)].collect().toMap
-    assert(bySrc.contains("good.xlsx") && bySrc("good.xlsx") > 50)
-    assert(!bySrc.contains("bad.xlsx"), "corrupt workbook leaked rows")
+    assert(bySrc.keys.exists(_.endsWith("good.xlsx"))
+      && bySrc.collectFirst { case (k, v) if k.endsWith("good.xlsx") => v }.get > 50)
+    assert(!bySrc.keys.exists(_.endsWith("bad.xlsx")), "corrupt workbook leaked rows")
   }
 
   test("mangle cascades past literal collisions like pandas") {
