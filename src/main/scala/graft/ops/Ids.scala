@@ -46,10 +46,26 @@ object Ids {
     * exactly the role zipWithIndex's retained shuffle files played, at
     * the same disk cost. A lost block recomputes through the SAME
     * exchange instance (bounds are sampled once at planning), so IDs
-    * cannot drift even under executor failure. The caller owns
-    * `unpersist` once its action has run.
+    * cannot drift even under executor failure.
+    *
+    * Cache lifecycle: THIS overload has no release handle — the pinned
+    * entry lives until `spark.catalog.clearCache()` or session end
+    * (unpersisting the RETURNED frame would not reach it: the returned
+    * plan is derived, not sameResult-equal to the cached one). Callers
+    * that outlive the query should use [[withScalableGlobalIdManaged]]
+    * and call the handle once their action has run.
     */
-  def withScalableGlobalId(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
+  def withScalableGlobalId(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame =
+    withScalableGlobalIdManaged(df, idCol, order)._1
+
+  /** [[withScalableGlobalId]] plus the cache-release handle: the second
+    * element unpersists the pinned range-partitioned frame. Call it only
+    * AFTER the final action over the returned frame — releasing earlier
+    * would let a re-execution re-sample the range bounds the collected
+    * offsets were computed from.
+    */
+  def withScalableGlobalIdManaged(df: DataFrame, idCol: String,
+      order: Seq[Column]): (DataFrame, () => Unit) = {
     // MonotonicallyIncreasingID's layout: top 31 bits partition id,
     // low 33 bits the row's position within the partition
     val PidShift = 33
@@ -65,10 +81,11 @@ object Ids {
     val sortedCounts = counts.sortBy(_._1)
     val offsets: Map[Long, Long] = sortedCounts.map(_._1)
       .zip(sortedCounts.scanLeft(0L)(_ + _._2)).toMap
-    base
+    val numbered = base
       .withColumn(idCol,
         element_at(typedlit(offsets), shiftright(col("__graft_mid"), PidShift))
           + col("__graft_mid").bitwiseAND(OffsetMask) + lit(1L))
       .drop("__graft_mid")
+    (numbered, () => { base.unpersist(); () })
   }
 }

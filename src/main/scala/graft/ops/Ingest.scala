@@ -4,7 +4,7 @@ import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 import graft.sources.XlsxSource
 
@@ -26,19 +26,17 @@ object Ingest {
     Try(source).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
 
-  /** S4: text file as (line_no, line) rows. `zipWithIndex` numbers rows in
-    * file order (read.text preserves in-file order across splits) with one
-    * lightweight count job — no global window, no single-task funnel.
+  /** S4: text file as (line_no, line) rows, numbered in file order
+    * (read.text preserves in-file order across splits). One lightweight
+    * count job — no global window, no single-task funnel — and the plan
+    * stays in Catalyst/Tungsten end to end (no `rdd.zipWithIndex`
+    * bridge, which would re-enter the plan as `Scan ExistingRDD` and
+    * break whole-stage codegen for every downstream operator).
     */
-  def textWithLineNo(spark: SparkSession, path: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("line_no", LongType, nullable = false),
-      StructField("line", StringType)))
-    val rdd = spark.read.textFile(path).rdd
-      .zipWithIndex()
-      .map { case (line, idx) => Row(idx, line) }
-    spark.createDataFrame(rdd, schema)
-  }
+  def textWithLineNo(spark: SparkSession, path: String): DataFrame =
+    numberInScanOrder(
+      spark.read.text(path).withColumnRenamed("value", "line"), "line_no")
+      .select(col("line_no"), col("line"))
 
   /** S1: Excel worksheet with a header row (pandas `header=n`). */
   def excel(spark: SparkSession, path: String, sheet: String,
@@ -52,14 +50,37 @@ object Ingest {
     XlsxSource.toDataFrame(spark, path, sheet, None)
 
   /** Add a 0-based line_no to an in-memory-ordered frame (driver-parsed
-    * sources like xlsx, where row order is the file's row order).
+    * sources like xlsx, where row order is the file's row order). Same
+    * Tungsten-resident numbering as [[textWithLineNo]] — no RDD bridge.
     */
-  def withLineNo(df: DataFrame): DataFrame = {
-    val schema = StructType(
-      df.schema.fields :+ StructField("line_no", LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+  def withLineNo(df: DataFrame): DataFrame = numberInScanOrder(df, "line_no")
+
+  /** 0-based sequential id in the frame's scan order, without leaving
+    * Tungsten: `monotonically_increasing_id()` encodes
+    * `pid << 33 | offset`, per-partition counts (a ≤P-row collect — the
+    * same lightweight count job `zipWithIndex` runs) become a
+    * cumulative-offset LITERAL map, and the numbering is then one
+    * codegen'd projection over the same scan. Sound for deterministic
+    * in-order sources (file scans, local relations): the count pass and
+    * the numbering pass replan to identical partitioning — this is the
+    * pattern proven at scale in [[Ids.withScalableGlobalId]], minus the
+    * persist (no range re-sampling here, the scan order is the source's).
+    */
+  private def numberInScanOrder(df: DataFrame, idCol: String): DataFrame = {
+    val PidShift = 33
+    val OffsetMask = (1L << PidShift) - 1
+    val mid = df.withColumn("__graft_mid", monotonically_increasing_id())
+    val counts = mid
+      .groupBy(shiftright(col("__graft_mid"), PidShift).as("__graft_pid"))
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = counts.sortBy(_._1)
+    val offsets: Map[Long, Long] = sorted.map(_._1)
+      .zip(sorted.scanLeft(0L)(_ + _._2)).toMap
+    mid
+      .withColumn(idCol,
+        element_at(typedlit(offsets), shiftright(col("__graft_mid"), PidShift))
+          + col("__graft_mid").bitwiseAND(OffsetMask))
+      .drop("__graft_mid")
   }
 }

@@ -182,13 +182,20 @@ object JoinsAndSets {
     */
   private def idsScalableOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val withId = graft.ops.Ids.withScalableGlobalId(
+    val (withId, release) = graft.ops.Ids.withScalableGlobalIdManaged(
       Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
       "rid", Seq($"o_orderkey"))
-    withId.groupBy($"o_orderpriority")
+    val agg = withId.groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"), min($"rid").as("min_id"),
         max($"rid").as("max_id"), sum($"rid").as("sum_id"))
       .orderBy($"o_orderpriority")
+    // materialize the per-priority signature (≤5 rows) while the pinned
+    // partitioning is still alive, then release it — the DISK_ONLY entry
+    // lives exactly as long as this query, not until session end
+    val rows = agg.collect().toIndexedSeq
+    release()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, agg.schema)
   }
 
   private val idsScalableOracle =

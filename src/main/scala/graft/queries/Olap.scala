@@ -29,10 +29,17 @@ object Olap {
     * swaps the views in place.
     */
   def registerTables(s: SparkSession, dir: String): Unit =
-    if (registeredDirs.put(s, dir) != dir) {
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings")
-        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    // check-and-register is atomic (synchronized on the map), and the
+    // session is marked registered only AFTER every view registered:
+    // a partial failure (one missing parquet) or a racing first caller
+    // must retry, not skip and die later on a missing temp view
+    registeredDirs.synchronized {
+      if (registeredDirs.get(s) != dir) {
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        registeredDirs.put(s, dir)
+      }
     }
 
   /** ROLLUP over (priority, status): per-pair, per-priority subtotal, and

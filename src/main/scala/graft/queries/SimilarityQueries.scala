@@ -283,6 +283,10 @@ object SimilarityQueries {
     * the query vector is the stored embedding of vec_id [[QueryVecId]]
     * (it is among the init centroids by construction), so reusing it
     * skips [[queryVecLit]]'s extra scan too.
+    *
+    * Assumes the embeddings parquet under a given dir is immutable for
+    * the session's lifetime (the harness contract); rewriting it
+    * mid-session would serve a stale codebook until clearCache/restart.
     */
   private val trainedCodebooks =
     java.util.Collections.synchronizedMap(
@@ -304,7 +308,10 @@ object SimilarityQueries {
       val cents = lloydStep(emb, init)
       emb.unpersist()
       val entry = (qVec, cents)
-      trainedCodebooks.put(s, cached + (dir -> entry))
+      // atomic merge (SynchronizedMap implements merge under its lock):
+      // two concurrent first-trainers for DIFFERENT dirs must both land
+      // their entries — a plain get-then-put would drop one
+      trainedCodebooks.merge(s, Map(dir -> entry), (old, nw) => old ++ nw)
       entry
     })
   }

@@ -49,9 +49,12 @@ object PdfTextSource {
     val schema = StructType(Seq(
       StructField("line_no", LongType, nullable = false),
       StructField("line", StringType)))
+    // LocalRelation, not parallelize: a driver-parsed document should
+    // enter the plan as a LocalTableScan, not a Scan ExistingRDD bridge
+    import scala.jdk.CollectionConverters._
     spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        lines.zipWithIndex.map { case (l, i) => Row(i.toLong, l) }),
+      lines.zipWithIndex
+        .map { case (l, i) => Row(i.toLong, l): Row }.asJava,
       schema)
   }
 

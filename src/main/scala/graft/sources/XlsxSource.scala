@@ -29,8 +29,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * SURVEY.md §1.3's "canonicalize by convention"). Two typed-cell
   * refinements within that contract: boolean cells render "True"/
   * "False" (the str() of what pandas yields, not the stored "0"/"1"),
-  * and — behind the `dateSerials` opt-in — numeric cells styled with a
-  * date format render as ISO dates instead of raw serials.
+  * and numeric cells styled with a date format render as ISO dates by
+  * default — the `pd.read_excel` shape; `dateSerials = false` keeps
+  * the raw serials.
   */
 object XlsxSource {
 
@@ -45,7 +46,7 @@ object XlsxSource {
 
   /** Dense row matrix of a worksheet (empty cells filled with ""). */
   def readSheet(path: String, sheetName: String,
-      dateSerials: Boolean = false): Vector[Vector[String]] =
+      dateSerials: Boolean = true): Vector[Vector[String]] =
     readSheetBytes(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), sheetName, dateSerials)
 
@@ -54,14 +55,15 @@ object XlsxSource {
     * into a map first: zip central-directory order is arbitrary, and the
     * files this path exists for are small by construction.
     *
-    * @param dateSerials opt-in: numeric cells whose style carries a date
-    *   number format render as ISO dates ("2024-03-31", with a time part
-    *   when the serial has a fraction) instead of the raw serial — the
-    *   `pd.read_excel` shape. Default off: the raw-serial contract every
-    *   existing caller pins.
+    * @param dateSerials numeric cells whose style carries a date number
+    *   format render as ISO dates ("2024-03-31", with a time part when
+    *   the serial has a fraction) instead of the raw serial — the
+    *   `pd.read_excel` shape, and therefore the DEFAULT (pandas converts
+    *   date-styled cells unless told otherwise). Pass false for the
+    *   raw-serial contract.
     */
   def readSheetBytes(bytes: Array[Byte], sheetName: String,
-      dateSerials: Boolean = false): Vector[Vector[String]] = {
+      dateSerials: Boolean = true): Vector[Vector[String]] = {
     val entries = readEntries(bytes)
     def entry(name: String): Option[Array[Byte]] = entries.get(name)
     val shared = entry("xl/sharedStrings.xml")
@@ -407,14 +409,20 @@ object XlsxSource {
   }
 
   /** Excel serial → ISO-8601. Serial day 0 is 1899-12-30 (the epoch that
-    * absorbs Excel's phantom 1900-02-29 for all modern dates); a
-    * fractional part is a time-of-day. Date-only serials render as
-    * "YYYY-MM-DD", timestamps as "YYYY-MM-DD HH:MM:SS" — the str() forms
-    * of the date/Timestamp objects `pd.read_excel` yields.
+    * absorbs Excel's phantom 1900-02-29 for all modern dates); serials
+    * BELOW the phantom day (0 < serial < 60) get the openpyxl-style
+    * one-day correction so serial 1 renders 1900-01-01 the way
+    * `pd.read_excel` does — without it everything in Jan–Feb 1900 lands
+    * one day early. (Serial 60 itself names the nonexistent 1900-02-29;
+    * it renders as 1900-02-28, the nearest real day.) A fractional part
+    * is a time-of-day. Date-only serials render as "YYYY-MM-DD",
+    * timestamps as "YYYY-MM-DD HH:MM:SS" — the str() forms of the
+    * date/Timestamp objects `pd.read_excel` yields.
     */
   private[graft] def serialToIso(serial: Double): String = {
     val days = math.floor(serial).toLong
-    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    val leapFix = if (serial > 0 && days < 60) 1 else 0
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days + leapFix)
     // round to whole seconds the way spreadsheet UIs do
     val secs = math.round((serial - days) * 86400.0)
     if (secs == 0L) date.toString

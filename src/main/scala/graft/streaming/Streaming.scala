@@ -73,17 +73,37 @@ object Streaming {
       prior: Option[SessionState], gapUs: Long)
       : (Option[SessionState], List[SessionOut]) = {
     var cur = prior
+    // trailing accumulator for grossly-late events: consecutive late
+    // events mutually within gapUs merge into ONE late-session (the way
+    // batch session_window would merge them) instead of one singleton
+    // each. Late events are a prefix of the ascending-sorted batch (the
+    // lateness bound only moves down), so closing on the first non-late
+    // event keeps emission order: late sessions first.
+    var lateCur: Option[SessionState] = None
     val closed = List.newBuilder[SessionOut]
+    def closeLate(): Unit = {
+      lateCur.foreach(l =>
+        closed += SessionOut(userId, l.start_us, l.last_us, l.n, "late"))
+      lateCur = None
+    }
     batch.sortBy(_.ts_us).foreach { e =>
       cur match {
         // a GROSSLY late event (before even the session's start minus
         // one gap) belongs to some long-closed earlier session — batch
-        // session_window would never merge it. Emit it as its own
-        // immediately-closed singleton instead of letting it stretch
-        // start_us arbitrarily backwards.
+        // session_window would never merge it with the LIVE session.
+        // Accumulate it into the trailing late-session instead of
+        // letting it stretch start_us arbitrarily backwards.
         case Some(s) if e.ts_us < s.start_us - gapUs =>
-          closed += SessionOut(userId, e.ts_us, e.ts_us, 1, "late")
+          lateCur match {
+            case Some(l) if e.ts_us - l.last_us <= gapUs =>
+              lateCur = Some(l.copy(
+                last_us = math.max(l.last_us, e.ts_us), n = l.n + 1))
+            case _ =>
+              closeLate()
+              lateCur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          }
         case Some(s) if e.ts_us - s.last_us <= gapUs =>
+          closeLate()
           // max/min, not assignment: a CROSS-batch late event
           // (e.ts_us < s.last_us from an earlier batch) must not
           // rewind the session clock — that would spuriously
@@ -93,12 +113,14 @@ object Streaming {
             last_us = math.max(s.last_us, e.ts_us),
             n = s.n + 1))
         case Some(s) =>
+          closeLate()
           closed += SessionOut(userId, s.start_us, s.last_us, s.n, "gap")
           cur = Some(SessionState(e.ts_us, e.ts_us, 1))
         case None =>
           cur = Some(SessionState(e.ts_us, e.ts_us, 1))
       }
     }
+    closeLate()
     (cur, closed.result())
   }
 

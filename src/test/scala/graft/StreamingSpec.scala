@@ -247,4 +247,25 @@ class StreamingSpec extends SparkSpec {
       1L, Seq(SessionEvent(1L, 920L)), prior, gapUs = 80)
     assert(c2.isEmpty && s2.contains(SessionState(920L, 1050L, 3L)))
   }
+
+  test("sessionize: consecutive late events merge into one late session") {
+    import Streaming.{SessionEvent, SessionState, SessionOut}
+    // live session [1000, 1050], gap 80: events at 10 and 20 are both
+    // grossly late AND mutually within the gap — batch session_window
+    // would make them ONE session of n=2, so the late guard must too;
+    // 200 is a gap away from 20, so it closes a second late session
+    val prior = Some(SessionState(1000L, 1050L, 2L))
+    val (s, c) = Streaming.advanceSession(
+      1L, Seq(SessionEvent(1L, 20L), SessionEvent(1L, 10L),
+        SessionEvent(1L, 200L)),
+      prior, gapUs = 80)
+    assert(c == List(
+      SessionOut(1L, 10L, 20L, 2L, "late"),
+      SessionOut(1L, 200L, 200L, 1L, "late")))
+    assert(s == prior)
+    // an all-late batch still flushes its trailing late session
+    val (s3, c3) = Streaming.advanceSession(
+      1L, Seq(SessionEvent(1L, 30L)), prior, gapUs = 80)
+    assert(c3 == List(SessionOut(1L, 30L, 30L, 1L, "late")) && s3 == prior)
+  }
 }

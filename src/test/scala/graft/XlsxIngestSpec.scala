@@ -165,7 +165,12 @@ class XlsxIngestSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempFile("graft", ".txt")
     java.nio.file.Files.writeString(tmp, "alpha\nbeta\ngamma\n")
     val df = Ingest.textWithLineNo(spark, tmp.toString)
-      .orderBy($"line_no").as[(Long, String)].collect().toSeq
-    assert(df == Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")))
+    // Tungsten-resident: the numbering is a codegen'd projection over
+    // the file scan, not an rdd.zipWithIndex bridge
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"line numbering left Tungsten:\n$plan")
+    val got = df.orderBy($"line_no").as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")))
   }
 }

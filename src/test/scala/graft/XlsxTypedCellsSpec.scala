@@ -7,9 +7,10 @@ import graft.sources.XlsxSource
 
 /** Typed-cell semantics of the xlsx source: boolean cells render as
   * pandas' "True"/"False" (not the stored "0"/"1"), and date-styled
-  * numeric cells render as ISO dates behind the `dateSerials` opt-in —
-  * raw serials by default. Plus the decompression cap: a zip bomb must
-  * surface as an unparseable workbook, never an OOM.
+  * numeric cells render as ISO dates BY DEFAULT (the `pd.read_excel`
+  * shape) — raw serials behind `dateSerials = false`. Plus the
+  * decompression cap: a zip bomb must surface as an unparseable
+  * workbook, never an OOM.
   */
 class XlsxTypedCellsSpec extends SparkSpec {
 
@@ -86,11 +87,11 @@ class XlsxTypedCellsSpec extends SparkSpec {
     assert(row(0) == "True" && row(1) == "False")
   }
 
-  test("date-styled serials stay raw by default, turn ISO behind the opt-in") {
+  test("date-styled serials turn ISO by default, stay raw behind the opt-out") {
     val bytes = workbook(typedSheet, Some(styles))
-    val raw = XlsxSource.readSheetBytes(bytes, "S").head
+    val raw = XlsxSource.readSheetBytes(bytes, "S", dateSerials = false).head
     assert(raw(2) == "45382" && raw(3) == "45382.5")
-    val iso = XlsxSource.readSheetBytes(bytes, "S", dateSerials = true).head
+    val iso = XlsxSource.readSheetBytes(bytes, "S").head
     assert(iso(2) == "2024-03-31")
     assert(iso(3) == "2024-03-31 12:00:00")
     // custom format with real date tokens counts as a date...
@@ -100,15 +101,21 @@ class XlsxTypedCellsSpec extends SparkSpec {
     assert(iso(5) == "123.5" && iso(6) == "45382")
   }
 
-  test("a workbook without styles.xml survives the date opt-in") {
+  test("a workbook without styles.xml survives the date default") {
     val bytes = workbook(typedSheet, stylesXml = None)
-    val row = XlsxSource.readSheetBytes(bytes, "S", dateSerials = true).head
+    val row = XlsxSource.readSheetBytes(bytes, "S").head
     assert(row(2) == "45382" && row(0) == "True")
   }
 
-  test("serialToIso epoch and rounding") {
+  test("serialToIso epoch, 1900-leap-bug window, and rounding") {
     assert(XlsxSource.serialToIso(45292.0) == "2024-01-01")
-    assert(XlsxSource.serialToIso(1.0) == "1899-12-31")
+    // openpyxl/pandas parity below the phantom 1900-02-29: serials
+    // 1..59 get the +1-day correction (serial 1 IS 1900-01-01)
+    assert(XlsxSource.serialToIso(1.0) == "1900-01-01")
+    assert(XlsxSource.serialToIso(59.0) == "1900-02-28")
+    assert(XlsxSource.serialToIso(59.5) == "1900-02-28 12:00:00")
+    // 61 is the first serial past the phantom day: 1900-03-01
+    assert(XlsxSource.serialToIso(61.0) == "1900-03-01")
     // a fraction one ulp under midnight rounds forward to the next day
     assert(XlsxSource.serialToIso(45382.9999999) == "2024-04-01 00:00:00")
   }
