@@ -341,6 +341,33 @@ object Financial {
       |) AS t(id, Nomor, calk, deskripsi)
       |ORDER BY id""".stripMargin
 
+  /** The MODERN-PDF edge of S3/S4 through the correctness gate: xref
+    * STREAM + object streams + subsetted Type0/CID font — the layout of
+    * the reference's actual input (an audited 2023 report,
+    * dask-with-dataframe-[2].py:102-104), where show strings are glyph
+    * indices and text exists only through the embedded /ToUnicode CMap.
+    * Input is the checked-in fixture (tools/make_pdf_cid_fixture.py,
+    * deliberately non-identity glyph mapping so a raw-bytes reader
+    * yields garbage); the oracle states the expected sections as
+    * literals, hand-derivable from the fixture's definition.
+    */
+  private def pdfCidSectionizer(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.DetailNotes.extractCalkPdf(
+      s, "/root/repo/fixtures/bin/calk_notes_cid.pdf")
+
+  private val pdfCidOracle =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), '1.', '1. Umum',
+      |   'Entitas didirikan tahun 2001 dengan fon CID subset.'),
+      |  (CAST(2 AS BIGINT), '2.', '2. Ikhtisar Kebijakan',
+      |   'Laporan disusun sesuai SAK.'),
+      |  (CAST(3 AS BIGINT), '2.a.', '2.a. Instrumen Keuangan',
+      |   'Nilai wajar diukur per 31 Desember 2023.'),
+      |  (CAST(4 AS BIGINT), '3.', '3. Kas',
+      |   'Saldo akhir 9.876.')
+      |) AS t(id, Nomor, calk, deskripsi)
+      |ORDER BY id""".stripMargin
+
   /** S2 oracle-gated through the REAL workbook: the headerless
     * general-information sheet read by XlsxSource, projected to the
     * key-value pairs the reference's P1 lookups consume
@@ -374,6 +401,7 @@ object Financial {
   val queries: Seq[Q] = Seq(
     Q("a_financial_union", aFinancialUnion, Some(aFinancialOracle)),
     Q("pdf_calk_sectionizer", pdfCalkSectionizer, Some(pdfCalkOracle)),
+    Q("pdf_cid_sectionizer", pdfCidSectionizer, Some(pdfCidOracle)),
     Q("xlsx_info_lookup", xlsxInfoLookup, Some(xlsxInfoOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),

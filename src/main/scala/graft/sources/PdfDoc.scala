@@ -1,0 +1,634 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16BE}
+import scala.collection.mutable
+
+/** Structural reader for modern (PDF 1.5+) documents: cross-reference
+  * STREAMS, compressed object streams, and Type0/CID fonts with embedded
+  * /ToUnicode CMaps — the layout every current-generation PDF writer
+  * emits (the reference's actual input, an audited 2023 financial report
+  * read with pdfplumber at dask-with-dataframe-[2].py:102-104 /
+  * detail_notes.py:30-38, is this shape: subsetted CID fonts whose show
+  * strings are glyph indices, meaningless without the CMap).
+  *
+  * Scope: everything [[PdfTextSource]] needs to reach page text —
+  * xref table/stream chains (incl. /Prev and hybrid /XRefStm), object
+  * streams, FlateDecode with PNG predictors, the page tree with
+  * inherited /Resources, and ToUnicode bfchar/bfrange (both scalar and
+  * array destination forms). NOT a general PDF library: no encryption,
+  * no rendering, no non-flate filters (streams carrying them parse as
+  * opaque and contribute no text).
+  *
+  * Everything here is parsed from the raw bytes with nothing beyond the
+  * JDK — no PDF dependency exists in this environment.
+  */
+private[graft] object Pdf {
+
+  /** PDF object model (streams carry RAW data; decode via [[PdfDoc]]). */
+  sealed trait Val
+  case object PNull extends Val
+  final case class PBool(b: Boolean) extends Val
+  final case class PNum(d: Double) extends Val {
+    def toInt: Int = d.toInt
+    def toLong: Long = d.toLong
+  }
+  /** String bytes 1:1 as ISO-8859-1 chars (0..255). */
+  final case class PStr(s: String) extends Val
+  final case class PName(n: String) extends Val
+  final case class PArr(xs: Vector[Val]) extends Val
+  final case class PDict(m: Map[String, Val]) extends Val {
+    def get(k: String): Option[Val] = m.get(k)
+  }
+  final case class PRef(num: Int, gen: Int) extends Val
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends Val
+
+  private val Delims = "()<>[]{}/%"
+
+  /** Where an object lives: at a byte offset, or inside an object stream. */
+  private[sources] sealed trait Loc
+  private[sources] final case class AtOffset(off: Long) extends Loc
+  private[sources] final case class InStream(stm: Int, idx: Int) extends Loc
+
+  /** Per-page content + font decoders, in page-tree order. `cid` maps a
+    * resource font name to Some(code -> text) for Type0/CID fonts (show
+    * strings are 2-byte codes through the CMap) or None for simple fonts
+    * (bytes are the text, the classic path).
+    */
+  final case class Page(content: Array[Byte], cid: Map[String, Option[Map[Int, String]]])
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0
+
+  /** Recursive-descent parser over the byte-preserving ISO-8859-1 view.
+    * `lengthOf` resolves an indirect /Length when a stream body must be
+    * sliced (None → fall back to the endstream scan).
+    */
+  final class Lexer(val s: String, var pos: Int,
+      lengthOf: PRef => Option[Long] = _ => None) {
+
+    def skipWs(): Unit = {
+      var going = true
+      while (going && pos < s.length) {
+        val c = s.charAt(pos)
+        if (isWs(c)) pos += 1
+        else if (c == '%') { // comment to EOL
+          while (pos < s.length && s.charAt(pos) != '\n' && s.charAt(pos) != '\r')
+            pos += 1
+        } else going = false
+      }
+    }
+
+    def startsWith(tok: String): Boolean = s.startsWith(tok, pos)
+
+    def expect(tok: String): Unit = {
+      skipWs()
+      require(startsWith(tok), s"expected '$tok' at $pos")
+      pos += tok.length
+    }
+
+    def bareToken(): String = {
+      val start = pos
+      while (pos < s.length && !isWs(s.charAt(pos)) && !Delims.contains(s.charAt(pos)))
+        pos += 1
+      s.substring(start, pos)
+    }
+
+    /** One object value. Handles the `N G R` lookahead for refs. */
+    def value(): Val = {
+      skipWs()
+      require(pos < s.length, "unexpected end of input")
+      s.charAt(pos) match {
+        case '/' =>
+          pos += 1; PName(bareToken())
+        case '[' =>
+          pos += 1
+          val xs = Vector.newBuilder[Val]
+          skipWs()
+          while (pos < s.length && s.charAt(pos) != ']') {
+            xs += value(); skipWs()
+          }
+          require(pos < s.length, "unterminated array")
+          pos += 1
+          PArr(xs.result())
+        case '<' if pos + 1 < s.length && s.charAt(pos + 1) == '<' =>
+          pos += 2
+          val m = Map.newBuilder[String, Val]
+          skipWs()
+          while (pos < s.length && !startsWith(">>")) {
+            require(s.charAt(pos) == '/', s"dict key must be a name at $pos")
+            pos += 1
+            val k = bareToken()
+            m += k -> value()
+            skipWs()
+          }
+          require(startsWith(">>"), "unterminated dict")
+          pos += 2
+          val dict = PDict(m.result())
+          // a stream keyword directly after a dict makes it a stream obj
+          val save = pos
+          skipWs()
+          if (startsWith("stream")) stream(dict) else { pos = save; dict }
+        case '<' =>
+          val (str, ni) = PdfTextSource.hexString(s, pos); pos = ni; PStr(str)
+        case '(' =>
+          val (str, ni) = PdfTextSource.literalString(s, pos); pos = ni; PStr(str)
+        case c if c.isDigit || c == '+' || c == '-' || c == '.' =>
+          val save = pos
+          val tok = bareToken()
+          // `N G R` → indirect reference (both nonneg integers)
+          if (tok.forall(_.isDigit)) {
+            val save2 = pos
+            skipWs()
+            val genStart = pos
+            val gen = bareToken()
+            if (gen.nonEmpty && gen.forall(_.isDigit)) {
+              skipWs()
+              if (pos < s.length && s.charAt(pos) == 'R' &&
+                  (pos + 1 >= s.length || isWs(s.charAt(pos + 1)) ||
+                    Delims.contains(s.charAt(pos + 1)))) {
+                pos += 1
+                return PRef(tok.toInt, gen.toInt)
+              }
+            }
+            pos = save2
+          }
+          pos = save + tok.length
+          tok.toDoubleOption.map(PNum(_)).getOrElse {
+            throw new IllegalArgumentException(s"bad number '$tok' at $save")
+          }
+        case _ =>
+          bareToken() match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case other =>
+              throw new IllegalArgumentException(s"unexpected token '$other' at $pos")
+          }
+      }
+    }
+
+    /** Stream body after its dict: extent from /Length (direct, or
+      * indirect via `lengthOf`), else scan to `endstream`.
+      */
+    private def stream(dict: PDict): PStream = {
+      expect("stream")
+      if (pos < s.length && s.charAt(pos) == '\r') pos += 1
+      if (pos < s.length && s.charAt(pos) == '\n') pos += 1
+      val dataStart = pos
+      val len: Option[Long] = dict.get("Length").flatMap {
+        case PNum(d) => Some(d.toLong)
+        case r: PRef => lengthOf(r)
+        case _ => None
+      }
+      val dataEnd = len match {
+        case Some(l) if l >= 0 && dataStart + l <= s.length =>
+          val e = dataStart + l.toInt
+          // trust the declared length only if endstream really follows
+          val probe = new Lexer(s, e); probe.skipWs()
+          if (probe.startsWith("endstream")) e else endstreamScan(dataStart)
+        case _ => endstreamScan(dataStart)
+      }
+      val raw = new Array[Byte](dataEnd - dataStart)
+      var i = 0
+      while (i < raw.length) {
+        raw(i) = s.charAt(dataStart + i).toByte; i += 1
+      }
+      pos = dataEnd
+      expect("endstream")
+      PStream(dict, raw)
+    }
+
+    private def endstreamScan(dataStart: Int): Int = {
+      val e = s.indexOf("endstream", dataStart)
+      var de = if (e < 0) s.length else e
+      if (de > dataStart && s.charAt(de - 1) == '\n') de -= 1
+      if (de > dataStart && s.charAt(de - 1) == '\r') de -= 1
+      de
+    }
+  }
+
+  /** Undo PNG row predictors (10..15; the per-row filter byte picks the
+    * actual algorithm) over `columns`-byte rows with 1-byte pixels —
+    * the shape xref streams use. Predictor 1/absent → identity.
+    */
+  private[graft] def unpredict(data: Array[Byte], predictor: Int,
+      columns: Int): Array[Byte] = {
+    if (predictor < 10) return data
+    require(columns > 0, "predictor needs positive /Columns")
+    val rowLen = columns + 1
+    val nRows = data.length / rowLen
+    val out = new Array[Byte](nRows * columns)
+    val prev = new Array[Int](columns)
+    var r = 0
+    while (r < nRows) {
+      val filter = data(r * rowLen) & 0xff
+      val row = new Array[Int](columns)
+      var i = 0
+      while (i < columns) {
+        val x = data(r * rowLen + 1 + i) & 0xff
+        val a = if (i > 0) row(i - 1) else 0 // left (bpp = 1)
+        val b = prev(i) // up
+        val c = if (i > 0) prev(i - 1) else 0 // upper-left
+        row(i) = filter match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + b) & 0xff
+          case 3 => (x + (a + b) / 2) & 0xff
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val paeth = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (x + paeth) & 0xff
+          case other =>
+            throw new IllegalArgumentException(s"unknown PNG filter $other")
+        }
+        out(r * columns + i) = row(i).toByte
+        i += 1
+      }
+      System.arraycopy(row, 0, prev, 0, columns)
+      r += 1
+    }
+    out
+  }
+
+  /** ToUnicode CMap → code → text. Parses bfchar pairs and bfrange
+    * triples, including the array-destination form; destinations are
+    * UTF-16BE. Codes up to 4 bytes (Identity-H uses 2).
+    */
+  private[graft] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val s = new String(data, ISO_8859_1)
+    val out = Map.newBuilder[Int, String]
+    def hexCode(str: String): Int =
+      str.foldLeft(0)((acc, c) => acc * 256 + (c & 0xff))
+    def hexText(str: String): String = {
+      val bytes = new Array[Byte](str.length)
+      var i = 0
+      while (i < bytes.length) { bytes(i) = str.charAt(i).toByte; i += 1 }
+      new String(bytes, UTF_16BE)
+    }
+    /** dst for code lo+k in a scalar bfrange: last UTF-16 unit += k. */
+    def bump(dst: String, k: Int): String =
+      if (dst.isEmpty) dst
+      else dst.init + (dst.last + k).toChar
+    val lx = new Lexer(s, 0)
+    // walk token-wise; only the bf sections matter, everything else in a
+    // CMap (codespacerange, cid ops, PostScript wrapping) is skipped
+    while ({ lx.skipWs(); lx.pos < s.length }) {
+      val c = s.charAt(lx.pos)
+      if (c == '<' || c == '[' || c == '(' || c == '/') {
+        try { val _ = lx.value() } catch { case _: RuntimeException => lx.pos += 1 }
+      } else {
+        val start = lx.pos
+        while (lx.pos < s.length && !isWs(s.charAt(lx.pos)) &&
+            !Delims.contains(s.charAt(lx.pos))) lx.pos += 1
+        if (lx.pos == start) lx.pos += 1
+        else s.substring(start, lx.pos) match {
+          case "beginbfchar" =>
+            var going = true
+            while (going) {
+              lx.skipWs()
+              if (lx.startsWith("endbfchar") || lx.pos >= s.length) going = false
+              else (lx.value(), lx.value()) match {
+                case (PStr(src), PStr(dst)) => out += hexCode(src) -> hexText(dst)
+                case _ => going = false
+              }
+            }
+          case "beginbfrange" =>
+            var going = true
+            while (going) {
+              lx.skipWs()
+              if (lx.startsWith("endbfrange") || lx.pos >= s.length) going = false
+              else (lx.value(), lx.value(), lx.value()) match {
+                case (PStr(lo), PStr(hi), PStr(dst)) =>
+                  val l = hexCode(lo); val h = hexCode(hi)
+                  var k = 0
+                  while (l + k <= h && k <= 0xffff) {
+                    out += (l + k) -> bump(hexText(dst), k); k += 1
+                  }
+                case (PStr(lo), PStr(hi), PArr(dsts)) =>
+                  val l = hexCode(lo); val h = hexCode(hi)
+                  var k = 0
+                  while (l + k <= h && k < dsts.length) {
+                    dsts(k) match {
+                      case PStr(d) => out += (l + k) -> hexText(d)
+                      case _ =>
+                    }
+                    k += 1
+                  }
+                case _ => going = false
+              }
+            }
+          case _ => // any other operator: operands already consumed above
+        }
+      }
+    }
+    out.result()
+  }
+}
+
+/** One parsed document: xref chain → object map → lazy object access.
+  * Throws on structurally broken input — [[PdfTextSource]] catches and
+  * falls back to its order-of-appearance scan.
+  */
+private[graft] final class PdfDoc(bytes: Array[Byte]) {
+  import Pdf._
+
+  private val s = new String(bytes, ISO_8859_1)
+
+  private val MaxObjects = 1000000
+  private val xref = mutable.Map.empty[Int, Pdf.Loc]
+  private var trailerDict: PDict = PDict(Map.empty)
+
+  locally {
+    val sxAt = s.lastIndexOf("startxref")
+    require(sxAt >= 0, "no startxref")
+    val lx = new Lexer(s, sxAt + "startxref".length)
+    val first = lx.value() match {
+      case PNum(d) => d.toLong
+      case other => throw new IllegalArgumentException(s"bad startxref $other")
+    }
+    // newest-first chain walk; first-seen entries win (an older /Prev
+    // section must not overwrite a newer update's entry)
+    val seen = mutable.Set.empty[Long]
+    var queue = List(first)
+    while (queue.nonEmpty) {
+      val off = queue.head
+      queue = queue.tail
+      if (off >= 0 && off < s.length && seen.add(off)) {
+        val more = parseXrefAt(off)
+        queue = queue ++ more
+      }
+      require(seen.size <= 1024, "xref chain too long")
+    }
+    require(xref.nonEmpty, "empty xref")
+  }
+
+  /** Parse one xref section (classic table or xref stream); returns the
+    * offsets it chains to (/Prev, hybrid /XRefStm).
+    */
+  private def parseXrefAt(off: Long): List[Long] = {
+    val lx = new Lexer(s, off.toInt)
+    lx.skipWs()
+    if (lx.startsWith("xref")) {
+      lx.pos += 4
+      var going = true
+      while (going) {
+        lx.skipWs()
+        if (lx.startsWith("trailer") || lx.pos >= s.length) going = false
+        else {
+          val start = lx.value() match { case PNum(d) => d.toInt; case _ => -1 }
+          val count = lx.value() match { case PNum(d) => d.toInt; case _ => -1 }
+          require(start >= 0 && count >= 0 && count <= MaxObjects, "bad xref section")
+          var i = 0
+          while (i < count) {
+            lx.skipWs()
+            val entry = s.substring(lx.pos, math.min(lx.pos + 18, s.length))
+            require(entry.length == 18, "truncated xref entry")
+            val objOff = entry.substring(0, 10).toLong
+            val kind = entry.charAt(17)
+            if (kind == 'n' && !xref.contains(start + i))
+              xref(start + i) = Pdf.AtOffset(objOff)
+            lx.pos += 18
+            i += 1
+          }
+        }
+      }
+      lx.expect("trailer")
+      val t = lx.value() match {
+        case d: PDict => d
+        case _ => throw new IllegalArgumentException("bad trailer")
+      }
+      if (trailerDict.m.isEmpty) trailerDict = t
+      val prev = t.get("Prev").collect { case PNum(d) => d.toLong }
+      val hybrid = t.get("XRefStm").collect { case PNum(d) => d.toLong }
+      // hybrid stream entries belong to THIS update: parse before Prev
+      hybrid.toList ++ prev.toList
+    } else {
+      // xref STREAM: `N G obj << /Type /XRef ... >> stream`
+      objectAt(off.toInt) match {
+        case PStream(dict, raw) =>
+          require(dict.get("Type").contains(PName("XRef")), "not an XRef stream")
+          val data = decodeStream(dict, raw)
+          val w = dict.get("W") match {
+            case Some(PArr(xs)) => xs.collect { case PNum(d) => d.toInt }
+            case _ => throw new IllegalArgumentException("XRef missing /W")
+          }
+          require(w.length >= 3 && w.forall(x => x >= 0 && x <= 8), s"bad /W $w")
+          val size = dict.get("Size").collect { case PNum(d) => d.toInt }
+            .getOrElse(throw new IllegalArgumentException("XRef missing /Size"))
+          val index: Vector[(Int, Int)] = dict.get("Index") match {
+            case Some(PArr(xs)) =>
+              val nums = xs.collect { case PNum(d) => d.toInt }
+              nums.grouped(2).collect { case Seq(a, b) => (a, b) }.toVector
+            case _ => Vector((0, size))
+          }
+          val rowLen = w.take(3).sum
+          require(rowLen > 0, "zero-width XRef rows")
+          var p = 0
+          def field(width: Int): Long = {
+            var v = 0L; var i = 0
+            while (i < width) { v = (v << 8) | (data(p) & 0xff); p += 1; i += 1 }
+            v
+          }
+          index.foreach { case (start, count) =>
+            require(count >= 0 && count <= MaxObjects, "bad XRef index")
+            var i = 0
+            while (i < count && p + rowLen <= data.length) {
+              val t = if (w(0) == 0) 1L else field(w(0))
+              val f2 = field(w(1))
+              val f3 = field(w(2))
+              val num = start + i
+              if (!xref.contains(num)) t match {
+                case 1L => xref(num) = Pdf.AtOffset(f2)
+                case 2L => xref(num) = Pdf.InStream(f2.toInt, f3.toInt)
+                case _ => // type 0 free, or unknown: skip
+              }
+              i += 1
+            }
+          }
+          if (trailerDict.m.isEmpty) trailerDict = dict
+          dict.get("Prev").collect { case PNum(d) => d.toLong }.toList
+        case other =>
+          throw new IllegalArgumentException(s"xref offset holds $other")
+      }
+    }
+  }
+
+  private val cache = mutable.Map.empty[Int, Val]
+  private val objStmCache = mutable.Map.empty[Int, Map[Int, Val]]
+  private var resolving = Set.empty[Int] // cycle guard
+
+  /** Parse `N G obj <value> endobj` at a byte offset. */
+  private def objectAt(off: Int): Val = {
+    require(off >= 0 && off < s.length, s"object offset $off out of range")
+    val lx = new Lexer(s, off, lengthRef => {
+      resolve(lengthRef) match {
+        case PNum(d) => Some(d.toLong)
+        case _ => None
+      }
+    })
+    lx.value() match { case PNum(_) => case v => throw new IllegalArgumentException(s"bad obj num $v") }
+    lx.value() match { case PNum(_) => case v => throw new IllegalArgumentException(s"bad obj gen $v") }
+    lx.expect("obj")
+    lx.value()
+  }
+
+  /** The objects packed in object stream `num` (decoded once, cached). */
+  private def objStm(num: Int): Map[Int, Val] =
+    objStmCache.getOrElseUpdate(num, {
+      obj(num) match {
+        case PStream(dict, raw) =>
+          require(dict.get("Type").contains(PName("ObjStm")), s"$num is not /ObjStm")
+          val n = dict.get("N").collect { case PNum(d) => d.toInt }.getOrElse(0)
+          val first = dict.get("First").collect { case PNum(d) => d.toInt }.getOrElse(0)
+          require(n >= 0 && n <= MaxObjects, "bad /N")
+          val data = new String(decodeStream(dict, raw), ISO_8859_1)
+          val hdr = new Lexer(data, 0)
+          val pairs = (0 until n).map { _ =>
+            val num = hdr.value() match { case PNum(d) => d.toInt; case _ => -1 }
+            val off = hdr.value() match { case PNum(d) => d.toInt; case _ => -1 }
+            (num, off)
+          }
+          pairs.collect { case (objNum, objOff) if objNum >= 0 && objOff >= 0 =>
+            val vl = new Lexer(data, first + objOff)
+            objNum -> vl.value()
+          }.toMap
+        case other =>
+          throw new IllegalArgumentException(s"object stream $num is $other")
+      }
+    })
+
+  /** Object by number (cached; PNull for free/missing/cyclic). */
+  def obj(num: Int): Val = cache.getOrElseUpdate(num, {
+    if (resolving(num)) PNull
+    else {
+      resolving += num
+      try xref.get(num) match {
+        case Some(Pdf.AtOffset(off)) => objectAt(off.toInt)
+        case Some(Pdf.InStream(stm, _)) => objStm(stm).getOrElse(num, PNull)
+        case None => PNull
+      } finally resolving -= num
+    }
+  })
+
+  /** Chase references to a direct value. */
+  @annotation.tailrec
+  def resolve(v: Val): Val = v match {
+    case PRef(num, _) => resolve(obj(num))
+    case x => x
+  }
+
+  def trailer: PDict = trailerDict
+
+  /** Apply the stream's filter chain. Supports FlateDecode (with PNG
+    * predictors); any other filter yields the raw bytes untouched (the
+    * caller decides whether un-decoded data is usable).
+    */
+  def decodeStream(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+    val filters: Vector[String] = resolve(dict.get("Filter").getOrElse(PNull)) match {
+      case PName(n) => Vector(n)
+      case PArr(xs) => xs.map(resolve).collect { case PName(n) => n }
+      case _ => Vector.empty
+    }
+    val parms: Vector[Option[PDict]] = resolve(dict.get("DecodeParms").getOrElse(PNull)) match {
+      case d: PDict => Vector(Some(d))
+      case PArr(xs) => xs.map(resolve).map { case d: PDict => Some(d); case _ => None }
+      case _ => Vector.empty
+    }
+    filters.zipWithIndex.foldLeft(raw) { case (data, (f, i)) =>
+      f match {
+        case "FlateDecode" | "Fl" =>
+          val inflated = PdfTextSource.inflate(data)
+          val pd = parms.lift(i).flatten
+          val predictor = pd.flatMap(_.get("Predictor")).map(resolve).collect {
+            case PNum(d) => d.toInt }.getOrElse(1)
+          val columns = pd.flatMap(_.get("Columns")).map(resolve).collect {
+            case PNum(d) => d.toInt }.getOrElse(1)
+          Pdf.unpredict(inflated, predictor, columns)
+        case _ => data // unsupported filter: hand back as-is
+      }
+    }
+  }
+
+  /** Decoded bytes of a stream-valued object (None if not a stream). */
+  def streamData(v: Val): Option[Array[Byte]] = resolve(v) match {
+    case PStream(dict, raw) => Some(decodeStream(dict, raw))
+    case _ => None
+  }
+
+  // ------------------------------------------------------------- pages
+
+  def pages: Vector[Pdf.Page] = {
+    val root = resolve(trailer.get("Root").getOrElse(PNull)) match {
+      case d: PDict => d
+      case _ => throw new IllegalArgumentException("no /Root catalog")
+    }
+    val top = root.get("Pages").getOrElse(
+      throw new IllegalArgumentException("catalog has no /Pages"))
+    val out = Vector.newBuilder[Pdf.Page]
+    var visited = Set.empty[Int]
+    def walk(node: Val, inheritedRes: Option[PDict], depth: Int): Unit = {
+      if (depth > 64) return
+      node match {
+        case PRef(num, _) =>
+          if (!visited(num)) { visited += num; walk(obj(num), inheritedRes, depth) }
+        case d: PDict =>
+          val res = resolve(d.get("Resources").getOrElse(PNull)) match {
+            case r: PDict => Some(r)
+            case _ => inheritedRes
+          }
+          resolve(d.get("Type").getOrElse(PNull)) match {
+            case PName("Pages") =>
+              resolve(d.get("Kids").getOrElse(PNull)) match {
+                case PArr(kids) => kids.foreach(walk(_, res, depth + 1))
+                case _ =>
+              }
+            case PName("Page") =>
+              out += Pdf.Page(pageContent(d), pageFonts(res))
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    walk(top, None, 0)
+    out.result()
+  }
+
+  /** /Contents (single stream or array) concatenated with separators —
+    * the spec says split content parts form ONE token stream per page.
+    */
+  private def pageContent(page: PDict): Array[Byte] = {
+    val parts: Vector[Array[Byte]] = resolve(page.get("Contents").getOrElse(PNull)) match {
+      case st: PStream => streamData(st).toVector
+      case PArr(xs) => xs.flatMap(x => streamData(x))
+      case _ => Vector.empty
+    }
+    if (parts.isEmpty) Array.emptyByteArray
+    else parts.reduce((a, b) => a ++ "\n".getBytes(ISO_8859_1) ++ b)
+  }
+
+  /** Font resource name → CID decoder (None = simple single-byte font). */
+  private def pageFonts(res: Option[PDict]): Map[String, Option[Map[Int, String]]] =
+    res.map { r =>
+      resolve(r.get("Font").getOrElse(PNull)) match {
+        case fonts: PDict =>
+          fonts.m.map { case (name, fv) =>
+            val decoder = resolve(fv) match {
+              case fd: PDict if resolve(fd.get("Subtype").getOrElse(PNull)) == PName("Type0") =>
+                // composite font: 2-byte codes; text only via ToUnicode
+                // (a subsetted CID font's codes are glyph indices — raw
+                // bytes are meaningless). Missing CMap → empty map:
+                // codes drop instead of emitting garbage.
+                val cmap = fd.get("ToUnicode")
+                  .flatMap(streamData)
+                  .map(Pdf.parseToUnicode)
+                  .getOrElse(Map.empty[Int, String])
+                Some(cmap)
+              case _ => None
+            }
+            name -> decoder
+          }
+        case _ => Map.empty[String, Option[Map[Int, String]]]
+      }
+    }.getOrElse(Map.empty)
+}

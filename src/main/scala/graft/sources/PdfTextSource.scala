@@ -8,36 +8,59 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** S3/S4 — minimal offline PDF text source (the reference reads audited
+/** S3/S4 — offline PDF text source (the reference reads audited
   * reports with pdfplumber: dask-with-dataframe-[2].py:102-104,
   * detail_notes.py:30-38; no PDF library exists in this environment, so
   * this parses the format directly with nothing beyond the JDK).
   *
-  * Scope (documented, deliberate): classic PDF layouts — uncompressed or
-  * /FlateDecode content streams, simple (non-CID) fonts, no encryption,
-  * no cross-reference/object streams. That covers the
-  * standard-generator financial-report shape this seam exists for;
-  * anything richer plugs in at the same `bytes → lines` boundary.
+  * Two extraction paths, tried in order:
   *
-  * Extraction model: content streams are processed in file order (the
-  * order single-pass writers emit pages in); within a BT..ET text block,
-  * the positioning operators (Td, TD, T-star, quote) start a new line
-  * and the show operators (Tj, TJ, quote forms) append their string —
-  * the same line model pdfplumber's extract_text produces for
-  * single-column text.
+  *  1. STRUCTURAL ([[PdfDoc]]): walk the cross-reference chain (classic
+  *     tables AND compressed xref streams, /Prev + hybrid /XRefStm),
+  *     load objects out of object streams, walk the page tree in order,
+  *     and decode show strings per font — Type0/CID fonts (the subsetted
+  *     fonts every modern financial-report generator embeds, where show
+  *     strings are glyph indices) decode through their embedded
+  *     /ToUnicode CMap. This is the path real-world 2023-era reports
+  *     take (the reference's actual input per dask-with-dataframe-[2]
+  *     .py:102-104).
+  *  2. ORDER-OF-APPEARANCE fallback: when the document is structurally
+  *     broken (damaged xref, truncated trailer), scan raw streams in
+  *     file order and run the text ops with simple-font semantics — the
+  *     classic single-pass-writer shape, and better than nothing on a
+  *     damaged file.
+  *
+  * Line model (both paths): within a BT..ET text block, the positioning
+  * operators (Td, TD, T-star, quote) start a new line and the show
+  * operators (Tj, TJ, quote forms) append their string — the same line
+  * model pdfplumber's extract_text produces for single-column text.
+  * Not in scope: encryption, non-flate filters, layout-aware column
+  * reconstruction.
   */
 object PdfTextSource {
 
-  /** All text lines of the document, in stream order. Non-content
-    * streams (fonts, images, metadata — recognized by dict type or by
-    * failing to parse as text operators) contribute nothing; a stream
-    * that errors mid-parse is skipped, never fatal (the per-source
-    * failure-isolation contract).
+  /** All text lines of the document: page-tree order via the structural
+    * path, stream order via the fallback. A stream that errors mid-parse
+    * is skipped, never fatal (the per-source failure-isolation contract).
     */
-  def extractLines(bytes: Array[Byte]): Vector[String] =
-    contentStreams(bytes).flatMap { data =>
-      try textLines(data) catch { case _: RuntimeException => Seq.empty }
-    }.toVector
+  def extractLines(bytes: Array[Byte]): Vector[String] = {
+    val structural =
+      try {
+        val doc = new PdfDoc(bytes)
+        Some(doc.pages.flatMap { p =>
+          try textLines(p.content, p.cid)
+          catch { case _: RuntimeException => Seq.empty }
+        })
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // an empty structural result on a non-empty file usually means the
+    // xref chain lied (hand-edited or truncated file) — give the
+    // order-of-appearance scan its chance rather than returning nothing
+    structural.filter(_.nonEmpty).getOrElse(
+      contentStreams(bytes).flatMap { data =>
+        try textLines(data, Map.empty)
+        catch { case _: RuntimeException => Seq.empty }
+      }.toVector)
+  }
 
   /** One PDF → (line_no, line), the same shape as Ingest.textWithLineNo —
     * DetailNotes runs unchanged on it. Driver-side parse (one report is
@@ -152,7 +175,7 @@ object PdfTextSource {
     */
   private val MaxInflatedBytes = 256 * 1024 * 1024
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[sources] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
     val buf = new Array[Byte](8192)
@@ -173,8 +196,18 @@ object PdfTextSource {
 
   private val Delims = "()<>[]{}/%"
 
-  /** Lines shown by the text operators of one decoded content stream. */
-  private def textLines(content: Array[Byte]): Seq[String] = {
+  /** Lines shown by the text operators of one decoded content stream.
+    *
+    * `fonts` maps a resource font name (what a `/F1 12 Tf` selects) to
+    * Some(cmap) for Type0/CID fonts — show strings are then 2-byte
+    * codes decoded through the ToUnicode cmap (codes the subsetter left
+    * unmapped contribute nothing, never raw glyph-index garbage) — or
+    * None/absent for simple fonts, whose bytes pass through unchanged
+    * (the classic path; also what the fallback scan uses for
+    * everything, with `fonts` empty).
+    */
+  private def textLines(content: Array[Byte],
+      fonts: Map[String, Option[Map[Int, String]]]): Seq[String] = {
     val s = new String(content, ISO_8859_1)
     val n = s.length
     val lines = mutable.ArrayBuffer.empty[String]
@@ -184,10 +217,26 @@ object PdfTextSource {
       if (t.nonEmpty) lines += t
       cur.clear()
     }
+    // current font's CID cmap (None = simple font). Tf switches it; the
+    // graphics state survives BT/ET like a real interpreter's.
+    var curCid: Option[Map[Int, String]] = None
+    var lastName: String = null
+    def decode(raw: String): String = curCid match {
+      case Some(cmap) =>
+        val sb = new StringBuilder
+        var k = 0
+        while (k + 1 < raw.length) {
+          val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+          cmap.get(code).foreach(sb.append)
+          k += 2
+        }
+        sb.toString
+      case None => raw
+    }
     var lastString: String = null
     var arrayBuf: StringBuilder = null
     def emit(str: String): Unit =
-      if (arrayBuf != null) arrayBuf.append(str) else lastString = str
+      if (arrayBuf != null) arrayBuf.append(decode(str)) else lastString = decode(str)
     var inText = false
     var i = 0
     while (i < n) {
@@ -207,13 +256,18 @@ object PdfTextSource {
         while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
       } else if (c == '/') {
         i += 1
+        val start = i
         while (i < n && !s.charAt(i).isWhitespace && !Delims.contains(s.charAt(i))) i += 1
+        lastName = s.substring(start, i)
       } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
         val start = i
         while (i < n && !s.charAt(i).isWhitespace && !Delims.contains(s.charAt(i))) i += 1
         s.substring(start, i) match {
           case "BT" => inText = true; flush(); lastString = null
           case "ET" => inText = false; flush(); lastString = null
+          case "Tf" => // font select: operands were `/Name size`
+            if (lastName != null) curCid = fonts.getOrElse(lastName, None)
+            lastString = null
           case "Tj" | "TJ" =>
             if (inText && lastString != null) cur.append(lastString)
             lastString = null
@@ -234,7 +288,7 @@ object PdfTextSource {
   /** `(...)` literal string: nested parens, \-escapes, octal, line
     * continuations. Returns (decoded, index-after-`)`).
     */
-  private def literalString(s: String, start: Int): (String, Int) = {
+  private[sources] def literalString(s: String, start: Int): (String, Int) = {
     val out = new StringBuilder
     var depth = 1
     var i = start + 1
@@ -277,7 +331,7 @@ object PdfTextSource {
     * string opener, not a PDF hex string — yield nothing rather than
     * throw (the tokenizer must survive arbitrary bytes).
     */
-  private def hexString(s: String, start: Int): (String, Int) = {
+  private[sources] def hexString(s: String, start: Int): (String, Int) = {
     val hex = new StringBuilder
     var valid = true
     var i = start + 1
