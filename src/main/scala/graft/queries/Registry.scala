@@ -10,6 +10,7 @@ object Registry {
     val qs =
       Relational.queries ++ RelationalDeep.queries ++ Financial.queries ++ TextAnalysis.queries ++
         DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
+        StreamingGates.queries ++
         MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
         Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries ++
         CorpusQuality.queries ++ CorpusPrep.queries ++ Graph.queries ++ Ingestion.queries ++ DataQuality.queries ++

@@ -1,0 +1,191 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Exact
+import graft.streaming.Streaming
+
+/** The streaming surface under the DuckDB correctness gate: each query
+  * here EXECUTES a real Structured Streaming query (file source →
+  * stateful transform → memory sink, AvailableNow-equivalent drain) and
+  * hands the sunk result to the oracle compare — batch/stream parity
+  * checked against an independent engine, not just against our own
+  * batch twin in a unit test.
+  *
+  * Portability note: the streamed aggregates run over PRE-QUANTIZED
+  * micro-unit values (exact integers in doubles stay exact under any
+  * summation order below 2^53), so the genuine
+  * [[Streaming.tumblingCounts]] / [[Streaming.dedupStream]] operators
+  * execute unchanged while the hash compare stays engine-portable —
+  * the same integer-cents discipline every batch oracle here uses.
+  *
+  * The gates deliberately avoid flatMapGroupsWithState +
+  * ProcessingTimeTimeout ([[Streaming.sessionize]]): processing-time
+  * timers spin under drain-everything triggers; its transition core is
+  * unit-tested instead (StreamingSpec).
+  */
+object StreamingGates {
+
+  /** Distinct memory-sink names per invocation — re-runs in one session
+    * must not collide with a table a previous run registered.
+    */
+  private val gateId = new AtomicInteger(0)
+
+  /** events.parquet carries TIMESTAMP(NANOS); a streaming reader gets an
+    * EXPLICIT schema (no inference on streams), so declare ts as the
+    * raw nano LongType and convert to micros exactly like
+    * `Tables.events` (integer div — double promotion would corrupt the
+    * low microseconds).
+    */
+  private val eventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Run a streaming query body under a smaller shuffle width, restoring
+    * the session's setting afterwards. A streaming stateful operator
+    * materializes one state-store instance PER shuffle partition per
+    * operator (a stream-stream join keeps four); at the harness's state
+    * sizes (tens of thousands of keys) 32 partitions are pure
+    * fixed-cost — store init, per-batch delta files, snapshot upkeep —
+    * with no parallelism payoff. At real scale this knob is sized to the
+    * stream's key cardinality, not the CPU count.
+    */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
+  private def readEventsMicros(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(eventsNanosSchema)
+      .option("maxFilesPerTrigger", 16)
+      // events.parquet is a single FILE: FileStreamSource demands a
+      // DIRECTORY for literal paths but accepts any glob, so spell the
+      // last char as a one-char class — matches exactly the same file,
+      // without sweeping the sibling tables a bare *.parquet would
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** [[Streaming.tumblingCounts]] — watermarked tumbling window, count +
+    * sum — executed as a streaming query over the events parquet and
+    * drained complete-mode to a memory sink. Matches the
+    * `events_tumbling_hourly` batch oracle on (hour, type, n, sum).
+    */
+  private def streamingTumblingHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = readEventsMicros(s, dir)
+      .withColumn("value", Exact.micro("value").cast("double"))
+    val name = s"graft_gate_tumbling_${gateId.incrementAndGet()}"
+    withStreamShuffle(s, 4) {
+      Streaming.runToMemory(Streaming.tumblingCounts(stream), name, "complete")
+    }
+    s.table(name)
+      .withColumn("s_micro", $"sum_value".cast("long"))
+      .select($"window_start".as("hour_start"), $"event_type", $"n",
+        Exact.microSumTo4dp("s_micro").as("sum_value"))
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  private val streamingTumblingOracle =
+    s"""SELECT hour_start, event_type, n,
+      |  ${Exact.microSumTo4dpSql("s_micro", Exact.DuckDiv)} AS sum_value
+      |FROM (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |    count(*) AS n,
+      |    CAST(sum(${Exact.microSql("value")}) AS BIGINT) AS s_micro
+      |  FROM events
+      |  GROUP BY hour_start, event_type)
+      |ORDER BY hour_start, event_type""".stripMargin
+
+  /** [[Streaming.dedupStream]] — dropDuplicatesWithinWatermark — fed a
+    * stream carrying EVERY event twice (the same source unioned with
+    * itself), drained append-mode, then signature-aggregated: the gate
+    * passes only if each event survived exactly once. The oracle is the
+    * same signature over the events table read once.
+    */
+  private def streamingDedupEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val doubled = readEventsMicros(s, dir).union(readEventsMicros(s, dir))
+    val name = s"graft_gate_dedup_${gateId.incrementAndGet()}"
+    withStreamShuffle(s, 4) {
+      Streaming.runToMemory(Streaming.dedupStream(doubled), name, "append")
+    }
+    s.table(name)
+      .withColumn("v_micro", Exact.micro("value"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"v_micro").as("s_micro"),
+        min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"))
+      .select($"event_type", $"n",
+        Exact.microSumTo4dp("s_micro").as("sum_value"),
+        $"min_id", $"max_id")
+      .orderBy($"event_type")
+  }
+
+  private val streamingDedupOracle =
+    s"""SELECT event_type, n,
+      |  ${Exact.microSumTo4dpSql("s_micro", Exact.DuckDiv)} AS sum_value,
+      |  min_id, max_id
+      |FROM (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(${Exact.microSql("value")}) AS BIGINT) AS s_micro,
+      |    min(event_id) AS min_id, max(event_id) AS max_id
+      |  FROM events
+      |  GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** [[Streaming.intervalJoin]] — stream-stream attribution join with
+    * watermark-bounded state — both sides fed from the events stream
+    * (clicks ⋈ purchases of the same user within 30 minutes), drained
+    * append-mode. The oracle is the equivalent batch range join; the
+    * time condition is stated in integer MICROS on both sides (Spark's
+    * timestamps are micros-truncated nanos, so an interval-literal
+    * compare in DuckDB's nano domain could flip boundary pairs).
+    */
+  private def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clicks = readEventsMicros(s, dir).filter($"event_type" === "click")
+    val purchases = readEventsMicros(s, dir).filter($"event_type" === "purchase")
+    val name = s"graft_gate_ivj_${gateId.incrementAndGet()}"
+    withStreamShuffle(s, 4) {
+      Streaming.runToMemory(
+        Streaming.intervalJoin(clicks, purchases, bound = "30 minutes"),
+        name, "append")
+    }
+    s.table(name)
+      .select($"user_id", $"l_event_id", $"r_event_id",
+        unix_micros($"l_ts").as("l_us"), unix_micros($"r_ts").as("r_us"))
+      .orderBy($"user_id", $"l_event_id", $"r_event_id")
+  }
+
+  private val streamingIntervalOracle =
+    """SELECT l.user_id AS user_id, l.event_id AS l_event_id,
+      |  r.event_id AS r_event_id,
+      |  epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+      |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+      |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+      |ORDER BY user_id, l_event_id, r_event_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("streaming_interval_join", streamingIntervalJoin,
+      Some(streamingIntervalOracle)),
+    Q("streaming_tumbling_hourly", streamingTumblingHourly,
+      Some(streamingTumblingOracle)),
+    Q("streaming_dedup_events", streamingDedupEvents,
+      Some(streamingDedupOracle)))
+}
