@@ -17,7 +17,15 @@ object DedupQueries {
   private val NumHashes = 8
   private val NumBands = 4
   private val RowsPerBand = 2
-  private val SimhashBits = 24
+  // 60 bits (the full md5-prefix width the kernel hashes at): with 4
+  // bands the band key space is 2^15, so candidate buckets stay sparse
+  // as the corpus grows. The r8 scale soak caught the old 24-bit form
+  // (2^6 keys/band) going quadratic — 0.85 s at sf0.1 but 60 s at 10×:
+  // fixed key space ⇒ bucket occupancy ∝ corpus ⇒ pairs ∝ corpus².
+  // At petabyte corpora the knobs move again (wider fingerprint or more
+  // bands + higher hamming budget), but the invariant is the same: size
+  // the band key space to keep per-bucket occupancy O(1).
+  private val SimhashBits = 60
   private val SimhashSeed = 99
   private val HammingMax = 3
   private val EmbBucketBits = 6
@@ -262,8 +270,8 @@ object DedupQueries {
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Banded candidate generation: split the 24-bit fingerprint into 4
-    // disjoint 6-bit bands — hamming <= 3 means at most 3 bands can
+    // Banded candidate generation: split the 60-bit fingerprint into 4
+    // disjoint 15-bit bands — hamming <= 3 means at most 3 bands can
     // differ, so every qualifying pair agrees on >= 1 band (pigeonhole;
     // lossless). The join shuffles on (band, key) instead of the O(n²)
     // all-pairs cross product the old form paid.
@@ -289,13 +297,19 @@ object DedupQueries {
   }
 
   private val dedupSimhashOracle = {
-    val cnt = (b: Int) =>
-      s"len(list_filter($toksSql, t -> ((${hashSql(SimhashSeed, "t")} >> $b) & 1) = 1))"
+    // token hashes computed ONCE per doc (the per-bit filters then scan
+    // the precomputed list — 60 md5-per-token re-evaluations would make
+    // the oracle itself quadratic-ish in bit width)
+    val cnt = (b: Int) => s"len(list_filter(hs, h -> ((h >> $b) & 1) = 1))"
     val sim = (0 until SimhashBits)
-      .map(b => s"(CASE WHEN 2 * ${cnt(b)} > len($toksSql) THEN ${1L << b} ELSE 0 END)")
+      .map(b => s"(CASE WHEN 2 * ${cnt(b)} > n THEN ${1L << b} ELSE 0 END)")
       .mkString("(", "\n    + ", ")")
-    s"""WITH s AS (
-       |  SELECT doc_id, $sim::BIGINT AS sim FROM documents)
+    s"""WITH t AS (
+       |  SELECT doc_id, len($toksSql) AS n,
+       |    list_transform($toksSql, t -> ${hashSql(SimhashSeed, "t")}) AS hs
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, $sim::BIGINT AS sim FROM t)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -127,8 +127,8 @@ object XlsxSource {
     *   `_c0.._cN` (pandas `header=None` read through our P6 rename).
     */
   def toDataFrame(spark: SparkSession, path: String, sheetName: String,
-      header: Option[Int]): DataFrame = {
-    val rows = readSheet(path, sheetName)
+      header: Option[Int], dateSerials: Boolean = true): DataFrame = {
+    val rows = readSheet(path, sheetName, dateSerials)
     val width = if (rows.isEmpty) 0 else rows.map(_.length).max
     def pad(r: Vector[String]) = r.padTo(width, "")
     val (names, data) = header match {
@@ -139,8 +139,12 @@ object XlsxSource {
         ((0 until width).map(i => s"_c$i").toVector, rows.map(pad))
     }
     val schema = StructType(names.map(n => StructField(n, StringType)))
-    val rdd = spark.sparkContext.parallelize(data.map(r => Row.fromSeq(r)))
-    spark.createDataFrame(rdd, schema)
+    // LocalRelation, not parallelize: a driver-parsed workbook should
+    // enter the plan as a LocalTableScan (sized, codegen-friendly), not
+    // a Scan ExistingRDD bridge
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      data.map(r => Row.fromSeq(r): Row).asJava, schema)
   }
 
   /** Distributed ingest of MANY workbooks sharing one layout.
@@ -168,7 +172,7 @@ object XlsxSource {
   private val SampleProbeLimit = 64
 
   def readMany(spark: SparkSession, glob: String, sheetName: String,
-      header: Option[Int]): DataFrame = {
+      header: Option[Int], dateSerials: Boolean = true): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
@@ -184,7 +188,7 @@ object XlsxSource {
     val sampleRows = paths.iterator.map { path =>
       val in = fs.open(new org.apache.hadoop.fs.Path(path))
       val bytes = try in.readAllBytes() finally in.close()
-      try Some(readSheetBytes(bytes, sheetName))
+      try Some(readSheetBytes(bytes, sheetName, dateSerials))
       catch { case scala.util.control.NonFatal(_) => None }
     }.collectFirst { case Some(rows) => rows }
       .getOrElse(throw new IllegalArgumentException(
@@ -206,7 +210,7 @@ object XlsxSource {
       // readOrEmpty): ONE corrupt workbook in a lake of thousands must
       // contribute zero rows, not kill the whole scan
       val rows =
-        try readSheetBytes(bytes, sheetName)
+        try readSheetBytes(bytes, sheetName, dateSerials)
         catch { case scala.util.control.NonFatal(_) => Vector.empty }
       val data = header match {
         case Some(h) => rows.drop(h + 1)

@@ -34,7 +34,7 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "median_mode_by_priority","heavy_hitters_events",
               "weighted_sample_docs","mv_incremental_refresh","topk_agg_per_priority",
               "a_financial_union","ann_ivf_recall","decontaminate_overlap",
-              "text_nfc_normalize")) {
+              "text_nfc_normalize","calk_sectionizer","pdf_cid_sectionizer")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
