@@ -43,22 +43,31 @@ object PdfTextSource {
     * path, stream order via the fallback. A stream that errors mid-parse
     * is skipped, never fatal (the per-source failure-isolation contract).
     */
-  def extractLines(bytes: Array[Byte]): Vector[String] = {
+  def extractLines(bytes: Array[Byte]): Vector[String] =
+    extractPageLines(bytes).flatten
+
+  /** Per-PAGE text lines — the pdfplumber unit (`pdf.pages[i]
+    * .extract_text()`, detail_notes.py:30-38). Structural path: one
+    * element per page in page-tree order; fallback path: one element per
+    * content stream in file order (a classic single-pass writer emits
+    * pages in file order, so the grouping still approximates pages).
+    */
+  def extractPageLines(bytes: Array[Byte]): Vector[Vector[String]] = {
     val structural =
       try {
         val doc = new PdfDoc(bytes)
-        Some(doc.pages.flatMap { p =>
-          try textLines(p.content, p.cid)
-          catch { case _: RuntimeException => Seq.empty }
+        Some(doc.pages.map { p =>
+          try textLines(p.content, p.cid).toVector
+          catch { case _: RuntimeException => Vector.empty[String] }
         })
       } catch { case scala.util.control.NonFatal(_) => None }
     // an empty structural result on a non-empty file usually means the
     // xref chain lied (hand-edited or truncated file) — give the
     // order-of-appearance scan its chance rather than returning nothing
-    structural.filter(_.nonEmpty).getOrElse(
-      contentStreams(bytes).flatMap { data =>
-        try textLines(data, Map.empty)
-        catch { case _: RuntimeException => Seq.empty }
+    structural.filter(_.exists(_.nonEmpty)).getOrElse(
+      contentStreams(bytes).map { data =>
+        try textLines(data, Map.empty).toVector
+        catch { case _: RuntimeException => Vector.empty[String] }
       }.toVector)
   }
 
@@ -78,6 +87,25 @@ object PdfTextSource {
     spark.createDataFrame(
       lines.zipWithIndex
         .map { case (l, i) => Row(i.toLong, l): Row }.asJava,
+      schema)
+  }
+
+  /** One PDF → (page_no, line_no, line): the page-wise shape of the
+    * reference's `for page in pdf.pages` loop (detail_notes.py:30-38).
+    * page_no is 0-based page-tree order; line_no restarts per page.
+    */
+  def toPagedLinesDataFrame(spark: SparkSession, path: String): DataFrame = {
+    val pages = extractPageLines(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    val schema = StructType(Seq(
+      StructField("page_no", LongType, nullable = false),
+      StructField("line_no", LongType, nullable = false),
+      StructField("line", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      pages.zipWithIndex.flatMap { case (lines, p) =>
+        lines.zipWithIndex.map { case (l, i) => Row(p.toLong, i.toLong, l): Row }
+      }.asJava,
       schema)
   }
 

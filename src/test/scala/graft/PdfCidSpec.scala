@@ -38,6 +38,17 @@ class PdfCidSpec extends SparkSpec {
     assert(PdfTextSource.extractLines(bytes) == expectedLines)
   }
 
+  test("extractPageLines splits at the page-tree boundary") {
+    val pages = PdfTextSource.extractPageLines(bytes)
+    assert(pages.map(_.length) == Vector(4, 6))
+    assert(pages.flatten == expectedLines)
+    val paged = PdfTextSource.toPagedLinesDataFrame(spark, pdf)
+      .as[(Long, Long, String)].collect().toVector
+    assert(paged.count(_._1 == 0L) == 4 && paged.count(_._1 == 1L) == 6)
+    // line_no restarts per page
+    assert(paged.filter(_._1 == 1L).map(_._2) == (0L until 6L).toVector)
+  }
+
   test("the raw byte scan alone cannot read this file (CID is load-bearing)") {
     // the fallback path (file-order streams, simple-font semantics) on
     // the same bytes: glyph-index bytes are NOT the text — proving the
