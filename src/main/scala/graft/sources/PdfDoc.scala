@@ -520,6 +520,11 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
 
   def trailer: PDict = trailerDict
 
+  /** Whether the document declares an encryption dictionary — strings
+    * and stream bodies are then ciphertext (decryption out of scope).
+    */
+  def isEncrypted: Boolean = trailerDict.get("Encrypt").isDefined
+
   /** Apply the stream's filter chain. Supports FlateDecode (with PNG
     * predictors); any other filter yields the raw bytes untouched (the
     * caller decides whether un-decoded data is usable).

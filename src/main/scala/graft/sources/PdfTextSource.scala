@@ -53,14 +53,21 @@ object PdfTextSource {
     * pages in file order, so the grouping still approximates pages).
     */
   def extractPageLines(bytes: Array[Byte]): Vector[Vector[String]] = {
-    val structural =
+    val doc =
+      try Some(new PdfDoc(bytes))
+      catch { case scala.util.control.NonFatal(_) => None }
+    // encrypted documents: strings AND streams are RC4/AES ciphertext,
+    // so BOTH paths would emit garbage lines — zero lines is the honest
+    // answer (decryption is out of scope, documented above)
+    if (doc.exists(_.isEncrypted)) return Vector.empty
+    val structural = doc.flatMap { d =>
       try {
-        val doc = new PdfDoc(bytes)
-        Some(doc.pages.map { p =>
+        Some(d.pages.map { p =>
           try textLines(p.content, p.cid).toVector
           catch { case _: RuntimeException => Vector.empty[String] }
         })
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
     // an empty structural result on a non-empty file usually means the
     // xref chain lied (hand-edited or truncated file) — give the
     // order-of-appearance scan its chance rather than returning nothing

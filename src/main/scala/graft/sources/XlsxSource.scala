@@ -74,13 +74,17 @@ object XlsxSource {
       else entry("xl/styles.xml")
         .map(b => parseDateStyles(new ByteArrayInputStream(b)))
         .getOrElse(Set.empty)
+    // legacy Mac workbooks count serials from 1904-01-01 (workbookPr
+    // date1904="1"); pandas honors it, so the date render must too
+    val date1904 = dateStyles.nonEmpty && entry("xl/workbook.xml")
+      .exists(b => parseDate1904(new ByteArrayInputStream(b)))
     val target = sheetTarget(entry, sheetName)
     val sheetPath = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
     val sheet = entry(sheetPath).getOrElse(
       throw new IllegalArgumentException(
         s"worksheet entry not found for sheet '$sheetName'"))
     val rdr = factory.createXMLStreamReader(new ByteArrayInputStream(sheet))
-    try parseSheet(rdr, shared, dateStyles) finally rdr.close()
+    try parseSheet(rdr, shared, dateStyles, date1904) finally rdr.close()
   }
 
   /** Cumulative decompressed-bytes cap per workbook: a high-ratio deflate
@@ -307,7 +311,7 @@ object XlsxSource {
   }
 
   private def parseSheet(r: XMLStreamReader, shared: Vector[String],
-      dateStyles: Set[Int]): Vector[Vector[String]] = {
+      dateStyles: Set[Int], date1904: Boolean = false): Vector[Vector[String]] = {
     val rows = Vector.newBuilder[Vector[String]]
     var row: mutable.ArrayBuffer[String] = null
     var cellCol = -1
@@ -355,7 +359,8 @@ object XlsxSource {
               // numeric cell styled with a date format → ISO date when
               // the caller opted in (dateStyles is empty otherwise)
               case "" | "n" if dateStyles.contains(cellStyle) =>
-                raw.trim.toDoubleOption.map(serialToIso).getOrElse(raw)
+                raw.trim.toDoubleOption
+                  .map(serialToIso(_, date1904)).getOrElse(raw)
               case _ => raw
             }
             while (row.length <= cellCol) row += ""
@@ -423,10 +428,15 @@ object XlsxSource {
     * timestamps as "YYYY-MM-DD HH:MM:SS" — the str() forms of the
     * date/Timestamp objects `pd.read_excel` yields.
     */
-  private[graft] def serialToIso(serial: Double): String = {
+  private[graft] def serialToIso(serial: Double,
+      date1904: Boolean = false): String = {
     val days = math.floor(serial).toLong
-    val leapFix = if (serial > 0 && days < 60) 1 else 0
-    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days + leapFix)
+    // the 1904 system has no phantom leap day; its day 0 IS 1904-01-01
+    val leapFix = if (!date1904 && serial > 0 && days < 60) 1 else 0
+    val epoch =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else java.time.LocalDate.of(1899, 12, 30)
+    val date = epoch.plusDays(days + leapFix)
     // round to whole seconds the way spreadsheet UIs do
     val secs = math.round((serial - days) * 86400.0)
     if (secs == 0L) date.toString
@@ -435,6 +445,21 @@ object XlsxSource {
       val t = java.time.LocalTime.ofSecondOfDay(secs)
       f"$date ${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
     }
+  }
+
+  /** workbookPr date1904 attribute ("1"/"true") of xl/workbook.xml. */
+  private[graft] def parseDate1904(in: ByteArrayInputStream): Boolean = {
+    val r = factory.createXMLStreamReader(in)
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT
+            if r.getLocalName == "workbookPr" =>
+          val v = attr(r, "date1904")
+          return v == "1" || v == "true"
+        case _ =>
+      }
+      false
+    } finally r.close()
   }
 
   /** "BC12" → 0-based column index of "BC". */

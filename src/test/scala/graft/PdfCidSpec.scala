@@ -80,6 +80,34 @@ class PdfCidSpec extends SparkSpec {
     assert(lines.contains("1. Umum") && lines.contains("3. Kas dan Setara Kas"))
   }
 
+  test("an encrypted document yields zero lines, not ciphertext garbage") {
+    val s = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/fixtures/bin/calk_notes.pdf")),
+      ISO_8859_1)
+    val encrypted = s.replaceFirst("/Size", "/Encrypt 99 0 R /Size")
+    assert(encrypted != s)
+    assert(PdfTextSource.extractLines(encrypted.getBytes(ISO_8859_1)).isEmpty)
+  }
+
+  test("random byte corruption never throws out of extractLines") {
+    // executor-safety contract: arbitrary damage degrades, never kills.
+    // Deterministic seed — this is a regression net, not a flake source.
+    val rnd = new scala.util.Random(8)
+    val base = bytes
+    (1 to 40).foreach { _ =>
+      val mutated = base.clone()
+      (1 to 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      PdfTextSource.extractLines(mutated) // must not throw
+    }
+    // truncations too, including mid-stream and mid-xref cuts
+    Seq(7, 100, 500, 1000, 1500, base.length - 5).foreach { n =>
+      PdfTextSource.extractLines(base.take(n))
+    }
+  }
+
   test("PNG Up/Sub/Paeth predictors reconstruct") {
     // round-trip a tiny 3-column image through each filter type
     val rows = Vector(Vector(10, 20, 30), Vector(13, 24, 35), Vector(1, 2, 3))

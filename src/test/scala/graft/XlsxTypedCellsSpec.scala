@@ -120,6 +120,39 @@ class XlsxTypedCellsSpec extends SparkSpec {
     assert(XlsxSource.serialToIso(45382.9999999) == "2024-04-01 00:00:00")
   }
 
+  test("a date1904 workbook renders serials from the 1904 epoch") {
+    // serialToIso directly: the 1904 system has no phantom leap day
+    assert(XlsxSource.serialToIso(0.0, date1904 = true) == "1904-01-01")
+    assert(XlsxSource.serialToIso(366.0, date1904 = true) == "1905-01-01")
+    assert(XlsxSource.serialToIso(45292.0, date1904 = true) == "2028-01-02")
+    // end-to-end: same sheet, workbook.xml carries workbookPr date1904
+    val wbXml1904 =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<workbook xmlns="$SsMain"
+         | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<workbookPr date1904="1"/>
+         |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+         |</workbook>""".stripMargin
+    val base = workbook(typedSheet, Some(styles))
+    // rebuild the zip with the 1904 workbook.xml swapped in
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(base))
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    var e = zin.getNextEntry
+    while (e != null) {
+      zos.putNextEntry(new ZipEntry(e.getName))
+      if (e.getName == "xl/workbook.xml") zos.write(wbXml1904.getBytes("UTF-8"))
+      else zos.write(zin.readAllBytes())
+      zos.closeEntry()
+      e = zin.getNextEntry
+    }
+    zos.close()
+    val row = XlsxSource.readSheetBytes(bos.toByteArray, "S").head
+    // serial 45382 from 1904-01-01 = 2028-04-01 (vs 2024-03-31 in 1900)
+    assert(row(2) == "2028-04-01")
+  }
+
   test("zip bomb bounds at the cap and isolates in readMany") {
     // one entry that inflates far past the 256 MB cap (zeros deflate
     // ~1000:1, so the bomb itself is small on disk)
