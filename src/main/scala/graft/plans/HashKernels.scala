@@ -137,13 +137,18 @@ object HashKernels {
     val toks = splitTokens(text)
     val pre = seedPrefix(seed)
     val counts = new Array[Int](bits)
+    // bits <= 60 (the md5-prefix width), so the mask shift cannot wrap
+    val mask = (1L << bits) - 1
     var i = 0
     while (i < toks.length) {
       val h = md5Prefix(pre, toks(i).getBytes("UTF-8"), 15)
-      var b = 0
-      while (b < bits) {
-        if (((h >> b) & 1L) == 1L) counts(b) += 1
-        b += 1
+      // iterate SET bits only (clear-lowest-bit walk): ~bits/2 set on a
+      // uniform hash, half the loop work of testing every position —
+      // this is the per-token inner loop of a corpus-wide map pass
+      var rem = h & mask
+      while (rem != 0L) {
+        counts(java.lang.Long.numberOfTrailingZeros(rem)) += 1
+        rem &= rem - 1
       }
       i += 1
     }
