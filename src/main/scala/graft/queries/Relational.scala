@@ -273,13 +273,25 @@ object Relational {
 
   private def sampledPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderpriority")
-      .orderBy(graft.ops.TextOps.portableHash64($"o_orderkey".cast("string"), 7),
-        $"o_orderkey")
+    // Two-phase bottom-k: the group key has only 5 values, so a single
+    // bottom-k window would funnel the WHOLE table through 5 sort tasks
+    // (the r8 soak measured it super-linear). Phase 1 takes bottom-k
+    // within (group, salt) — 80 parallel partitions; phase 2 re-takes
+    // bottom-k of the surviving ≤ salt·k rows per group. Bottom-k of
+    // disjoint bottom-ks IS the global bottom-k (the KMV merge
+    // property), so the final sample — and the oracle — are unchanged.
+    val hash = graft.ops.TextOps.portableHash64($"o_orderkey".cast("string"), 7)
+    val w1 = Window.partitionBy($"o_orderpriority", $"salt")
+      .orderBy($"h", $"o_orderkey")
+    val w2 = Window.partitionBy($"o_orderpriority").orderBy($"h", $"o_orderkey")
     Tables.orders(s, dir)
       .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("h", hash)
+      .withColumn("salt", pmod($"h", lit(16)))
+      .withColumn("rn", row_number().over(w1))
       .filter($"rn" <= SampleK)
+      .withColumn("rn2", row_number().over(w2))
+      .filter($"rn2" <= SampleK)
       .groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n_sample"),
