@@ -181,9 +181,83 @@ object StreamingGates {
       |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
       |ORDER BY user_id, l_event_id, r_event_id""".stripMargin
 
+  /** [[Streaming.foreachBatchUpsert]] — checkpointed incremental
+    * upsert: the events stream reduces to one latest row per user,
+    * merged into a versioned parquet state table via foreachBatch. The
+    * gate reads the final state and compares to the batch
+    * latest-row-per-key oracle (ties broken by event_id, the same
+    * order the upsert uses). Fresh state/checkpoint dir per run.
+    */
+  private def streamingUpsertState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_gate_upsert").toString
+    val state = withStreamShuffle(s, 4) {
+      Streaming.foreachBatchUpsert(readEventsMicros(s, dir), stateDir)
+    }
+    state
+      .select($"user_id", $"last_event_id", $"last_type",
+        unix_micros($"last_ts").as("last_us"))
+      .orderBy($"user_id")
+  }
+
+  private val streamingUpsertOracle =
+    """SELECT user_id, event_id AS last_event_id,
+      |  event_type AS last_type, epoch_us(ts) AS last_us
+      |FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** [[Streaming.enrichStream]] — stream-static broadcast enrichment:
+    * each micro-batch left-joins the customer dimension (keyed to the
+    * stream's user_id); the drained rows are signature-aggregated per
+    * market segment (null segment = unmatched users kept by the left
+    * join). Oracle: the same left join + aggregate in batch.
+    */
+  private def streamingEnrichEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = graft.ops.Tables.customer(s, dir)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val name = s"graft_gate_enrich_${gateId.incrementAndGet()}"
+    withStreamShuffle(s, 4) {
+      Streaming.runToMemory(
+        Streaming.enrichStream(readEventsMicros(s, dir), dim, "user_id"),
+        name, "append")
+    }
+    s.table(name)
+      .withColumn("v_micro", Exact.micro("value"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"v_micro").as("s_micro"))
+      .select($"c_mktsegment", $"n", $"n_users",
+        Exact.microSumTo4dp("s_micro").as("sum_value"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val streamingEnrichOracle =
+    s"""SELECT c_mktsegment, n, n_users,
+      |  ${Exact.microSumTo4dpSql("s_micro", Exact.DuckDiv)} AS sum_value
+      |FROM (
+      |  SELECT c.c_mktsegment, count(*) AS n,
+      |    count(DISTINCT e.user_id) AS n_users,
+      |    CAST(sum(${Exact.microSql("e.value")}) AS BIGINT) AS s_micro
+      |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |  GROUP BY c.c_mktsegment)
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("streaming_interval_join", streamingIntervalJoin,
       Some(streamingIntervalOracle)),
+    Q("streaming_upsert_state", streamingUpsertState,
+      Some(streamingUpsertOracle)),
+    Q("streaming_enrich_events", streamingEnrichEvents,
+      Some(streamingEnrichOracle)),
     Q("streaming_tumbling_hourly", streamingTumblingHourly,
       Some(streamingTumblingOracle)),
     Q("streaming_dedup_events", streamingDedupEvents,
