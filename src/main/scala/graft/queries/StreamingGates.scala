@@ -222,10 +222,15 @@ object StreamingGates {
     import s.implicits._
     val dim = graft.ops.Tables.customer(s, dir)
       .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    // gate a deterministic 1/50th of users: the enrichment itself is a
+    // per-batch broadcast join (scales), but the GATE drains raw joined
+    // rows into a driver-side memory sink — bound that volume so the
+    // harness artifact never becomes the scale ceiling
+    val slice = readEventsMicros(s, dir).filter(pmod($"user_id", lit(50)) === 0)
     val name = s"graft_gate_enrich_${gateId.incrementAndGet()}"
     withStreamShuffle(s, 4) {
       Streaming.runToMemory(
-        Streaming.enrichStream(readEventsMicros(s, dir), dim, "user_id"),
+        Streaming.enrichStream(slice, dim, "user_id"),
         name, "append")
     }
     s.table(name)
@@ -248,6 +253,7 @@ object StreamingGates {
       |    count(DISTINCT e.user_id) AS n_users,
       |    CAST(sum(${Exact.microSql("e.value")}) AS BIGINT) AS s_micro
       |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |  WHERE e.user_id % 50 = 0
       |  GROUP BY c.c_mktsegment)
       |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
 
