@@ -251,6 +251,118 @@ private[graft] object Pdf {
     out
   }
 
+  /** ASCIIHexDecode: hex pairs to bytes; whitespace ignored, `>` ends
+    * the data, an odd trailing digit is padded with 0.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (Adobe variant): 5 chars `!`..`u` → 4 bytes base-85,
+    * `z` = four zero bytes, `~>` terminates, partial final group keeps
+    * n-1 bytes. Invalid chars are skipped (whitespace-tolerant).
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(count: Int): Unit = {
+      // pad missing chars with 'u' (84), emit count-1 bytes
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < count) grp(k) else 84); k += 1 }
+      val bs = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bs, 0, count - 1)
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  /** LZWDecode — the PDF flavor: MSB-first variable-width codes starting
+    * at 9 bits, clear=256, EOD=257, width grows at table sizes 511/1023/
+    * 2047 (EarlyChange=1, the default; `earlyChange=0` delays by one).
+    * Output is capped like inflate (a crafted stream must bound, not
+    * OOM an executor).
+    */
+  private[graft] def lzwDecode(data: Array[Byte],
+      earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    def reset(): Unit = { dictSize = 258; width = 9; prev = null }
+    def entry(code: Int): Array[Byte] =
+      if (code < 256) Array(code.toByte)
+      else if (code >= 258 && code < dictSize && dict(code) != null) dict(code)
+      else null
+    var done = false
+    while (i < data.length && !done) {
+      acc = (acc << 8) | (data(i) & 0xff)
+      nbits += 8
+      i += 1
+      while (nbits >= width && !done) {
+        val code = ((acc >> (nbits - width)) & ((1 << width) - 1)).toInt
+        nbits -= width
+        if (code == 256) reset()
+        else if (code == 257) done = true
+        else {
+          val cur = entry(code) match {
+            case null if prev != null && code == dictSize =>
+              prev :+ prev(0) // the KwKwK case
+            case null => done = true; null
+            case e => e
+          }
+          if (cur != null) {
+            out.write(cur)
+            if (out.size() > PdfTextSource.MaxInflatedBytes) return out.toByteArray
+            if (prev != null && dictSize < 4096) {
+              dict(dictSize) = prev :+ cur(0)
+              dictSize += 1
+            }
+            prev = cur
+            if (dictSize + earlyChange >= (1 << width) && width < 12) width += 1
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
   /** ToUnicode CMap → code → text. Parses bfchar pairs and bfrange
     * triples, including the array-destination form; destinations are
     * UTF-16BE. Codes up to 4 bytes (Identity-H uses 2).
@@ -541,15 +653,23 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
       case _ => Vector.empty
     }
     filters.zipWithIndex.foldLeft(raw) { case (data, (f, i)) =>
+      def unpredicted(decoded: Array[Byte]): Array[Byte] = {
+        val pd = parms.lift(i).flatten
+        val predictor = pd.flatMap(_.get("Predictor")).map(resolve).collect {
+          case PNum(d) => d.toInt }.getOrElse(1)
+        val columns = pd.flatMap(_.get("Columns")).map(resolve).collect {
+          case PNum(d) => d.toInt }.getOrElse(1)
+        Pdf.unpredict(decoded, predictor, columns)
+      }
       f match {
-        case "FlateDecode" | "Fl" =>
-          val inflated = PdfTextSource.inflate(data)
-          val pd = parms.lift(i).flatten
-          val predictor = pd.flatMap(_.get("Predictor")).map(resolve).collect {
-            case PNum(d) => d.toInt }.getOrElse(1)
-          val columns = pd.flatMap(_.get("Columns")).map(resolve).collect {
-            case PNum(d) => d.toInt }.getOrElse(1)
-          Pdf.unpredict(inflated, predictor, columns)
+        case "FlateDecode" | "Fl" => unpredicted(PdfTextSource.inflate(data))
+        case "LZWDecode" | "LZW" =>
+          val ec = parms.lift(i).flatten
+            .flatMap(_.get("EarlyChange")).map(resolve).collect {
+              case PNum(d) => d.toInt }.getOrElse(1)
+          unpredicted(Pdf.lzwDecode(data, ec))
+        case "ASCIIHexDecode" | "AHx" => Pdf.asciiHexDecode(data)
+        case "ASCII85Decode" | "A85" => Pdf.ascii85Decode(data)
         case _ => data // unsupported filter: hand back as-is
       }
     }

@@ -34,8 +34,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * operators (Td, TD, T-star, quote) start a new line and the show
   * operators (Tj, TJ, quote forms) append their string — the same line
   * model pdfplumber's extract_text produces for single-column text.
-  * Not in scope: encryption, non-flate filters, layout-aware column
-  * reconstruction.
+  * Filters on the structural path: Flate (+PNG predictors), LZW,
+  * ASCIIHex, ASCII85. Not in scope: encryption (detected → zero
+  * lines), DCT/JBIG2 image codecs, layout-aware column reconstruction.
   */
 object PdfTextSource {
 
@@ -208,7 +209,7 @@ object PdfTextSource {
   /** Inflated output is capped: a crafted high-ratio deflate stream (zip
     * bomb) must bound at the cap and yield nothing, not OOM an executor.
     */
-  private val MaxInflatedBytes = 256 * 1024 * 1024
+  private[sources] val MaxInflatedBytes = 256 * 1024 * 1024
 
   private[sources] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
