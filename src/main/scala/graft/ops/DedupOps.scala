@@ -81,21 +81,34 @@ object DedupOps {
     * (band, key), dedupe pairs. The join key is high-cardinality (a hash),
     * so the shuffle partitions evenly; only near-identical docs collide.
     * Output: (doc_a, doc_b, sig_a, sig_b), doc_a < doc_b.
+    *
+    * Payload discipline (the part that matters at corpus scale): the
+    * banded rows, the self-join, and the pair-dedup carry ONLY
+    * (band, key, id) — signatures re-attach by two id-equi-joins AFTER
+    * the distinct. Carrying sigs through the candidate machinery would
+    * multiply every shuffle by the signature width and make the
+    * pair-dedup hash state hold two signatures per CANDIDATE (not per
+    * surviving pair) — the r8 100x soak measured exactly that as the
+    * dominant cost.
     */
   def lshCandidates(docSig: DataFrame, idCol: String, sigCol: String,
       numBands: Int, rowsPerBand: Int): DataFrame = {
     val banded = docSig.select(
-        col(idCol), col(sigCol),
+        col(idCol),
         explode(lshBands(col(sigCol), numBands, rowsPerBand)).as("b"))
-      .select(col(idCol), col(sigCol),
-        col("b.band").as("band"), col("b.key").as("key"))
-    banded.as("a")
+      .select(col(idCol), col("b.band").as("band"), col("b.key").as("key"))
+    val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band", "key"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(
-        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col(s"a.$sigCol").as("sig_a"), col(s"b.$sigCol").as("sig_b"))
+        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
+    pairs
+      .join(docSig.select(col(idCol).as("doc_a"), col(sigCol).as("sig_a")),
+        Seq("doc_a"))
+      .join(docSig.select(col(idCol).as("doc_b"), col(sigCol).as("sig_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
   }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
