@@ -161,6 +161,29 @@ class XlsxIngestSpec extends SparkSpec {
       Seq((Option.empty[String], "k")).toDF("v", "kk"), "kk", "k", "v").isEmpty)
   }
 
+  test("random workbook corruption degrades, never hangs or escapes") {
+    // executor-safety parity with the PDF fuzz net: arbitrary byte
+    // damage must either parse or throw a catchable exception (which
+    // readMany's per-file isolation turns into zero rows) — never an
+    // uncaught error or a hang. Deterministic seed: regression net,
+    // not a flake source.
+    val base = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/repo/fixtures/xlsx/FinancialStatement-2024-I-ACES.xlsx"))
+    val rnd = new scala.util.Random(8)
+    (1 to 25).foreach { _ =>
+      val mutated = base.clone()
+      (1 to 1 + rnd.nextInt(12)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      try XlsxSource.readSheetBytes(mutated, "1000000")
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    Seq(10, 1000, 50000, base.length - 7).foreach { n =>
+      try XlsxSource.readSheetBytes(base.take(n), "1000000")
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   test("textWithLineNo numbers lines in file order") {
     val tmp = java.nio.file.Files.createTempFile("graft", ".txt")
     java.nio.file.Files.writeString(tmp, "alpha\nbeta\ngamma\n")
