@@ -368,6 +368,43 @@ object Financial {
       |) AS t(id, Nomor, calk, deskripsi)
       |ORDER BY id""".stripMargin
 
+  /** The ENCRYPTED-PDF edge of S3/S4 through the correctness gate: the
+    * same CALK content as pdf_calk_sectionizer, encrypted three ways
+    * with the standard security handler and an empty user password —
+    * RC4-128 (V2/R3), AES-128 (V4/AESV2), AES-256 (V5/R6 hardened hash)
+    * — the "no password yet encrypted" shape most published financial
+    * reports use ([[graft.sources.PdfCrypt]]). Fixtures come from an
+    * INDEPENDENT Python encryptor (tools/make_pdf_encrypted_fixtures
+    * .py); the oracle states the expected sections as literals, so
+    * decrypt→decode→sectionize is pinned per scheme, not
+    * self-referential.
+    */
+  private def pdfEncryptedSectionizer(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    Seq("rc4", "aesv2", "aesv3")
+      .map { scheme =>
+        graft.pipelines.DetailNotes.extractCalkPdf(
+            s, s"/root/repo/fixtures/bin/calk_notes_$scheme.pdf")
+          .withColumn("scheme", lit(scheme))
+      }
+      .reduce(_.union(_))
+      .orderBy("scheme", "id")
+  }
+
+  private val pdfEncryptedOracle =
+    """WITH sections(id, Nomor, calk, deskripsi) AS (VALUES
+      |  (CAST(1 AS BIGINT), '1.', '1. Umum',
+      |   'Entitas didirikan di Jakarta pada tahun 1995. Kantor pusat beralamat di Jalan Sudirman.'),
+      |  (CAST(2 AS BIGINT), '2.', '2. Ikhtisar Kebijakan Akuntansi',
+      |   'Dasar penyusunan laporan keuangan adalah biaya historis.'),
+      |  (CAST(3 AS BIGINT), '2.a.', '2.a. Pernyataan Kepatuhan',
+      |   'Laporan keuangan disusun sesuai SAK.'),
+      |  (CAST(4 AS BIGINT), '3.', '3. Kas dan Setara Kas',
+      |   'Saldo kas (lihat catatan 5) adalah 1.234.'))
+      |SELECT id, Nomor, calk, deskripsi, scheme
+      |FROM sections, (VALUES ('rc4'), ('aesv2'), ('aesv3')) AS s(scheme)
+      |ORDER BY scheme, id""".stripMargin
+
   /** S2 oracle-gated through the REAL workbook: the headerless
     * general-information sheet read by XlsxSource, projected to the
     * key-value pairs the reference's P1 lookups consume
@@ -402,6 +439,7 @@ object Financial {
     Q("a_financial_union", aFinancialUnion, Some(aFinancialOracle)),
     Q("pdf_calk_sectionizer", pdfCalkSectionizer, Some(pdfCalkOracle)),
     Q("pdf_cid_sectionizer", pdfCidSectionizer, Some(pdfCidOracle)),
+    Q("pdf_encrypted_sectionizer", pdfEncryptedSectionizer, Some(pdfEncryptedOracle)),
     Q("xlsx_info_lookup", xlsxInfoLookup, Some(xlsxInfoOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),

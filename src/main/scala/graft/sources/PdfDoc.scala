@@ -15,9 +15,10 @@ import scala.collection.mutable
   * xref table/stream chains (incl. /Prev and hybrid /XRefStm), object
   * streams, FlateDecode with PNG predictors, the page tree with
   * inherited /Resources, and ToUnicode bfchar/bfrange (both scalar and
-  * array destination forms). NOT a general PDF library: no encryption,
-  * no rendering, no non-flate filters (streams carrying them parse as
-  * opaque and contribute no text).
+  * array destination forms), and empty-password standard-security
+  * decryption (RC4/AES via [[PdfCrypt]]). NOT a general PDF library: no
+  * rendering, no image codecs (streams carrying them parse as opaque
+  * and contribute no text).
   *
   * Everything here is parsed from the raw bytes with nothing beyond the
   * JDK — no PDF dependency exists in this environment.
@@ -40,7 +41,11 @@ private[graft] object Pdf {
     def get(k: String): Option[Val] = m.get(k)
   }
   final case class PRef(num: Int, gen: Int) extends Val
-  final case class PStream(dict: PDict, raw: Array[Byte]) extends Val
+  /** `num`/`gen` identify the carrying indirect object when known
+    * (-1 = unknown) — the per-object decryption key needs them.
+    */
+  final case class PStream(dict: PDict, raw: Array[Byte],
+      num: Int = -1, gen: Int = 0) extends Val
 
   private val Delims = "()<>[]{}/%"
 
@@ -451,6 +456,14 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
   private val xref = mutable.Map.empty[Int, Pdf.Loc]
   private var trailerDict: PDict = PDict(Map.empty)
 
+  // Standard-security-handler state. Null until (and unless) buildDecryptor
+  // succeeds — everything parsed during the xref walk (xref streams, the
+  // /Encrypt dict itself) is spec-exempt from encryption, so the
+  // null-during-init window is exactly the right behavior.
+  private var decryptor: PdfCrypt.Decryptor = null
+  private var encryptObjNum: Int = -1
+  private var metadataPlain: Boolean = false
+
   locally {
     val sxAt = s.lastIndexOf("startxref")
     require(sxAt >= 0, "no startxref")
@@ -473,6 +486,82 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
       require(seen.size <= 1024, "xref chain too long")
     }
     require(xref.nonEmpty, "empty xref")
+  }
+
+  /** Resolve /Encrypt (if present) and attempt the empty-password routes
+    * of the standard security handler. Failure (real password, unknown
+    * scheme, malformed dict) leaves `decryptor` null — the document
+    * stays readable as "encrypted, cannot decrypt" and text extraction
+    * keeps its zero-lines contract.
+    */
+  private def buildDecryptor(): Unit = {
+    val encRef = trailerDict.get("Encrypt").getOrElse(return)
+    encRef match { case PRef(n, _) => encryptObjNum = n; case _ => }
+    try {
+      val enc = resolve(encRef) match {
+        case d: PDict => d
+        case _ => return
+      }
+      def str(k: String): Array[Byte] = resolve(enc.get(k).getOrElse(PNull)) match {
+        case PStr(s) =>
+          val b = new Array[Byte](s.length)
+          var i = 0
+          while (i < b.length) { b(i) = s.charAt(i).toByte; i += 1 }
+          b
+        case _ => Array.emptyByteArray
+      }
+      def num(k: String, dflt: Int): Int = resolve(enc.get(k).getOrElse(PNull)) match {
+        case PNum(d) => d.toInt
+        case _ => dflt
+      }
+      val filter = resolve(enc.get("Filter").getOrElse(PNull)) match {
+        case PName(n) => n
+        case _ => return
+      }
+      val v = num("V", 0)
+      val r = num("R", 0)
+      val lengthBits = num("Length", 40)
+      val encryptMetadata = resolve(enc.get("EncryptMetadata").getOrElse(PNull)) match {
+        case PBool(b) => b
+        case _ => true
+      }
+      // V>=4: the crypt-filter method for streams (/StmF) and strings
+      // (/StrF), names into /CF; absent names default to Identity per
+      // spec. V<4 is implicitly RC4 for both.
+      def cfm(selector: String): String =
+        if (v < 4) "V2"
+        else resolve(enc.get(selector).getOrElse(PName("Identity"))) match {
+          case PName("Identity") => "Identity"
+          case PName(cfName) =>
+            resolve(enc.get("CF").getOrElse(PNull)) match {
+              case cf: PDict => resolve(cf.get(cfName).getOrElse(PNull)) match {
+                case cfd: PDict => resolve(cfd.get("CFM").getOrElse(PNull)) match {
+                  case PName(m) => m
+                  case _ => "unknown"
+                }
+                case _ => "unknown"
+              }
+              case _ => "unknown"
+            }
+          case _ => "unknown"
+        }
+      val docId = resolve(trailerDict.get("ID").getOrElse(PNull)) match {
+        case PArr(xs) if xs.nonEmpty => resolve(xs.head) match {
+          case PStr(s) =>
+            val b = new Array[Byte](s.length)
+            var i = 0
+            while (i < b.length) { b(i) = s.charAt(i).toByte; i += 1 }
+            b
+          case _ => Array.emptyByteArray
+        }
+        case _ => Array.emptyByteArray
+      }
+      metadataPlain = !encryptMetadata
+      decryptor = PdfCrypt.build(filter, v, r, lengthBits,
+        str("O"), str("U"), str("UE"), str("OE"),
+        num("P", -1), docId, encryptMetadata,
+        cfm("StmF"), cfm("StrF")).orNull
+    } catch { case scala.util.control.NonFatal(_) => decryptor = null }
   }
 
   /** Parse one xref section (classic table or xref stream); returns the
@@ -518,9 +607,9 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
     } else {
       // xref STREAM: `N G obj << /Type /XRef ... >> stream`
       objectAt(off.toInt) match {
-        case PStream(dict, raw) =>
+        case PStream(dict, raw, _, _) =>
           require(dict.get("Type").contains(PName("XRef")), "not an XRef stream")
-          val data = decodeStream(dict, raw)
+          val data = decodeStream(dict, raw) // xref streams are never encrypted
           val w = dict.get("W") match {
             case Some(PArr(xs)) => xs.collect { case PNum(d) => d.toInt }
             case _ => throw new IllegalArgumentException("XRef missing /W")
@@ -570,7 +659,17 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
   private val objStmCache = mutable.Map.empty[Int, Map[Int, Val]]
   private var resolving = Set.empty[Int] // cycle guard
 
-  /** Parse `N G obj <value> endobj` at a byte offset. */
+  // must run AFTER the object caches above exist: resolving /Encrypt
+  // goes through obj() (during this call `decryptor` is still null, so
+  // the /Encrypt dict itself is cached un-decrypted — spec-correct)
+  locally { buildDecryptor() }
+
+  /** Parse `N G obj <value> endobj` at a byte offset. The header's
+    * num/gen are stamped onto stream values (decryption is per-object),
+    * and — once the decryptor exists — strings anywhere in the value are
+    * decrypted in place (strings inside OBJECT STREAMS are exempt per
+    * spec: the container stream was the ciphertext).
+    */
   private def objectAt(off: Int): Val = {
     require(off >= 0 && off < s.length, s"object offset $off out of range")
     val lx = new Lexer(s, off, lengthRef => {
@@ -579,22 +678,37 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
         case _ => None
       }
     })
-    lx.value() match { case PNum(_) => case v => throw new IllegalArgumentException(s"bad obj num $v") }
-    lx.value() match { case PNum(_) => case v => throw new IllegalArgumentException(s"bad obj gen $v") }
+    val num = lx.value() match { case PNum(d) => d.toInt; case v => throw new IllegalArgumentException(s"bad obj num $v") }
+    val gen = lx.value() match { case PNum(d) => d.toInt; case v => throw new IllegalArgumentException(s"bad obj gen $v") }
     lx.expect("obj")
-    lx.value()
+    val v = lx.value() match {
+      case PStream(dict, raw, _, _) => PStream(dict, raw, num, gen)
+      case other => other
+    }
+    if (decryptor != null && num != encryptObjNum) decryptStrings(v, num, gen)
+    else v
+  }
+
+  /** Recursively decrypt every string in a parsed object value. */
+  private def decryptStrings(v: Val, num: Int, gen: Int): Val = v match {
+    case PStr(s) => PStr(decryptor.decryptString(num, gen, s))
+    case PArr(xs) => PArr(xs.map(decryptStrings(_, num, gen)))
+    case PDict(m) => PDict(m.map { case (k, x) => k -> decryptStrings(x, num, gen) })
+    case PStream(dict, raw, n, g) =>
+      PStream(decryptStrings(dict, num, gen).asInstanceOf[PDict], raw, n, g)
+    case other => other
   }
 
   /** The objects packed in object stream `num` (decoded once, cached). */
   private def objStm(num: Int): Map[Int, Val] =
     objStmCache.getOrElseUpdate(num, {
       obj(num) match {
-        case PStream(dict, raw) =>
+        case st @ PStream(dict, _, _, _) =>
           require(dict.get("Type").contains(PName("ObjStm")), s"$num is not /ObjStm")
           val n = dict.get("N").collect { case PNum(d) => d.toInt }.getOrElse(0)
           val first = dict.get("First").collect { case PNum(d) => d.toInt }.getOrElse(0)
           require(n >= 0 && n <= MaxObjects, "bad /N")
-          val data = new String(decodeStream(dict, raw), ISO_8859_1)
+          val data = new String(decodeStream(st), ISO_8859_1)
           val hdr = new Lexer(data, 0)
           val pairs = (0 until n).map { _ =>
             val num = hdr.value() match { case PNum(d) => d.toInt; case _ => -1 }
@@ -633,9 +747,31 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
   def trailer: PDict = trailerDict
 
   /** Whether the document declares an encryption dictionary — strings
-    * and stream bodies are then ciphertext (decryption out of scope).
+    * and stream bodies are then ciphertext.
     */
   def isEncrypted: Boolean = trailerDict.get("Encrypt").isDefined
+
+  /** Whether ciphertext can actually be decrypted: the standard security
+    * handler with an empty user or owner password ([[PdfCrypt]]). False
+    * for a real password or an unsupported scheme — text extraction then
+    * yields zero lines rather than garbage.
+    */
+  def canDecrypt: Boolean = decryptor != null
+
+  /** Decrypt (when the document is encrypted and this stream class is
+    * in scope) then apply the filter chain. Exempt: xref streams (never
+    * encrypted per spec) and /Metadata when /EncryptMetadata false.
+    */
+  def decodeStream(st: PStream): Array[Byte] = {
+    val exempt = st.num < 0 ||
+      st.dict.get("Type").contains(PName("XRef")) ||
+      (metadataPlain && st.dict.get("Type").contains(PName("Metadata")))
+    val body =
+      if (decryptor != null && !exempt)
+        decryptor.decryptStream(st.num, st.gen, st.raw)
+      else st.raw
+    decodeStream(st.dict, body)
+  }
 
   /** Apply the stream's filter chain. Supports FlateDecode (with PNG
     * predictors); any other filter yields the raw bytes untouched (the
@@ -677,7 +813,7 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
 
   /** Decoded bytes of a stream-valued object (None if not a stream). */
   def streamData(v: Val): Option[Array[Byte]] = resolve(v) match {
-    case PStream(dict, raw) => Some(decodeStream(dict, raw))
+    case st: PStream => Some(decodeStream(st))
     case _ => None
   }
 

@@ -35,8 +35,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * operators (Tj, TJ, quote forms) append their string — the same line
   * model pdfplumber's extract_text produces for single-column text.
   * Filters on the structural path: Flate (+PNG predictors), LZW,
-  * ASCIIHex, ASCII85. Not in scope: encryption (detected → zero
-  * lines), DCT/JBIG2 image codecs, layout-aware column reconstruction.
+  * ASCIIHex, ASCII85. Encryption: the standard security handler with an
+  * empty user/owner password decrypts on the structural path (RC4,
+  * AES-128, AES-256 — [[PdfCrypt]]); a password-protected or
+  * unknown-scheme document yields zero lines, never garbage. Not in
+  * scope: DCT/JBIG2 image codecs, layout-aware column reconstruction.
   */
 object PdfTextSource {
 
@@ -57,10 +60,17 @@ object PdfTextSource {
     val doc =
       try Some(new PdfDoc(bytes))
       catch { case scala.util.control.NonFatal(_) => None }
-    // encrypted documents: strings AND streams are RC4/AES ciphertext,
-    // so BOTH paths would emit garbage lines — zero lines is the honest
-    // answer (decryption is out of scope, documented above)
-    if (doc.exists(_.isEncrypted)) return Vector.empty
+    // encrypted documents: streams are RC4/AES ciphertext. The standard
+    // security handler with an empty user/owner password (the dominant
+    // real-world shape — "no password" financial reports) decrypts on
+    // the structural path ([[PdfCrypt]]); a REAL password or an unknown
+    // scheme still gets zero lines — never ciphertext garbage. The
+    // order-of-appearance fallback can never run on encrypted bytes,
+    // including when the xref chain is too broken to parse at all.
+    if (doc.exists(d => d.isEncrypted && !d.canDecrypt)) return Vector.empty
+    val encrypted = doc.exists(_.isEncrypted) ||
+      (doc.isEmpty && new String(bytes, ISO_8859_1).contains("/Encrypt"))
+    if (doc.isEmpty && encrypted) return Vector.empty
     val structural = doc.flatMap { d =>
       try {
         Some(d.pages.map { p =>
@@ -71,9 +81,12 @@ object PdfTextSource {
     }
     // an empty structural result on a non-empty file usually means the
     // xref chain lied (hand-edited or truncated file) — give the
-    // order-of-appearance scan its chance rather than returning nothing
+    // order-of-appearance scan its chance rather than returning nothing.
+    // Not on encrypted documents: the raw scan has no object identities,
+    // so it would tokenize ciphertext.
     structural.filter(_.exists(_.nonEmpty)).getOrElse(
-      contentStreams(bytes).map { data =>
+      if (encrypted) Vector.empty
+      else contentStreams(bytes).map { data =>
         try textLines(data, Map.empty).toVector
         catch { case _: RuntimeException => Vector.empty[String] }
       }.toVector)
