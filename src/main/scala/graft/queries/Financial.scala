@@ -368,6 +368,20 @@ object Financial {
       |) AS t(id, Nomor, calk, deskripsi)
       |ORDER BY id""".stripMargin
 
+  /** Both real-world hard parts in ONE document through the gate:
+    * MODERN layout (xref stream + object streams + subsetted CID font)
+    * AND AESV2 encryption — the object stream, the /ToUnicode CMap, and
+    * both content streams are all AES-128 ciphertext under per-object
+    * keys, while the xref stream and the strings inside the object
+    * stream stay plaintext per spec. The expected sections equal the
+    * unencrypted CID fixture's (same oracle), so the
+    * decrypt→ObjStm→CMap→content chain is pinned end to end.
+    * Fixture: tools/make_pdf_enc_modern_fixture.py.
+    */
+  private def pdfCidEncryptedSectionizer(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.DetailNotes.extractCalkPdf(
+      s, "/root/repo/fixtures/bin/calk_notes_cid_aesv2.pdf")
+
   /** The ENCRYPTED-PDF edge of S3/S4 through the correctness gate: the
     * same CALK content as pdf_calk_sectionizer, encrypted three ways
     * with the standard security handler and an empty user password —
@@ -440,6 +454,7 @@ object Financial {
     Q("pdf_calk_sectionizer", pdfCalkSectionizer, Some(pdfCalkOracle)),
     Q("pdf_cid_sectionizer", pdfCidSectionizer, Some(pdfCidOracle)),
     Q("pdf_encrypted_sectionizer", pdfEncryptedSectionizer, Some(pdfEncryptedOracle)),
+    Q("pdf_cid_encrypted_sectionizer", pdfCidEncryptedSectionizer, Some(pdfCidOracle)),
     Q("xlsx_info_lookup", xlsxInfoLookup, Some(xlsxInfoOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),

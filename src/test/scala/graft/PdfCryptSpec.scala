@@ -73,6 +73,17 @@ class PdfCryptSpec extends SparkSpec {
     assert(PdfCrypt.rc4(key, PdfCrypt.rc4(key, msg)).sameElements(msg))
   }
 
+  test("modern layout + encryption: AESV2 over xref stream/ObjStm/CID decodes like its plaintext twin") {
+    // the real 2023-report shape: object stream, CMap, and content
+    // streams are ALL ciphertext; the xref stream and the strings inside
+    // the object stream are plaintext per spec. Expected text is pinned
+    // to the unencrypted CID fixture's extraction.
+    val plainCid = PdfTextSource.extractLines(bytes("calk_notes_cid.pdf"))
+    assert(plainCid.nonEmpty)
+    assert(PdfTextSource.extractLines(bytes("calk_notes_cid_aesv2.pdf"))
+      == plainCid)
+  }
+
   test("pdf_encrypted_sectionizer matches the plaintext query's sections per scheme") {
     val rows = graft.queries.Registry.queries("pdf_encrypted_sectionizer")(
       spark, "/root/testdata/sf0.001").collect()
