@@ -102,6 +102,26 @@ class PdfCryptSpec extends SparkSpec {
     }
   }
 
+  test("readMany decrypts executor-side: mixed plain/encrypted/locked glob") {
+    // distributed ingest over a directory holding plaintext, three
+    // encrypted variants, and a password-locked file: every readable
+    // document contributes its full line set, the locked one zero
+    // lines, and nothing throws (per-source failure isolation)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf_mix")
+    Seq("calk_notes.pdf", "calk_notes_rc4.pdf", "calk_notes_aesv2.pdf",
+        "calk_notes_aesv3.pdf", "calk_notes_locked.pdf").foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/repo/fixtures/bin/$n"),
+        dir.resolve(n))
+    }
+    val df = PdfTextSource.readMany(spark, dir.toString + "/*.pdf")
+    val perFile = df.groupBy("src_file").count().collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(perFile.keySet == Set("calk_notes.pdf", "calk_notes_rc4.pdf",
+      "calk_notes_aesv2.pdf", "calk_notes_aesv3.pdf"))
+    assert(perFile.values.toSet == Set(plaintextLines.length.toLong))
+  }
+
   test("R6 hardened hash is deterministic and 32 bytes") {
     val h1 = PdfCrypt.hashR56(6, Array.emptyByteArray,
       "UVALSALT".getBytes("UTF-8"), Array.emptyByteArray)
