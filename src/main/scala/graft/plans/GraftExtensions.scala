@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "vec_cosine(a, b) - cosine similarity of two float vectors"))
     e.injectFunction(binary("sorted_intersect_count", SortedIntersectCount.apply,
       "sorted_intersect_count(a, b) - |a ∩ b| of two sorted distinct bigint arrays"))
+    e.injectFunction(binary("jaro_winkler", JaroWinkler.apply,
+      "jaro_winkler(a, b) - Jaro-Winkler similarity (0..1, prefix boost above 0.7)"))
     e.injectFunction((FunctionIdentifier("simhash"),
       info("simhash", "simhash(text, bits, seed) - majority-bit fingerprint over seeded md5 token hashes"),
       { exprs =>

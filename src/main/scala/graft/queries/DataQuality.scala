@@ -135,7 +135,59 @@ object DataQuality {
       |  FROM orders)
       |ORDER BY column_name""".stripMargin
 
+  /** Record-linkage / fuzzy-dedup over a name domain, the scale shape:
+    * (1) DOMAIN COMPRESSION — aggregate the 100 TB fact down to its
+    * distinct names with row counts (one shuffle on the name; at sf0.1
+    * 20k part rows hold only 64 distinct names, the usual orders-of-
+    * magnitude collapse real catalogs show); (2) BLOCKING — candidate
+    * pairs only within a cheap canonical block (the name's last word),
+    * never all-pairs; (3) SCORING — the native codegen'd
+    * [[graft.plans.JaroWinkler]] expression plus Spark's built-in
+    * levenshtein, both reproduced exactly by the DuckDB oracle
+    * (`jaro_winkler_similarity` / `levenshtein`). The block join is a
+    * self-join of the tiny compressed domain — broadcastable at any
+    * fact-table scale, because the domain (not the fact) drives it.
+    */
+  private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    import graft.plans.JaroWinkler
+    def jw(a: Column, b: Column): Column =
+      SqlBridge.column(JaroWinkler(
+        SqlBridge.expression(a), SqlBridge.expression(b)))
+    val names = Tables.part(s, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
+      .withColumn("last_word", regexp_extract($"p_name", "(\\S+)$", 1))
+    val a = names.select($"p_name".as("name_a"), $"n_rows".as("rows_a"),
+      $"last_word")
+    val b = names.select($"p_name".as("name_b"), $"n_rows".as("rows_b"),
+      $"last_word")
+    a.join(b, Seq("last_word"))
+      .filter($"name_a" < $"name_b")
+      .select($"name_a", $"name_b", $"rows_a", $"rows_b",
+        round(jw($"name_a", $"name_b"), 6).as("jw"),
+        levenshtein($"name_a", $"name_b").as("lev"))
+      .filter($"jw" >= 0.75)
+      .orderBy($"jw".desc, $"name_a", $"name_b")
+  }
+
+  private val fuzzyNamePairsOracle =
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS n_rows,
+      |    regexp_extract(p_name, '(\S+)$', 1) AS last_word
+      |  FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  a.n_rows AS rows_a, b.n_rows AS rows_b,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw,
+      |  levenshtein(a.p_name, b.p_name) AS lev
+      |FROM names a JOIN names b
+      |  ON a.last_word = b.last_word AND a.p_name < b.p_name
+      |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.75
+      |ORDER BY jw DESC, name_a, name_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("fuzzy_name_pairs", fuzzyNamePairs, Some(fuzzyNamePairsOracle)),
     Q("data_quality_audit", dataQualityAudit, Some(auditOracle)),
     Q("column_profile", columnProfile, Some(profileOracle)))
 }
