@@ -186,8 +186,75 @@ object DataQuality {
       |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.75
       |ORDER BY jw DESC, name_a, name_b""".stripMargin
 
+  /** Entity CANONICALIZATION on top of the pair scores: names whose
+    * Jaro-Winkler reaches 0.9 are edges; connected components (the same
+    * checkpointed min-label propagation as dedup_clusters) assign every
+    * name a canonical representative (the component's min 60-bit
+    * portable hash — arbitrary but deterministic and oracle-
+    * reproducible). Singleton names are their own canonical form. The
+    * component step runs on the COMPRESSED domain (64 ids at sf0.1), so
+    * the iterative part is independent of fact-table scale; only the
+    * initial groupBy touches the fact.
+    */
+  private def fuzzyNameClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    import graft.plans.JaroWinkler
+    import graft.ops.{DedupOps, TextOps}
+    def jw(a: Column, b: Column): Column =
+      SqlBridge.column(JaroWinkler(
+        SqlBridge.expression(a), SqlBridge.expression(b)))
+    val names = Tables.part(s, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
+      .withColumn("last_word", regexp_extract($"p_name", "(\\S+)$", 1))
+      .withColumn("id", TextOps.portableHash64($"p_name", 0))
+    val a = names.select($"p_name".as("name_a"), $"id".as("src"), $"last_word")
+    val b = names.select($"p_name".as("name_b"), $"id".as("dst"), $"last_word")
+    val edges = a.join(b, Seq("last_word"))
+      .filter($"name_a" < $"name_b"
+        && round(jw($"name_a", $"name_b"), 6) >= 0.9)
+      .select($"src", $"dst")
+    val labels = DedupOps.connectedComponents(DedupOps.symmetrize(edges))
+    val labeled = names.as("n")
+      .join(labels.as("l"), $"n.id" === $"l.id", "left")
+      .select($"n.p_name".as("name"), $"n.n_rows",
+        coalesce($"l.label", $"n.id").as("label"))
+    labeled.as("x")
+      .join(names.select($"id", $"p_name".as("canonical_name")).as("rep"),
+        $"x.label" === $"rep.id")
+      .select($"name", $"canonical_name", $"n_rows",
+        ($"name" === $"canonical_name").as("is_canonical"))
+      .orderBy($"name")
+  }
+
+  private val fuzzyNameClustersOracle =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name, count(*) AS n_rows,
+      |    regexp_extract(p_name, '(\S+)$', 1) AS last_word,
+      |    ('0x' || substr(md5('0|' || p_name), 1, 15))::BIGINT AS id
+      |  FROM part GROUP BY p_name),
+      |cand AS (
+      |  SELECT a.id AS src, b.id AS dst
+      |  FROM names a JOIN names b
+      |    ON a.last_word = b.last_word AND a.p_name < b.p_name
+      |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9),
+      |edges AS (SELECT src, dst FROM cand UNION SELECT dst, src FROM cand),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+      |SELECT n.p_name AS name, rep.p_name AS canonical_name, n.n_rows,
+      |  n.p_name = rep.p_name AS is_canonical
+      |FROM names n
+      |LEFT JOIN labels l ON n.id = l.id
+      |JOIN names rep ON coalesce(l.label, n.id) = rep.id
+      |ORDER BY name""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("fuzzy_name_pairs", fuzzyNamePairs, Some(fuzzyNamePairsOracle)),
+    Q("fuzzy_name_clusters", fuzzyNameClusters, Some(fuzzyNameClustersOracle)),
     Q("data_quality_audit", dataQualityAudit, Some(auditOracle)),
     Q("column_profile", columnProfile, Some(profileOracle)))
 }

@@ -71,6 +71,20 @@ class StringSimSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy_name_clusters: total over the domain, canonical forms closed") {
+    val rows = graft.queries.Registry.queries("fuzzy_name_clusters")(
+      spark, "/root/testdata/sf0.001").collect()
+    val names = rows.map(_.getAs[String]("name")).toSet
+    val canon = rows.map(_.getAs[String]("canonical_name")).toSet
+    assert(rows.nonEmpty)
+    assert(names.size == rows.length) // one row per distinct name
+    assert(canon.subsetOf(names)) // representatives are real names
+    // a canonical name maps to itself (idempotent canonicalization)
+    val repOf = rows.map(r =>
+      r.getAs[String]("name") -> r.getAs[String]("canonical_name")).toMap
+    canon.foreach(c => assert(repOf(c) == c, s"canonical $c not a fixpoint"))
+  }
+
   test("fuzzy_name_pairs: deterministic, blocked, and kernel-consistent") {
     val rows = graft.queries.Registry.queries("fuzzy_name_pairs")(
       spark, "/root/testdata/sf0.001").collect()
