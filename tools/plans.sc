@@ -27,6 +27,7 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "events_sliding_hourly","orders_price_deciles","nation_pagerank",
               "jsonl_ingest","csv_ingest","price_quantiles_sampled","data_quality_audit","column_profile",
               "funnel_steps","retention_cohorts","cdc_latest_state","scd2_order_priority",
+              "fuzzy_name_pairs","fuzzy_name_clusters",
               "gapfill_daily_revenue","anomaly_orders","price_histogram",
               "bloom_pruned_join",
               "rolling_7d_revenue","window_rank_suite","triangle_count",
