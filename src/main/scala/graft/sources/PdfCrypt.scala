@@ -283,7 +283,9 @@ private[graft] object PdfCrypt {
     }
     v match {
       case 1 | 2 =>
-        val keyLen = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
+        // V=1 is 40-bit by definition; /Length only applies to V=2
+        val keyLen =
+          if (r == 2 || v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
         if (r != 2 && r != 3 && r != 4) return None
         fileKeyR234Verified(o, u, p, docId, r, keyLen, encryptMetadata)
           .map(key => new Decryptor(key, SchemeRc4, SchemeRc4))
