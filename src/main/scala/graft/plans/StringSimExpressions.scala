@@ -20,15 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    an odd mismatch count rounds DOWN in DuckDB),
   *  - Winkler prefix boost `l·0.1·(1-jaro)` with `l ≤ 4`, applied only
   *    when jaro > 0.7 (the standard boost threshold),
-  *  - both-empty → 1, one-empty → 0.
-  * Comparison is per UTF-16 code unit, which equals per-code-point for
-  * the BMP strings all query columns carry.
+  *  - both-empty → 1, one-empty → 0,
+  *  - comparison per UTF-8 BYTE, not per code point — probed: DuckDB
+  *    scores 'Müller' vs 'Muller' as 7-vs-6 byte sequences (0.849206),
+  *    and its levenshtein counts 'é'→'e' as 2. Operating on the raw
+  *    UTF8String bytes gives identical non-ASCII behavior for free
+  *    (and skips the String decode).
   */
 object StringSimKernels {
 
   def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 && lb == 0) return 1.0
@@ -39,12 +42,12 @@ object StringSimKernels {
     var m = 0
     var i = 0
     while (i < la) {
-      val ca = a.charAt(i)
+      val ca = a(i)
       var j = math.max(0, i - window)
       val hi = math.min(lb - 1, i + window)
       var found = false
       while (j <= hi && !found) {
-        if (!bMatch(j) && ca == b.charAt(j)) {
+        if (!bMatch(j) && ca == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -59,7 +62,7 @@ object StringSimKernels {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        if (a(i) != b(k)) halfT += 1
         k += 1
       }
       i += 1
@@ -73,7 +76,7 @@ object StringSimKernels {
     else {
       var l = 0
       val lMax = math.min(4, math.min(la, lb))
-      while (l < lMax && a.charAt(l) == b.charAt(l)) l += 1
+      while (l < lMax && a(l) == b(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     }
   }

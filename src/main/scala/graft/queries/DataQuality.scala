@@ -148,17 +148,28 @@ object DataQuality {
     * self-join of the tiny compressed domain — broadcastable at any
     * fact-table scale, because the domain (not the fact) drives it.
     */
-  private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.Column
+  /** `jaro_winkler(a, b)` as a Column (the native expression). */
+  private def jw(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.SqlBridge
-    import graft.plans.JaroWinkler
-    def jw(a: Column, b: Column): Column =
-      SqlBridge.column(JaroWinkler(
-        SqlBridge.expression(a), SqlBridge.expression(b)))
-    val names = Tables.part(s, dir)
+    SqlBridge.column(graft.plans.JaroWinkler(
+      SqlBridge.expression(a), SqlBridge.expression(b)))
+  }
+
+  /** The compressed name domain both linkage queries block over:
+    * distinct p_name + row count + the last-word blocking key. The one
+    * fact-table shuffle; everything downstream is domain-sized.
+    */
+  private def nameDomain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
       .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
       .withColumn("last_word", regexp_extract($"p_name", "(\\S+)$", 1))
+  }
+
+  private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = nameDomain(s, dir)
     val a = names.select($"p_name".as("name_a"), $"n_rows".as("rows_a"),
       $"last_word")
     val b = names.select($"p_name".as("name_b"), $"n_rows".as("rows_b"),
@@ -193,21 +204,15 @@ object DataQuality {
     * portable hash — arbitrary but deterministic and oracle-
     * reproducible). Singleton names are their own canonical form. The
     * component step runs on the COMPRESSED domain (64 ids at sf0.1), so
-    * the iterative part is independent of fact-table scale; only the
-    * initial groupBy touches the fact.
+    * the iterative part is independent of fact-table scale. The domain
+    * feeds four plan branches; exchange reuse writes its fact-side
+    * shuffle once, and only the domain-sized post-shuffle aggregation
+    * re-executes per branch.
     */
   private def fuzzyNameClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.graftbridge.SqlBridge
-    import graft.plans.JaroWinkler
     import graft.ops.{DedupOps, TextOps}
-    def jw(a: Column, b: Column): Column =
-      SqlBridge.column(JaroWinkler(
-        SqlBridge.expression(a), SqlBridge.expression(b)))
-    val names = Tables.part(s, dir)
-      .groupBy($"p_name").agg(count(lit(1)).as("n_rows"))
-      .withColumn("last_word", regexp_extract($"p_name", "(\\S+)$", 1))
+    val names = nameDomain(s, dir)
       .withColumn("id", TextOps.portableHash64($"p_name", 0))
     val a = names.select($"p_name".as("name_a"), $"id".as("src"), $"last_word")
     val b = names.select($"p_name".as("name_b"), $"id".as("dst"), $"last_word")

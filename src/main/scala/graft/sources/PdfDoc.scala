@@ -488,6 +488,14 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
     require(xref.nonEmpty, "empty xref")
   }
 
+  /** [[Pdf.PStr]] chars are bytes 0..255 verbatim; recover them. */
+  private def pstrBytes(s: String): Array[Byte] = {
+    val b = new Array[Byte](s.length)
+    var i = 0
+    while (i < b.length) { b(i) = s.charAt(i).toByte; i += 1 }
+    b
+  }
+
   /** Resolve /Encrypt (if present) and attempt the empty-password routes
     * of the standard security handler. Failure (real password, unknown
     * scheme, malformed dict) leaves `decryptor` null — the document
@@ -503,15 +511,15 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
         case _ => return
       }
       def str(k: String): Array[Byte] = resolve(enc.get(k).getOrElse(PNull)) match {
-        case PStr(s) =>
-          val b = new Array[Byte](s.length)
-          var i = 0
-          while (i < b.length) { b(i) = s.charAt(i).toByte; i += 1 }
-          b
+        case PStr(s) => pstrBytes(s)
         case _ => Array.emptyByteArray
       }
+      // via toLong: some writers serialize /P as its unsigned 32-bit
+      // equivalent (e.g. 4294963392 for -3904); Double.toInt would
+      // saturate that to MaxInt and derive a wrong file key, while
+      // toLong.toInt wraps to the intended signed value
       def num(k: String, dflt: Int): Int = resolve(enc.get(k).getOrElse(PNull)) match {
-        case PNum(d) => d.toInt
+        case PNum(d) => d.toLong.toInt
         case _ => dflt
       }
       val filter = resolve(enc.get("Filter").getOrElse(PNull)) match {
@@ -547,11 +555,7 @@ private[graft] final class PdfDoc(bytes: Array[Byte]) {
         }
       val docId = resolve(trailerDict.get("ID").getOrElse(PNull)) match {
         case PArr(xs) if xs.nonEmpty => resolve(xs.head) match {
-          case PStr(s) =>
-            val b = new Array[Byte](s.length)
-            var i = 0
-            while (i < b.length) { b(i) = s.charAt(i).toByte; i += 1 }
-            b
+          case PStr(s) => pstrBytes(s)
           case _ => Array.emptyByteArray
         }
         case _ => Array.emptyByteArray

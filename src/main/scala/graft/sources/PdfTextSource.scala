@@ -68,8 +68,13 @@ object PdfTextSource {
     // order-of-appearance fallback can never run on encrypted bytes,
     // including when the xref chain is too broken to parse at all.
     if (doc.exists(d => d.isEncrypted && !d.canDecrypt)) return Vector.empty
+    // for UNPARSEABLE documents, detect encryption by the trailer-entry
+    // shape `/Encrypt N G R` (or a direct dict) — a bare substring match
+    // would also hit a content-stream string that merely mentions
+    // "/Encrypt" and wrongly suppress the fallback on a plain document
     val encrypted = doc.exists(_.isEncrypted) ||
-      (doc.isEmpty && new String(bytes, ISO_8859_1).contains("/Encrypt"))
+      (doc.isEmpty && EncryptEntryRe.findFirstIn(
+        new String(bytes, ISO_8859_1)).isDefined)
     if (doc.isEmpty && encrypted) return Vector.empty
     val structural = doc.flatMap { d =>
       try {
@@ -152,6 +157,9 @@ object PdfTextSource {
         }
       }(Encoders.row(schema))
   }
+
+  /** A trailer-style /Encrypt entry: indirect ref or inline dict. */
+  private val EncryptEntryRe = """/Encrypt\s+(\d+\s+\d+\s+R|<<)""".r
 
   // ------------------------------------------------------------ streams
 

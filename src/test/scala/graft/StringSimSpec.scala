@@ -31,7 +31,12 @@ class StringSimSpec extends SparkSpec {
       // the fractional-transposition variant)
       ("new widget", "old widget", 0.7523809523809524),
       // a char matched at EXACTLY window distance (window is inclusive)
-      ("aqqqqq", "wwaqqq", 0.7777777777777777))
+      ("aqqqqq", "wwaqqq", 0.7777777777777777),
+      // non-ASCII: DuckDB scores UTF-8 BYTES ('Müller' is 7 bytes), so
+      // the kernel must too — a code-point comparison would give a
+      // different window/length here
+      ("Müller", "Muller", 0.8642857142857143),
+      ("é", "e", 0.0))
     pinned.foreach { case (a, b, expect) =>
       assert(jw(a, b) == expect, s"jw($a, $b)")
       assert(jw(b, a) == expect, s"jw($b, $a) (symmetry)")
