@@ -9,7 +9,7 @@ object Registry {
   lazy val all: Seq[Q] = {
     val qs =
       Relational.queries ++ RelationalDeep.queries ++ Financial.queries ++ TextAnalysis.queries ++
-        DedupQueries.queries ++ SimilarityQueries.queries ++ Events.queries ++
+        DedupQueries.queries ++ SimilarityQueries.queries ++ PqQueries.queries ++ Events.queries ++
         StreamingGates.queries ++
         MultimodalQueries.queries ++ Olap.queries ++ JoinsAndSets.queries ++
         Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries ++
