@@ -143,35 +143,62 @@ class DedupOpsSpec extends SparkSpec {
     // label one hop per round, so convergence takes ~24 rounds — well past
     // several checkpoint intervals, proving lineage stays bounded and the
     // loop still converges (the LSH graphs in the queries have tiny
-    // diameters and would never exercise this path)
+    // diameters and would never exercise this path). localThreshold = 0
+    // forces the DISTRIBUTED path this test exists to exercise.
     val n = 25
     val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
     val labels = DedupOps.connectedComponents(
-        DedupOps.symmetrize(chain.toDF("src", "dst")), maxIter = 40)
+        DedupOps.symmetrize(chain.toDF("src", "dst")), maxIter = 40,
+        localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(labels.size == n)
     assert(labels.values.toSet == Set(0L)) // one component, min id 0
     // two components + an isolated-pair sanity pass through the same API
     val two = DedupOps.connectedComponents(DedupOps.symmetrize(
-      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")))
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")),
+      localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(two == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: local union-find path matches the distributed loop") {
+    // braided components with cross-links and isolated pairs — the local
+    // path (default threshold) must produce exactly the distributed
+    // loop's labels
+    val edges = Seq(
+      (5L, 3L), (3L, 9L), (9L, 5L), (9L, 11L),   // cycle + tail, min 3
+      (20L, 22L), (21L, 22L), (20L, 21L),        // triangle, min 20
+      (40L, 41L),                                // pair
+      (50L, 51L), (51L, 52L), (52L, 53L), (53L, 50L)) // cycle, min 50
+    val sym = DedupOps.symmetrize(edges.toDF("src", "dst"))
+    val local = DedupOps.connectedComponents(sym)
+      .as[(Long, Long)].collect().toMap
+    val dist = DedupOps.connectedComponents(sym, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(11L) == 3L && local(21L) == 20L && local(41L) == 40L
+      && local(53L) == 50L)
+  }
+
   test("connectedComponents: empty edge list yields an empty label frame") {
-    // a corpus with no duplicate pairs is routine, not an error — the
-    // NULL sum over zero rows must not fire the overflow guard
-    val out = DedupOps.connectedComponents(
-      DedupOps.symmetrize(Seq.empty[(Long, Long)].toDF("src", "dst")))
-    assert(out.count() == 0)
-    assert(out.columns.toSeq == Seq("id", "label"))
+    // a corpus with no duplicate pairs is routine, not an error — on the
+    // distributed path the NULL sum over zero rows must not fire the
+    // overflow guard; both paths must return the empty (id, label) frame
+    for (threshold <- Seq(1000000L, 0L)) {
+      val out = DedupOps.connectedComponents(
+        DedupOps.symmetrize(Seq.empty[(Long, Long)].toDF("src", "dst")),
+        localThreshold = threshold)
+      assert(out.count() == 0)
+      assert(out.columns.toSeq == Seq("id", "label"))
+    }
   }
 
   test("connectedComponents refuses to emit unconverged labels") {
     val chain = (0 until 10).map(i => (i.toLong, (i + 1).toLong))
     intercept[IllegalArgumentException] {
       DedupOps.connectedComponents(
-        DedupOps.symmetrize(chain.toDF("src", "dst")), maxIter = 2)
+        DedupOps.symmetrize(chain.toDF("src", "dst")), maxIter = 2,
+        localThreshold = 0)
     }
   }
 
