@@ -307,9 +307,57 @@ object PqQueries {
        |  CAST(count(*) AS DOUBLE) / $PqTopK AS recall_at_k
        |FROM pq JOIN exact USING (vec_id)""".stripMargin
 
+  /** Semantic near-dedup by PQ code: two vectors quantizing to the SAME
+    * codeword in every subspace are near-neighbors by construction (they
+    * share a cell of the product grid), so duplicate detection is an
+    * exact groupBy on the M-byte code — the SemDeDup-shaped scale path
+    * (cluster-id equality instead of pairwise distances): no pairwise
+    * join, no candidate explosion, one shuffle on a tiny key. Emits
+    * every vector with its code, group size, and keeper flag (min
+    * vec_id in the group wins — the dedup-family convention).
+    */
+  private def dedupPqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = trainedIndex(s, dir)
+    val codes = (0 until M).map { m =>
+      val pos = codePos(subCol(m), idx.books(m))
+      element_at(typedlit(idx.books(m).map(_._1)), pos).as(s"code_$m")
+    }
+    val codeCols = (0 until M).map(m => col(s"code_$m"))
+    Tables.fanOut(Tables.embeddings(s, dir))
+      .select($"vec_id" +: codes: _*)
+      .withColumn("group_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(codeCols: _*)))
+      .withColumn("keeper",
+        min($"vec_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(codeCols: _*)))
+      .select($"vec_id" +: codeCols :+
+        $"group_n" :+ ($"vec_id" === $"keeper").as("is_keeper"): _*)
+      .orderBy($"vec_id")
+  }
+
+  private val dedupPqCodesOracle = {
+    val codeColsSql = (0 until M)
+      .map(m => s"max(CASE WHEN m = $m THEN cid END) AS code_$m")
+      .mkString(",\n    ")
+    val partCols = (0 until M).map(m => s"code_$m").mkString(", ")
+    s"""$adcPrelude,
+       |wide AS (
+       |  SELECT vec_id,
+       |    $codeColsSql
+       |  FROM codes GROUP BY vec_id)
+       |SELECT vec_id, $partCols,
+       |  count(*) OVER (PARTITION BY $partCols) AS group_n,
+       |  vec_id = min(vec_id) OVER (PARTITION BY $partCols) AS is_keeper
+       |FROM wide
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("ann_pq_adc_topk", annPqAdcTopk, Some(annPqAdcOracle)),
-    Q("ann_pq_recall", annPqRecall, Some(annPqRecallOracle)))
+    Q("ann_pq_recall", annPqRecall, Some(annPqRecallOracle)),
+    Q("dedup_pq_codes", dedupPqCodes, Some(dedupPqCodesOracle)))
 
   /** Exposed for PqSpec. */
   private[graft] def pqRecallFrame(s: SparkSession, dir: String): DataFrame =

@@ -44,6 +44,20 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("dedup_pq_codes: exactly one keeper per code group, the min vec_id") {
+    val rows = graft.queries.PqQueries.queries
+      .find(_.name == "dedup_pq_codes").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val byGroup = rows.groupBy(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    byGroup.values.foreach { g =>
+      assert(g.forall(_.getLong(5) == g.length), "group_n must equal group size")
+      val keepers = g.filter(_.getBoolean(6))
+      assert(keepers.length == 1)
+      assert(keepers.head.getLong(0) == g.map(_.getLong(0)).min)
+    }
+  }
+
   test("index trains once per (session, dir)") {
     val dir = "/root/testdata/sf0.001"
     val a = PqQueries.trainedBooks(spark, dir)
