@@ -158,6 +158,47 @@ object PdfTextSource {
       }(Encoders.row(schema))
   }
 
+  /** Per-page POSITIONED text runs — (x, y, text) at the text-line
+    * origin of each show operator — the unit layout-aware consumers
+    * (table reconstruction, [[graft.ops.PdfTable]]) need and the plain
+    * line model deliberately discards. Structural path only: positions
+    * come from Td/TD/Tm/T*/TL tracking, which requires per-page content
+    * in page-tree order; the damaged-file fallback has no trustworthy
+    * geometry to offer.
+    */
+  def extractPageRuns(bytes: Array[Byte]): Vector[Vector[(Double, Double, String)]] = {
+    val doc =
+      try Some(new PdfDoc(bytes))
+      catch { case scala.util.control.NonFatal(_) => None }
+    if (doc.exists(d => d.isEncrypted && !d.canDecrypt)) return Vector.empty
+    doc.map { d =>
+      d.pages.map { p =>
+        try textRuns(p.content, p.cid).toVector
+        catch { case _: RuntimeException => Vector.empty[(Double, Double, String)] }
+      }
+    }.getOrElse(Vector.empty)
+  }
+
+  /** One PDF → (page_no, x, y, run): the positioned-run surface as a
+    * LocalTableScan (driver-side parse, same contract as
+    * [[toLinesDataFrame]]).
+    */
+  def toRunsDataFrame(spark: SparkSession, path: String): DataFrame = {
+    val pages = extractPageRuns(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    val schema = StructType(Seq(
+      StructField("page_no", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false),
+      StructField("run", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      pages.zipWithIndex.flatMap { case (runs, p) =>
+        runs.map { case (x, y, t) => Row(p.toLong, x, y, t): Row }
+      }.asJava,
+      schema)
+  }
+
   /** A trailer-style /Encrypt entry: indirect ref or inline dict. */
   private val EncryptEntryRe = """/Encrypt\s+(\d+\s+\d+\s+R|<<)""".r
 
