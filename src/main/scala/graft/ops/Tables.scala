@@ -46,25 +46,29 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as raw long and truncate to micros —
-    * exactly what DuckDB's reader does, so oracles agree.
-    *
-    * The session must be BUILT with `spark.sql.legacy.parquet.nanosAsLong
-    * = true` (Bench/Verify builders and the test session do this) — a
-    * loader mutating session config would silently change parquet
-    * semantics for every other read in the session.
+  /** events: `ts` normalized to session-zone TimestampType whatever the
+    * parquet writer chose. Generations of the testdata have used
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader only admits as a
+    * raw long under `spark.sql.legacy.parquet.nanosAsLong=true`, then
+    * truncated to micros exactly like DuckDB's reader — and plain
+    * timestamp[us], which arrives as TIMESTAMP_NTZ and only needs the
+    * cast (session zone is UTC everywhere, so values agree with DuckDB's
+    * naive read). Dispatch on the OBSERVED schema so either layout works
+    * without a session-config change.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    require(
-      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
-    // integer `div`, NOT `/`: Column./ promotes to double, which cannot
-    // represent 1.7e18 nanos exactly and corrupts the low microseconds
-    load(s, dir, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: Column./ promotes to double, which can't
+        // represent 1.7e18 nanos exactly and corrupts the low microseconds
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")

@@ -35,15 +35,16 @@ object StreamingGates {
     */
   private val gateId = new AtomicInteger(0)
 
-  /** events.parquet carries TIMESTAMP(NANOS); a streaming reader gets an
-    * EXPLICIT schema (no inference on streams), so declare ts as the
-    * raw nano LongType and convert to micros exactly like
-    * `Tables.events` (integer div — double promotion would corrupt the
-    * low microseconds).
+  /** Streaming readers get an EXPLICIT schema (no inference on streams);
+    * `ts` is declared with whatever type the file actually carries —
+    * testdata generations have used TIMESTAMP(NANOS) (readable only as a
+    * raw long under the nanosAsLong legacy flag) and timestamp[us]
+    * (TIMESTAMP_NTZ) — so peek at the batch footer once per call and
+    * normalize to session-zone micros exactly like `Tables.events`.
     */
-  private val eventsNanosSchema: StructType = StructType(Seq(
+  private def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -65,16 +66,23 @@ object StreamingGates {
     try body finally s.conf.set(key, old)
   }
 
-  private def readEventsMicros(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(eventsNanosSchema)
+  private def readEventsMicros(s: SparkSession, dir: String): DataFrame = {
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = s.readStream
+      .schema(eventsSchema(tsType))
       .option("maxFilesPerTrigger", 16)
       // events.parquet is a single FILE: FileStreamSource demands a
       // DIRECTORY for literal paths but accepts any glob, so spell the
       // last char as a one-char class — matches exactly the same file,
       // without sweeping the sibling tables a bare *.parquet would
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      // integer `div`, NOT `/`: double promotion corrupts low micros
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** [[Streaming.tumblingCounts]] — watermarked tumbling window, count +
     * sum — executed as a streaming query over the events parquet and

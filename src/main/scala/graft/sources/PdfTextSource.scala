@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** S3/S4 — offline PDF text source (the reference reads audited
   * reports with pdfplumber: dask-with-dataframe-[2].py:102-104,
@@ -162,9 +162,9 @@ object PdfTextSource {
     * origin of each show operator — the unit layout-aware consumers
     * (table reconstruction, [[graft.ops.PdfTable]]) need and the plain
     * line model deliberately discards. Structural path only: positions
-    * come from Td/TD/Tm/T*/TL tracking, which requires per-page content
-    * in page-tree order; the damaged-file fallback has no trustworthy
-    * geometry to offer.
+    * come from tracking the positioning operators (Td, TD, Tm, T-star,
+    * TL), which requires per-page content in page-tree order; the
+    * damaged-file fallback has no trustworthy geometry to offer.
     */
   def extractPageRuns(bytes: Array[Byte]): Vector[Vector[(Double, Double, String)]] = {
     val doc =
@@ -381,6 +381,136 @@ object PdfTextSource {
     }
     flush()
     lines.toSeq
+  }
+
+  /** Positioned runs of one decoded content stream: one (x, y, text)
+    * per show operator with non-empty decoded text, at the text-LINE
+    * origin current when the show executes (the translation components
+    * of the text matrix). Glyph-width advances are NOT modeled — every
+    * generator that lays out a table positions each cell with its own
+    * Td/Tm, which is the shape this consumes; consecutive shows without
+    * repositioning share a coordinate and concatenate downstream.
+    *
+    * Tracked state: text matrix and text-line matrix (set by Tm, and by
+    * the line-translate operators Td / TD / T-star), leading (TL, and
+    * TD's side effect), font (Tf, for CID decode — `fonts` as in
+    * [[textLines]]). BT resets both matrices to identity per spec. The
+    * CTM (`cm`) is not modeled: coordinates are text-space, which IS
+    * page-space for the untransformed pages report generators emit.
+    */
+  private def textRuns(content: Array[Byte],
+      fonts: Map[String, Option[Map[Int, String]]]): Seq[(Double, Double, String)] = {
+    val s = new String(content, ISO_8859_1)
+    val n = s.length
+    val runs = mutable.ArrayBuffer.empty[(Double, Double, String)]
+    var curCid: Option[Map[Int, String]] = None
+    var lastName: String = null
+    def decode(raw: String): String = curCid match {
+      case Some(cmap) =>
+        val sb = new StringBuilder
+        var k = 0
+        while (k + 1 < raw.length) {
+          val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+          cmap.get(code).foreach(sb.append)
+          k += 2
+        }
+        sb.toString
+      case None => raw
+    }
+    var lastString: String = null
+    var arrayBuf: StringBuilder = null
+    def emit(str: String): Unit =
+      if (arrayBuf != null) arrayBuf.append(decode(str)) else lastString = decode(str)
+    // numeric operand stack; every operator consumes (clears) it
+    val nums = mutable.ArrayBuffer.empty[Double]
+    // text matrix (t*) and text-line matrix (l*), row-major (a b c d e f)
+    var ta = 1.0; var tb = 0.0; var tc = 0.0; var td = 1.0; var te = 0.0; var tf = 0.0
+    var la = 1.0; var lb = 0.0; var lc = 0.0; var ld = 1.0; var le = 0.0; var lf = 0.0
+    var leading = 0.0
+    var inText = false
+    def tmFromTlm(): Unit = { ta = la; tb = lb; tc = lc; td = ld; te = le; tf = lf }
+    // Tlm' = translate(tx, ty) x Tlm  (PDF 32000 §9.4.2, Td)
+    def lineTranslate(tx: Double, ty: Double): Unit = {
+      le = tx * la + ty * lc + le
+      lf = tx * lb + ty * ld + lf
+      tmFromTlm()
+    }
+    def show(decoded: String): Unit = {
+      val t = decoded.trim
+      if (inText && t.nonEmpty) runs += ((te, tf, t))
+    }
+    def op(): Unit = { lastString = null; nums.clear() }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val (str, ni) = literalString(s, i); emit(str); i = ni
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') {
+        i += 2
+      } else if (c == '<') {
+        val (str, ni) = hexString(s, i); emit(str); i = ni
+      } else if (c == '[') {
+        arrayBuf = new StringBuilder; i += 1
+      } else if (c == ']') {
+        lastString = if (arrayBuf != null) arrayBuf.toString else null
+        arrayBuf = null; i += 1
+      } else if (c == '%') {
+        while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c == '/') {
+        i += 1
+        val start = i
+        while (i < n && !s.charAt(i).isWhitespace && !Delims.contains(s.charAt(i))) i += 1
+        lastName = s.substring(start, i)
+      } else if (c == '+' || c == '-' || c == '.' || c.isDigit) {
+        val start = i
+        i += 1
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        s.substring(start, i).toDoubleOption.foreach(nums += _)
+      } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
+        val start = i
+        while (i < n && !s.charAt(i).isWhitespace && !Delims.contains(s.charAt(i))) i += 1
+        s.substring(start, i) match {
+          case "BT" =>
+            inText = true
+            ta = 1; tb = 0; tc = 0; td = 1; te = 0; tf = 0
+            la = 1; lb = 0; lc = 0; ld = 1; le = 0; lf = 0
+            op()
+          case "ET" => inText = false; op()
+          case "Tf" =>
+            if (lastName != null) curCid = fonts.getOrElse(lastName, None)
+            op()
+          case "TL" =>
+            if (nums.nonEmpty) leading = nums.last
+            op()
+          case "Td" =>
+            if (nums.length >= 2) lineTranslate(nums(nums.length - 2), nums.last)
+            op()
+          case "TD" => // like Td, but also sets leading to -ty
+            if (nums.length >= 2) {
+              leading = -nums.last
+              lineTranslate(nums(nums.length - 2), nums.last)
+            }
+            op()
+          case "Tm" =>
+            if (nums.length >= 6) {
+              val m = nums.takeRight(6)
+              la = m(0); lb = m(1); lc = m(2); ld = m(3); le = m(4); lf = m(5)
+              tmFromTlm()
+            }
+            op()
+          case "T*" => lineTranslate(0, -leading); op()
+          case "Tj" | "TJ" =>
+            if (lastString != null) show(lastString)
+            op()
+          case "'" | "\"" => // next line, then show (operands of " are aw ac)
+            lineTranslate(0, -leading)
+            if (lastString != null) show(lastString)
+            op()
+          case _ => op()
+        }
+      } else i += 1
+    }
+    runs.toSeq
   }
 
   /** `(...)` literal string: nested parens, \-escapes, octal, line
