@@ -419,6 +419,75 @@ object Financial {
       |FROM sections, (VALUES ('rc4'), ('aesv2'), ('aesv3')) AS s(scheme)
       |ORDER BY scheme, id""".stripMargin
 
+  /** The POSITIONED-text surface end-to-end, fully pinned: fixture PDF →
+    * [[graft.sources.PdfTextSource.toRunsDataFrame]] (Td/TD/Tm/T-star/TL
+    * text-matrix tracking) → [[graft.ops.PdfTable.rows]] geometry
+    * clustering → one output row per CELL of the reconstructed grid.
+    * The fixture (tools/make_pdf_table_fixture.py) writes one page with
+    * absolute Tm cells (one row x-shuffled, one baseline-jittered) and
+    * one with relative Td/TL/quote cells; the oracle states every cell
+    * as a literal, hand-derived from the fixture's operator streams —
+    * so positioning, x-sort, y-banding, and row ordering are all pinned
+    * against an independent derivation.
+    */
+  private def pdfTableCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runs = graft.sources.PdfTextSource.toRunsDataFrame(
+      s, "/root/repo/fixtures/bin/annual_table.pdf")
+    graft.ops.PdfTable.rows(runs)
+      .select($"page_no", $"row_no", posexplode($"cells").as(Seq("cell_no", "cell")))
+      .select($"page_no", $"row_no", $"cell_no".cast("long").as("cell_no"), $"cell")
+      .orderBy($"page_no", $"row_no", $"cell_no")
+  }
+
+  private val pdfTableCellsOracle =
+    """SELECT CAST(page_no AS BIGINT) AS page_no,
+      |  CAST(row_no AS BIGINT) AS row_no,
+      |  CAST(cell_no AS BIGINT) AS cell_no, cell
+      |FROM (VALUES
+      |  (0, 0, 0, 'PT Contoh Sejahtera Tbk'),
+      |  (0, 1, 0, 'Laporan Posisi Keuangan'),
+      |  (0, 2, 0, 'Keterangan'), (0, 2, 1, '2024'), (0, 2, 2, '2023'),
+      |  (0, 3, 0, 'Kas dan setara kas'), (0, 3, 1, '1.234'), (0, 3, 2, '987'),
+      |  (0, 4, 0, 'Piutang usaha'), (0, 4, 1, '5.678'), (0, 4, 2, '4.321'),
+      |  (0, 5, 0, 'Persediaan'), (0, 5, 1, '2.468'), (0, 5, 2, '2.400'),
+      |  (1, 0, 0, 'Laporan Laba Rugi'),
+      |  (1, 1, 0, 'Keterangan'), (1, 1, 1, '2024'), (1, 1, 2, '2023'),
+      |  (1, 2, 0, 'Pendapatan'), (1, 2, 1, '9.000'), (1, 2, 2, '8.500'),
+      |  (1, 3, 0, 'Beban pokok'), (1, 3, 1, '3.000'), (1, 3, 2, '2.800'),
+      |  (1, 4, 0, 'Laba kotor'), (1, 4, 1, '6.000'), (1, 4, 2, '5.700'),
+      |  (1, 5, 0, 'Catatan:'),
+      |  (1, 6, 0, 'Angka dalam jutaan rupiah')
+      |) AS t(page_no, row_no, cell_no, cell)
+      |ORDER BY page_no, row_no, cell_no""".stripMargin
+
+  /** The layout-aware financial-table pipeline the reference's regex
+    * line-parse cannot express (dask-with-dataframe-[2].py:86-97 splits
+    * flat lines): geometry-recovered 3-column grid rows, header dropped
+    * per page, Indonesian thousands-dot values coerced to DOUBLE (F4
+    * applied to cells instead of line fragments).
+    */
+  private def pdfTableExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runs = graft.sources.PdfTextSource.toRunsDataFrame(
+      s, "/root/repo/fixtures/bin/annual_table.pdf")
+    graft.ops.PdfTable.financialRows(runs)
+      .orderBy($"page_no", $"item")
+  }
+
+  private val pdfTableExtractOracle =
+    """SELECT CAST(page_no AS BIGINT) AS page_no, item,
+      |  CAST(curr AS DOUBLE) AS curr, CAST(prior AS DOUBLE) AS prior
+      |FROM (VALUES
+      |  (0, 'Kas dan setara kas', 1234, 987),
+      |  (0, 'Piutang usaha', 5678, 4321),
+      |  (0, 'Persediaan', 2468, 2400),
+      |  (1, 'Pendapatan', 9000, 8500),
+      |  (1, 'Beban pokok', 3000, 2800),
+      |  (1, 'Laba kotor', 6000, 5700)
+      |) AS t(page_no, item, curr, prior)
+      |ORDER BY page_no, item""".stripMargin
+
   /** S2 oracle-gated through the REAL workbook: the headerless
     * general-information sheet read by XlsxSource, projected to the
     * key-value pairs the reference's P1 lookups consume
@@ -455,6 +524,8 @@ object Financial {
     Q("pdf_cid_sectionizer", pdfCidSectionizer, Some(pdfCidOracle)),
     Q("pdf_encrypted_sectionizer", pdfEncryptedSectionizer, Some(pdfEncryptedOracle)),
     Q("pdf_cid_encrypted_sectionizer", pdfCidEncryptedSectionizer, Some(pdfCidOracle)),
+    Q("pdf_table_cells", pdfTableCells, Some(pdfTableCellsOracle)),
+    Q("pdf_table_extract", pdfTableExtract, Some(pdfTableExtractOracle)),
     Q("xlsx_info_lookup", xlsxInfoLookup, Some(xlsxInfoOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),
