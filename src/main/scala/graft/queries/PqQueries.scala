@@ -225,7 +225,7 @@ object PqQueries {
          |    SELECT vec_id, m, cid,
          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
          |    FROM $from) WHERE rn = 1)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS emb, label FROM embeddings),
        |ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
        |q AS (SELECT emb AS qv FROM e WHERE vec_id = $QueryVecId),
        |cb0 AS (
@@ -307,6 +307,128 @@ object PqQueries {
        |  CAST(count(*) AS DOUBLE) / $PqTopK AS recall_at_k
        |FROM pq JOIN exact USING (vec_id)""".stripMargin
 
+  // ------------------------------------------------ IVF-PQ composition
+
+  /** Candidates of the COMPOSED index — the FAISS IVF-PQ layout (Jégou
+    * et al. §V: coarse quantizer + product quantizer), in its
+    * no-residual variant (`by_residual=false` in FAISS terms) so both
+    * engines' codebooks stay independently reproducible: rows are
+    * binned by their nearest TRAINED coarse centroid
+    * ([[SimilarityQueries]]' one-Lloyd-step codebook, shared via the
+    * per-(session, dir) memo), the query probes only its NProbe closest
+    * cells, and ADC scores rank survivors INSIDE the probed cells.
+    * Cell assignment and ADC score are both map-side expressions
+    * against literal codebooks, so the whole candidate stage is ONE
+    * scan → filter → TakeOrderedAndProject — at 100 TB the cell is a
+    * partition key and the probe filter prunes partitions before the
+    * scan even starts, while the M-byte codes stand in for raw vectors.
+    */
+  private def ivfpqCandidates(s: SparkSession, dir: String, idx: PqIndex): DataFrame = {
+    import s.implicits._
+    val (coarseQ, cents) = SimilarityQueries.coarseCodebook(s, dir)
+    val probe = SimilarityQueries.coarseProbe(coarseQ, cents)
+    val approx = (0 until M).map { m =>
+      val lut = idx.books(m).map { case (_, cw) => round6(dotSeq(idx.qSubs(m), cw)) }
+      element_at(typedlit(lut), codePos(subCol(m), idx.books(m)))
+    }.reduceLeft(_ + _)
+    Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cell", SimilarityQueries.coarseCellCol(cents))
+      .filter($"cell".isin(probe: _*))
+      .withColumn("approx", approx)
+      .orderBy($"approx".desc, $"vec_id")
+      .limit(CandK)
+      .select($"vec_id")
+  }
+
+  /** IVF-PQ search: probe → ADC → exact re-rank (the user-facing
+    * top-k, same re-rank contract as [[annPqAdcTopk]]).
+    */
+  private def annIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = trainedIndex(s, dir)
+    val qVecF = idx.qSubs.flatten.map(_.toFloat)
+    Tables.embeddings(s, dir)
+      .join(broadcast(ivfpqCandidates(s, dir, idx)), Seq("vec_id"))
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVecF)))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(PqTopK)
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
+  }
+
+  /** [[adcPrelude]] + the coarse-quantizer mirror: trained coarse cells
+    * (same one-Lloyd-step SQL as the ann_ivf_trained oracle), per-row
+    * cell assignment, query probe cut, and the composed candidate cut
+    * (ADC score restricted to probed cells).
+    */
+  private val ivfpqPrelude =
+    s"""$adcPrelude,
+       |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e
+       |  WHERE vec_id < ${SimilarityQueries.coarseK}),
+       |${SimilarityQueries.coarseKmIterSql("c0", 1)},
+       |fin AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], c::DOUBLE[]) DESC, cid) AS rn
+       |    FROM e CROSS JOIN c1) WHERE rn = 1),
+       |qc AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY
+       |      list_cosine_similarity(q.qv, c.c::DOUBLE[]) DESC, c.cid) AS rn
+       |    FROM c1 c, q) WHERE rn <= ${SimilarityQueries.coarseNProbe}),
+       |ivcand AS (
+       |  SELECT a.vec_id FROM adc a
+       |    JOIN fin f USING (vec_id)
+       |    JOIN qc USING (cid)
+       |  WHERE a.vec_id <> $QueryVecId
+       |  ORDER BY a.approx DESC, a.vec_id LIMIT $CandK)""".stripMargin
+
+  private val annIvfPqOracle =
+    s"""$ivfpqPrelude
+       |SELECT e.vec_id, e.label,
+       |  round(list_cosine_similarity(e.emb, q.qv), 4) AS cos
+       |FROM ivcand JOIN e USING (vec_id), q
+       |ORDER BY list_cosine_similarity(e.emb, q.qv) DESC, e.vec_id
+       |LIMIT $PqTopK""".stripMargin
+
+  /** recall@k of the composed index against exact brute force — the
+    * same accountability gate the flat-PQ and IVF paths carry; probe
+    * misses now also cost recall, so a coarse-codebook regression
+    * surfaces here even when ADC is healthy.
+    */
+  private def annIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = trainedIndex(s, dir)
+    val qVecF = idx.qSubs.flatten.map(_.toFloat)
+    val got = annIvfPqTopk(s, dir).select($"vec_id")
+    val exact = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVecF)))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(PqTopK)
+      .select($"vec_id")
+    got.join(exact, Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / PqTopK).as("recall_at_k"))
+      .select(lit(PqTopK).as("k"), $"recall_at_k")
+  }
+
+  private val annIvfPqRecallOracle =
+    s"""$ivfpqPrelude,
+       |ivfpq AS (
+       |  SELECT e.vec_id
+       |  FROM ivcand JOIN e USING (vec_id), q
+       |  ORDER BY list_cosine_similarity(e.emb, q.qv) DESC, e.vec_id
+       |  LIMIT $PqTopK),
+       |exact AS (
+       |  SELECT e.vec_id FROM e, q
+       |  WHERE e.vec_id <> $QueryVecId
+       |  ORDER BY list_cosine_similarity(e.emb, q.qv) DESC, e.vec_id
+       |  LIMIT $PqTopK)
+       |SELECT $PqTopK AS k,
+       |  CAST(count(*) AS DOUBLE) / $PqTopK AS recall_at_k
+       |FROM ivfpq JOIN exact USING (vec_id)""".stripMargin
+
   /** Semantic near-dedup by PQ code: two vectors quantizing to the SAME
     * codeword in every subspace are near-neighbors by construction (they
     * share a cell of the product grid), so duplicate detection is an
@@ -357,11 +479,17 @@ object PqQueries {
   val queries: Seq[Q] = Seq(
     Q("ann_pq_adc_topk", annPqAdcTopk, Some(annPqAdcOracle)),
     Q("ann_pq_recall", annPqRecall, Some(annPqRecallOracle)),
+    Q("ann_ivfpq_topk", annIvfPqTopk, Some(annIvfPqOracle)),
+    Q("ann_ivfpq_recall", annIvfPqRecall, Some(annIvfPqRecallOracle)),
     Q("dedup_pq_codes", dedupPqCodes, Some(dedupPqCodesOracle)))
 
   /** Exposed for PqSpec. */
   private[graft] def pqRecallFrame(s: SparkSession, dir: String): DataFrame =
     annPqRecall(s, dir)
+  private[graft] def ivfpqRecallFrame(s: SparkSession, dir: String): DataFrame =
+    annIvfPqRecall(s, dir)
+  private[graft] def ivfpqTopkFrame(s: SparkSession, dir: String): DataFrame =
+    annIvfPqTopk(s, dir)
   private[graft] def pqCodesFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val idx = trainedIndex(s, dir)

@@ -453,4 +453,27 @@ object SimilarityQueries {
   /** Exposed for IvfRecallSpec's floor assertion. */
   private[graft] def ivfRecallFrame(s: SparkSession, dir: String): DataFrame =
     annIvfRecall(s, dir)
+
+  // ---------------- coarse-quantizer surface for the IVF-PQ composition
+  // ([[PqQueries]] probes these trained cells, then ADC-scores inside
+  // them — sharing the memoized codebook keeps index build once-per-dir)
+
+  private[queries] def coarseCodebook(s: SparkSession, dir: String)
+      : (Array[Float], Array[(Int, Array[Float])]) = trainedCodebook(s, dir)
+
+  private[queries] def coarseCellCol(
+      cents: Array[(Int, Array[Float])]): org.apache.spark.sql.Column =
+    assignCols(cents)._1
+
+  /** The query's NProbe closest trained cells (cosine desc, cid ties). */
+  private[queries] def coarseProbe(qVec: Array[Float],
+      cents: Array[(Int, Array[Float])]): Seq[Int] =
+    cents.map { case (cid, c) => (cid, cosF32(qVec, c)) }
+      .sortBy { case (cid, sc) => (-sc, cid) }
+      .take(NProbe).map(_._1).toSeq
+
+  private[queries] def coarseKmIterSql(prev: String, n: Int): String =
+    kmIterSql(prev, n)
+  private[queries] def coarseK: Int = KmK
+  private[queries] def coarseNProbe: Int = NProbe
 }

@@ -17,6 +17,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ recall@10 vs brute force stays above the floor") {
+    // the composed index can only lose MORE than flat PQ (probe misses
+    // stack on quantization error), so its floor is its own gate
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val row = PqQueries.ivfpqRecallFrame(spark, s"/root/testdata/$sf")
+        .collect().head
+      val recall = row.getAs[Double]("recall_at_k")
+      assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall at $sf — below 0.5")
+    }
+  }
+
+  test("IVF-PQ top-k is a subset of flat-PQ's probe-free universe") {
+    // composition only PRUNES: anything IVF-PQ returns must also rank
+    // by the same exact cosine, and its ids must exclude the query
+    val dir = "/root/testdata/sf0.001"
+    val rows = PqQueries.ivfpqTopkFrame(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getLong(0) != 0L))
+    val cos = rows.map(_.getAs[Double]("cos")).toSeq
+    assert(cos == cos.sortBy(-_), "top-k must be cosine-descending")
+  }
+
   test("trained books: <=K codewords per subspace, SubDim dims each, cid-ascending") {
     val books = PqQueries.trainedBooks(spark, "/root/testdata/sf0.001")
     assert(books.length == 4)
