@@ -1,8 +1,7 @@
 import graft.queries.Registry
 import java.nio.file.{Files, Paths}
-// events.parquet is TIMESTAMP(NANOS); Tables.events requires this at the
-// session level. A runtime set suffices: the parquet reader consults
-// SQLConf at scan planning, and no events read happens before this line.
+// Harmless with timestamp[us] testdata; lets Tables.events' legacy
+// TIMESTAMP(NANOS) branch work if run against an old generation.
 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 val sb = new StringBuilder
 sb ++= "# PLANS - physical-plan audit (generated against sf0.01)\n\n"
@@ -35,7 +34,9 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "median_mode_by_priority","heavy_hitters_events",
               "weighted_sample_docs","mv_incremental_refresh","topk_agg_per_priority",
               "a_financial_union","ann_ivf_recall","decontaminate_overlap",
-              "text_nfc_normalize","calk_sectionizer","pdf_cid_sectionizer")) {
+              "text_nfc_normalize","calk_sectionizer","pdf_cid_sectionizer",
+              "ann_pq_adc_topk","ann_ivfpq_topk","dedup_pq_codes",
+              "pdf_table_cells","pdf_table_extract")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
