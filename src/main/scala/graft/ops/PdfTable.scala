@@ -80,18 +80,21 @@ object PdfTable {
     * cells instead of regex-split lines). Non-grid rows (titles,
     * footnotes — fewer than 3 cells) fall away with the size filter.
     */
-  def financialRows(runs: DataFrame, yTol: Double = 2.0): DataFrame = {
-    val grid = rows(runs, yTol).filter(size(col("cells")) === 3)
-    val w = Window.partitionBy(col("page_no")).orderBy(col("row_no"))
+  def financialRows(runs: DataFrame, yTol: Double = 2.0,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val grid = rows(runs, yTol, extraKeys).filter(size(col("cells")) === 3)
+    val w = Window
+      .partitionBy(extraKeys.map(col) :+ col("page_no"): _*)
+      .orderBy(col("row_no"))
     def num(c: Column): Column =
       regexp_replace(c, "\\.", "").cast("double")
     grid
       .withColumn("grid_rk", row_number().over(w))
       .filter(col("grid_rk") > 1) // first full-width row = column header
-      .select(
+      .select(extraKeys.map(col) ++ Seq(
         col("page_no"),
         col("cells").getItem(0).as("item"),
         num(col("cells").getItem(1)).as("curr"),
-        num(col("cells").getItem(2)).as("prior"))
+        num(col("cells").getItem(2)).as("prior")): _*)
   }
 }

@@ -488,6 +488,39 @@ object Financial {
       |) AS t(page_no, item, curr, prior)
       |ORDER BY page_no, item""".stripMargin
 
+  /** The DISTRIBUTED positioned-run path through the gate: binaryFile
+    * scan → executor-side [[graft.sources.PdfTextSource.readManyRuns]]
+    * parse → [[graft.ops.PdfTable.financialRows]] keyed by src_file —
+    * the many-documents shape (one report per task) rather than the
+    * driver-side single-document bridge. Same fixture and literals as
+    * pdf_table_extract, plus the filename key the distributed path
+    * must thread through every grouping.
+    */
+  private def pdfTableMany(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runs = graft.sources.PdfTextSource.readManyRuns(
+      s, "/root/repo/fixtures/bin/annual_table.pd[f]")
+    graft.ops.PdfTable.financialRows(runs, extraKeys = Seq("src_file"))
+      .select(
+        regexp_extract($"src_file", "[^/]+$", 0).as("fname"),
+        $"page_no", $"item", $"curr", $"prior")
+      .orderBy($"fname", $"page_no", $"item")
+  }
+
+  private val pdfTableManyOracle =
+    """SELECT 'annual_table.pdf' AS fname,
+      |  CAST(page_no AS BIGINT) AS page_no, item,
+      |  CAST(curr AS DOUBLE) AS curr, CAST(prior AS DOUBLE) AS prior
+      |FROM (VALUES
+      |  (0, 'Kas dan setara kas', 1234, 987),
+      |  (0, 'Piutang usaha', 5678, 4321),
+      |  (0, 'Persediaan', 2468, 2400),
+      |  (1, 'Pendapatan', 9000, 8500),
+      |  (1, 'Beban pokok', 3000, 2800),
+      |  (1, 'Laba kotor', 6000, 5700)
+      |) AS t(page_no, item, curr, prior)
+      |ORDER BY fname, page_no, item""".stripMargin
+
   /** S2 oracle-gated through the REAL workbook: the headerless
     * general-information sheet read by XlsxSource, projected to the
     * key-value pairs the reference's P1 lookups consume
@@ -526,6 +559,7 @@ object Financial {
     Q("pdf_cid_encrypted_sectionizer", pdfCidEncryptedSectionizer, Some(pdfCidOracle)),
     Q("pdf_table_cells", pdfTableCells, Some(pdfTableCellsOracle)),
     Q("pdf_table_extract", pdfTableExtract, Some(pdfTableExtractOracle)),
+    Q("pdf_table_many", pdfTableMany, Some(pdfTableManyOracle)),
     Q("xlsx_info_lookup", xlsxInfoLookup, Some(xlsxInfoOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),

@@ -199,6 +199,30 @@ object PdfTextSource {
       schema)
   }
 
+  /** Distributed ingest of MANY PDFs' POSITIONED runs: binaryFile scan
+    * over a glob, per-file parse inside the executors (same grain as
+    * [[readMany]]). Output: (src_file, page_no, x, y, run) — feed
+    * [[graft.ops.PdfTable.rows]] with `extraKeys = Seq("src_file")` so
+    * reconstruction stays per document-page.
+    */
+  def readManyRuns(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("src_file", StringType, nullable = false),
+      StructField("page_no", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false),
+      StructField("run", StringType)))
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        extractPageRuns(bytes).iterator.zipWithIndex.flatMap { case (runs, p) =>
+          runs.map { case (x, y, t) => Row(path, p.toLong, x, y, t) }
+        }
+      }(Encoders.row(schema))
+  }
+
   /** A trailer-style /Encrypt entry: indirect ref or inline dict. */
   private val EncryptEntryRe = """/Encrypt\s+(\d+\s+\d+\s+R|<<)""".r
 

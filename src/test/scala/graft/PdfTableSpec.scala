@@ -107,6 +107,27 @@ class PdfTableSpec extends SparkSpec {
     assert(PdfTextSource.extractLines(cut).nonEmpty)
   }
 
+  test("readManyRuns: per-file executor-side parse, extraKeys grouping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf_tables")
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(pdf),
+        dir.resolve(s"report_$i.pdf"))
+    }
+    val runs = PdfTextSource.readManyRuns(spark, s"$dir/*.pdf")
+    assert(runs.columns.toSeq == Seq("src_file", "page_no", "x", "y", "run"))
+    assert(runs.count() == 3L * (page1Runs.length + page2Runs.length))
+    val fin = graft.ops.PdfTable
+      .financialRows(runs, extraKeys = Seq("src_file"))
+    assert(fin.count() == 3L * 6)
+    val one = fin.filter($"src_file".endsWith("report_2.pdf"))
+      .orderBy($"page_no", $"item")
+      .select($"item", $"curr").as[(String, Double)].collect().toSeq
+    assert(one == Seq(
+      ("Kas dan setara kas", 1234.0), ("Persediaan", 2468.0),
+      ("Piutang usaha", 5678.0), ("Beban pokok", 3000.0),
+      ("Laba kotor", 6000.0), ("Pendapatan", 9000.0)))
+  }
+
   test("toRunsDataFrame enters the plan as a LocalTableScan") {
     val df = PdfTextSource.toRunsDataFrame(spark, pdf)
     assert(df.columns.toSeq == Seq("page_no", "x", "y", "run"))
