@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Tables, TextOps}
+
+/** LM-corpus preparation operators, round 2: the CCNet/DSIR-shaped
+  * passes a 100 TB pretraining pipeline runs between raw crawl and
+  * tokenizer — chunk-level cross-document dedup (the "line dedup" pass,
+  * re-grained to token windows because the synthetic corpus carries no
+  * newlines), a bigram language-model perplexity filter (one order up
+  * from the unigram gate in [[CorpusPrep]]), and hashed-n-gram
+  * importance weighting for targeted data selection (DSIR-shaped:
+  * score every raw doc by how much it looks like a target domain).
+  *
+  * Scale shapes, in order: chunk dedup shuffles once on the chunk hash
+  * (the corpus-wide duplicate count) and once on doc_id (reassembly) —
+  * both keyed, both combinable, no driver state. The bigram LM keeps
+  * both model tables as WINDOW sums over the (doc, bigram) frame
+  * (vocabulary grows with the corpus — broadcasting it back is the
+  * driver-OOM shape PlanAuditSpec gates). DSIR's model is the opposite
+  * case: the feature space is HASHED to a fixed 1024 buckets precisely
+  * so the model side stays broadcastable no matter the corpus size —
+  * that inversion (unbounded vocab → windows, bounded sketch →
+  * broadcast) is the point of the hashing trick.
+  */
+object LmPipeline {
+
+  // ------------------------------------------------ chunk-level dedup
+
+  private val ChunkLen = 10
+
+  /** CCNet-style cross-document chunk dedup over a (doc_id, text)
+    * frame. Documents are cut into fixed `chunkLen`-token chunks
+    * (deterministic re-graining of CCNet's per-line unit); a chunk is
+    * kept only in the lowest-doc_id document that contains it and
+    * dropped everywhere else; each document is then reassembled in
+    * original chunk order. One shuffle on the chunk text (corpus-wide
+    * first-owner), one on doc_id (reassembly) — both keyed, no driver
+    * state.
+    */
+  def chunkDedup(docs: DataFrame, chunkLen: Int = ChunkLen): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    val nChunks = ceil(size(toks).cast("double") / chunkLen).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * chunkLen + 1, lit(chunkLen)), " "))
+    val exploded = docs
+      .select($"doc_id", posexplode(chunks).as(Seq("pos", "chunk")))
+    val keeper = min($"doc_id").over(Window.partitionBy($"chunk"))
+    exploded
+      .withColumn("keep", $"doc_id" === keeper)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum($"keep".cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep", struct($"pos", $"chunk")))),
+            x => x("chunk")),
+          " ").as("clean_text"))
+  }
+
+  private def chunkDedupDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chunkDedup(Tables.fanOut(Tables.documents(s, dir)))
+      .select($"doc_id", $"n_chunks", $"n_kept",
+        md5($"clean_text").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private val chunkDedupOracle =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ch AS (
+       |  SELECT doc_id,
+       |    unnest(cl) AS chunk,
+       |    unnest(range(1, len(cl) + 1)) AS pos
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(
+       |        range(0, CAST(ceil(len(toks) / $ChunkLen.0) AS INT)),
+       |        i -> array_to_string(toks[i * $ChunkLen + 1 : i * $ChunkLen + $ChunkLen], ' ')) AS cl
+       |    FROM tk)),
+       |k AS (
+       |  SELECT doc_id, pos, chunk,
+       |    doc_id = min(doc_id) OVER (PARTITION BY chunk) AS keep
+       |  FROM ch)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(
+       |    string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos),
+       |    '')) AS clean_md5
+       |FROM k
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- bigram LM quality
+
+  /** Token-bigram array of a text column; empty (not descending-
+    * sequence garbage) below two tokens.
+    */
+  private def bigramsOf(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(2), size(toks)),
+        i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
+  }
+
+  /** Per-document bigram cross-entropy of a (doc_id, text) frame
+    * against the frame's own MLE bigram model — the next order up from
+    * [[CorpusPrep]]'s unigram gate. p(w2 | w1) = c(w1 w2) / c(w1 ·), so
+    * a document's loss is sum(c · ln(c(w1 ·) / c(w1 w2))) / sum(c);
+    * formulaic text (whose bigrams repeat corpus-wide) scores near 0,
+    * rare-transition text scores high. Both model tables are window
+    * sums over the (doc, bigram) frame — see the class doc for why not
+    * broadcast.
+    */
+  def bigramLogloss(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val db = docs
+      .select($"doc_id", explode(bigramsOf($"text")).as("bigram"))
+      .groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+    db
+      .withColumn("cb", sum($"c").over(Window.partitionBy($"bigram")))
+      .withColumn("ch", sum($"c").over(Window.partitionBy($"w1")))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_bigrams"),
+        round(sum($"c" * log($"ch" / $"cb")) / sum($"c").cast("double"), 4)
+          .as("logloss"))
+  }
+
+  private def bigramLmQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bigramLogloss(Tables.fanOut(Tables.documents(s, dir))).orderBy($"doc_id")
+  }
+
+  private val bigramOracle =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(2, len(toks) + 1),
+      |      i -> toks[i - 1] || ' ' || toks[i])) AS bigram
+      |  FROM tk WHERE len(toks) >= 2),
+      |db AS (
+      |  SELECT doc_id, bigram, count(*) AS c,
+      |    string_split(bigram, ' ')[1] AS w1
+      |  FROM bg GROUP BY doc_id, bigram),
+      |m AS (
+      |  SELECT doc_id, c,
+      |    sum(c) OVER (PARTITION BY bigram) AS cb,
+      |    sum(c) OVER (PARTITION BY w1) AS ch
+      |  FROM db)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  round(sum(c * ln(CAST(ch AS DOUBLE) / cb)) / CAST(sum(c) AS DOUBLE), 4)
+      |    AS logloss
+      |FROM m
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- DSIR importance weighting
+
+  private val DsirBuckets = 1024
+  private val DsirSeed = 41
+  private val TargetSources = Seq("src0", "src1", "src2")
+
+  /** DSIR-shaped importance weights over a (doc_id, source, text)
+    * frame: hash every bigram into a fixed `buckets`-bucket feature
+    * space, fit add-one-smoothed bucket distributions for the TARGET
+    * domain (`targetSources` as the "clean" proxy) and the RAW corpus,
+    * and score each document by its feature-weighted log-likelihood
+    * ratio sum(c · ln(p_t / p_r)). Positive = looks like the target
+    * domain. The bucket model is `buckets` rows regardless of corpus
+    * size — broadcast-joinable by construction (the hashing trick's
+    * entire purpose at 100 TB).
+    */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String] = TargetSources,
+      buckets: Int = DsirBuckets, seed: Int = DsirSeed): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val feats = docs
+      .select($"doc_id", $"source", explode(bigramsOf($"text")).as("bigram"))
+      .withColumn("b",
+        pmod(TextOps.portableHash64($"bigram", seed), lit(buckets.toLong)))
+      .groupBy($"doc_id", $"source", $"b")
+      .agg(count(lit(1)).as("c"))
+    val isTarget = $"source".isin(targetSources: _*)
+    // ≤1024-row model frame: per-bucket target/raw counts. The global
+    // totals come over a 1-row scalar bridge (the unigramQuality
+    // pattern — exact, cheap); the limit is a no-op (pmod caps the
+    // bucket count) that states the boundedness invariant in-plan, so
+    // the broadcast-provenance audit can SEE the model side is fixed
+    // size rather than trusting this comment.
+    val bucketCounts = feats
+      .groupBy($"b")
+      .agg(
+        sum(when(isTarget, $"c").otherwise(lit(0L))).as("ct"),
+        sum($"c").as("cr"))
+    val totals = bucketCounts.agg(sum($"ct"), sum($"cr")).first()
+    val (tt, tr) = (totals.getLong(0), totals.getLong(1))
+    val model = bucketCounts
+      .limit(buckets)
+      .withColumn("logratio",
+        log(($"ct" + 1).cast("double") / lit(tt.toDouble + buckets))
+          - log(($"cr" + 1).cast("double") / lit(tr.toDouble + buckets)))
+      .select($"b", $"logratio")
+    feats
+      .join(broadcast(model), "b")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_feats"),
+        round(sum($"c" * $"logratio"), 4).as("logweight"))
+  }
+
+  private def dsirImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dsirWeights(Tables.fanOut(Tables.documents(s, dir))).orderBy($"doc_id")
+  }
+
+  private val dsirOracle = {
+    val targets = TargetSources.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(2, len(toks) + 1),
+       |      i -> toks[i - 1] || ' ' || toks[i])) AS bigram
+       |  FROM tk WHERE len(toks) >= 2),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5('$DsirSeed|' || bigram), 1, 15))::BIGINT % $DsirBuckets AS b,
+       |    count(*) AS c
+       |  FROM bg GROUP BY doc_id, source, b),
+       |m AS (
+       |  SELECT b,
+       |    sum(CASE WHEN source IN ($targets) THEN c ELSE 0 END) AS ct,
+       |    sum(c) AS cr
+       |  FROM f GROUP BY b),
+       |mm AS (
+       |  SELECT b,
+       |    ln(CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + $DsirBuckets))
+       |      - ln(CAST(cr + 1 AS DOUBLE) / (sum(cr) OVER () + $DsirBuckets))
+       |      AS logratio
+       |  FROM m)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_feats,
+       |  round(sum(c * logratio), 4) AS logweight
+       |FROM f JOIN mm USING (b)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("chunk_dedup_docs", chunkDedupDocs, Some(chunkDedupOracle)),
+    Q("bigram_lm_quality", bigramLmQuality, Some(bigramOracle)),
+    Q("dsir_importance_weights", dsirImportanceWeights, Some(dsirOracle)))
+}
