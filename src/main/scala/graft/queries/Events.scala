@@ -181,7 +181,9 @@ object Events {
       .orderBy($"user_id", $"session_start")
   }
 
-  private val sessionWindowOracle =
+  // shared with the streaming session gate (StreamingGates) — batch and
+  // stream must agree on the same independently-derived sessions
+  private[queries] val sessionWindowOracle =
     s"""WITH t AS (
       |  SELECT user_id, ts, value,
       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us

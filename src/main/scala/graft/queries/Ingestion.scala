@@ -60,7 +60,49 @@ object Ingestion {
        |WHERE doc_id IS NOT NULL AND n_words IS NOT NULL
        |ORDER BY doc_id""".stripMargin
 
+  /** ORC round-trip gate: orders → ORC files → scan → aggregate,
+    * oracle-compared against DuckDB reading the ORIGINAL parquet — a
+    * write-path gate (column types, nulls, date/decimal fidelity
+    * through the second columnar format Spark ships), not just a read
+    * gate. Money stays in exact integer micros across the round-trip;
+    * o_orderdate travels as DATE (the ORC-portable calendar type).
+    */
+  private def orcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val orcPath = s"/tmp/graft_orc/$tag/orders"
+    graft.ops.Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+        graft.ops.Exact.micro("o_totalprice").as("price_micro"),
+        $"o_orderdate".cast("date").as("o_date"))
+      .write.mode("overwrite").orc(orcPath)
+    s.read.orc(orcPath)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"price_micro").as("s_micro"),
+        min($"o_date").as("first_date"),
+        max($"o_date").as("last_date"))
+      .select($"o_orderpriority", $"n",
+        graft.ops.Exact.microSumTo4dp("s_micro").as("sum_price"),
+        $"first_date", $"last_date")
+      .orderBy($"o_orderpriority")
+  }
+
+  private val orcOracle =
+    s"""SELECT o_orderpriority, n,
+       |  ${graft.ops.Exact.microSumTo4dpSql("s_micro", graft.ops.Exact.DuckDiv)} AS sum_price,
+       |  first_date, last_date
+       |FROM (
+       |  SELECT o_orderpriority, count(*) AS n,
+       |    CAST(sum(${graft.ops.Exact.microSql("o_totalprice")}) AS BIGINT) AS s_micro,
+       |    min(CAST(o_orderdate AS DATE)) AS first_date,
+       |    max(CAST(o_orderdate AS DATE)) AS last_date
+       |  FROM orders GROUP BY o_orderpriority)
+       |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("jsonl_ingest", jsonlIngest, Some(jsonlOracle)),
-    Q("csv_ingest", csvIngest, Some(csvOracle)))
+    Q("csv_ingest", csvIngest, Some(csvOracle)),
+    Q("orc_ingest", orcIngest, Some(orcOracle)))
 }

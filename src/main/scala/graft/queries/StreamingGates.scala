@@ -265,7 +265,31 @@ object StreamingGates {
       |  GROUP BY c.c_mktsegment)
       |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
 
+  /** [[Streaming.sessionCounts]] — native session_window aggregation,
+    * executed as a streaming query and drained complete-mode. The
+    * oracle is the SAME hand-derived lag+cumsum session reconstruction
+    * the batch `events_session_window` query is gated on, so batch,
+    * stream, and an independent engine must all agree on the session
+    * boundaries.
+    */
+  private def streamingSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = readEventsMicros(s, dir)
+      .withColumn("value", Exact.micro("value").cast("double"))
+    val name = s"graft_gate_session_${gateId.incrementAndGet()}"
+    withStreamShuffle(s, 4) {
+      Streaming.runToMemory(Streaming.sessionCounts(stream), name, "complete")
+    }
+    s.table(name)
+      .withColumn("s_micro", $"sum_value".cast("long"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        Exact.microSumTo4dp("s_micro").as("sum_value"))
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("streaming_session_window", streamingSessionWindow,
+      Some(Events.sessionWindowOracle)),
     Q("streaming_interval_join", streamingIntervalJoin,
       Some(streamingIntervalOracle)),
     Q("streaming_upsert_state", streamingUpsertState,

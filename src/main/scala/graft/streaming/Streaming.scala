@@ -53,6 +53,22 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Native session-window aggregation per user (gap-merged windows,
+    * the built-in counterpart of [[sessionize]]'s explicit state
+    * machine). Same batch/stream parity contract as [[tumblingCounts]]:
+    * the watermark bounds session state on a stream — a session closes
+    * for good once the watermark passes its gap — and is a no-op on a
+    * bounded frame.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionState(start_us: Long, last_us: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,

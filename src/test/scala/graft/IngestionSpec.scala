@@ -42,4 +42,23 @@ class IngestionSpec extends SparkSpec {
     assert(df.filter(col(TextSources.CorruptCol).isNull).count() == 6)
     df.unpersist()
   }
+
+  test("orc: typed round-trip preserves values, nulls, and schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
+    val rows = Seq(
+      (1L, Some("A"), Some(12345678901234L), Some(java.sql.Date.valueOf("1995-03-15"))),
+      (2L, None, Some(-42L), None),
+      (3L, Some("B"), None, Some(java.sql.Date.valueOf("2000-01-01"))))
+      .toDF("id", "tag", "micros", "d")
+    rows.write.mode("overwrite").orc(s"$tmp/t")
+    val back = spark.read.orc(s"$tmp/t")
+    // ORC (like parquet) reads everything back nullable — compare
+    // names and types, not writer-side nullability flags
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      rows.schema.map(f => (f.name, f.dataType)))
+    assert(back.as[(Long, Option[String], Option[Long], Option[java.sql.Date])]
+      .collect().toSet ==
+      rows.as[(Long, Option[String], Option[Long], Option[java.sql.Date])]
+        .collect().toSet)
+  }
 }

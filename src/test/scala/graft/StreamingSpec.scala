@@ -32,6 +32,29 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
   }
 
+  test("sessionCounts over a file stream merges gap-adjacent events") {
+    val tmp = Files.createTempDirectory("graft_stream_sess").toString
+    val rows = Seq(
+      // user 7: two events 10 min apart (one session), then a 40-min
+      // gap (new session); user 8: a single event
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:50:00"), 7L, "view", 4.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 8L, "view", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.parquet(s"$tmp/in")
+
+    val stream = Streaming.readEventsStream(spark, s"$tmp/in")
+    Streaming.runToMemory(
+      Streaming.sessionCounts(stream), "session_counts_test", "complete")
+    val got = spark.table("session_counts_test")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(got == Set(
+      (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, 3.0),
+      (7L, ts("2024-01-01 10:50:00"), ts("2024-01-01 11:20:00"), 1L, 4.0),
+      (8L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"), 1L, 8.0)))
+  }
+
   test("stream-static enrichment join matches batch") {
     val tmp = Files.createTempDirectory("graft_enrich").toString
     val events = Seq(
