@@ -32,7 +32,9 @@ object DetailNotes {
     extractCalkLines(spark,
       graft.sources.PdfTextSource.toLinesDataFrame(spark, pdfPath))
 
-  private def extractCalkLines(spark: SparkSession, lines: DataFrame): DataFrame = {
+  // private[graft]: the graft-pdf DSv2 query path feeds its own
+  // (line_no, line) frame — same sectionizer algebra, different scan
+  private[graft] def extractCalkLines(spark: SparkSession, lines: DataFrame): DataFrame = {
     // marker gate: keep only lines STRICTLY AFTER the first marker line
     // (the reference consumes the marker line itself, detail_notes.py:42-44)
     val markerNo = lines

@@ -328,6 +328,25 @@ object Financial {
     graft.pipelines.DetailNotes.extractCalkPdf(
       s, "/root/repo/fixtures/bin/calk_notes.pdf")
 
+  /** The SAME sectionizer pipeline as pdf_calk_sectionizer, but scanned
+    * through the graft-pdf DataSource V2 connector instead of the
+    * driver-side LocalTableScan — one row per text line from an
+    * executor-side parse, global order reconstructed arithmetically
+    * from (page_no, line_no) without a window. Gated on the identical
+    * hand-derived oracle: the V2 read path must be indistinguishable
+    * from the reference extraction.
+    */
+  private def pdfDsv2Sectionizer(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lines = s.read.format("graft-pdf")
+      .load("/root/repo/fixtures/bin/calk_notes.pdf")
+      // pages are far shorter than 1M lines, so this composite is a
+      // strictly monotone global order — no single-partition window
+      .select((col("page_no") * 1000000L + col("line_no")).as("line_no"),
+        col("line"))
+    graft.pipelines.DetailNotes.extractCalkLines(s, lines)
+  }
+
   private val pdfCalkOracle =
     """SELECT * FROM (VALUES
       |  (CAST(1 AS BIGINT), '1.', '1. Umum',
@@ -543,6 +562,22 @@ object Financial {
       .orderBy($"key")
   }
 
+  /** The SAME S2 lookup through the graft-xlsx DataSource V2 table:
+    * executor-side parse, column pruning into the scan (only _c0/_c1
+    * materialize), gated on the identical hand-verifiable oracle — the
+    * V2 read path must be indistinguishable from the driver-side scan.
+    */
+  private def xlsxDsv2InfoLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("graft-xlsx")
+      .option("sheet", "1000000")
+      .load(sys.env.getOrElse("SPARK_GRAFT_REF_XLSX",
+        "/root/repo/fixtures/xlsx/FinancialStatement-2024-I-ACES.xlsx"))
+      .filter($"_c0".isin("Kode entitas", "Nama entitas", "Sektor"))
+      .select($"_c0".as("key"), $"_c1".as("value"))
+      .orderBy($"key")
+  }
+
   private val xlsxInfoOracle =
     """SELECT * FROM (VALUES
       |  ('Kode entitas', 'ACES'),
@@ -560,7 +595,9 @@ object Financial {
     Q("pdf_table_cells", pdfTableCells, Some(pdfTableCellsOracle)),
     Q("pdf_table_extract", pdfTableExtract, Some(pdfTableExtractOracle)),
     Q("pdf_table_many", pdfTableMany, Some(pdfTableManyOracle)),
+    Q("pdf_dsv2_sectionizer", pdfDsv2Sectionizer, Some(pdfCalkOracle)),
     Q("xlsx_info_lookup", xlsxInfoLookup, Some(xlsxInfoOracle)),
+    Q("xlsx_dsv2_info_lookup", xlsxDsv2InfoLookup, Some(xlsxInfoOracle)),
     Q("b_financial_union", bFinancialUnion, Some(bFinancialOracle)),
     Q("fn_scalar_suite", fnScalarSuite, Some(fnScalarOracle)),
     Q("calk_sectionizer", calkSectionize, Some(calkOracle)),
