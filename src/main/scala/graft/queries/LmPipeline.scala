@@ -20,11 +20,11 @@ import graft.ops.{Tables, TextOps}
   * both keyed, both combinable, no driver state. The bigram LM keeps
   * both model tables as WINDOW sums over the (doc, bigram) frame
   * (vocabulary grows with the corpus — broadcasting it back is the
-  * driver-OOM shape PlanAuditSpec gates). DSIR's model is the opposite
-  * case: the feature space is HASHED to a fixed 1024 buckets precisely
-  * so the model side stays broadcastable no matter the corpus size —
-  * that inversion (unbounded vocab → windows, bounded sketch →
-  * broadcast) is the point of the hashing trick.
+  * driver-OOM shape PlanAuditSpec gates). DSIR uses the same window
+  * shape over a key space HASHED down to a fixed 1024 buckets — the
+  * hashing trick bounds the model's key cardinality no matter how the
+  * vocabulary grows, and the global totals it needs reduce to map-side
+  * token counts that never touch the exploded frame.
   */
 object LmPipeline {
 
@@ -182,42 +182,43 @@ object LmPipeline {
     * domain (`targetSources` as the "clean" proxy) and the RAW corpus,
     * and score each document by its feature-weighted log-likelihood
     * ratio sum(c · ln(p_t / p_r)). Positive = looks like the target
-    * domain. The bucket model is `buckets` rows regardless of corpus
-    * size — broadcast-joinable by construction (the hashing trick's
-    * entire purpose at 100 TB).
+    * domain. The bucket model has `buckets` keys regardless of corpus
+    * size (the hashing trick's entire purpose at 100 TB), so it rides
+    * along as window sums — one exploded pass, no join.
     */
   def dsirWeights(docs: DataFrame, targetSources: Seq[String] = TargetSources,
       buckets: Int = DsirBuckets, seed: Int = DsirSeed): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val feats = docs
+    val isTarget = $"source".isin(targetSources: _*)
+    // global totals WITHOUT touching the exploded frame: a document
+    // contributes max(len-1, 0) bigrams, so both totals are map-side
+    // sums of token counts — a 1-row scalar bridge (the unigramQuality
+    // pattern) whose job never hashes a single bigram
+    val nb = when(size(TextOps.tokens($"text")) < 2, lit(0L))
+      .otherwise((size(TextOps.tokens($"text")) - 1).cast("long"))
+    val totals = docs.agg(
+      sum(when(isTarget, nb).otherwise(lit(0L))),
+      sum(nb)).first()
+    val (tt, tr) = (totals.getLong(0), totals.getLong(1))
+    // ONE pass over the exploded bigrams; the ≤`buckets`-key model is
+    // attached as window sums over partitionBy(b) — the bucketed twin
+    // of the bigram-LM pattern, with no second scan and no join. (The
+    // hashing trick still does its job: the window key space is fixed
+    // at `buckets`, so state per partition is bounded by the corpus's
+    // per-bucket share, never by vocabulary growth.)
+    val wb = Window.partitionBy($"b")
+    docs
       .select($"doc_id", $"source", explode(bigramsOf($"text")).as("bigram"))
       .withColumn("b",
         pmod(TextOps.portableHash64($"bigram", seed), lit(buckets.toLong)))
       .groupBy($"doc_id", $"source", $"b")
       .agg(count(lit(1)).as("c"))
-    val isTarget = $"source".isin(targetSources: _*)
-    // ≤1024-row model frame: per-bucket target/raw counts. The global
-    // totals come over a 1-row scalar bridge (the unigramQuality
-    // pattern — exact, cheap); the limit is a no-op (pmod caps the
-    // bucket count) that states the boundedness invariant in-plan, so
-    // the broadcast-provenance audit can SEE the model side is fixed
-    // size rather than trusting this comment.
-    val bucketCounts = feats
-      .groupBy($"b")
-      .agg(
-        sum(when(isTarget, $"c").otherwise(lit(0L))).as("ct"),
-        sum($"c").as("cr"))
-    val totals = bucketCounts.agg(sum($"ct"), sum($"cr")).first()
-    val (tt, tr) = (totals.getLong(0), totals.getLong(1))
-    val model = bucketCounts
-      .limit(buckets)
+      .withColumn("ct", sum(when(isTarget, $"c").otherwise(lit(0L))).over(wb))
+      .withColumn("cr", sum($"c").over(wb))
       .withColumn("logratio",
         log(($"ct" + 1).cast("double") / lit(tt.toDouble + buckets))
           - log(($"cr" + 1).cast("double") / lit(tr.toDouble + buckets)))
-      .select($"b", $"logratio")
-    feats
-      .join(broadcast(model), "b")
       .groupBy($"doc_id")
       .agg(
         sum($"c").as("n_feats"),
