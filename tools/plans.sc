@@ -36,7 +36,10 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "a_financial_union","ann_ivf_recall","decontaminate_overlap",
               "text_nfc_normalize","calk_sectionizer","pdf_cid_sectionizer",
               "ann_pq_adc_topk","ann_ivfpq_topk","dedup_pq_codes",
-              "pdf_table_cells","pdf_table_extract")) {
+              "pdf_table_cells","pdf_table_extract",
+              "chunk_dedup_docs","bigram_lm_quality","dsir_importance_weights",
+              "orc_ingest","schema_drift_union","compact_small_files",
+              "pdf_dsv2_sectionizer","xlsx_dsv2_info_lookup")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
