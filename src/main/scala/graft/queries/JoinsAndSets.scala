@@ -209,6 +209,37 @@ object JoinsAndSets {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** The §7.5(a) OPTIMIZER-RULE twin of ids_scalable_orders: the query
+    * writes the naive global `row_number()` window — the single-task
+    * funnel — and [[graft.plans.GlobalSeqId]]'s installed rule rewrites
+    * it into the two-pass range plan underneath (GlobalSeqIdSpec pins
+    * the plan shape; this gate pins the VALUES). Same per-priority
+    * signature as the managed-API variant, same oracle semantics, and
+    * the rewrite must be bit-faithful to row_number (IntegerType ids).
+    */
+  private def idsRuleOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GlobalSeqId.install(s)
+    Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+      .withColumn("rid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"o_orderkey")))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), min($"rid").as("min_id"),
+        max($"rid").as("max_id"), sum($"rid".cast("long")).as("sum_id"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val idsRuleOracle =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  min(rid) AS min_id, max(rid) AS max_id,
+      |  CAST(sum(rid) AS BIGINT) AS sum_id
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(row_number() OVER (ORDER BY o_orderkey) AS INTEGER) AS rid
+      |  FROM orders)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q14 shape: conditional-aggregate ratio — promo-type revenue
     * share in one month. part is the broadcast dim against the filtered
     * fact; the CASE rides map-side, one scalar output row.
@@ -264,6 +295,7 @@ object JoinsAndSets {
 
   val queries: Seq[Q] = Seq(
     Q("ids_scalable_orders", idsScalableOrders, Some(idsScalableOracle)),
+    Q("ids_rule_orders", idsRuleOrders, Some(idsRuleOracle)),
     Q("q14_promo_revenue", q14PromoRevenue, Some(q14Oracle)),
     Q("q18_large_orders", q18LargeOrders, Some(q18Oracle)),
     Q("nations_intersect", nationsIntersect, Some(nationsIntersectOracle)),
