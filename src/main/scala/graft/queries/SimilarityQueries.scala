@@ -37,6 +37,102 @@ object SimilarityQueries {
     typedlit(rows.head)
   }
 
+  // ------------------------------------------- int8 scalar quantization
+
+  /** Per-vector symmetric int8 quantization: q_i = floor(x_i · 127 /
+    * max|x|) — the 4×-compression baseline every vector store ships
+    * (below PQ's 64× but with no codebook to train or ship). Both
+    * engines quantize with the same floor/IEEE-double formula, so the
+    * int8 scores — and therefore the gate — are exact integers.
+    */
+  private def int8Quantized(emb: org.apache.spark.sql.Column) = {
+    val ma = greatest(array_max(transform(emb, x => abs(x))), lit(1e-30f))
+      .cast("double")
+    transform(emb, x => floor(x * lit(127.0) / ma).cast("int"))
+  }
+
+  private def int8QueryLit(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
+    import s.implicits._
+    val v = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === QueryVecId)
+      .select(col("embedding")).as[Array[Float]].head(1)
+    require(v.nonEmpty, s"query vector $QueryVecId missing")
+    val ma = math.max(v.head.map(x => math.abs(x.toDouble)).max, 1e-30)
+    typedlit(v.head.map(x => math.floor(x * 127.0 / ma).toInt))
+  }
+
+  /** Brute-force top-k over INT8 scores: the integer dot product ranks,
+    * floats never leave storage. At 100 TB this is the memory-bandwidth
+    * play — the scan reads a quarter of the bytes — and the score stays
+    * an exact BIGINT, so ties and ordering are engine-portable by
+    * construction (no float summation order anywhere).
+    */
+  private def annInt8Topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = int8QueryLit(s, dir)
+    Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("score_int8",
+        aggregate(zip_with(int8Quantized($"embedding"), q, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .orderBy($"score_int8".desc, $"vec_id")
+      .limit(TopK)
+      .select($"vec_id", $"label", $"score_int8")
+  }
+
+  private val int8QuantSql =
+    "list_transform(%s, x -> CAST(floor(x * 127.0 / greatest(list_max(list_transform(%s, y -> abs(y))), 1e-30)) AS INT))"
+
+  private val annInt8Oracle = {
+    val vq = int8QuantSql.format("e.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")
+    val qq = int8QuantSql.format("q.qv::DOUBLE[]", "q.qv::DOUBLE[]")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+       |SELECT e.vec_id, e.label,
+       |  CAST(list_dot_product($vq::DOUBLE[], $qq::DOUBLE[]) AS BIGINT) AS score_int8
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> $QueryVecId
+       |ORDER BY score_int8 DESC, e.vec_id
+       |LIMIT $TopK""".stripMargin
+  }
+
+  /** Recall@k of the int8 ranking against the exact float top-k — the
+    * same accountability gate the IVF/PQ paths carry: a quantization
+    * regression surfaces as a correctness diff, not a silent quality
+    * drop.
+    */
+  private def annInt8Recall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val approx = annInt8Topk(s, dir).select($"vec_id")
+    val exact = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", queryVecLit(s, dir)))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(TopK)
+      .select($"vec_id")
+    approx.join(exact, Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / TopK).as("recall_at_k"))
+      .select(lit(TopK).as("k"), $"recall_at_k")
+  }
+
+  private val annInt8RecallOracle = {
+    val vq = int8QuantSql.format("e.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")
+    val qq = int8QuantSql.format("q.qv::DOUBLE[]", "q.qv::DOUBLE[]")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |approx AS (
+       |  SELECT e.vec_id,
+       |    CAST(list_dot_product($vq::DOUBLE[], $qq::DOUBLE[]) AS BIGINT) AS s
+       |  FROM embeddings e, q WHERE e.vec_id <> $QueryVecId
+       |  ORDER BY s DESC, e.vec_id LIMIT $TopK),
+       |exact AS (
+       |  SELECT e.vec_id FROM embeddings e, q
+       |  WHERE e.vec_id <> $QueryVecId
+       |  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id
+       |  LIMIT $TopK)
+       |SELECT $TopK AS k,
+       |  CAST(count(*) AS DOUBLE) / $TopK AS recall_at_k
+       |FROM approx JOIN exact USING (vec_id)""".stripMargin
+  }
+
   private def annTopkCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qv = queryVecLit(s, dir)
@@ -444,6 +540,8 @@ object SimilarityQueries {
 
   val queries: Seq[Q] = Seq(
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
+    Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
+    Q("ann_int8_recall", annInt8Recall, Some(annInt8RecallOracle)),
     Q("ann_lsh_topk", annLshTopk, Some(annLshOracle)),
     Q("ann_ivf_topk", annIvfTopk, Some(annIvfOracle)),
     Q("kmeans_train", kmeansTrain, Some(kmeansOracle)),
@@ -453,6 +551,10 @@ object SimilarityQueries {
   /** Exposed for IvfRecallSpec's floor assertion. */
   private[graft] def ivfRecallFrame(s: SparkSession, dir: String): DataFrame =
     annIvfRecall(s, dir)
+
+  /** Exposed for IvfRecallSpec's int8 floor assertion. */
+  private[graft] def int8RecallFrame(s: SparkSession, dir: String): DataFrame =
+    annInt8Recall(s, dir)
 
   // ---------------- coarse-quantizer surface for the IVF-PQ composition
   // ([[PqQueries]] probes these trained cells, then ADC-scores inside

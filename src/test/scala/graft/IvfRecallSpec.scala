@@ -18,4 +18,13 @@ class IvfRecallSpec extends SparkSpec {
       assert(recall >= 0.6, s"recall@5 = $recall at $sf — below the 0.6 floor")
     }
   }
+
+  test("int8 quantized recall@10 vs float brute force stays above the floor") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val row = SimilarityQueries.int8RecallFrame(spark, s"/root/testdata/$sf")
+        .collect().head
+      val recall = row.getAs[Double]("recall_at_k")
+      assert(recall >= 0.5, s"recall@10 = $recall at $sf — below the 0.5 floor")
+    }
+  }
 }
