@@ -101,7 +101,41 @@ object LakeOps {
       |    AS BIGINT) AS content_fp
       |FROM documents""".stripMargin
 
+  /** File-level provenance: every row tagged with its source file via
+    * `input_file_name()`, rolled up to per-file row counts and key
+    * ranges — the audit a lake runs after every backfill ("which file
+    * contributed what"). The writer scatters orders into 8 files first
+    * so the roll-up is a real multi-file accounting, and DuckDB
+    * independently re-derives it with `read_parquet(..., filename =
+    * true)` over the same files.
+    */
+  private def fileProvenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"/tmp/graft_lake/${tag(dir)}/prov"
+    Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .repartition(8, $"o_custkey")
+      .write.mode("overwrite").parquet(base)
+    s.read.parquet(base)
+      .withColumn("fname", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .groupBy($"fname")
+      .agg(count(lit(1)).as("n"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"fname")
+  }
+
+  private def fileProvenanceOracle(dir: String): String =
+    s"""SELECT regexp_extract(filename, '[^/]+$$', 0) AS fname,
+       |  count(*) AS n,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       |FROM read_parquet('/tmp/graft_lake/${tag(dir)}/prov/*.parquet',
+       |  filename = true)
+       |GROUP BY fname
+       |ORDER BY fname""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
-    Q("compact_small_files", compactSmallFiles, Some(compactOracle)))
+    Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
+    Q("file_provenance", fileProvenance,
+      Some(fileProvenanceOracle("/root/testdata/sf0.01"))))
 }
