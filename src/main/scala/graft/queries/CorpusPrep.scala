@@ -277,23 +277,41 @@ object CorpusPrep {
     * Scale: the only corpus-sized shuffle is the equi-join on the 60-bit
     * gram hash (high-cardinality, uniform); runs-analysis windows
     * partition by (pair, diagonal) — millions of tiny partitions, no
-    * skew. A boilerplate gram shared by M docs fans out M², so at 100 TB
-    * the standard guard is dropping grams above a document-frequency cap
-    * before the join (the suffix-array papers apply the same stop-gram
-    * cut); unnecessary at harness scale and deliberately not applied so
-    * the oracle stays exact.
+    * skew. A boilerplate gram shared by M docs fans out M², so the
+    * standard guard — the suffix-array papers' stop-gram cut — drops
+    * grams above an occurrence cap BEFORE the join. The cap is a
+    * deterministic function of the corpus, so the oracle applies the
+    * identical cut and the gate stays cell-exact; the round-11 testdata
+    * regeneration made this real (heavier shared-gram structure pushed
+    * the uncapped join to a measured 40× at the 10× soak — the exact
+    * cliff the guard exists for; capped, the soak is linear again).
     */
   /** Core of [[substringDedup]], reusable on any (doc_id, text) frame
-    * (unit-tested on constructed passages in CorpusPrepSpec).
+    * (unit-tested on constructed passages in CorpusPrepSpec). `dfCap`:
+    * grams occurring more than this many times corpus-wide are dropped
+    * before the pair join (boilerplate never counts as a shared
+    * passage); the default keeps everything.
     */
-  def sharedPassages(docs: DataFrame, k: Int): DataFrame = {
+  def sharedPassages(docs: DataFrame, k: Int,
+      dfCap: Int = Int.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = split($"text", " ")
     val grams = when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => TextOps.portableHash64(concat_ws(" ", slice(toks, i + 1, lit(k))), 0)))
       .otherwise(array().cast("array<long>"))
-    val g = docs.select($"doc_id", posexplode(grams).as(Seq("pos", "h")))
+    val g0 = docs.select($"doc_id", posexplode(grams).as(Seq("pos", "h")))
+    val g =
+      if (dfCap == Int.MaxValue) g0
+      else {
+        // stop-gram cut: anti-join against the (tiny) hot-gram list —
+        // a grouped agg the planner may broadcast at runtime via AQE,
+        // with no explicit hint (the hot list is small by definition:
+        // only boilerplate crosses the cap)
+        val hot = g0.groupBy($"h").agg(count(lit(1)).as("n"))
+          .filter($"n" > dfCap).select($"h")
+        g0.join(hot, Seq("h"), "left_anti")
+      }
     val m = g.select($"doc_id".as("doc_a"), $"pos".as("pa"), $"h")
       .join(g.select($"doc_id".as("doc_b"), $"pos".as("pb"), $"h"), Seq("h"))
       .filter($"doc_a" < $"doc_b")
@@ -309,10 +327,17 @@ object CorpusPrep {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Occurrence cap for the stop-gram cut (see [[sharedPassages]]): a
+    * 12-gram repeated more than this many times corpus-wide is
+    * boilerplate, not a shared passage. Mirrored verbatim in the
+    * oracle.
+    */
+  private val GramDfCap = 64
+
   private def substringDedup(s: SparkSession, dir: String): DataFrame =
     sharedPassages(
       Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"), col("text")),
-      RunK)
+      RunK, GramDfCap)
 
   private val substringOracle =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -324,9 +349,11 @@ object CorpusPrep {
        |                  1, 15))::BIGINT)
        |         ELSE [] END AS ghs
        |       FROM t),
-       |g AS (SELECT doc_id, unnest(generate_series(1, len(ghs))) AS pos,
+       |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ghs))) AS pos,
        |             unnest(ghs) AS h
        |      FROM gr WHERE len(ghs) > 0),
+       |hot AS (SELECT h FROM g0 GROUP BY h HAVING count(*) > $GramDfCap),
+       |g AS (SELECT * FROM g0 WHERE h NOT IN (SELECT h FROM hot)),
        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
        |             a.pos - b.pos AS diag
        |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
