@@ -81,6 +81,10 @@ object PdfDataSource {
       val p = new Path(g)
       val fs = p.getFileSystem(conf)
       Option(fs.globStatus(p)).toSeq.flatten
+        // a glob match that is a DIRECTORY means the user passed a plain
+        // dir path — list its files, like every Spark file source
+        .flatMap(st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
         .filter(_.isFile)
         // Path.toString ("file:/x/y"), matching binaryFile's src-path
         // convention, so src_file values agree across the two paths

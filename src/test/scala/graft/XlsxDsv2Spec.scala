@@ -39,6 +39,18 @@ class XlsxDsv2Spec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("loading a plain directory path lists its files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_dirload")
+    (1 to 2).foreach { i =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(wb),
+        dir.resolve(f"wb_$i%02d.xlsx"))
+    }
+    val df = spark.read.format("graft-xlsx")
+      .option("sheet", "1311000").option("header", "1")
+      .load(dir.toString)
+    assert(df.select($"src_file").distinct().count() == 2)
+  }
+
   test("file pruning + per-file failure isolation across a lake glob") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_dsv2")
     (1 to 3).foreach { i =>
