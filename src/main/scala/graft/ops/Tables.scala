@@ -9,8 +9,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and prune columns into the parquet scan.
   */
 object Tables {
+  /** Per-session loaded-table cache.
+    *
+    * `s.read.parquet` builds a fresh `InMemoryFileIndex` every call —
+    * a filesystem listing plus a footer read for schema inference.
+    * Per query that's milliseconds, but the Bench/Verify mains call
+    * `Tables.*` thousands of times per run (150+ queries × ≥2 passes
+    * × 2-3 tables each), and that fixed cost is per-query overhead
+    * that GROWS with the registry — the s/query creep the round-11
+    * review traced (0.381 → 0.488 s/query r7→r11). The testdata dirs
+    * are immutable for the life of a run, and a `DataFrame` is an
+    * immutable plan, so handing every caller the SAME analyzed
+    * relation is semantics-free: callers compose select/filter on top
+    * and Catalyst prunes/pushes into the shared scan exactly as
+    * before.
+    *
+    * Keyed WEAKLY by session (values die with the session, e.g. the
+    * per-call isolated clones `ids_rule_orders` makes) and strongly
+    * by (dir, table) within it. Synchronized: bench/verify are
+    * single-threaded drivers, tests may race harmlessly.
+    */
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[(String, String), DataFrame]]
+
   def load(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    cache.synchronized {
+      cache.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate((dir, name), s.read.parquet(s"$dir/$name.parquet"))
+    }
 
   /** Spread a scan across all cores for CPU-bound per-row work (hashing,
     * shingling, regex) whose input BYTES are tiny relative to compute —

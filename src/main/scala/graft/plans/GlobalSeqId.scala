@@ -50,6 +50,32 @@ object GlobalSeqId {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GlobalSeqIdStrategy
   }
+
+  /** Rule install mutates `spark.experimental` for the SESSION'S
+    * lifetime — `extraOptimizations` has no scoping, and optimization
+    * happens at action time, so an uninstall-in-finally would race the
+    * very query that wanted the rewrite. Callers that only want the
+    * rewrite for ONE query (e.g. the `ids_rule_orders` gate) must not
+    * leak it into every later global-window query in a shared
+    * Verify/Bench session: this helper clones the planning surface
+    * instead. `newSession()` shares the SparkContext, SharedState and
+    * builder-time SQL confs (shuffle partitions, timezone, parquet
+    * nanos) but gets a FRESH `ExperimentalMethods`, so the returned
+    * session plans with the rule while the parent session's plans are
+    * byte-identical to before the call.
+    */
+  def installIsolated(spark: SparkSession): SparkSession = {
+    val iso = spark.newSession()
+    install(iso)
+    iso
+  }
+
+  /** Global windows seen-but-not-rewritten (rank/dense_rank, multi-
+    * expression projections, …): counted so the near-miss warning is
+    * testable, visible via [[unrewrittenGlobalWindows]].
+    */
+  private[plans] val unrewrittenCount = new java.util.concurrent.atomic.AtomicLong
+  def unrewrittenGlobalWindows: Long = unrewrittenCount.get()
 }
 
 /** Logical twin of the rewritten Window: child plus one IntegerType id
@@ -71,6 +97,21 @@ object GlobalRowNumberRule extends Rule[LogicalPlan] {
         Seq(a @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(Seq(), order, _)), _)),
         Seq(), _, child, _) if order.nonEmpty =>
       GlobalSeqId(child, order, a.toAttribute)
+    // Near-miss: a global (no PARTITION BY) window this rule can't
+    // rewrite — rank()/dense_rank() over a global order, or a Window
+    // carrying other window expressions beside the row_number. Those
+    // still funnel every row through ONE task; splitting the RowNumber
+    // out would not help because the residual Window keeps the funnel.
+    // Surface the hazard instead of silently planning it.
+    case w @ Window(exprs, Seq(), _, _, _)
+        if exprs.nonEmpty && w.orderSpec.nonEmpty =>
+      GlobalSeqId.unrewrittenCount.incrementAndGet()
+      logWarning(s"global window (no PARTITION BY) not rewritten by " +
+        s"GlobalRowNumberRule — single-task funnel ahead: " +
+        exprs.map(_.sql).mkString(", ") +
+        ". For a lone row_number() use graft.ops.Ids.withScalableGlobalId" +
+        " or match this rule's shape.")
+      w
   }
 }
 
@@ -112,6 +153,12 @@ final case class GlobalSeqIdExec(child: SparkPlan, order: Seq[SortOrder],
       var id = offsets(pid)
       it.map { row =>
         id += 1
+        // row_number is IntegerType; unlike the vanilla plan (whose
+        // single task OOMs long before 2^31 rows) this one actually
+        // reaches the wrap — fail loudly instead of emitting negatives
+        if (id > Int.MaxValue) throw new ArithmeticException(
+          "row_number overflow past 2^31 rows — use " +
+            "graft.ops.Ids.withScalableGlobalId (Long ids)")
         idRow.setInt(0, id.toInt)
         proj(joined(row, idRow))
       }

@@ -219,8 +219,15 @@ object JoinsAndSets {
     */
   private def idsRuleOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.plans.GlobalSeqId.install(s)
-    Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+    // ISOLATED session: install() mutates extraOptimizations for the
+    // session's lifetime, and optimization runs at action time — so
+    // installing on the shared Verify/Bench session would silently
+    // switch every LATER global-row_number query (Financial's
+    // Ids.withGlobalId path) onto the rewritten plan mid-run. The
+    // clone shares the SparkContext + builder confs; only ITS plans
+    // see the rule.
+    val iso = graft.plans.GlobalSeqId.installIsolated(s)
+    Tables.orders(iso, dir).select($"o_orderkey", $"o_orderpriority")
       .withColumn("rid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy($"o_orderkey")))
       .groupBy($"o_orderpriority")

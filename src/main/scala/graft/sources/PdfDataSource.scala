@@ -180,6 +180,13 @@ private[sources] class PdfPartitionReader(file: String, required: StructType)
     val path = new Path(file)
     val fs = path.getFileSystem(new Configuration())
     val len = fs.getFileStatus(path).getLen
+    // whole-file parse is inherent to the format (the xref trailer
+    // lives at EOF); past 2 GiB the Int cast would wrap into a
+    // NegativeArraySizeException or a garbage-length parse — fail
+    // with the actual reason instead
+    require(len <= Int.MaxValue,
+      s"$file is $len bytes — PDFs over 2 GiB are not supported " +
+        "(single-buffer parse)")
     val bytes = new Array[Byte](len.toInt)
     val in = fs.open(path)
     try in.readFully(0, bytes) finally in.close()

@@ -168,6 +168,11 @@ private[sources] class XlsxPartitionReader(file: String,
   private val rows: Iterator[InternalRow] = {
     val path = new Path(file)
     val fs = path.getFileSystem(new Configuration())
+    // zip central directory sits at EOF → whole-file read is inherent;
+    // guard the 2 GiB single-buffer bound with a real message (the
+    // readAllBytes path would otherwise throw an opaque OOM/overflow)
+    require(fs.getFileStatus(path).getLen <= Int.MaxValue,
+      s"$file exceeds 2 GiB — single-buffer xlsx parse unsupported")
     val in = fs.open(path)
     val bytes = try in.readAllBytes() finally in.close()
     val parsed =
