@@ -538,8 +538,87 @@ object SimilarityQueries {
        |  CAST(count(*) AS DOUBLE) / $IvfTopK AS recall_at_k
        |FROM ivf JOIN exact USING (vec_id)""".stripMargin
 
+  // ------------------------------------------------- SemDeDup proper
+
+  private val SemCosMin = 0.35
+  private val SemBucketBits = 6
+
+  /** SemDeDup (semantic dedup; Abbas et al. 2023, arXiv:2303.09540):
+    * embeddings are clustered with the TRAINED k-means codebook (the
+    * same one-Lloyd-step [[trainedCodebook]] the IVF queries share),
+    * then near-duplicates are removed by cosine threshold WITHIN each
+    * cluster — the paper's algorithm: clustering bounds the pairwise
+    * comparison to cluster-local work, and the lowest vec_id of each
+    * ε-ball survives (greedy keep-first, deterministic).
+    *
+    * Scale shape: cluster assignment is map-side argmax against k
+    * broadcast centroid literals; the candidate join is blocked on
+    * (cell, sign-LSH bucket) so the within-cluster quadratic is
+    * sub-bucketed exactly like [[DedupQueries]]'s embedding near-dup —
+    * at 100 TB you additionally grow k with the corpus (SemDeDup used
+    * k ≈ n/10⁴) so cells stay bounded; k is pinned small here only so
+    * the DuckDB oracle can re-derive the same codebook. Output is the
+    * per-cluster keep/remove accounting, which pins assignment,
+    * thresholding, and the keep-first rule in one gate.
+    */
+  private def dedupSemanticKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, cents) = trainedCodebook(s, dir)
+    val (cell, _) = assignCols(cents)
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+      .select($"vec_id", $"embedding", cell,
+        VectorOps.signBucket($"embedding", SemBucketBits).as("bucket"),
+        VectorOps.norm($"embedding").as("nrm"))
+    // cos ≥ t  ⟺  dot ≥ t·|a|·|b| — dot evaluated once per candidate
+    // pair inside the join condition (same trick as dedup_embedding_lsh)
+    val removed = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id")
+          && VectorOps.dot(col("a.embedding"), col("b.embedding"))
+            >= lit(SemCosMin) * col("a.nrm") * col("b.nrm"))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("removed", lit(1L))
+    e.select($"vec_id", $"cell")
+      .join(removed, Seq("vec_id"), "left")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum($"removed"), lit(0L)).as("n_removed"))
+      .select($"cell", $"n", $"n_removed",
+        ($"n" - $"n_removed").as("n_kept"))
+      .orderBy($"cell")
+  }
+
+  private val dedupSemanticOracle = {
+    val bucket = VectorOps.signBucketSql("emb.embedding", SemBucketBits)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < $KmK),
+       |${kmIterSql("c0", 1)},
+       |fin AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_cosine_similarity(embedding::DOUBLE[], c::DOUBLE[]) DESC, cid) AS rn
+       |  FROM e CROSS JOIN c1),
+       |asg AS (
+       |  SELECT f.vec_id, f.cid, emb.embedding, $bucket AS bucket
+       |  FROM fin f JOIN embeddings emb ON emb.vec_id = f.vec_id
+       |  WHERE f.rn = 1),
+       |rem AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cid = b.cid AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       |    >= $SemCosMin)
+       |SELECT CAST(a.cid AS INTEGER) AS cell, count(*) AS n,
+       |  CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+       |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
+       |FROM asg a LEFT JOIN rem r ON a.vec_id = r.vec_id
+       |GROUP BY a.cid
+       |ORDER BY cell""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
+    Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
     Q("ann_int8_recall", annInt8Recall, Some(annInt8RecallOracle)),
     Q("ann_lsh_topk", annLshTopk, Some(annLshOracle)),
