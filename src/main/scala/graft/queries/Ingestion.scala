@@ -101,8 +101,45 @@ object Ingestion {
        |  FROM orders GROUP BY o_orderpriority)
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Avro round-trip through the in-house avro-core bridge (the
+    * spark-avro module is absent from this distribution — see
+    * [[graft.sources.AvroSource]]): the orders projection is written
+    * as per-partition Avro container files executor-side, read back
+    * through the registered `graft-avro` DataSource V2 connector, and
+    * the same exact-decimal aggregate as [[orcIngest]] is gated
+    * against DuckDB reading the ORIGINAL parquet — so schema mapping
+    * (long/string/date logical types), the deflate block codec, and
+    * the pruned DSv2 read path are all inside the gate, at every sf
+    * dir. Completes the ingest matrix: parquet/orc/csv/jsonl/binary/
+    * xlsx/pdf/avro.
+    */
+  private def avroIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val avroPath = s"/tmp/graft_avro/$tag/orders"
+    graft.sources.AvroSource.write(
+      graft.ops.Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+          graft.ops.Exact.micro("o_totalprice").as("price_micro"),
+          $"o_orderdate".cast("date").as("o_date")),
+      avroPath)
+    graft.sources.AvroSource.read(s, avroPath)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"price_micro").as("s_micro"),
+        min($"o_date").as("first_date"),
+        max($"o_date").as("last_date"))
+      .select($"o_orderpriority", $"n",
+        graft.ops.Exact.microSumTo4dp("s_micro").as("sum_price"),
+        $"first_date", $"last_date")
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("jsonl_ingest", jsonlIngest, Some(jsonlOracle)),
     Q("csv_ingest", csvIngest, Some(csvOracle)),
-    Q("orc_ingest", orcIngest, Some(orcOracle)))
+    Q("orc_ingest", orcIngest, Some(orcOracle)),
+    // same oracle as orc: both round-trips must reproduce the source
+    Q("avro_ingest", avroIngest, Some(orcOracle)))
 }
