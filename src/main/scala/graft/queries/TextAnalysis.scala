@@ -209,10 +209,113 @@ object TextAnalysis {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------- Gopher/C4-style document-quality rules
+
+  /** Rule names in output order; each is a per-doc boolean, all
+    * integer arithmetic so both engines agree bit-for-bit (no float
+    * ratios to round):
+    *  - word_count:      50 ≤ |tokens| ≤ 100000        (Gopher)
+    *  - mean_word_len:   3 ≤ Σlen/|tokens| ≤ 10, as 3n ≤ Σlen ≤ 10n
+    *  - symbol_ratio:    (#'#' + #'…') / |tokens| ≤ 0.1 (Gopher)
+    *  - bullet_lines:    bullet-started lines ≤ 90% of lines
+    *  - ellipsis_lines:  '...'-ended lines ≤ 30% of lines
+    *  - stopword_floor:  ≥ 2 stop-list hits              (Gopher)
+    *  - alpha_words:     ≥ 80% of tokens contain [a-zA-Z] (C4-ish)
+    */
+  private val qualityRules = Seq("word_count", "mean_word_len",
+    "symbol_ratio", "bullet_lines", "ellipsis_lines", "stopword_floor",
+    "alpha_words")
+
+  /** The standard pretraining pre-filter (Gopher §A1.1 / C4) as ONE
+    * composed gate: per-rule pass/fail accounting over the corpus plus
+    * an `all_rules` conjunction row — the number a pipeline operator
+    * actually watches ("how much survives the filter, and which rule
+    * bites"). Pure per-row map work off two bound arrays (tokens,
+    * lines) + one 8-column global aggregate; at 100 TB this is a
+    * map-side scan and a single tiny reduce.
+    */
+  private def corpusQualityRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"),
+        split($"text", "\n").as("lines"))
+      // barrier so the arrays are physical — HOFs are interpreted and
+      // would otherwise re-tokenize per consumer (textStats rule)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        size($"toks").as("n_tok"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size(filter($"toks", t => t.rlike("[a-zA-Z]"))).as("alpha_tok"),
+        TextOps.stopwordHits($"toks", stopwords).as("stop_hits"),
+        (length($"text") - length(regexp_replace($"text", "[#…]", "")))
+          .as("symbols"),
+        size($"lines").as("n_lines"),
+        size(filter($"lines", l =>
+          ltrim(l).like("-%") || ltrim(l).like("*%"))).as("bullets"),
+        size(filter($"lines", l => l.like("%..."))).as("ells"))
+    val flagged = counts.select(
+      ($"n_tok" >= 50 && $"n_tok" <= 100000).as("r_word_count"),
+      (lit(3) * $"n_tok" <= $"sum_len"
+        && $"sum_len" <= lit(10) * $"n_tok").as("r_mean_word_len"),
+      (lit(10) * $"symbols" <= $"n_tok").as("r_symbol_ratio"),
+      (lit(10) * $"bullets" <= lit(9) * $"n_lines").as("r_bullet_lines"),
+      (lit(10) * $"ells" <= lit(3) * $"n_lines").as("r_ellipsis_lines"),
+      ($"stop_hits" >= 2).as("r_stopword_floor"),
+      (lit(5) * $"alpha_tok" >= lit(4) * $"n_tok").as("r_alpha_words"))
+      .withColumn("r_all_rules",
+        qualityRules.map(r => col(s"r_$r")).reduce(_ && _))
+    val names = qualityRules :+ "all_rules"
+    val aggd = flagged.agg(count(lit(1)).as("n_docs"),
+      names.map(r => sum(col(s"r_$r").cast("long")).as(s"p_$r")): _*)
+    val stackArgs = names
+      .map(r => s"'$r', p_$r, n_docs - p_$r").mkString(", ")
+    aggd.selectExpr(
+      s"stack(${names.length}, $stackArgs) AS (rule, n_pass, n_fail)")
+      .orderBy($"rule")
+  }
+
+  private val qualityRulesOracle = {
+    val toks = "string_split(text, ' ')"
+    val lines = "string_split(text, chr(10))"
+    val passCol = (r: String) =>
+      s"CAST(sum(CASE WHEN r_$r THEN 1 ELSE 0 END) AS BIGINT) AS p_$r"
+    val names = qualityRules :+ "all_rules"
+    val rows = names.map(r =>
+      s"SELECT '$r' AS rule, p_$r AS n_pass, n_docs - p_$r AS n_fail FROM a")
+    s"""WITH t AS (
+       |  SELECT len($toks) AS n_tok,
+       |    coalesce(list_sum(list_transform($toks, t -> length(t))), 0) AS sum_len,
+       |    len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha_tok,
+       |    len(list_filter($toks, t -> t IN ($stopSql))) AS stop_hits,
+       |    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+       |    len($lines) AS n_lines,
+       |    len(list_filter($lines, l ->
+       |      ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS bullets,
+       |    len(list_filter($lines, l -> l LIKE '%...')) AS ells
+       |  FROM documents),
+       |f AS (
+       |  SELECT (n_tok >= 50 AND n_tok <= 100000) AS r_word_count,
+       |    (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok) AS r_mean_word_len,
+       |    (10 * symbols <= n_tok) AS r_symbol_ratio,
+       |    (10 * bullets <= 9 * n_lines) AS r_bullet_lines,
+       |    (10 * ells <= 3 * n_lines) AS r_ellipsis_lines,
+       |    (stop_hits >= 2) AS r_stopword_floor,
+       |    (5 * alpha_tok >= 4 * n_tok) AS r_alpha_words
+       |  FROM t),
+       |a AS (
+       |  SELECT count(*) AS n_docs,
+       |    ${names.map(passCol).mkString(",\n    ")}
+       |  FROM (SELECT *, (${qualityRules.map(r => s"r_$r").mkString(" AND ")})
+       |          AS r_all_rules FROM f))
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY rule""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("text_nfc_normalize", nfcNormalize, Some(nfcOracle)),
     Q("text_stats", textStats, Some(textStatsOracle)),
     Q("lang_id", langIdQuery, Some(langIdOracle)),
     Q("token_budget", tokenBudget, Some(tokenBudgetOracle)),
+    Q("corpus_quality_rules", corpusQualityRules, Some(qualityRulesOracle)),
     Q("doc_fingerprints", fingerprints, Some(fingerprintsOracle)))
 }
