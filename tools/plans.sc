@@ -40,7 +40,8 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "chunk_dedup_docs","bigram_lm_quality","dsir_importance_weights",
               "orc_ingest","schema_drift_union","compact_small_files",
               "pdf_dsv2_sectionizer","xlsx_dsv2_info_lookup",
-              "ids_rule_orders","ann_int8_topk","file_provenance")) {
+              "ids_rule_orders","ann_int8_topk","file_provenance",
+              "dedup_semantic_kmeans","avro_ingest","corpus_quality_rules")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
