@@ -263,8 +263,134 @@ object LmPipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------- hashed linear quality classifier
+
+  private val LrBuckets = 512L
+  private val LrSeed = 17
+  // Knuth multiplicative constant — spreads bucket ids into weights
+  private val LrMix = 2654435761L
+  private val LrRange = 2001L
+
+  /** FastText-shaped model-based quality filtering: score every
+    * document with a LINEAR classifier over hashed unigram features —
+    * the "quality classifier" stage (GPT-3 §2.2 / CCNet) that follows
+    * the rule pack in a pretraining pipeline. The weight vector is a
+    * fixed function of the bucket id (Knuth-mix into ±1000 milli-units)
+    * so both engines rebuild the identical model from nothing: the
+    * point under test is the INFERENCE shape, not the training.
+    *
+    * Scale shape: score(doc) = Σ_tok w[hash(tok) mod B] is a per-row
+    * fold over the bound token array — pure map work, NO explode and
+    * NO shuffle (the model lives in the expression, not in a table to
+    * join or broadcast). At 100 TB this is the cheapest possible pass:
+    * one scan, one tiny count. All-integer milli-unit arithmetic keeps
+    * the gate float-free.
+    */
+  def qualityClassifierScore(docs: DataFrame, buckets: Long = LrBuckets,
+      seed: Int = LrSeed): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = (t: Column) =>
+      pmod(TextOps.portableHash64(t, seed), lit(buckets)) * LrMix % LrRange -
+        (LrRange - 1) / 2
+    docs
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        $"doc_id",
+        size($"toks").as("n_tokens"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + w(t))
+          .as("score_milli"))
+      .withColumn("keep", $"score_milli" >= 0)
+      .orderBy($"doc_id")
+  }
+
+  private def qualityClassifierDocs(s: SparkSession, dir: String): DataFrame =
+    qualityClassifierScore(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val qualityClassifierOracle =
+    s"""SELECT doc_id,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(coalesce(list_sum(list_transform(toks, t ->
+       |    ((('0x' || substr(md5('$LrSeed|' || t), 1, 15))::BIGINT % $LrBuckets)
+       |      * $LrMix) % $LrRange - ${(LrRange - 1) / 2})), 0) AS BIGINT)
+       |    AS score_milli,
+       |  CAST(coalesce(list_sum(list_transform(toks, t ->
+       |    ((('0x' || substr(md5('$LrSeed|' || t), 1, 15))::BIGINT % $LrBuckets)
+       |      * $LrMix) % $LrRange - ${(LrRange - 1) / 2})), 0) AS BIGINT) >= 0
+       |    AS keep
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------- RAG sliding-window chunking
+
+  private val RagWindow = 8
+  private val RagStride = 4
+
+  /** Retrieval-corpus chunking: cut every document into
+    * `window`-token chunks every `stride` tokens (stride < window ⇒
+    * overlapping context, the standard RAG indexing shape). Emits one
+    * row per chunk with its token offset, length, and content digest —
+    * the frame an embedding stage consumes. Start positions are
+    * 0, stride, 2·stride, … while they fall inside the document; the
+    * final chunks shorten at the boundary rather than padding.
+    *
+    * Scale shape: per-row map work (sequence + slice off ONE bound
+    * token array) followed by posexplode — output rows ≈ docs ×
+    * (n_tokens / stride), no shuffle anywhere in the operator (the
+    * ORDER BY is oracle determinism). The downstream embedder sees
+    * chunks already co-partitioned by source document.
+    */
+  def ragChunks(docs: DataFrame, window: Int = RagWindow,
+      stride: Int = RagStride): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    // ceil(n / stride) starts: every multiple of `stride` below n
+    val nStarts = ceil(size(toks).cast("double") / stride).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nStarts - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
+    docs
+      .select($"doc_id", posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(
+        $"doc_id",
+        $"chunk_id",
+        ($"chunk_id" * stride).as("start_tok"),
+        size(TextOps.tokens($"chunk")).as("n_tok"),
+        md5($"chunk").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private def ragChunkDocs(s: SparkSession, dir: String): DataFrame =
+    ragChunks(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val ragChunkOracle =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ch AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(len(toks) / $RagStride.0) AS INT)))
+       |      AS chunk_id,
+       |    unnest(list_transform(
+       |      range(0, CAST(ceil(len(toks) / $RagStride.0) AS INT)),
+       |      i -> array_to_string(
+       |        toks[i * $RagStride + 1 : i * $RagStride + $RagWindow], ' ')))
+       |      AS chunk
+       |  FROM tk)
+       |SELECT doc_id,
+       |  CAST(chunk_id AS INTEGER) AS chunk_id,
+       |  CAST(chunk_id * $RagStride AS INTEGER) AS start_tok,
+       |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tok,
+       |  md5(chunk) AS chunk_md5
+       |FROM ch
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("chunk_dedup_docs", chunkDedupDocs, Some(chunkDedupOracle)),
     Q("bigram_lm_quality", bigramLmQuality, Some(bigramOracle)),
-    Q("dsir_importance_weights", dsirImportanceWeights, Some(dsirOracle)))
+    Q("dsir_importance_weights", dsirImportanceWeights, Some(dsirOracle)),
+    Q("quality_classifier_score", qualityClassifierDocs,
+      Some(qualityClassifierOracle)),
+    Q("rag_chunk_overlap", ragChunkDocs, Some(ragChunkOracle)))
 }

@@ -122,6 +122,65 @@ class LmPipelineSpec extends SparkSpec {
       s"raw-only docs must score negative: $byDoc")
   }
 
+  // ------------------------------------ hashed linear classifier
+
+  test("qualityClassifierScore: score is the exact token-weight sum") {
+    // recompute one doc's score by hand from the published weight
+    // formula: w(tok) = (bucket(tok) * 2654435761) % 2001 - 1000
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+    val got = LmPipeline.qualityClassifierScore(docs)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(_._1).toSeq
+    def w(tok: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"17|$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val bucket = java.lang.Long.parseLong(md5, 16) % 512
+      bucket * 2654435761L % 2001L - 1000L
+    }
+    val expect1 = 2 * w("alpha") + w("beta")
+    assert(got.head == ((1L, 3, expect1, expect1 >= 0)))
+    // split("", " ") is Array("") — the empty doc scores w("")
+    assert(got(1) == ((2L, 1, w(""), w("") >= 0)))
+  }
+
+  test("quality_classifier_score: plan is map-side only (no exchange)") {
+    val plan = run("quality_classifier_score").queryExecution.executedPlan
+      .toString
+    // one fan-out repartition + the oracle ORDER BY are allowed; the
+    // scoring itself must not shuffle (no aggregation exchange)
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
+  }
+
+  // ------------------------------------ RAG sliding-window chunks
+
+  test("ragChunks: overlapping windows with shortened boundary tails") {
+    // 6 tokens, window 4, stride 2 → starts 0,2,4 with slices of
+    // length 4,4,2
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val got = LmPipeline.ragChunks(docs, window = 4, stride = 2)
+      .select("chunk_id", "start_tok", "n_tok")
+      .as[(Int, Int, Int)].collect().toSeq
+    assert(got == Seq((0, 0, 4), (1, 2, 4), (2, 4, 2)))
+  }
+
+  test("ragChunks: every token position is covered by some chunk") {
+    val rows = run("rag_chunk_overlap")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val n = docs(doc)
+      val covered = chunks.map(c => c._3 until math.min(c._3 + c._4, n))
+        .foldLeft(Set.empty[Int])(_ ++ _)
+      assert(covered == (0 until n).toSet, s"doc $doc coverage hole")
+      // stride-4 chunk ids are dense from 0
+      assert(chunks.map(_._2).sorted == chunks.indices.toList)
+    }
+  }
+
   test("dsir_importance_weights: target sources outscore the rest on average") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"source").as[(Long, String)].collect().toMap
