@@ -311,11 +311,64 @@ object TextAnalysis {
        |ORDER BY rule""".stripMargin
   }
 
+  // ----------------------------- BPE merge-candidate counting
+
+  private val BpeTopK = 20
+
+  /** The counting core of one BPE tokenizer-training iteration: the
+    * corpus-wide frequency of every adjacent character pair, ranked —
+    * the statistic whose argmax becomes the next merge rule.
+    *
+    * Scale shape (the part that matters at 100 TB): pair extraction
+    * runs over the DISTINCT-token vocabulary weighted by token counts,
+    * not over raw text — real BPE trainers (Sennrich et al. 2016)
+    * work off the word-frequency table for exactly this reason. The
+    * corpus collapses to ~|vocab| rows in one combinable groupBy
+    * before any character work happens, so the per-character explode
+    * touches thousands of rows, not billions; the final ranked top-k
+    * is a TakeOrderedAndProject, never a global sort.
+    */
+  def bpePairCounts(docs: DataFrame, topK: Int = BpeTopK): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab = docs
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .where(length($"tok") >= 2)
+      .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+    // adjacent char pairs of each distinct token, weighted by its count
+    vocab
+      .select($"n_tok", explode(
+        transform(sequence(lit(1), length($"tok") - 1),
+          i => $"tok".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"n_tok").as("n_occ"))
+      .orderBy($"n_occ".desc, $"pair".asc)
+      .limit(topK)
+  }
+
+  private def bpePairCountsQ(s: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val bpePairOracle =
+    s"""WITH v AS (
+       |  SELECT tok, count(*) AS n_tok FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) >= 2 GROUP BY tok),
+       |p AS (
+       |  SELECT n_tok,
+       |    unnest(list_transform(range(1, length(tok)),
+       |      i -> substr(tok, i, 2))) AS pair
+       |  FROM v)
+       |SELECT pair, CAST(sum(n_tok) AS BIGINT) AS n_occ
+       |FROM p GROUP BY pair
+       |ORDER BY n_occ DESC, pair ASC
+       |LIMIT $BpeTopK""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("text_nfc_normalize", nfcNormalize, Some(nfcOracle)),
     Q("text_stats", textStats, Some(textStatsOracle)),
     Q("lang_id", langIdQuery, Some(langIdOracle)),
     Q("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     Q("corpus_quality_rules", corpusQualityRules, Some(qualityRulesOracle)),
+    Q("bpe_pair_counts", bpePairCountsQ, Some(bpePairOracle)),
     Q("doc_fingerprints", fingerprints, Some(fingerprintsOracle)))
 }

@@ -79,4 +79,27 @@ class CorpusPrepSpec extends SparkSpec {
     val again = run("pii_redact").as[(Long, Int, Int, String)].collect().toSeq
     assert(rows == again)
   }
+
+  test("bpePairCounts: hand-counted pairs on a toy corpus") {
+    // vocab: "abab" x2, "ab" x3, "x" (dropped, length 1)
+    // pairs: abab -> ab,ba,ab; ab -> ab
+    // counts: ab = 2*2 + 3 = 7, ba = 2
+    val docs = Seq((1L, "abab ab x"), (2L, "abab ab ab"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.TextAnalysis.bpePairCounts(docs)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 7L), ("ba", 2L)))
+  }
+
+  test("bpe_pair_counts: top-k is ranked and pair-level sane at sf0.001") {
+    val rows = graft.queries.TextAnalysis.queries
+      .find(_.name == "bpe_pair_counts").get.fn(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(rows.size == 20)
+    // descending counts, ties broken by pair ordering
+    assert(rows == rows.sortBy(r => (-r._2, r._1)))
+    rows.foreach { case (pair, n) =>
+      assert(pair.length == 2 && n > 0, s"bad pair row ($pair, $n)")
+    }
+  }
 }
