@@ -53,7 +53,30 @@ object Tables {
     * from `df.rdd.getNumPartitions`, whose RDD probe forces physical
     * planning per call and can pin the plan.
     */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame): DataFrame =
+    if (narrowerThanCores(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+  /** Materialization barrier for expensive derived columns — tokenized
+    * arrays feeding interpreted HOFs, which get neither codegen nor
+    * common-subexpression elimination, so without a physical boundary
+    * every downstream consumer re-tokenizes the document. The exchange
+    * makes the arrays physical exactly once.
+    *
+    * Guarded by the same split-estimate predicate as [[fanOut]]: when
+    * the scan is already wider than the core count (the 100 TB case)
+    * this is the IDENTITY — a full-corpus shuffle to save map-parallel
+    * recompute is a bad trade at scale, and an unconditional
+    * `repartition(defaultParallelism)` would additionally DOWNSIZE a
+    * wide scan. On the narrow case (small local files) the one
+    * repartition doubles as the fan-out, so callers should NOT also
+    * wrap the input in [[fanOut]].
+    */
+  def barrier(df: DataFrame): DataFrame =
+    if (narrowerThanCores(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+  private def narrowerThanCores(df: DataFrame): Boolean = {
     val s = df.sparkSession
     val target = s.sparkContext.defaultParallelism
     val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
@@ -62,7 +85,7 @@ object Tables {
     val estSplits = math.max(
       (estBytes / maxPartitionBytes).toLong + 1,
       df.inputFiles.length.toLong)
-    if (estSplits < target) df.repartition(target) else df
+    estSplits < target
   }
 
   def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")

@@ -209,9 +209,12 @@ object Analytic {
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
       .persist()
-    val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    // corpus scalars: N docs, average document length (one-row bridges)
-    val nDocs = Tables.documents(s, dir).count()
+    val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl")).persist()
+    // corpus scalars: N docs, average document length (one-row bridges).
+    // N comes from the persisted per-doc frame, NOT a second scan of the
+    // documents table — at 100 TB that second scan is a full wasted read
+    // for one scalar (every doc yields >=1 token, so the counts agree).
+    val nDocs = dl.count()
     val avgdl = dl.agg(sum($"dl")).first().getLong(0).toDouble / nDocs
     // per-term contribution quantized to integer micro-units BEFORE the
     // sum: a double fold over floats is addition-order-dependent (Spark's
@@ -240,7 +243,7 @@ object Analytic {
       |        FROM documents)
       |  GROUP BY doc_id, term),
       |dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY doc_id),
-      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
       |avg_dl AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
       |dfreq AS (SELECT term, count(*) AS df FROM dt
       |          WHERE term IN ('join', 'vector', 'slow') GROUP BY term),

@@ -36,11 +36,11 @@ object CorpusQuality {
         transform(sequence(lit(1), size(t) - 1),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
-    Tables.fanOut(Tables.documents(s, dir))
-      .select($"doc_id", t.as("t"), bg.as("bg"))
-      // barrier: materialize token/bigram arrays once (interpreted HOFs
-      // get no codegen CSE; without this every consumer re-splits)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.barrier(Tables.documents(s, dir)
+      .select($"doc_id", t.as("t"), bg.as("bg")))
+      // guarded barrier: materialize token/bigram arrays once
+      // (interpreted HOFs get no codegen CSE; without this every
+      // consumer re-splits); identity on an already-wide scan
       .select(
         $"doc_id",
         size($"t").as("n_tokens"),

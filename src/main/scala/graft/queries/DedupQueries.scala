@@ -173,10 +173,9 @@ object DedupQueries {
   private def corpusSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val losers = minhashPairs(s, dir).select($"doc_b".as("doc_id")).distinct()
-    Tables.fanOut(Tables.documents(s, dir))
+    Tables.barrier(Tables.documents(s, dir)
       .select($"doc_id", $"source",
-        TextOps.tokens($"text").as("toks"))
-      .repartition(s.sparkContext.defaultParallelism)
+        TextOps.tokens($"text").as("toks")))
       .select($"doc_id", $"source",
         size($"toks").as("n_tokens"),
         TextOps.stopwordHits($"toks", Seq("the", "a", "of", "and", "in", "to", "is"))

@@ -293,9 +293,8 @@ object LmPipeline {
     val w = (t: Column) =>
       pmod(TextOps.portableHash64(t, seed), lit(buckets)) * LrMix % LrRange -
         (LrRange - 1) / 2
-    docs
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.barrier(docs
+      .select($"doc_id", TextOps.tokens($"text").as("toks")))
       .select(
         $"doc_id",
         size($"toks").as("n_tokens"),
@@ -305,8 +304,10 @@ object LmPipeline {
       .orderBy($"doc_id")
   }
 
+  // no fanOut wrapper: qualityClassifierScore's internal Tables.barrier
+  // already fans out a narrow scan (one shuffle, not two)
   private def qualityClassifierDocs(s: SparkSession, dir: String): DataFrame =
-    qualityClassifierScore(Tables.fanOut(Tables.documents(s, dir)))
+    qualityClassifierScore(Tables.documents(s, dir))
 
   private val qualityClassifierOracle =
     s"""SELECT doc_id,
@@ -386,11 +387,159 @@ object LmPipeline {
        |FROM ch
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --------------------------- RAG end-to-end retrieval gate
+
+  private val RagDim = 16      // hashed-BoW embedding dimensionality
+  private val RagHashSeed = 29 // feature-hash seed (md5 scheme)
+  private val RagCents = 8     // IVF cells over the chunk index
+  private val RagProbe = 2     // cells the query probes
+  private val RagRetTopK = 10
+  private val RagQuery = "vector join fast query scan"
+
+  /** Driver-side mirror of [[TextOps.portableHash64]] — md5 prefix, 60
+    * bits, always non-negative — for hashing the QUERY string's tokens
+    * without a Spark job.
+    */
+  private def portableHash64(seed: Int, t: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$t".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Hashed bag-of-words embedding of a token-array column: emb[b] =
+    * #tokens hashing to bucket b. All counts are non-negative integers,
+    * so every non-empty chunk has a non-zero vector and every score in
+    * the pipeline is EXACT integer arithmetic — the whole retrieval
+    * gate is float-free and engine-portable with no rounding contract.
+    */
+  private def hashedBow(toks: Column): Column =
+    transform(sequence(lit(0), lit(RagDim - 1)),
+      b => size(filter(toks, t =>
+        pmod(TextOps.portableHash64(t, RagHashSeed), lit(RagDim)) === b))
+        .cast("long"))
+
+  /** Integer inner product of an `array<long>` column against a known
+    * weight literal — unrolled to plain multiply-adds (codegen-friendly,
+    * no interpreted HOF), zero-weight terms skipped.
+    */
+  private def dotLit(emb: Column, w: Array[Long]): Column =
+    w.zipWithIndex.collect { case (x, b) if x != 0L =>
+      element_at(emb, b + 1) * lit(x)
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+
+  /** The COMPOSED retrieval pipeline the chunker and the IVF index
+    * exist for, in one oracle-gated plan: documents → sliding-window
+    * chunks ([[ragChunks]]' shape) → hashed-BoW chunk embeddings →
+    * IVF-style cell assignment against a deterministic codebook (the
+    * first [[RagCents]] chunks in (doc_id, chunk_id) order — a LIMIT-k
+    * collect, the same k·dim driver bridge as the trained codebook) →
+    * the query probes its [[RagProbe]] best cells → exact
+    * inner-product ranking of the survivors → top-[[RagRetTopK]]
+    * chunks. Maximum-inner-product retrieval (MIPS) rather than
+    * cosine keeps every score an exact BIGINT.
+    *
+    * Scale shape: chunking + embedding + assignment are one map pass
+    * over the corpus (the codebook is a literal in the expression —
+    * nothing broadcast, nothing joined); the probe filter drops
+    * (1 - probe/cells) of the corpus before any ranking; the final
+    * top-k is a TakeOrderedAndProject. No shuffle anywhere but the
+    * bounded top-k.
+    */
+  private def ragRetrieveE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    val nStarts = ceil(size(toks).cast("double") / RagStride).cast("int")
+    val chunkArr = transform(
+      sequence(lit(0), nStarts - 1),
+      i => array_join(slice(toks, i * RagStride + 1, lit(RagWindow)), " "))
+    def chunkEmb = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(chunkArr).as(Seq("chunk_id", "chunk")))
+      .select($"doc_id", $"chunk_id", $"chunk",
+        hashedBow(TextOps.tokens($"chunk")).as("emb"))
+    // codebook: first RagCents chunk embeddings (k·dim driver bridge)
+    val cents: Array[Array[Long]] = chunkEmb
+      .orderBy($"doc_id", $"chunk_id").limit(RagCents)
+      .select($"emb").as[Array[Long]].collect()
+    // query vector, hashed driver-side with the same md5 scheme
+    val qv = new Array[Long](RagDim)
+    RagQuery.split(" ").foreach { t =>
+      qv((portableHash64(RagHashSeed, t) % RagDim).toInt) += 1L
+    }
+    // probe cells: best RagProbe centroids by (dot desc, cid asc)
+    val probe = cents.zipWithIndex
+      .map { case (c, cid) =>
+        (cid, c.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (cid, d) => (-d, cid) }
+      .take(RagProbe).map(_._1).toSeq
+    // assignment: argmax integer dot, array_position finds the FIRST
+    // maximum → lowest cid wins ties (cents are in ascending-cid order)
+    val dots = array(cents.map(c => dotLit($"emb", c)): _*)
+    val cell = array_position(dots, array_max(dots)).cast("int") - 1
+    Tables.barrier(chunkEmb)
+      .withColumn("cell", cell)
+      .filter($"cell".isin(probe: _*))
+      .withColumn("score", dotLit($"emb", qv))
+      .orderBy($"score".desc, $"doc_id", $"chunk_id")
+      .limit(RagRetTopK)
+      .select($"doc_id", $"chunk_id".cast("int").as("chunk_id"),
+        md5($"chunk").as("chunk_md5"), $"score")
+  }
+
+  private val ragRetrieveOracle = {
+    val hashBucket = (v: String) =>
+      s"(('0x' || substr(md5('$RagHashSeed|' || $v), 1, 15))::BIGINT % $RagDim)"
+    val embOf = (toksExpr: String) =>
+      s"""list_transform(range(0, $RagDim), b ->
+         |      CAST(len(list_filter($toksExpr, t -> ${hashBucket("t")} = b)) AS BIGINT))"""
+        .stripMargin
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ch AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(len(toks) / $RagStride.0) AS INT)))
+       |      AS chunk_id,
+       |    unnest(list_transform(
+       |      range(0, CAST(ceil(len(toks) / $RagStride.0) AS INT)),
+       |      i -> array_to_string(
+       |        toks[i * $RagStride + 1 : i * $RagStride + $RagWindow], ' ')))
+       |      AS chunk
+       |  FROM tk),
+       |ce AS (
+       |  SELECT doc_id, chunk_id, chunk,
+       |    ${embOf("string_split(chunk, ' ')")} AS emb
+       |  FROM ch),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY doc_id, chunk_id) - 1 AS cid,
+       |    emb AS c
+       |  FROM ce ORDER BY doc_id, chunk_id LIMIT $RagCents),
+       |q AS (SELECT ${embOf(s"string_split('$RagQuery', ' ')")} AS qv),
+       |asg AS (
+       |  SELECT ce.doc_id, ce.chunk_id, ce.chunk, ce.emb, cid,
+       |    row_number() OVER (PARTITION BY ce.doc_id, ce.chunk_id ORDER BY
+       |      list_dot_product(ce.emb::DOUBLE[], c::DOUBLE[]) DESC, cid) AS rn
+       |  FROM ce CROSS JOIN cents),
+       |qc AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY
+       |      list_dot_product(qv::DOUBLE[], c::DOUBLE[]) DESC, cid) AS rn
+       |    FROM cents, q) WHERE rn <= $RagProbe)
+       |SELECT a.doc_id, CAST(a.chunk_id AS INTEGER) AS chunk_id,
+       |  md5(a.chunk) AS chunk_md5,
+       |  CAST(list_dot_product(a.emb::DOUBLE[], q.qv::DOUBLE[]) AS BIGINT)
+       |    AS score
+       |FROM asg a JOIN qc USING (cid), q
+       |WHERE a.rn = 1
+       |ORDER BY score DESC, a.doc_id, a.chunk_id
+       |LIMIT $RagRetTopK""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("chunk_dedup_docs", chunkDedupDocs, Some(chunkDedupOracle)),
     Q("bigram_lm_quality", bigramLmQuality, Some(bigramOracle)),
     Q("dsir_importance_weights", dsirImportanceWeights, Some(dsirOracle)),
     Q("quality_classifier_score", qualityClassifierDocs,
       Some(qualityClassifierOracle)),
-    Q("rag_chunk_overlap", ragChunkDocs, Some(ragChunkOracle)))
+    Q("rag_chunk_overlap", ragChunkDocs, Some(ragChunkOracle)),
+    Q("rag_retrieve_e2e", ragRetrieveE2e, Some(ragRetrieveOracle)))
 }

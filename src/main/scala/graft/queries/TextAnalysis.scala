@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Tables, TextOps}
@@ -29,10 +29,11 @@ object TextAnalysis {
     import s.implicits._
     // tokenize once, barrier, then compute every ratio off the bound
     // array — HOFs are interpreted, so inlined splits would re-tokenize
-    // per consumer (see TextOps.stopwordHits)
-    Tables.fanOut(Tables.documents(s, dir))
-      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"))
-      .repartition(s.sparkContext.defaultParallelism)
+    // per consumer (see TextOps.stopwordHits). Tables.barrier is
+    // guarded: narrow local scans get one fan-out-and-materialize
+    // shuffle, an already-wide scan passes through untouched.
+    Tables.barrier(Tables.documents(s, dir)
+      .select($"doc_id", $"text", TextOps.tokens($"text").as("toks")))
       .select(
         $"doc_id",
         length($"text").as("n_chars"),
@@ -75,10 +76,9 @@ object TextAnalysis {
 
   private def langIdQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = Tables.fanOut(Tables.documents(s, dir))
+    val scored = Tables.barrier(Tables.documents(s, dir)
       .select($"doc_id", $"lang".as("lang_labeled"),
-        TextOps.tokens($"text").as("toks"))
-      .repartition(s.sparkContext.defaultParallelism)
+        TextOps.tokens($"text").as("toks")))
       .select(
         ($"doc_id" +: $"lang_labeled" +:
           langProfiles.map { case (l, m) =>
@@ -118,9 +118,8 @@ object TextAnalysis {
 
   private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.fanOut(Tables.documents(s, dir))
-      .select($"source", $"text", TextOps.tokens($"text").as("toks"))
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.barrier(Tables.documents(s, dir)
+      .select($"source", $"text", TextOps.tokens($"text").as("toks")))
       .select(
         $"source",
         size($"toks").as("n_tokens"),
@@ -236,12 +235,12 @@ object TextAnalysis {
     */
   private def corpusQualityRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val counts = Tables.fanOut(Tables.documents(s, dir))
+    val counts = Tables.barrier(Tables.documents(s, dir)
       .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"),
-        split($"text", "\n").as("lines"))
-      // barrier so the arrays are physical — HOFs are interpreted and
-      // would otherwise re-tokenize per consumer (textStats rule)
-      .repartition(s.sparkContext.defaultParallelism)
+        split($"text", "\n").as("lines")))
+      // guarded barrier so the arrays are physical — HOFs are
+      // interpreted and would otherwise re-tokenize per consumer
+      // (textStats rule); identity on an already-wide scan
       .select(
         size($"toks").as("n_tok"),
         aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
@@ -348,6 +347,102 @@ object TextAnalysis {
   private def bpePairCountsQ(s: SparkSession, dir: String): DataFrame =
     bpePairCounts(Tables.fanOut(Tables.documents(s, dir)))
 
+  /** One full BPE training iteration past the counting: take the argmax
+    * pair from [[bpePairCounts]], APPLY the merge to the vocabulary,
+    * and recount adjacent-symbol pairs — the fixed-point step pure
+    * counting cannot pin. The merged pair itself is absent from the
+    * output by construction (every adjacency became one symbol) and its
+    * 3-char compositions appear instead — the gate that proves the
+    * merge was applied, not just ranked.
+    *
+    * Merge semantics are Sennrich-standard: left-to-right,
+    * non-overlapping — exactly `replace(tok, pair, sentinel)` string
+    * semantics in BOTH engines, with an out-of-corpus sentinel char
+    * (\\u0001) standing in for the merged symbol, expanded back when
+    * pairs are emitted.
+    *
+    * Scale shape: everything past the vocabulary groupBy runs over
+    * ~|vocab| rows; the argmax is a 1-row LIMIT frame kept IN-PLAN via
+    * a broadcast join (bounded by construction — no driver round-trip,
+    * the plan is one DAG); the final ranked top-k is a
+    * TakeOrderedAndProject.
+    */
+  def bpeApplyMerge(docs: DataFrame, topK: Int = BpeTopK): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab = docs
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .where(length($"tok") >= 2)
+      .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+      .persist()
+    val top1 = vocab
+      .select($"n_tok", explode(
+        transform(sequence(lit(1), length($"tok") - 1),
+          i => $"tok".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"n_tok").as("n_occ"))
+      .orderBy($"n_occ".desc, $"pair".asc)
+      .limit(1)
+      .select($"pair".as("merge_pair"))
+    val sentinel = "\u0001"
+    // expand a 1-char symbol back to its text (sentinel → merged pair)
+    def expand(sym: Column, mp: Column): Column =
+      when(sym === sentinel, mp).otherwise(sym)
+    // guard: Spark's sequence(1, 0) steps DESCENDING — a fully-merged
+    // 2-char token (rep = one sentinel char) needs an explicit empty
+    val pairs = when(length($"rep") >= 2,
+      transform(sequence(lit(1), length($"rep") - 1),
+        i => concat(
+          expand($"rep".substr(i, lit(1)), $"merge_pair"),
+          expand($"rep".substr(i + 1, lit(1)), $"merge_pair"))))
+      .otherwise(array().cast("array<string>"))
+    // constant-key equi-join keeps the 1-row argmax frame in-plan as a
+    // BroadcastHashJoin (a bare cross join would plan as the gated
+    // BroadcastNestedLoopJoin shape)
+    vocab.withColumn("j", lit(1))
+      .join(broadcast(top1.withColumn("j", lit(1))), "j")
+      .select($"n_tok", $"merge_pair",
+        call_function("replace", $"tok", $"merge_pair", lit(sentinel))
+          .as("rep"))
+      .select($"n_tok", $"merge_pair", explode(pairs).as("pair"))
+      .groupBy($"pair").agg(sum($"n_tok").as("n_occ"))
+      .orderBy($"n_occ".desc, $"pair".asc)
+      .limit(topK)
+  }
+
+  private def bpeApplyMergeQ(s: SparkSession, dir: String): DataFrame =
+    bpeApplyMerge(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val bpeApplyOracle =
+    s"""WITH v AS (
+       |  SELECT tok, count(*) AS n_tok FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) >= 2 GROUP BY tok),
+       |p AS (
+       |  SELECT n_tok,
+       |    unnest(list_transform(range(1, length(tok)),
+       |      i -> substr(tok, i, 2))) AS pair
+       |  FROM v),
+       |top1 AS (
+       |  SELECT pair AS merge_pair FROM (
+       |    SELECT pair, sum(n_tok) AS n_occ FROM p GROUP BY pair
+       |    ORDER BY n_occ DESC, pair ASC LIMIT 1)),
+       |m AS (
+       |  SELECT n_tok, merge_pair,
+       |    replace(tok, merge_pair, chr(1)) AS rep
+       |  FROM v CROSS JOIN top1),
+       |p2 AS (
+       |  SELECT n_tok,
+       |    unnest(list_transform(range(1, length(rep)), i ->
+       |      (CASE WHEN substr(rep, i, 1) = chr(1)
+       |            THEN merge_pair ELSE substr(rep, i, 1) END) ||
+       |      (CASE WHEN substr(rep, i + 1, 1) = chr(1)
+       |            THEN merge_pair ELSE substr(rep, i + 1, 1) END))) AS pair
+       |  FROM m)
+       |SELECT pair, CAST(sum(n_tok) AS BIGINT) AS n_occ
+       |FROM p2 GROUP BY pair
+       |ORDER BY n_occ DESC, pair ASC
+       |LIMIT $BpeTopK""".stripMargin
+
   private val bpePairOracle =
     s"""WITH v AS (
        |  SELECT tok, count(*) AS n_tok FROM (
@@ -370,5 +465,6 @@ object TextAnalysis {
     Q("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     Q("corpus_quality_rules", corpusQualityRules, Some(qualityRulesOracle)),
     Q("bpe_pair_counts", bpePairCountsQ, Some(bpePairOracle)),
+    Q("bpe_apply_merge", bpeApplyMergeQ, Some(bpeApplyOracle)),
     Q("doc_fingerprints", fingerprints, Some(fingerprintsOracle)))
 }

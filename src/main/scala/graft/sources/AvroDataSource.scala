@@ -2,9 +2,10 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -76,15 +77,22 @@ private[sources] class AvroScan(tableSchema: StructType, files: Seq[String],
     s"graft-avro [${files.length} files, cols=${required.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => PdfInputPartition(f): InputPartition).toArray
+  // createReaderFactory runs driver-side: broadcast the SESSION Hadoop
+  // conf (not a default executor-local Configuration) so readers see
+  // non-default FS settings on a real cluster — the built-in file
+  // sources' broadcast-conf pattern
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(tableSchema, required)
+    new AvroReaderFactory(tableSchema, required,
+      PdfDataSource.broadcastSessionConf())
 }
 
 private[sources] class AvroReaderFactory(tableSchema: StructType,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, bconf: Broadcast[SerializableHadoopConf])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
-      partition.asInstanceOf[PdfInputPartition].file, tableSchema, required)
+      partition.asInstanceOf[PdfInputPartition].file, tableSchema, required,
+      bconf)
 }
 
 /** Executor-side reader: one container file, decoded record-by-record
@@ -96,12 +104,13 @@ private[sources] class AvroReaderFactory(tableSchema: StructType,
   * parquet path.
   */
 private[sources] class AvroPartitionReader(file: String,
-    tableSchema: StructType, required: StructType)
+    tableSchema: StructType, required: StructType,
+    bconf: Broadcast[SerializableHadoopConf])
     extends PartitionReader[InternalRow] {
 
   private val reader = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(bconf.value.value)
     require(fs.getFileStatus(path).getLen <= Int.MaxValue,
       s"$file exceeds 2 GiB — single-buffer avro parse unsupported")
     val in = fs.open(path)

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.file.{DataFileReader, DataFileStream, DataFileWriter, SeekableByteArrayInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
@@ -105,19 +105,20 @@ object AvroSource {
   def write(df: DataFrame, path: String): Unit = {
     val schemaJson = avroSchemaFor(df.schema, "row").toString
     val sparkSchema = df.schema
-    val fs = new Path(path).getFileSystem(
-      df.sparkSession.sessionState.newHadoopConf())
+    val sessionConf = df.sparkSession.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(sessionConf)
     fs.delete(new Path(path), true)
     fs.mkdirs(new Path(path))
+    // broadcast the session Hadoop conf so executor-side FS creation
+    // honors cluster FS settings (same pattern as the DSv2 readers)
+    val bconf = df.sparkSession.sparkContext.broadcast(
+      new SerializableHadoopConf(sessionConf))
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
         val part = TaskContext.getPartitionId()
         val out = new Path(path, f"part-$part%05d.avro")
-        // executor-local Configuration: fine for posix/local FS; a
-        // cluster deployment would broadcast the session Hadoop conf
-        val stream = out.getFileSystem(
-          new org.apache.hadoop.conf.Configuration()).create(out, true)
+        val stream = out.getFileSystem(bconf.value.value).create(out, true)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -154,14 +155,20 @@ object AvroSource {
       new SeekableByteArrayInput(bytes),
       new GenericDatumReader[GenericRecord]())
 
-  /** Writer schema of a container file, read driver-side (header only —
-    * the reader is closed before any block is decoded).
+  /** Writer schema of a container file, read driver-side. Streams ONLY
+    * the header: `DataFileStream`'s constructor parses magic + metadata
+    * and stops before the first data block, so plan-time schema
+    * inference on a directory whose first file is huge costs a few KB
+    * of reads, never a whole-file `readAllBytes` into driver memory.
+    * `DataFileStream.close()` closes the underlying input stream.
     */
   private[sources] def schemaOf(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Schema = {
     val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    val r = openBytes(bytes)
+    val r =
+      try new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      catch { case e: Throwable => in.close(); throw e }
     try r.getSchema finally r.close()
   }
 

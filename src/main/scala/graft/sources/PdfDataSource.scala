@@ -40,9 +40,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    in `.explain` as PushedFilters.
   *
   * Executors re-open files through the Hadoop FileSystem for the
-  * path's scheme with default configuration — correct for file:/ and
-  * default-configured hdfs:/; exotic filesystems needing session conf
-  * should go through [[PdfTextSource.readMany]] instead.
+  * path's scheme using the SESSION Hadoop conf, broadcast at
+  * `createReaderFactory()` time via [[SerializableHadoopConf]] — so
+  * credentialed/endpoint-configured filesystems work the same as in
+  * the built-in file sources.
   */
 class PdfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pdf"
@@ -55,12 +56,46 @@ class PdfDataSource extends TableProvider with DataSourceRegister {
     new PdfTable(PdfDataSource.resolvePaths(properties))
 }
 
+/** Java-serializable Hadoop `Configuration` carrier for broadcasting
+  * the session conf to executor-side readers/writers. (Spark ships the
+  * identical `org.apache.spark.util.SerializableConfiguration`, but it
+  * is `private[spark]` — this is the public-API re-expression, using
+  * `Configuration`'s own Writable serialization.)
+  */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object PdfDataSource {
   val Schema: StructType = StructType(Seq(
     StructField("src_file", StringType, nullable = false),
     StructField("page_no", LongType, nullable = false),
     StructField("line_no", LongType, nullable = false),
     StructField("line", StringType)))
+
+  /** Broadcast the ACTIVE session's Hadoop conf for executor-side
+    * `Path.getFileSystem` calls — shared by every graft DSv2 reader
+    * factory (pdf/xlsx/avro). Called driver-side from
+    * `createReaderFactory()`, where `SparkSession.active` is valid.
+    * An executor-local `new Configuration()` would silently drop
+    * non-default FS settings (credentials, endpoints, buffer sizes)
+    * on a real cluster; this is the built-in file sources' pattern.
+    */
+  private[sources] def broadcastSessionConf()
+      : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] = {
+    val s = SparkSession.active
+    s.sparkContext.broadcast(
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+  }
 
   /** Expand the `path`/`paths` table properties (as DataFrameReader
     * .load() populates them) through Hadoop glob resolution into
@@ -156,29 +191,31 @@ private[sources] class PdfScan(files: Seq[String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => PdfInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PdfReaderFactory(required)
+    new PdfReaderFactory(required, PdfDataSource.broadcastSessionConf())
 }
 
 private[sources] final case class PdfInputPartition(file: String)
     extends InputPartition
 
-private[sources] class PdfReaderFactory(required: StructType)
+private[sources] class PdfReaderFactory(required: StructType,
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PdfInputPartition].file
-    new PdfPartitionReader(file, required)
+    new PdfPartitionReader(file, required, bconf)
   }
 }
 
 /** Executor-side reader: one PDF, parsed once, emitted line by line in
   * page-tree order with only the pruned columns materialized.
   */
-private[sources] class PdfPartitionReader(file: String, required: StructType)
+private[sources] class PdfPartitionReader(file: String, required: StructType,
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(bconf.value.value)
     val len = fs.getFileStatus(path).getLen
     // whole-file parse is inherent to the format (the xref trailer
     // lives at EOF); past 2 GiB the Int cast would wrap into a

@@ -146,14 +146,18 @@ private[sources] class XlsxScan(tableSchema: StructType, files: Seq[String],
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => PdfInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(tableSchema, opts, required)
+    new XlsxReaderFactory(tableSchema, opts, required,
+      PdfDataSource.broadcastSessionConf())
 }
 
 private[sources] class XlsxReaderFactory(tableSchema: StructType,
-    opts: XlsxOptions, required: StructType) extends PartitionReaderFactory {
+    opts: XlsxOptions, required: StructType,
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new XlsxPartitionReader(
-      partition.asInstanceOf[PdfInputPartition].file, tableSchema, opts, required)
+      partition.asInstanceOf[PdfInputPartition].file, tableSchema, opts,
+      required, bconf)
 }
 
 /** Executor-side reader: one workbook, parsed once, conformed to the
@@ -162,12 +166,13 @@ private[sources] class XlsxReaderFactory(tableSchema: StructType,
   * §2.13's distributed analogue).
   */
 private[sources] class XlsxPartitionReader(file: String,
-    tableSchema: StructType, opts: XlsxOptions, required: StructType)
+    tableSchema: StructType, opts: XlsxOptions, required: StructType,
+    bconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(bconf.value.value)
     // zip central directory sits at EOF → whole-file read is inherent;
     // guard the 2 GiB single-buffer bound with a real message (the
     // readAllBytes path would otherwise throw an opaque OOM/overflow)

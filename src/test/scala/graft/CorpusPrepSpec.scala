@@ -102,4 +102,39 @@ class CorpusPrepSpec extends SparkSpec {
       assert(pair.length == 2 && n > 0, s"bad pair row ($pair, $n)")
     }
   }
+
+  test("bpeApplyMerge: merge applied left-to-right, merged pair gone") {
+    // vocab: "abab" x2, "cd" x1; pairs: ab=4, ba=2, cd=1 → argmax "ab"
+    // apply: abab → [ab][ab] (pair "abab" x2); cd untouched
+    val docs = Seq((1L, "abab cd abab")).toDF("doc_id", "text")
+    val got = graft.queries.TextAnalysis.bpeApplyMerge(docs)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("abab", 2L), ("cd", 1L)))
+    assert(!got.exists(_._1 == "ab"), "merged pair must be absent")
+  }
+
+  test("bpeApplyMerge: overlapping occurrences merge non-overlapping") {
+    // "aaa": pairs aa (i=1), aa (i=2) → argmax "aa"; greedy
+    // left-to-right gives [aa][a] → one symbol pair (aa, a) = "aaa"
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val got = graft.queries.TextAnalysis.bpeApplyMerge(docs)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("aaa", 2L)))
+  }
+
+  test("bpe_apply_merge: argmax pair of round 1 is absent at sf0.001") {
+    val top1 = graft.queries.TextAnalysis.queries
+      .find(_.name == "bpe_pair_counts").get.fn(spark, dir)
+      .as[(String, Long)].collect().head._1
+    val rows = graft.queries.TextAnalysis.queries
+      .find(_.name == "bpe_apply_merge").get.fn(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(rows.size == 20)
+    assert(rows == rows.sortBy(r => (-r._2, r._1)))
+    assert(!rows.exists(_._1 == top1),
+      s"merged pair $top1 must not survive its own merge")
+    // the merged symbol recombines: some ranked pair CONTAINS it
+    assert(rows.exists(r => r._1.length > 2 && r._1.contains(top1)),
+      s"no composition of merged pair $top1 in ${rows.map(_._1)}")
+  }
 }

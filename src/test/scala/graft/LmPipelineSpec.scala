@@ -146,9 +146,14 @@ class LmPipelineSpec extends SparkSpec {
   test("quality_classifier_score: plan is map-side only (no exchange)") {
     val plan = run("quality_classifier_score").queryExecution.executedPlan
       .toString
-    // one fan-out repartition + the oracle ORDER BY are allowed; the
-    // scoring itself must not shuffle (no aggregation exchange)
-    assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
+    // one fan-out/materialization repartition + the oracle ORDER BY are
+    // allowed; the scoring itself must not shuffle — no aggregation of
+    // ANY physical flavor and no exchange beyond the two known ones
+    for (agg <- Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate"))
+      assert(!plan.contains(agg), s"unexpected $agg:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected <=2 exchanges (barrier + ORDER BY), got $exchanges:\n$plan")
   }
 
   // ------------------------------------ RAG sliding-window chunks
@@ -193,5 +198,31 @@ class LmPipelineSpec extends SparkSpec {
     val mt = tgt.map(_._3).sum / tgt.size
     val mr = rest.map(_._3).sum / rest.size
     assert(mt > mr, s"mean target logweight $mt <= mean rest $mr")
+  }
+
+  // ------------------------------------ RAG end-to-end retrieval
+
+  test("rag_retrieve_e2e: top-k ranked by exact integer inner product") {
+    val rows = run("rag_retrieve_e2e")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(rows.size == 10)
+    // ranked by (score desc, doc_id, chunk_id); all scores positive —
+    // the retrieved chunks genuinely share hashed features with the query
+    assert(rows == rows.sortBy(r => (-r._4, r._1, r._2)))
+    assert(rows.forall(_._4 > 0), s"non-positive score in $rows")
+    // retrieved chunk ids exist in the chunker's own output
+    val chunkKeys = run("rag_chunk_overlap")
+      .select($"doc_id", $"chunk_id").as[(Long, Int)].collect().toSet
+    rows.foreach(r => assert(chunkKeys.contains((r._1, r._2)),
+      s"retrieved chunk ${(r._1, r._2)} not produced by the chunker"))
+  }
+
+  test("rag_retrieve_e2e: plan has no join and no aggregate on the corpus") {
+    val plan = run("rag_retrieve_e2e").queryExecution.executedPlan.toString
+    // chunking + embedding + assignment + probe-filter are one map pass;
+    // the codebook is expression literals — nothing joined or broadcast
+    for (bad <- Seq("Join", "HashAggregate", "SortAggregate",
+        "ObjectHashAggregate", "CartesianProduct"))
+      assert(!plan.contains(bad), s"unexpected $bad in plan:\n$plan")
   }
 }

@@ -33,9 +33,10 @@ def scale_block(paths, floors):
     qs = {}
     for q in sorted(best):
         floor = floors.get(q)
-        ent = {"sf0.1_sec": round(floor, 3) if floor else None,
+        ent = {"sf0.1_sec": round(floor, 3) if floor is not None else None,
                "soak_sec": round(best[q], 3)}
-        if floor:
+        # `is not None`: a legitimate 0.0 watermark must not read as missing
+        if floor is not None and floor > 0:
             ent["ratio"] = round(best[q] / floor, 2)
         qs[q] = ent
     ratios = [e["ratio"] for e in qs.values() if "ratio" in e]
