@@ -407,26 +407,18 @@ object LmPipeline {
     java.lang.Long.parseLong(hex, 16)
   }
 
-  /** Hashed bag-of-words embedding of a token-array column: emb[b] =
-    * #tokens hashing to bucket b. All counts are non-negative integers,
-    * so every non-empty chunk has a non-zero vector and every score in
-    * the pipeline is EXACT integer arithmetic — the whole retrieval
-    * gate is float-free and engine-portable with no rounding contract.
+  /** Driver-side hashed-BoW of a chunk string — exact mirror of
+    * [[hashBuckets]] + bucket counting, for the handful of codebook
+    * chunks and the query string (no Spark job, no corpus-wide
+    * embedding pass just to read k vectors).
     */
-  private def hashedBow(toks: Column): Column =
-    transform(sequence(lit(0), lit(RagDim - 1)),
-      b => size(filter(toks, t =>
-        pmod(TextOps.portableHash64(t, RagHashSeed), lit(RagDim)) === b))
-        .cast("long"))
-
-  /** Integer inner product of an `array<long>` column against a known
-    * weight literal — unrolled to plain multiply-adds (codegen-friendly,
-    * no interpreted HOF), zero-weight terms skipped.
-    */
-  private def dotLit(emb: Column, w: Array[Long]): Column =
-    w.zipWithIndex.collect { case (x, b) if x != 0L =>
-      element_at(emb, b + 1) * lit(x)
-    }.reduceOption(_ + _).getOrElse(lit(0L))
+  private def bowOf(chunk: String): Array[Long] = {
+    val v = new Array[Long](RagDim)
+    chunk.split(" ", -1).foreach { t =>
+      v((portableHash64(RagHashSeed, t) % RagDim).toInt) += 1L
+    }
+    v
+  }
 
   /** The COMPOSED retrieval pipeline the chunker and the IVF index
     * exist for, in one oracle-gated plan: documents → sliding-window
@@ -439,12 +431,19 @@ object LmPipeline {
     * chunks. Maximum-inner-product retrieval (MIPS) rather than
     * cosine keeps every score an exact BIGINT.
     *
-    * Scale shape: chunking + embedding + assignment are one map pass
-    * over the corpus (the codebook is a literal in the expression —
-    * nothing broadcast, nothing joined); the probe filter drops
-    * (1 - probe/cells) of the corpus before any ranking; the final
-    * top-k is a TakeOrderedAndProject. No shuffle anywhere but the
-    * bounded top-k.
+    * Scale/codegen shape: per-token work is ROWS, not interpreted HOF
+    * elements — explode the chunk tokens, hash each token ONCE in
+    * whole-stage codegen, and compute all [[RagCents]]+1 inner
+    * products as combinable SUMs of weight-table lookups
+    * (dot(emb, w) = Σ_token w[bucket(tok)], so no embedding vector is
+    * ever materialized). Map-side partial aggregation collapses the
+    * token rows back to one row per chunk before the single keyed
+    * shuffle; assignment + probe filter are literal-array arithmetic on
+    * the aggregated dots; the final top-k is a TakeOrderedAndProject.
+    * Earlier HOF formulations of the same semantics ran 31 s (md5
+    * re-hashed per bucket) and 6 s (interpreted per-element folds) at
+    * sf0.1; this plan runs ~1 s — the reason §codegen-friendly is a
+    * design rule, not a style preference.
     */
   private def ragRetrieveE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -453,33 +452,46 @@ object LmPipeline {
     val chunkArr = transform(
       sequence(lit(0), nStarts - 1),
       i => array_join(slice(toks, i * RagStride + 1, lit(RagWindow)), " "))
-    def chunkEmb = Tables.documents(s, dir)
+    def chunks = Tables.documents(s, dir)
       .select($"doc_id", posexplode(chunkArr).as(Seq("chunk_id", "chunk")))
-      .select($"doc_id", $"chunk_id", $"chunk",
-        hashedBow(TextOps.tokens($"chunk")).as("emb"))
-    // codebook: first RagCents chunk embeddings (k·dim driver bridge)
-    val cents: Array[Array[Long]] = chunkEmb
+    // codebook: first RagCents chunks by (doc_id, chunk_id). Collect the
+    // CHUNK STRINGS (a cheap TakeOrdered over the chunker output — no
+    // corpus-wide embedding pass) and hash them driver-side.
+    val cents: Array[Array[Long]] = chunks
       .orderBy($"doc_id", $"chunk_id").limit(RagCents)
-      .select($"emb").as[Array[Long]].collect()
-    // query vector, hashed driver-side with the same md5 scheme
-    val qv = new Array[Long](RagDim)
-    RagQuery.split(" ").foreach { t =>
-      qv((portableHash64(RagHashSeed, t) % RagDim).toInt) += 1L
-    }
+      .select($"chunk").as[String].collect()
+      .map(bowOf)
+    val qv = bowOf(RagQuery)
     // probe cells: best RagProbe centroids by (dot desc, cid asc)
     val probe = cents.zipWithIndex
       .map { case (c, cid) =>
         (cid, c.zip(qv).map { case (a, b) => a * b }.sum) }
       .sortBy { case (cid, d) => (-d, cid) }
       .take(RagProbe).map(_._1).toSeq
+    // one codegen'd row per (chunk, token): hash each token exactly once
+    val perTok = chunks
+      .select($"doc_id", $"chunk_id", $"chunk",
+        explode(TextOps.tokens($"chunk")).as("tok"))
+      .select($"doc_id", $"chunk_id", $"chunk",
+        pmod(TextOps.portableHash64($"tok", RagHashSeed), lit(RagDim))
+          .cast("int").as("b"))
+    // all RagCents+1 inner products as combinable lookup-table sums;
+    // (doc_id, chunk_id) is already unique — carrying `chunk` in the
+    // key adds bytes, not cardinality, and saves a second corpus pass
+    // to recover the chunk text for the top-k output
+    val dotAggs = cents.zipWithIndex.map { case (c, i) =>
+      sum(element_at(typedlit(c), $"b" + 1)).as(s"d$i")
+    } :+ sum(element_at(typedlit(qv), $"b" + 1)).as("score")
+    val scored = perTok
+      .groupBy($"doc_id", $"chunk_id", $"chunk")
+      .agg(dotAggs.head, dotAggs.tail: _*)
     // assignment: argmax integer dot, array_position finds the FIRST
     // maximum → lowest cid wins ties (cents are in ascending-cid order)
-    val dots = array(cents.map(c => dotLit($"emb", c)): _*)
+    val dots = array(cents.indices.map(i => col(s"d$i")): _*)
     val cell = array_position(dots, array_max(dots)).cast("int") - 1
-    Tables.barrier(chunkEmb)
+    scored
       .withColumn("cell", cell)
       .filter($"cell".isin(probe: _*))
-      .withColumn("score", dotLit($"emb", qv))
       .orderBy($"score".desc, $"doc_id", $"chunk_id")
       .limit(RagRetTopK)
       .select($"doc_id", $"chunk_id".cast("int").as("chunk_id"),

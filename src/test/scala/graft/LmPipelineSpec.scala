@@ -217,12 +217,17 @@ class LmPipelineSpec extends SparkSpec {
       s"retrieved chunk ${(r._1, r._2)} not produced by the chunker"))
   }
 
-  test("rag_retrieve_e2e: plan has no join and no aggregate on the corpus") {
+  test("rag_retrieve_e2e: one keyed shuffle, no join, codegen'd hashing") {
     val plan = run("rag_retrieve_e2e").queryExecution.executedPlan.toString
-    // chunking + embedding + assignment + probe-filter are one map pass;
-    // the codebook is expression literals — nothing joined or broadcast
-    for (bad <- Seq("Join", "HashAggregate", "SortAggregate",
-        "ObjectHashAggregate", "CartesianProduct"))
+    // chunk → explode → hash → combinable dot-sums: the ONLY exchange is
+    // the per-chunk aggregation (top-k is TakeOrdered, not a sort); the
+    // codebook is expression literals — nothing joined or broadcast
+    for (bad <- Seq("Join", "CartesianProduct"))
       assert(!plan.contains(bad), s"unexpected $bad in plan:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"expected <=1 exchange (chunk agg), got $exchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrderedAndProject:\n$plan")
   }
 }
