@@ -362,10 +362,10 @@ object TextAnalysis {
     * pairs are emitted.
     *
     * Scale shape: everything past the vocabulary groupBy runs over
-    * ~|vocab| rows; the argmax is a 1-row LIMIT frame kept IN-PLAN via
-    * a broadcast join (bounded by construction — no driver round-trip,
-    * the plan is one DAG); the final ranked top-k is a
-    * TakeOrderedAndProject.
+    * ~|vocab| rows; the argmax is a 1-VALUE driver bridge off a
+    * combinable aggregation + TakeOrdered (the codebook-collect
+    * pattern) that becomes a literal in the merge expression; the
+    * final ranked top-k is a TakeOrderedAndProject.
     */
   def bpeApplyMerge(docs: DataFrame, topK: Int = BpeTopK): DataFrame = {
     val s = docs.sparkSession
@@ -375,35 +375,35 @@ object TextAnalysis {
       .where(length($"tok") >= 2)
       .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
       .persist()
-    val top1 = vocab
+    // argmax merge rule: a 1-VALUE driver bridge off a combinable agg +
+    // TakeOrdered (the codebook-collect pattern; an in-plan 1-row join
+    // constant-folds its key and plans the gated BroadcastNestedLoopJoin
+    // shape, so the literal is the cleaner form)
+    val mergePair: String = vocab
       .select($"n_tok", explode(
         transform(sequence(lit(1), length($"tok") - 1),
           i => $"tok".substr(i, lit(2)))).as("pair"))
       .groupBy($"pair").agg(sum($"n_tok").as("n_occ"))
       .orderBy($"n_occ".desc, $"pair".asc)
       .limit(1)
-      .select($"pair".as("merge_pair"))
+      .select($"pair").as[String].collect()(0)
     val sentinel = "\u0001"
     // expand a 1-char symbol back to its text (sentinel → merged pair)
-    def expand(sym: Column, mp: Column): Column =
-      when(sym === sentinel, mp).otherwise(sym)
+    def expand(sym: Column): Column =
+      when(sym === sentinel, lit(mergePair)).otherwise(sym)
     // guard: Spark's sequence(1, 0) steps DESCENDING — a fully-merged
     // 2-char token (rep = one sentinel char) needs an explicit empty
     val pairs = when(length($"rep") >= 2,
       transform(sequence(lit(1), length($"rep") - 1),
         i => concat(
-          expand($"rep".substr(i, lit(1)), $"merge_pair"),
-          expand($"rep".substr(i + 1, lit(1)), $"merge_pair"))))
+          expand($"rep".substr(i, lit(1))),
+          expand($"rep".substr(i + 1, lit(1))))))
       .otherwise(array().cast("array<string>"))
-    // constant-key equi-join keeps the 1-row argmax frame in-plan as a
-    // BroadcastHashJoin (a bare cross join would plan as the gated
-    // BroadcastNestedLoopJoin shape)
-    vocab.withColumn("j", lit(1))
-      .join(broadcast(top1.withColumn("j", lit(1))), "j")
-      .select($"n_tok", $"merge_pair",
-        call_function("replace", $"tok", $"merge_pair", lit(sentinel))
+    vocab
+      .select($"n_tok",
+        call_function("replace", $"tok", lit(mergePair), lit(sentinel))
           .as("rep"))
-      .select($"n_tok", $"merge_pair", explode(pairs).as("pair"))
+      .select($"n_tok", explode(pairs).as("pair"))
       .groupBy($"pair").agg(sum($"n_tok").as("n_occ"))
       .orderBy($"n_occ".desc, $"pair".asc)
       .limit(topK)

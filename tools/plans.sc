@@ -41,7 +41,9 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "orc_ingest","schema_drift_union","compact_small_files",
               "pdf_dsv2_sectionizer","xlsx_dsv2_info_lookup",
               "ids_rule_orders","ann_int8_topk","file_provenance",
-              "dedup_semantic_kmeans","avro_ingest","corpus_quality_rules")) {
+              "dedup_semantic_kmeans","avro_ingest","corpus_quality_rules",
+              "quality_classifier_score","rag_chunk_overlap","bpe_pair_counts",
+              "rag_retrieve_e2e","bpe_apply_merge")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
