@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Sampling, Tables}
@@ -130,9 +131,67 @@ object CorpusSampling {
       |GROUP BY split
       |ORDER BY split""".stripMargin
 
+  // --------------------- temperature-weighted multilingual/domain mix
+
+  private val MixAlpha = 0.3 // XLM-R's alpha
+
+  /** Temperature sampling weights per source (Conneau et al. XLM-R /
+    * mT5's mixing rule): with natural token share q_s, sample from
+    * p_s ∝ q_s^α — α < 1 up-weights low-resource sources. Emits the
+    * natural share, the temperature share, and the boost p/q each
+    * source gets, plus an integer expected-docs figure for a 100k-doc
+    * budget.
+    *
+    * Scale shape: one combinable per-source aggregation over the corpus
+    * (the only corpus-sized pass), then normalization as window sums
+    * over the |sources|-row aggregate — the global window runs on a
+    * frame bounded by the source count, not the data. Doubles appear
+    * only in the α-power normalization; shares are rounded at 4dp far
+    * from representation boundaries (the bigram-LM rounding contract).
+    */
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+      .withColumn("q",
+        $"n_tokens".cast("double") / sum($"n_tokens").over(Window.partitionBy()))
+      .withColumn("p_raw", pow($"q", MixAlpha))
+      .withColumn("p", $"p_raw" / sum($"p_raw").over(Window.partitionBy()))
+      .select(
+        $"source", $"n_docs", $"n_tokens",
+        round($"q", 4).as("share_natural"),
+        round($"p", 4).as("share_temp"),
+        round($"p" / $"q", 4).as("boost"),
+        round($"p" * 100000).cast("bigint").as("docs_per_100k"))
+      .orderBy($"source")
+  }
+
+  private val temperatureMixOracle =
+    s"""WITH agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |norm AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS q,
+       |    pow(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), $MixAlpha)
+       |      AS p_raw
+       |  FROM agg),
+       |w AS (SELECT *, p_raw / sum(p_raw) OVER () AS p FROM norm)
+       |SELECT source, n_docs, n_tokens,
+       |  round(q, 4) AS share_natural,
+       |  round(p, 4) AS share_temp,
+       |  round(p / q, 4) AS boost,
+       |  CAST(round(p * 100000) AS BIGINT) AS docs_per_100k
+       |FROM w
+       |ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("weighted_sample_docs", weightedSampleDocs, Some(weightedSampleOracle)),
     Q("corpus_stratified_sample", stratifiedSample, Some(stratifiedOracle)),
     Q("corpus_domain_mix", domainMix, Some(domainMixOracle)),
+    Q("corpus_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
     Q("corpus_split_stats", splitStats, Some(splitStatsOracle)))
 }

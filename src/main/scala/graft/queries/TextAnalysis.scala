@@ -458,6 +458,116 @@ object TextAnalysis {
        |ORDER BY n_occ DESC, pair ASC
        |LIMIT $BpeTopK""".stripMargin
 
+  // ------------------------------- BPE training loop (N merges)
+
+  private val BpeMerges = 4
+
+  /** The full BPE training LOOP, [[BpeMerges]] iterations deep: at each
+    * step count adjacent SYMBOL pairs over the vocabulary (a symbol is
+    * an original character or an earlier merge, carried as a sentinel
+    * char \u0001..\u000N), take the argmax (count desc, raw pair asc —
+    * binary string order, identical in both engines), apply it
+    * left-to-right via `replace`, and record the merge rule with its
+    * sentinels EXPANDED to readable text. Output: the learned merge
+    * table (merge_idx, pair, n_occ) — the artifact a tokenizer trainer
+    * ships. Counting is over raw symbol pairs (standard BPE), unlike
+    * [[bpeApplyMerge]]'s display-grained recount.
+    *
+    * Scale shape: the corpus collapses to the weighted vocabulary in
+    * ONE combinable groupBy; each of the N iterations is then a
+    * ~|vocab|-row map + combinable agg + TakeOrdered(1) with a 1-value
+    * driver bridge (the Sennrich word-frequency formulation — N more
+    * passes over the VOCABULARY, never over the corpus). The returned
+    * merge table is driver-built by construction — N rows of training
+    * output, the same bounded bridge as a collected codebook.
+    */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab0 = docs
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .where(length($"tok") >= 2)
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .select($"tok".as("rep"), $"n")
+      .persist()
+    def pairsOf(rep: Column): Column =
+      when(length(rep) >= 2,
+        transform(sequence(lit(1), length(rep) - 1),
+          i => rep.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))
+    var cur = vocab0
+    var expansion = Map.empty[Char, String]
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (it <- 1 to nMerges) {
+      val top = cur
+        .select($"n", explode(pairsOf($"rep")).as("pair"))
+        .groupBy($"pair").agg(sum($"n").as("n_occ"))
+        .orderBy($"n_occ".desc, $"pair".asc)
+        .limit(1)
+        .as[(String, Long)].collect().headOption
+      // corpus exhausted (every token fully merged) — stop early rather
+      // than index into an empty argmax; cannot happen at gate scale
+      if (top.isEmpty)
+        return merges.result().toDF("merge_idx", "pair", "n_occ")
+      val (rawPair, nOcc) = top.get
+      val expanded =
+        rawPair.map(c => expansion.getOrElse(c, c.toString)).mkString
+      val sentinel = it.toChar // \u0001..\u0004
+      expansion += (sentinel -> expanded)
+      merges += ((it, expanded, nOcc))
+      cur = cur.select(
+        call_function("replace", $"rep", lit(rawPair), lit(sentinel.toString))
+          .as("rep"),
+        $"n")
+    }
+    merges.result().toDF("merge_idx", "pair", "n_occ")
+  }
+
+  private def bpeTrainMergesQ(s: SparkSession, dir: String): DataFrame =
+    bpeTrainMerges(Tables.fanOut(Tables.documents(s, dir)))
+
+  /** Chained-CTE mirror of the training loop: v → (p1,t1,v1) → … →
+    * (pN,tN); d_i expands sentinels in t_i's raw pair through the
+    * earlier merges' display texts.
+    */
+  private val bpeTrainOracle = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS (
+             |  SELECT tok AS rep, count(*) AS n FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  WHERE length(tok) >= 2 GROUP BY tok)""".stripMargin
+    def expandSql(i: Int, chExpr: String): String =
+      if (i == 1) chExpr
+      else (1 until i).foldRight(chExpr) { (j, acc) =>
+        s"CASE WHEN $chExpr = chr($j) THEN (SELECT txt FROM d$j) ELSE $acc END"
+      }
+    for (i <- 1 to BpeMerges) {
+      sb ++= s""",
+               |p$i AS (
+               |  SELECT n,
+               |    unnest(list_transform(range(1, length(rep)),
+               |      k -> substr(rep, k, 2))) AS pair
+               |  FROM v${i - 1} WHERE length(rep) >= 2),
+               |t$i AS (
+               |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_occ FROM p$i
+               |  GROUP BY pair ORDER BY n_occ DESC, pair ASC LIMIT 1),
+               |d$i AS (
+               |  SELECT ${expandSql(i, "substr(pair, 1, 1)")} ||
+               |         ${expandSql(i, "substr(pair, 2, 1)")} AS txt
+               |  FROM t$i),
+               |v$i AS (
+               |  SELECT replace(rep, (SELECT pair FROM t$i), chr($i)) AS rep, n
+               |  FROM v${i - 1})""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to BpeMerges).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS merge_idx,
+         |  (SELECT txt FROM d$i) AS pair,
+         |  (SELECT n_occ FROM t$i) AS n_occ""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY merge_idx")
+    sb.toString
+  }
+
   val queries: Seq[Q] = Seq(
     Q("text_nfc_normalize", nfcNormalize, Some(nfcOracle)),
     Q("text_stats", textStats, Some(textStatsOracle)),
@@ -466,5 +576,6 @@ object TextAnalysis {
     Q("corpus_quality_rules", corpusQualityRules, Some(qualityRulesOracle)),
     Q("bpe_pair_counts", bpePairCountsQ, Some(bpePairOracle)),
     Q("bpe_apply_merge", bpeApplyMergeQ, Some(bpeApplyOracle)),
+    Q("bpe_train_merges", bpeTrainMergesQ, Some(bpeTrainOracle)),
     Q("doc_fingerprints", fingerprints, Some(fingerprintsOracle)))
 }

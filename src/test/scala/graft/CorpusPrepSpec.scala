@@ -122,6 +122,54 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got == Seq(("aaa", 2L)))
   }
 
+  test("bpeTrainMerges: hand-traced 3-iteration training run") {
+    // vocab: abab:2, cd:1
+    // it1: ab=4, ba=2, cd=1 → merge "ab"(4); abab→[ab][ab]
+    // it2: ([ab],[ab])=2 beats cd=1 → merge "abab"(2)
+    // it3: only cd remains → merge "cd"(1)
+    val docs = Seq((1L, "abab cd abab")).toDF("doc_id", "text")
+    val got = graft.queries.TextAnalysis.bpeTrainMerges(docs, nMerges = 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "ab", 4L), (2, "abab", 2L), (3, "cd", 1L)))
+  }
+
+  test("bpeTrainMerges: stops early when every token is fully merged") {
+    val docs = Seq((1L, "xy xy")).toDF("doc_id", "text")
+    // it1 merges "xy"(2); nothing is left to pair afterwards
+    val got = graft.queries.TextAnalysis.bpeTrainMerges(docs, nMerges = 4)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "xy", 2L)))
+  }
+
+  test("bpe_train_merges: monotone counts, first merge = round-1 argmax") {
+    val top1 = graft.queries.TextAnalysis.queries
+      .find(_.name == "bpe_pair_counts").get.fn(spark, dir)
+      .as[(String, Long)].collect().head
+    val rows = graft.queries.TextAnalysis.queries
+      .find(_.name == "bpe_train_merges").get.fn(spark, dir)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(rows.size == 4)
+    assert(rows.map(_._1) == Seq(1, 2, 3, 4))
+    assert((rows.head._2, rows.head._3) == top1,
+      s"first learned merge ${rows.head} != round-1 argmax $top1")
+    // counts can only fall or hold as merges consume mass
+    assert(rows.map(_._3) == rows.map(_._3).sorted.reverse)
+  }
+
+  test("corpus_temperature_mix: shares normalize, alpha<1 boosts the tail") {
+    val rows = graft.queries.CorpusSampling.queries
+      .find(_.name == "corpus_temperature_mix").get.fn(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-2)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-2)
+    assert(math.abs(rows.map(_._7).sum - 100000L) <= rows.size)
+    // alpha < 1: boost strictly decreases as natural share grows
+    val byShare = rows.sortBy(_._4)
+    assert(byShare.map(_._6) == byShare.map(_._6).sorted.reverse,
+      s"boost not monotone-decreasing in share: $byShare")
+  }
+
   test("bpe_apply_merge: argmax pair of round 1 is absent at sf0.001") {
     val top1 = graft.queries.TextAnalysis.queries
       .find(_.name == "bpe_pair_counts").get.fn(spark, dir)
