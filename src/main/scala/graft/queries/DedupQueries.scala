@@ -101,6 +101,64 @@ object DedupQueries {
     minhashPairs(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
+  // --------------------- strict band profile (the copy-clique knob)
+
+  private val NumBandsStrict = 2
+  private val RowsPerBandStrict = 4
+  private val StrictMinJaccard = 0.8
+
+  /** The SAME MinHash machinery under the strict band profile — 2 bands
+    * of 4 rows instead of 4 of 2 — plus an est-Jaccard floor of
+    * [[StrictMinJaccard]]. The S-curve P(candidate | J) = 1-(1-J^r)^b
+    * moves from ~0.91 at J=0.67 (loose profile) to ~0.33, while J≥0.9
+    * pairs still collide at ~0.87: moderately-similar pairs stop
+    * becoming candidates AT BANDING TIME, before any join. This is the
+    * documented knob for corpora whose near-dup mass makes even the
+    * TRUE pair set quadratic (the 100x soak's copy-clique shape, where
+    * the loose profile's 29.6M genuine J≈0.67 pairs cost 43 s to
+    * enumerate) — shipped as an oracle-gated query, not a comment.
+    */
+  private def dedupMinhashStrict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docSig = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id",
+        DedupOps.minhashSigNative($"text", ShingleK, NumHashes).as("sig"))
+      .filter($"sig".isNotNull)
+    DedupOps.lshCandidates(docSig, "doc_id", "sig",
+        NumBandsStrict, RowsPerBandStrict)
+      .withColumn("est_jaccard",
+        DedupOps.estimatedJaccard($"sig_a", $"sig_b", NumHashes))
+      .filter($"est_jaccard" >= StrictMinJaccard)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val dedupMinhashStrictOracle = {
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa[${i + 1}] = sb[${i + 1}] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bandMatch = (0 until NumBandsStrict).map { b =>
+      (0 until RowsPerBandStrict)
+        .map(r => s"sa[${b * RowsPerBandStrict + r + 1}] = sb[${b * RowsPerBandStrict + r + 1}]")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val sigExprs = (0 until NumHashes).map(sigComponentSql).mkString("[", ",\n    ", "]")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |hsv AS (
+       |  SELECT doc_id, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig FROM hsv),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ($agree) / ${NumHashes}.0 AS est_jaccard
+       |FROM pairs
+       |WHERE ($bandMatch) AND ($agree) / ${NumHashes}.0 >= $StrictMinJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** The WITH-prefix producing the candidate `cand(doc_a, doc_b,
     * est_jaccard)` relation — shared by three oracles.
     */
@@ -494,6 +552,7 @@ object DedupQueries {
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("decontaminate_overlap", decontaminateOverlap, Some(decontaminateOracle)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
+    Q("dedup_minhash_strict", dedupMinhashStrict, Some(dedupMinhashStrictOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)),

@@ -481,7 +481,12 @@ object TextAnalysis {
     * merge table is driver-built by construction — N rows of training
     * output, the same bounded bridge as a collected codebook.
     */
-  def bpeTrainMerges(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+  /** The training loop's driver state: one (raw pair over the extended
+    * alphabet, expanded display text, count) triple per learned merge.
+    * Stops early if the vocabulary runs out of pairs (toy corpora).
+    */
+  private def trainRawMerges(docs: DataFrame, nMerges: Int)
+      : Seq[(String, String, Long)] = {
     val s = docs.sparkSession
     import s.implicits._
     val vocab0 = docs
@@ -497,40 +502,92 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
     var cur = vocab0
     var expansion = Map.empty[Char, String]
-    val merges = Seq.newBuilder[(Int, String, Long)]
-    for (it <- 1 to nMerges) {
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= nMerges && !exhausted) {
       val top = cur
         .select($"n", explode(pairsOf($"rep")).as("pair"))
         .groupBy($"pair").agg(sum($"n").as("n_occ"))
         .orderBy($"n_occ".desc, $"pair".asc)
         .limit(1)
         .as[(String, Long)].collect().headOption
-      // corpus exhausted (every token fully merged) — stop early rather
-      // than index into an empty argmax; cannot happen at gate scale
-      if (top.isEmpty)
-        return merges.result().toDF("merge_idx", "pair", "n_occ")
-      val (rawPair, nOcc) = top.get
-      val expanded =
-        rawPair.map(c => expansion.getOrElse(c, c.toString)).mkString
-      val sentinel = it.toChar // \u0001..\u0004
-      expansion += (sentinel -> expanded)
-      merges += ((it, expanded, nOcc))
-      cur = cur.select(
-        call_function("replace", $"rep", lit(rawPair), lit(sentinel.toString))
-          .as("rep"),
-        $"n")
+      top match {
+        case None => exhausted = true
+        case Some((rawPair, nOcc)) =>
+          val expanded =
+            rawPair.map(c => expansion.getOrElse(c, c.toString)).mkString
+          val sentinel = it.toChar // \u0001..\u000N
+          expansion += (sentinel -> expanded)
+          merges += ((rawPair, expanded, nOcc))
+          cur = cur.select(
+            call_function("replace", $"rep", lit(rawPair),
+              lit(sentinel.toString)).as("rep"),
+            $"n")
+          it += 1
+      }
     }
-    merges.result().toDF("merge_idx", "pair", "n_occ")
+    merges.result()
+  }
+
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trainRawMerges(docs, nMerges).zipWithIndex
+      .map { case ((_, expanded, nOcc), i) => (i + 1, expanded, nOcc) }
+      .toDF("merge_idx", "pair", "n_occ")
+  }
+
+  /** Train→APPLY, corpus-level: run the [[BpeMerges]]-deep training
+    * loop, then tokenize the whole corpus with the learned merge table
+    * and report per-source compression — whitespace tokens, symbols
+    * before (characters), symbols after the merges, and the ratio. The
+    * application is text-level: merge pairs never contain a space, so
+    * a chained left-to-right `replace` over the full text is exactly
+    * per-token BPE application, one codegen'd pass per merge.
+    *
+    * Scale shape: training touches only the vocabulary (see
+    * [[bpeTrainMerges]]); application + accounting is ONE map pass
+    * over the corpus ending in a |sources|-group combinable agg.
+    */
+  def bpeCompressionBySource(docs: DataFrame,
+      nMerges: Int = BpeMerges): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val merged = trainRawMerges(docs, nMerges).zipWithIndex
+      .foldLeft(col("text")) { case (c, ((rawPair, _, _), i)) =>
+        call_function("replace", c, lit(rawPair), lit((i + 1).toChar.toString))
+      }
+    docs
+      .select($"source",
+        size(TextOps.tokens($"text")).cast("long").as("ws_tokens"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("sym_before"),
+        length(regexp_replace(merged, " ", "")).cast("long").as("sym_after"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ws_tokens").as("ws_tokens"),
+        sum($"sym_before").as("sym_before"),
+        sum($"sym_after").as("sym_after"))
+      .withColumn("compression",
+        round($"sym_after".cast("double") / $"sym_before", 4))
+      .orderBy($"source")
   }
 
   private def bpeTrainMergesQ(s: SparkSession, dir: String): DataFrame =
     bpeTrainMerges(Tables.fanOut(Tables.documents(s, dir)))
 
+  private def bpeCompressionQ(s: SparkSession, dir: String): DataFrame =
+    bpeCompressionBySource(Tables.fanOut(Tables.documents(s, dir)))
+
   /** Chained-CTE mirror of the training loop: v → (p1,t1,v1) → … →
     * (pN,tN); d_i expands sentinels in t_i's raw pair through the
     * earlier merges' display texts.
     */
-  private val bpeTrainOracle = {
+  /** Shared chained-CTE training prefix: v0 (weighted vocabulary) then
+    * (p_i, t_i, d_i, v_i) per iteration — t_i holds the raw argmax
+    * pair, d_i its sentinel-expanded display text.
+    */
+  private def bpeTrainCtes: String = {
     val sb = new StringBuilder
     sb ++= """WITH v0 AS (
              |  SELECT tok AS rep, count(*) AS n FROM (
@@ -559,13 +616,33 @@ object TextAnalysis {
                |  SELECT replace(rep, (SELECT pair FROM t$i), chr($i)) AS rep, n
                |  FROM v${i - 1})""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (1 to BpeMerges).map { i =>
-      s"""SELECT CAST($i AS INTEGER) AS merge_idx,
-         |  (SELECT txt FROM d$i) AS pair,
-         |  (SELECT n_occ FROM t$i) AS n_occ""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY merge_idx")
     sb.toString
+  }
+
+  private val bpeTrainOracle =
+    bpeTrainCtes + "\n" +
+      (1 to BpeMerges).map { i =>
+        s"""SELECT CAST($i AS INTEGER) AS merge_idx,
+           |  (SELECT txt FROM d$i) AS pair,
+           |  (SELECT n_occ FROM t$i) AS n_occ""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY merge_idx")
+
+  private val bpeCompressionOracle = {
+    val mergedText = (1 to BpeMerges).foldLeft("text") { (acc, i) =>
+      s"replace($acc, (SELECT pair FROM t$i), chr($i))"
+    }
+    bpeTrainCtes + s"""
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) AS sym_before,
+       |  CAST(sum(length(replace($mergedText, ' ', ''))) AS BIGINT)
+       |    AS sym_after,
+       |  round(CAST(sum(length(replace($mergedText, ' ', ''))) AS DOUBLE)
+       |    / sum(length(replace(text, ' ', ''))), 4) AS compression
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
@@ -577,5 +654,6 @@ object TextAnalysis {
     Q("bpe_pair_counts", bpePairCountsQ, Some(bpePairOracle)),
     Q("bpe_apply_merge", bpeApplyMergeQ, Some(bpeApplyOracle)),
     Q("bpe_train_merges", bpeTrainMergesQ, Some(bpeTrainOracle)),
+    Q("bpe_compression_by_source", bpeCompressionQ, Some(bpeCompressionOracle)),
     Q("doc_fingerprints", fingerprints, Some(fingerprintsOracle)))
 }

@@ -156,6 +156,45 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows.map(_._3) == rows.map(_._3).sorted.reverse)
   }
 
+  test("bpeCompressionBySource: hand-traced merge application") {
+    // trainer on "abab cd abab" learns ab, [ab][ab], cd then exhausts;
+    // applied text "abab cd abab" -> sym 10 -> "  " -> 3
+    val docs = Seq((1L, "s9", "abab cd abab")).toDF("doc_id", "source", "text")
+    val got = graft.queries.TextAnalysis.bpeCompressionBySource(docs)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s9", 1L, 3L, 10L, 3L, 0.3)))
+  }
+
+  test("bpe_compression_by_source: merges only shrink, ratio in (0,1]") {
+    val rows = graft.queries.TextAnalysis.queries
+      .find(_.name == "bpe_compression_by_source").get.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, ws, before, after, ratio) =>
+      assert(after <= before, s"$src: sym_after $after > sym_before $before")
+      assert(after >= ws, s"$src: fewer symbols than tokens")
+      assert(ratio > 0 && ratio <= 1, s"$src: ratio $ratio out of range")
+    }
+  }
+
+  test("dedup_minhash_strict: subset of the loose profile at J>=0.8") {
+    val loose = graft.queries.DedupQueries.queries
+      .find(_.name == "dedup_minhash_lsh").get.fn(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val strict = graft.queries.DedupQueries.queries
+      .find(_.name == "dedup_minhash_strict").get.fn(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(strict.nonEmpty, "strict profile found no pairs at sf0.001")
+    strict.foreach { case (a, b, j) =>
+      assert(j >= 0.8, s"pair ($a,$b) below the strict floor: $j")
+      // agreeing on a strict 4-row band implies agreeing on both loose
+      // 2-row halves, so strict candidates are a subset of loose ones
+      assert(loose.contains((a, b)),
+        s"strict pair ($a,$b) not produced by the loose profile")
+    }
+  }
+
   test("corpus_temperature_mix: shares normalize, alpha<1 boosts the tail") {
     val rows = graft.queries.CorpusSampling.queries
       .find(_.name == "corpus_temperature_mix").get.fn(spark, dir)
