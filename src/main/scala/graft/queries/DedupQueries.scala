@@ -159,6 +159,72 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------- pair-free LSH dedup (bucket-keeper, O(n·bands))
+
+  /** LSH dedup WITHOUT pair enumeration: a document's keeper is the
+    * minimum doc_id sharing ANY of its band buckets; a document is kept
+    * iff it is the minimum of EVERY bucket it occupies (one-step label
+    * propagation — the standard keep-the-bucket-representative dedup
+    * used in production corpus pipelines). Cost is O(n · numBands) rows
+    * through one groupBy and one keyed join back — NO candidate join,
+    * NO O(pairs) term anywhere.
+    *
+    * This is the scale-correct formulation when the near-dup mass
+    * itself is quadratic: at the 100x soak, the pair-enumerating query
+    * pays ~40 s to list 29.6M genuine pairs, while this one answers the
+    * question dedup actually asks — who stays, who goes, who replaced
+    * whom — in seconds, because copy-cliques cost O(clique) here, not
+    * O(clique²). The pair query remains the right tool when the PAIRS
+    * are the product (audit, similarity graphs); this is the right
+    * default for the drop-duplicates pass.
+    */
+  def lshKeeper(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val docSig = docs
+      .select($"doc_id",
+        DedupOps.minhashSigNative($"text", ShingleK, NumHashes).as("sig"))
+      .filter($"sig".isNotNull)
+    val banded = docSig
+      .select($"doc_id",
+        explode(DedupOps.lshBands($"sig", NumBands, RowsPerBand)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.key".as("key"))
+    val bucketMin = banded.groupBy($"band", $"key")
+      .agg(min($"doc_id").as("m"))
+    banded.join(bucketMin, Seq("band", "key"))
+      .groupBy($"doc_id")
+      .agg(min($"m").as("keeper"))
+      .withColumn("kept", $"keeper" === $"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  private def dedupLshKeeper(s: SparkSession, dir: String): DataFrame =
+    lshKeeper(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val dedupLshKeeperOracle = {
+    val sigExprs = (0 until NumHashes).map(sigComponentSql).mkString("[", ",\n    ", "]")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |hsv AS (
+       |  SELECT doc_id, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig FROM hsv),
+       |b AS (
+       |  $bandRows),
+       |m AS (SELECT band, key, min(doc_id) AS m FROM b GROUP BY band, key)
+       |SELECT b.doc_id, min(m.m) AS keeper, min(m.m) = b.doc_id AS kept
+       |FROM b JOIN m USING (band, key)
+       |GROUP BY b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** The WITH-prefix producing the candidate `cand(doc_a, doc_b,
     * est_jaccard)` relation — shared by three oracles.
     */
@@ -553,6 +619,7 @@ object DedupQueries {
     Q("decontaminate_overlap", decontaminateOverlap, Some(decontaminateOracle)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
     Q("dedup_minhash_strict", dedupMinhashStrict, Some(dedupMinhashStrictOracle)),
+    Q("dedup_lsh_keeper", dedupLshKeeper, Some(dedupLshKeeperOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)),

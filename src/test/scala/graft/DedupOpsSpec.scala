@@ -209,4 +209,41 @@ class DedupOpsSpec extends SparkSpec {
     assert(v1 == v2)
     assert(v1 != v3)
   }
+
+  // ------------------------- pair-free bucket-keeper dedup
+
+  test("lshKeeper: identical docs collapse to the min id, outsider survives") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (10L, same), (11L, same), (12L, same),
+      (20L, "completely different words about query engines and columnar io")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.DedupQueries.lshKeeper(docs)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true)))
+  }
+
+  test("dedup_lsh_keeper agrees with the pair query: every doc_b is dropped") {
+    val dir = "/root/testdata/sf0.001"
+    val keeper = graft.queries.DedupQueries.queries
+      .find(_.name == "dedup_lsh_keeper").get.fn(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // invariants: keeper <= doc_id; kept iff keeper == doc_id
+    keeper.foreach { case (id, (k, kept)) =>
+      assert(k <= id); assert(kept == (k == id))
+    }
+    // a pair (a,b) from the pair query shares a band bucket, so b's
+    // keeper is at most a < b — b can never be kept
+    val pairs = graft.queries.DedupQueries.queries
+      .find(_.name == "dedup_minhash_lsh").get.fn(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, _) =>
+      assert(keeper(b)._1 <= a && !keeper(b)._2,
+        s"pair ($a,$b): doc_b should be dropped, keeper=${keeper(b)}")
+    }
+  }
 }
