@@ -201,7 +201,11 @@ object Analytic {
     * broadcast (PlanAuditSpec gates that shape). Top-20 via TakeOrdered
     * on the rounded score with doc_id tie-break.
     */
-  private def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, micro, terms_hit) BM25 scores in exact integer
+    * micro-units, unlimited — shared by [[bm25Rank]] and the hybrid
+    * RRF retrieval ([[HybridRetrieval]]).
+    */
+  private[queries] def bm25MicroScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val terms = Seq("join", "vector", "slow")
     val dt = Tables.fanOut(Tables.documents(s, dir))
@@ -230,8 +234,14 @@ object Analytic {
       .withColumn("micro",
         round($"idf" * $"tfn" * 1000000, 0).cast("bigint"))
       .groupBy($"doc_id")
-      .agg((sum($"micro").cast("double") / 1000000).as("bm25"),
-        count(lit(1)).as("terms_hit"))
+      .agg(sum($"micro").as("micro"), count(lit(1)).as("terms_hit"))
+  }
+
+  private def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25MicroScores(s, dir)
+      .select($"doc_id", ($"micro".cast("double") / 1000000).as("bm25"),
+        $"terms_hit")
       .orderBy($"bm25".desc, $"doc_id")
       .limit(20)
   }

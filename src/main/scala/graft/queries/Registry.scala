@@ -15,7 +15,8 @@ object Registry {
         Sketches.queries ++ ScaleOps.queries ++ CorpusSampling.queries ++
         CorpusQuality.queries ++ CorpusPrep.queries ++ Graph.queries ++ Ingestion.queries ++ DataQuality.queries ++
         Behavioral.queries ++ Analytic.queries ++ LayoutQueries.queries ++
-        NestedOps.queries ++ LmPipeline.queries ++ LakeOps.queries
+        NestedOps.queries ++ LmPipeline.queries ++ LakeOps.queries ++
+        HybridRetrieval.queries
     // a duplicate name would silently shadow one implementation in the
     // .toMap below — dropping it from bench, verify, AND the oracle gate
     val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }

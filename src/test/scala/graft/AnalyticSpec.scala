@@ -153,4 +153,28 @@ class AnalyticSpec extends SparkSpec {
     // descending by construction
     assert(out.map(_._1).toSeq === out.map(_._1).sortBy(-_).toSeq)
   }
+
+  test("hybrid_rrf_retrieval: fusion arithmetic and list membership") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Registry.queries("hybrid_rrf_retrieval")(spark, dir)
+      .as[(Long, Option[Int], Option[Int], Long)].collect().toSeq
+    assert(rows.size == 10)
+    // ordered by fused score, every row reachable from at least one list
+    assert(rows.map(_._4) == rows.map(_._4).sorted.reverse)
+    def term(r: Option[Int]): Long =
+      r.map(x => math.floor(1e9 / (60 + x)).toLong).getOrElse(0L)
+    rows.foreach { case (id, tr, vr, rrf) =>
+      assert(tr.nonEmpty || vr.nonEmpty, s"doc $id in neither list")
+      tr.foreach(r => assert(r >= 1 && r <= 20))
+      vr.foreach(r => assert(r >= 1 && r <= 20))
+      assert(rrf == term(tr) + term(vr), s"doc $id rrf mismatch")
+    }
+    // the text side is exactly bm25_rank's top-20 doc set
+    val bm25Docs = Registry.queries("bm25_rank")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    rows.foreach { case (id, tr, _, _) =>
+      tr.foreach(_ => assert(bm25Docs.contains(id),
+        s"text-ranked doc $id not in bm25_rank's top-20"))
+    }
+  }
 }
