@@ -29,6 +29,14 @@ class DocCountsSpec extends SparkSpec {
       s"README should say '$word that execute REAL Structured' (registry has $n)")
   }
 
+  test("README's selfcheck 'N/N PASS' comment matches the registry") {
+    val n = graft.queries.Registry.queries.size
+    val claimed = "# (\\d+)/(\\d+) PASS".r.findFirstMatchIn(readme)
+      .map(m => (m.group(1).toInt, m.group(2).toInt))
+    assert(claimed.contains((n, n)),
+      s"README selfcheck comment claims ${claimed.orNull}, registry has $n")
+  }
+
   test("every registry query has an oracle") {
     val qs = graft.queries.Registry.queries.keySet
     val os = graft.queries.Registry.oracleSql.keySet
