@@ -72,9 +72,7 @@ object Tables {
     * repartition doubles as the fan-out, so callers should NOT also
     * wrap the input in [[fanOut]].
     */
-  def barrier(df: DataFrame): DataFrame =
-    if (narrowerThanCores(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    else df
+  def barrier(df: DataFrame): DataFrame = fanOut(df)
 
   private def narrowerThanCores(df: DataFrame): Boolean = {
     val s = df.sparkSession

@@ -246,8 +246,13 @@ object Analytic {
       .limit(20)
   }
 
-  private val bm25Oracle =
-    """WITH dt AS (
+  /** BM25 integer-micro contribution CTEs (`dt`/`dl`/`n`/`avg_dl`/
+    * `dfreq`/`contrib`) — THE oracle mirror of [[bm25MicroScores]],
+    * shared with [[HybridRetrieval]] so a formula tweak cannot make the
+    * two queries' gates disagree about the same scores.
+    */
+  private[queries] val bm25Ctes =
+    """dt AS (
       |  SELECT doc_id, term, count(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |        FROM documents)
@@ -264,7 +269,10 @@ object Analytic {
       |      * 1000000, 0) AS BIGINT) AS micro
       |  FROM dt
       |  JOIN dfreq USING (term)
-      |  JOIN dl USING (doc_id))
+      |  JOIN dl USING (doc_id))""".stripMargin
+
+  private val bm25Oracle =
+    s"""WITH $bm25Ctes
       |SELECT doc_id,
       |  CAST(sum(micro) AS DOUBLE) / 1000000 AS bm25,
       |  CAST(count(*) AS BIGINT) AS terms_hit

@@ -69,24 +69,7 @@ object HybridRetrieval {
   }
 
   private val hybridOracle =
-    s"""WITH dt AS (
-       |  SELECT doc_id, term, count(*) AS tf
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |        FROM documents)
-       |  GROUP BY doc_id, term),
-       |dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY doc_id),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
-       |avg_dl AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
-       |dfreq AS (SELECT term, count(*) AS df FROM dt
-       |          WHERE term IN ('join', 'vector', 'slow') GROUP BY term),
-       |contrib AS (
-       |  SELECT doc_id,
-       |    CAST(round(ln(((SELECT n FROM n) - df + 0.5) / (df + 0.5) + 1)
-       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM avg_dl)))
-       |      * 1000000, 0) AS BIGINT) AS micro
-       |  FROM dt
-       |  JOIN dfreq USING (term)
-       |  JOIN dl USING (doc_id)),
+    s"""WITH ${Analytic.bm25Ctes},
        |scores AS (
        |  SELECT doc_id, CAST(sum(micro) AS BIGINT) AS micro
        |  FROM contrib GROUP BY doc_id),

@@ -342,8 +342,12 @@ object LmPipeline {
     * ORDER BY is oracle determinism). The downstream embedder sees
     * chunks already co-partitioned by source document.
     */
-  def ragChunks(docs: DataFrame, window: Int = RagWindow,
-      stride: Int = RagStride): DataFrame = {
+  /** (doc_id, chunk_id, chunk) sliding-window chunk frame — THE single
+    * definition of the chunk grid, shared by [[ragChunks]] and
+    * [[ragRetrieveE2e]] so the retriever can never drift off the
+    * chunker's windows.
+    */
+  private def chunkFrame(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val toks = TextOps.tokens($"text")
@@ -352,8 +356,14 @@ object LmPipeline {
     val chunks = transform(
       sequence(lit(0), nStarts - 1),
       i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
-    docs
-      .select($"doc_id", posexplode(chunks).as(Seq("chunk_id", "chunk")))
+    docs.select($"doc_id", posexplode(chunks).as(Seq("chunk_id", "chunk")))
+  }
+
+  def ragChunks(docs: DataFrame, window: Int = RagWindow,
+      stride: Int = RagStride): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    chunkFrame(docs, window, stride)
       .select(
         $"doc_id",
         $"chunk_id",
@@ -366,8 +376,11 @@ object LmPipeline {
   private def ragChunkDocs(s: SparkSession, dir: String): DataFrame =
     ragChunks(Tables.fanOut(Tables.documents(s, dir)))
 
-  private val ragChunkOracle =
-    s"""WITH tk AS (
+  /** SQL mirror of [[chunkFrame]] — `tk`/`ch` CTEs shared by the
+    * chunker and retriever oracles.
+    */
+  private val ragChunkCtes =
+    s"""tk AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |ch AS (
        |  SELECT doc_id,
@@ -378,7 +391,10 @@ object LmPipeline {
        |      i -> array_to_string(
        |        toks[i * $RagStride + 1 : i * $RagStride + $RagWindow], ' ')))
        |      AS chunk
-       |  FROM tk)
+       |  FROM tk)""".stripMargin
+
+  private val ragChunkOracle =
+    s"""WITH $ragChunkCtes
        |SELECT doc_id,
        |  CAST(chunk_id AS INTEGER) AS chunk_id,
        |  CAST(chunk_id * $RagStride AS INTEGER) AS start_tok,
@@ -447,13 +463,7 @@ object LmPipeline {
     */
   private def ragRetrieveE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = TextOps.tokens($"text")
-    val nStarts = ceil(size(toks).cast("double") / RagStride).cast("int")
-    val chunkArr = transform(
-      sequence(lit(0), nStarts - 1),
-      i => array_join(slice(toks, i * RagStride + 1, lit(RagWindow)), " "))
-    def chunks = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(chunkArr).as(Seq("chunk_id", "chunk")))
+    def chunks = chunkFrame(Tables.documents(s, dir), RagWindow, RagStride)
     // codebook: first RagCents chunks by (doc_id, chunk_id). Collect the
     // CHUNK STRINGS (a cheap TakeOrdered over the chunker output — no
     // corpus-wide embedding pass) and hash them driver-side.
@@ -505,18 +515,7 @@ object LmPipeline {
       s"""list_transform(range(0, $RagDim), b ->
          |      CAST(len(list_filter($toksExpr, t -> ${hashBucket("t")} = b)) AS BIGINT))"""
         .stripMargin
-    s"""WITH tk AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |ch AS (
-       |  SELECT doc_id,
-       |    unnest(range(0, CAST(ceil(len(toks) / $RagStride.0) AS INT)))
-       |      AS chunk_id,
-       |    unnest(list_transform(
-       |      range(0, CAST(ceil(len(toks) / $RagStride.0) AS INT)),
-       |      i -> array_to_string(
-       |        toks[i * $RagStride + 1 : i * $RagStride + $RagWindow], ' ')))
-       |      AS chunk
-       |  FROM tk),
+    s"""WITH $ragChunkCtes,
        |ce AS (
        |  SELECT doc_id, chunk_id, chunk,
        |    ${embOf("string_split(chunk, ' ')")} AS emb

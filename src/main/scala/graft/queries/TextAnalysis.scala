@@ -379,14 +379,19 @@ object TextAnalysis {
     // TakeOrdered (the codebook-collect pattern; an in-plan 1-row join
     // constant-folds its key and plans the gated BroadcastNestedLoopJoin
     // shape, so the literal is the cleaner form)
-    val mergePair: String = vocab
+    val mergeTop = vocab
       .select($"n_tok", explode(
         transform(sequence(lit(1), length($"tok") - 1),
           i => $"tok".substr(i, lit(2)))).as("pair"))
       .groupBy($"pair").agg(sum($"n_tok").as("n_occ"))
       .orderBy($"n_occ".desc, $"pair".asc)
       .limit(1)
-      .select($"pair").as[String].collect()(0)
+      .select($"pair").as[String].collect().headOption
+    // a corpus with no >=2-char tokens has nothing to merge — mirror
+    // the oracle's empty result instead of indexing an empty argmax
+    if (mergeTop.isEmpty)
+      return Seq.empty[(String, Long)].toDF("pair", "n_occ")
+    val mergePair: String = mergeTop.get
     val sentinel = "\u0001"
     // expand a 1-char symbol back to its text (sentinel → merged pair)
     def expand(sym: Column): Column =
@@ -487,6 +492,10 @@ object TextAnalysis {
     */
   private def trainRawMerges(docs: DataFrame, nMerges: Int)
       : Seq[(String, String, Long)] = {
+    // sentinel alphabet is \u0001..\u001F; at 32 the sentinel would be
+    // the SPACE character and silently splice token boundaries
+    require(nMerges > 0 && nMerges < 32,
+      s"nMerges must be in [1, 31], got $nMerges")
     val s = docs.sparkSession
     import s.implicits._
     val vocab0 = docs
@@ -527,6 +536,9 @@ object TextAnalysis {
           it += 1
       }
     }
+    // safe eager unpersist: the return value is driver-side rows, no
+    // surviving plan references the cached vocabulary
+    vocab0.unpersist(blocking = false)
     merges.result()
   }
 
@@ -613,23 +625,29 @@ object TextAnalysis {
                |         ${expandSql(i, "substr(pair, 2, 1)")} AS txt
                |  FROM t$i),
                |v$i AS (
-               |  SELECT replace(rep, (SELECT pair FROM t$i), chr($i)) AS rep, n
+               |  SELECT replace(rep,
+               |    coalesce((SELECT pair FROM t$i), chr(0)), chr($i)) AS rep, n
                |  FROM v${i - 1})""".stripMargin
     }
     sb.toString
   }
 
+  // each arm emits only if its iteration realized a merge (mirrors the
+  // Spark side's early stop on an exhausted vocabulary)
   private val bpeTrainOracle =
     bpeTrainCtes + "\n" +
       (1 to BpeMerges).map { i =>
         s"""SELECT CAST($i AS INTEGER) AS merge_idx,
            |  (SELECT txt FROM d$i) AS pair,
-           |  (SELECT n_occ FROM t$i) AS n_occ""".stripMargin
+           |  (SELECT n_occ FROM t$i) AS n_occ
+           |WHERE EXISTS (SELECT 1 FROM t$i)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY merge_idx")
 
   private val bpeCompressionOracle = {
+    // coalesce to chr(0): an unrealized merge must be a no-op, not a
+    // NULL that poisons the whole chained replace
     val mergedText = (1 to BpeMerges).foldLeft("text") { (acc, i) =>
-      s"replace($acc, (SELECT pair FROM t$i), chr($i))"
+      s"replace($acc, coalesce((SELECT pair FROM t$i), chr(0)), chr($i))"
     }
     bpeTrainCtes + s"""
        |SELECT source,

@@ -90,11 +90,20 @@ object PdfDataSource {
     * non-default FS settings (credentials, endpoints, buffer sizes)
     * on a real cluster; this is the built-in file sources' pattern.
     */
+  private val confBroadcasts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext,
+        org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]]())
+
   private[sources] def broadcastSessionConf()
       : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] = {
     val s = SparkSession.active
-    s.sparkContext.broadcast(
-      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+    // one broadcast per SparkContext, not per createReaderFactory():
+    // factories are built on every physical plan, and a bench loop
+    // would otherwise accumulate hundreds of live broadcasts. Weak keys
+    // so the cache cannot outlive its context.
+    confBroadcasts.computeIfAbsent(s.sparkContext, sc =>
+      sc.broadcast(new SerializableHadoopConf(s.sessionState.newHadoopConf())))
   }
 
   /** Expand the `path`/`paths` table properties (as DataFrameReader
