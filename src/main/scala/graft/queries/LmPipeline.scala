@@ -286,20 +286,36 @@ object LmPipeline {
     * one scan, one tiny count. All-integer milli-unit arithmetic keeps
     * the gate float-free.
     */
+  /** score_milli of a MATERIALIZED token-array column — the model is a
+    * pure expression, so the same column works on batch and STREAMING
+    * frames alike (the streaming quality gate reuses it verbatim).
+    */
+  private[queries] def classifierScoreCol(toks: Column,
+      buckets: Long = LrBuckets, seed: Int = LrSeed): Column = {
+    val w = (t: Column) =>
+      pmod(TextOps.portableHash64(t, seed), lit(buckets)) * LrMix % LrRange -
+        (LrRange - 1) / 2
+    aggregate(toks, lit(0L), (acc, t) => acc + w(t))
+  }
+
+  /** SQL mirror of [[classifierScoreCol]] over a `toks` list expression
+    * — shared by the batch and streaming gates' oracles.
+    */
+  private[queries] def classifierScoreSql(toksExpr: String): String =
+    s"""CAST(coalesce(list_sum(list_transform($toksExpr, t ->
+       |    ((('0x' || substr(md5('$LrSeed|' || t), 1, 15))::BIGINT % $LrBuckets)
+       |      * $LrMix) % $LrRange - ${(LrRange - 1) / 2})), 0) AS BIGINT)""".stripMargin
+
   def qualityClassifierScore(docs: DataFrame, buckets: Long = LrBuckets,
       seed: Int = LrSeed): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val w = (t: Column) =>
-      pmod(TextOps.portableHash64(t, seed), lit(buckets)) * LrMix % LrRange -
-        (LrRange - 1) / 2
     Tables.barrier(docs
       .select($"doc_id", TextOps.tokens($"text").as("toks")))
       .select(
         $"doc_id",
         size($"toks").as("n_tokens"),
-        aggregate($"toks", lit(0L), (acc, t) => acc + w(t))
-          .as("score_milli"))
+        classifierScoreCol($"toks", buckets, seed).as("score_milli"))
       .withColumn("keep", $"score_milli" >= 0)
       .orderBy($"doc_id")
   }
@@ -312,14 +328,8 @@ object LmPipeline {
   private val qualityClassifierOracle =
     s"""SELECT doc_id,
        |  CAST(len(toks) AS INTEGER) AS n_tokens,
-       |  CAST(coalesce(list_sum(list_transform(toks, t ->
-       |    ((('0x' || substr(md5('$LrSeed|' || t), 1, 15))::BIGINT % $LrBuckets)
-       |      * $LrMix) % $LrRange - ${(LrRange - 1) / 2})), 0) AS BIGINT)
-       |    AS score_milli,
-       |  CAST(coalesce(list_sum(list_transform(toks, t ->
-       |    ((('0x' || substr(md5('$LrSeed|' || t), 1, 15))::BIGINT % $LrBuckets)
-       |      * $LrMix) % $LrRange - ${(LrRange - 1) / 2})), 0) AS BIGINT) >= 0
-       |    AS keep
+       |  ${classifierScoreSql("toks")} AS score_milli,
+       |  ${classifierScoreSql("toks")} >= 0 AS keep
        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
 

@@ -287,7 +287,61 @@ object StreamingGates {
       .orderBy($"user_id", $"session_start")
   }
 
+  // ------------------- streaming corpus quality filter (7th gate)
+
+  /** The LM-pipeline quality classifier run as a STREAMING query: the
+    * documents table streamed file-source style, scored with the exact
+    * expression the batch `quality_classifier_score` uses
+    * ([[LmPipeline.classifierScoreCol]] — the model lives in the
+    * expression, so batch and stream share one definition), aggregated
+    * per source in complete mode, drained to a memory sink, and
+    * compared to the batch DuckDB oracle. This is the "filter the
+    * crawl as it lands" deployment shape of the classifier: stateless
+    * scoring plus one keyed streaming aggregation.
+    */
+  private def streamingQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = s.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 16)
+      // one-char-class glob: FileStreamSource needs a dir or glob (see
+      // readEventsMicros)
+      .parquet(s"$dir/documents.parque[t]")
+    val agg = stream
+      .select($"source", graft.ops.TextOps.tokens($"text").as("toks"))
+      .select($"source", size($"toks").cast("long").as("n_tokens"),
+        LmPipeline.classifierScoreCol($"toks").as("score"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"score" >= 0, 1L).otherwise(0L)).as("n_keep"),
+        sum($"n_tokens").as("tokens"))
+    val name = s"graft_gate_quality_${gateId.incrementAndGet()}"
+    withStreamShuffle(s, 4) {
+      Streaming.runToMemory(agg, name, "complete")
+    }
+    s.table(name).orderBy($"source")
+  }
+
+  private val streamingQualityOracle =
+    s"""SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN ${LmPipeline.classifierScoreSql("toks")} >= 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(len(toks)) AS BIGINT) AS tokens
+       |FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("streaming_quality_filter", streamingQualityFilter,
+      Some(streamingQualityOracle)),
     Q("streaming_session_window", streamingSessionWindow,
       Some(Events.sessionWindowOracle)),
     Q("streaming_interval_join", streamingIntervalJoin,
