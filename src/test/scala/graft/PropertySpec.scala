@@ -118,4 +118,77 @@ class PropertySpec extends SparkSpec {
         .as[Long].collect().distinct.length == 1
     }, minTests = 15)
   }
+
+  /** Driver-side reference BPE trainer — same algorithm on plain Scala
+    * strings (sentinel chars, Java `String.replace` = left-to-right
+    * non-overlapping, tie-break on the raw pair's binary order), used
+    * as a differential oracle for the distributed trainer.
+    */
+  private def refBpeTrain(docs: Seq[String], n: Int): Seq[(Int, String, Long)] = {
+    var vocab: Seq[(String, Long)] = docs
+      .flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    var expansion = Map.empty[Char, String]
+    val out = Seq.newBuilder[(Int, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= n && !done) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (rep, c) =>
+        var i = 0
+        while (i < rep.length - 1) {
+          val p = rep.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (raw, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        val expanded = raw.map(ch => expansion.getOrElse(ch, ch.toString)).mkString
+        expansion += (it.toChar -> expanded)
+        out += ((it, expanded, cnt))
+        vocab = vocab.map { case (rep, c) => (rep.replace(raw, it.toChar.toString), c) }
+        it += 1
+      }
+    }
+    out.result()
+  }
+
+  // lowercase-letter words only: the generator must not emit the
+  // sentinel range the trainer reserves
+  private val bpeDocGen: Gen[String] =
+    Gen.listOf(Gen.choose(1, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.choose('a', 'd')).map(_.mkString)))
+      .map(_.mkString(" ").take(120))
+
+  test("bpeTrainMerges == driver-side reference trainer on random corpora") {
+    check(Prop.forAll(Gen.listOfN(5, bpeDocGen)) { ss =>
+      val docs = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.TextAnalysis.bpeTrainMerges(docs, nMerges = 3)
+        .as[(Int, String, Long)].collect().toSeq
+      got == refBpeTrain(ss, 3)
+    }, minTests = 8)
+  }
+
+  test("lshKeeper drops every injected exact duplicate") {
+    // duplicate each doc once under a higher id: the copy shares every
+    // band bucket with its original, so it can never be kept
+    check(Prop.forAll(Gen.listOfN(4, docGen.suchThat(_.split(" ").length >= 3))) { ss =>
+      val originals = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val copies = ss.zipWithIndex.map { case (s, i) => (100L + i, s) }
+      val got = graft.queries.DedupQueries.lshKeeper(
+          (originals ++ copies).toDF("doc_id", "text"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      copies.forall { case (cid, text) =>
+        // docs shorter than the shingle width have no signature at all
+        // (sig null) and legitimately drop out of the frame
+        !got.contains(cid) || (got(cid)._1 <= cid - 100 && !got(cid)._2)
+      } && originals.forall { case (oid, _) =>
+        !got.contains(oid) || got(oid)._1 <= oid
+      }
+    }, minTests = 8)
+  }
 }
