@@ -474,10 +474,14 @@ object LmPipeline {
   private def ragRetrieveE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def chunks = chunkFrame(Tables.documents(s, dir), RagWindow, RagStride)
-    // codebook: first RagCents chunks by (doc_id, chunk_id). Collect the
-    // CHUNK STRINGS (a cheap TakeOrdered over the chunker output — no
-    // corpus-wide embedding pass) and hash them driver-side.
-    val cents: Array[Array[Long]] = chunks
+    // codebook: first RagCents chunks by (doc_id, chunk_id). Every doc
+    // emits chunk 0, so the globally-first RagCents chunks live inside
+    // the RagCents lowest doc_ids — chunk ONLY those docs for the
+    // collect (a TakeOrdered over <= RagCents documents, not a
+    // corpus-wide chunking pass), then hash the strings driver-side.
+    val cents: Array[Array[Long]] = chunkFrame(
+        Tables.documents(s, dir).orderBy($"doc_id").limit(RagCents),
+        RagWindow, RagStride)
       .orderBy($"doc_id", $"chunk_id").limit(RagCents)
       .select($"chunk").as[String].collect()
       .map(bowOf)
