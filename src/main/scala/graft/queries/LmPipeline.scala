@@ -145,8 +145,11 @@ object LmPipeline {
     bigramLogloss(Tables.fanOut(Tables.documents(s, dir))).orderBy($"doc_id")
   }
 
-  private val bigramOracle =
-    """WITH tk AS (
+  /** Bigram-LM CTE prefix ending in `ll(doc_id, n_bigrams, logloss)` —
+    * shared by the per-doc quality oracle and the CCNet bucket oracle.
+    */
+  private val bigramCtes =
+    """tk AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |bg AS (
       |  SELECT doc_id,
@@ -161,14 +164,97 @@ object LmPipeline {
       |  SELECT doc_id, c,
       |    sum(c) OVER (PARTITION BY bigram) AS cb,
       |    sum(c) OVER (PARTITION BY w1) AS ch
-      |  FROM db)
-      |SELECT doc_id,
-      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
-      |  round(sum(c * ln(CAST(ch AS DOUBLE) / cb)) / CAST(sum(c) AS DOUBLE), 4)
-      |    AS logloss
-      |FROM m
-      |GROUP BY doc_id
+      |  FROM db),
+      |ll AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    round(sum(c * ln(CAST(ch AS DOUBLE) / cb)) / CAST(sum(c) AS DOUBLE), 4)
+      |      AS logloss
+      |  FROM m
+      |  GROUP BY doc_id)""".stripMargin
+
+  private val bigramOracle =
+    s"""WITH $bigramCtes
+      |SELECT doc_id, n_bigrams, logloss FROM ll
       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------- CCNet perplexity buckets (head/middle/tail)
+
+  private val CcnetSampleK = 256
+  private val CcnetSeed = 23
+
+  /** CCNet's head/middle/tail partitioning of a corpus by LM loss
+    * (Wenzek et al. 2020): documents bucketed by their bigram-LM
+    * cross-entropy against tercile thresholds. Thresholds come from a
+    * deterministic [[CcnetSampleK]]-doc sample (bottom-k by portable
+    * hash — the KMV-mergeable sample the quantile suite uses) by EXACT
+    * RANK SELECTION (the 86th and 171st smallest sampled losses), not
+    * interpolation: interpolated quantiles differ across engines in the
+    * last ulp exactly when a document sits on the boundary, while a
+    * rank-selected threshold IS a grid value both engines share.
+    *
+    * Scale shape: the per-doc loss frame reuses [[bigramLogloss]]'s
+    * windowed-model shape; sampling is the two-phase salted bottom-k
+    * (no single-task sort funnel); thresholds are a 2-value driver
+    * bridge; bucketing + the final 3-group aggregation are map-side.
+    * Loss averages aggregate in exact integer micro-units.
+    */
+  private def ccnetPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ll = bigramLogloss(Tables.fanOut(Tables.documents(s, dir)))
+      .withColumn("micro", round($"logloss" * 1e6).cast("bigint"))
+      .persist()
+    val hash = TextOps.portableHash64($"doc_id".cast("string"), CcnetSeed)
+    val w1 = Window.partitionBy($"salt").orderBy($"h", $"doc_id")
+    val w2 = Window.partitionBy().orderBy($"h", $"doc_id")
+    val sample = ll
+      .withColumn("h", hash)
+      .withColumn("salt", pmod($"h", lit(16)))
+      .withColumn("rn", row_number().over(w1))
+      .filter($"rn" <= CcnetSampleK)
+      .withColumn("rn2", row_number().over(w2))
+      .filter($"rn2" <= CcnetSampleK)
+      .select($"logloss", $"doc_id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sorted
+    require(sample.length >= 171,
+      s"CCNet bucket thresholds need >= 171 sampled docs, got ${sample.length}")
+    val (t1, t2) = (sample(85)._1, sample(170)._1)
+    val bucket = when($"logloss" <= t1, "head")
+      .when($"logloss" <= t2, "middle").otherwise("tail")
+    ll.withColumn("bucket", bucket)
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_bigrams").as("n_bigrams"),
+        sum($"micro").as("s_micro"))
+      .select($"bucket", $"n_docs", $"n_bigrams",
+        round($"s_micro".cast("double") / $"n_docs" / 1e6, 4).as("avg_logloss"))
+      .orderBy($"bucket")
+  }
+
+  private val ccnetOracle =
+    s"""WITH $bigramCtes,
+      |sh AS (
+      |  SELECT logloss, doc_id,
+      |    ('0x' || substr(md5('$CcnetSeed|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM ll),
+      |sample AS (
+      |  SELECT logloss, doc_id FROM sh ORDER BY h, doc_id LIMIT $CcnetSampleK),
+      |t1 AS (SELECT logloss AS t FROM sample ORDER BY logloss, doc_id LIMIT 1 OFFSET 85),
+      |t2 AS (SELECT logloss AS t FROM sample ORDER BY logloss, doc_id LIMIT 1 OFFSET 170),
+      |b AS (
+      |  SELECT CASE WHEN logloss <= (SELECT t FROM t1) THEN 'head'
+      |              WHEN logloss <= (SELECT t FROM t2) THEN 'middle'
+      |              ELSE 'tail' END AS bucket,
+      |    n_bigrams,
+      |    CAST(round(logloss * 1e6) AS BIGINT) AS micro
+      |  FROM ll)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1e6, 4) AS avg_logloss
+      |FROM b
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
 
   // --------------------------------------- DSIR importance weighting
 
@@ -562,6 +648,7 @@ object LmPipeline {
   def queries: Seq[Q] = Seq(
     Q("chunk_dedup_docs", chunkDedupDocs, Some(chunkDedupOracle)),
     Q("bigram_lm_quality", bigramLmQuality, Some(bigramOracle)),
+    Q("ccnet_perplexity_buckets", ccnetPerplexityBuckets, Some(ccnetOracle)),
     Q("dsir_importance_weights", dsirImportanceWeights, Some(dsirOracle)),
     Q("quality_classifier_score", qualityClassifierDocs,
       Some(qualityClassifierOracle)),

@@ -200,6 +200,24 @@ class LmPipelineSpec extends SparkSpec {
     assert(mt > mr, s"mean target logweight $mt <= mean rest $mr")
   }
 
+  // ---------------------------------- CCNet perplexity buckets
+
+  test("ccnet_perplexity_buckets: terciles partition, losses ordered") {
+    val rows = run("ccnet_perplexity_buckets")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq("head", "middle", "tail"))
+    val total = rows.map(_._2).sum
+    // buckets partition the scored corpus (docs with >= 2 tokens)
+    val scored = run("bigram_lm_quality").count()
+    assert(total == scored, s"bucket docs $total != scored docs $scored")
+    // sampled terciles: each bucket holds a nontrivial share
+    rows.foreach { case (b, n, _, _) =>
+      assert(n >= total / 10, s"bucket $b suspiciously small: $n/$total") }
+    // CCNet ordering: head is the most fluent (lowest mean loss)
+    val byName = rows.map(r => r._1 -> r._4).toMap
+    assert(byName("head") < byName("middle") && byName("middle") < byName("tail"))
+  }
+
   // ------------------------------------ RAG end-to-end retrieval
 
   test("rag_retrieve_e2e: top-k ranked by exact integer inner product") {

@@ -46,7 +46,7 @@ for (q <- Seq("q01_pricing_summary","q03_shipping_priority","q05_region_revenue"
               "rag_retrieve_e2e","bpe_apply_merge","bpe_train_merges",
               "bpe_compression_by_source","corpus_temperature_mix",
               "dedup_minhash_strict","dedup_lsh_keeper","hybrid_rrf_retrieval",
-              "streaming_quality_filter")) {
+              "streaming_quality_filter","ccnet_perplexity_buckets")) {
   val plan = Registry.queries(q)(spark, "/root/testdata/sf0.01").queryExecution.executedPlan.toString
   def n(p: String) = p.r.findAllIn(plan).length
   sb ++= s"## $q\n\n"
