@@ -154,4 +154,30 @@ object TextOps {
     */
   def portableHashBase(c: Column): Column =
     conv(substring(md5(concat(lit("0|"), c)), 1, 7), 16, 10).cast("long")
+
+  /** Canonical-URL normalization — the CCNet/RefinedWeb provenance key
+    * (one fetched page under many spellings must dedup to ONE corpus
+    * entry). Pure regexp chain, fully codegen'd, mirrored verbatim by
+    * the DuckDB oracle (Spark `regexp_replace` is global by default;
+    * the SQL mirror passes 'g'):
+    *  1. lowercase (hosts are case-insensitive; the synthetic corpus
+    *     carries no case-sensitive paths),
+    *  2. drop the fragment (`#...` never reaches the server),
+    *  3. drop the `http(s)://` scheme and a leading `www.`,
+    *  4. drop tracking parameters (`utm_*`, `fbclid`, `gclid`) wherever
+    *     they sit in the query string, then tidy the separators they
+    *     leave behind (`?&` → `?`, trailing `?`/`&`),
+    *  5. drop a trailing slash.
+    * Non-tracking query parameters SURVIVE — `?page=2` is a different
+    * resource, not a different spelling.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(lower(url), "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noTrack =
+      regexp_replace(noWww, "(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*&?", "")
+    val tidy = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+    regexp_replace(tidy, "/$", "")
+  }
 }

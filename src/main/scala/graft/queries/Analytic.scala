@@ -213,6 +213,13 @@ object Analytic {
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
       .persist()
+    // no eager unpersist for dt/dl: the RETURNED plan still references
+    // both caches (dt filtered to the query terms, dl joined back), so
+    // unpersisting here would recompute the corpus scan at action time
+    // and defeat the single-scan shape. Growth is bounded: plan-level
+    // dedup in the CacheManager keys both entries on the same logical
+    // plan per (dir), so bench/soak loops reuse rather than accumulate,
+    // and LRU owns eviction (the CorpusPrep.unigramQuality convention).
     val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl")).persist()
     // corpus scalars: N docs, average document length (one-row bridges).
     // N comes from the persisted per-doc frame, NOT a second scan of the

@@ -293,7 +293,16 @@ object CorpusPrep {
     * passage); the default keeps everything.
     */
   def sharedPassages(docs: DataFrame, k: Int,
-      dfCap: Int = Int.MaxValue): DataFrame = {
+      dfCap: Int = Int.MaxValue): DataFrame =
+    sharedPassagePairs(docs, k, dfCap)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[sharedPassages]] without the final presentation sort — the
+    * shared core for the unordered pair frame, so the bounded top-N
+    * variant can window over it without a wasted pre-sort.
+    */
+  private def sharedPassagePairs(docs: DataFrame, k: Int,
+      dfCap: Int): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = split($"text", " ")
     val grams = when(size(toks) >= k,
@@ -324,7 +333,40 @@ object CorpusPrep {
       .agg(
         (max($"run") + (k - 1)).as("max_run_tokens"),
         sum($"run").as("n_gram_matches"))
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Partners kept per document in the bounded shared-passage report. */
+  private val TopPassages = 3
+
+  /** Bounded-output shared-passage report: for EVERY document, its
+    * [[TopPassages]] longest shared passages (run length desc, partner
+    * id asc), symmetric — a passage shared by A and B surfaces under
+    * both, so each doc's report is complete regardless of id order.
+    *
+    * This is the variant a 100 TB dedup pass actually persists:
+    * [[sharedPassages]] emits one row per near-duplicate PAIR, which on
+    * clique-structured duplicate mass is output-quadratic (the measured
+    * 27.7x soak tail), while this report is <= [[TopPassages]] rows per
+    * document no matter how dup-dense the corpus gets. The pair frame
+    * still exists upstream, but it collapses through a per-doc window
+    * rank BEFORE any output materializes — cost past the (stop-gram
+    * capped) fingerprint join tracks documents, not pair mass.
+    */
+  def sharedPassagesTopN(docs: DataFrame, k: Int, dfCap: Int,
+      n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = sharedPassagePairs(docs, k, dfCap)
+    val sym = pairs.select($"doc_a".as("doc_id"), $"doc_b".as("partner"),
+        $"max_run_tokens", $"n_gram_matches")
+      .unionAll(pairs.select($"doc_b".as("doc_id"), $"doc_a".as("partner"),
+        $"max_run_tokens", $"n_gram_matches"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"max_run_tokens".desc, $"partner".asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= n)
+      .select($"doc_id", $"rank", $"partner", $"max_run_tokens",
+        $"n_gram_matches")
+      .orderBy($"doc_id", $"rank")
   }
 
   /** Occurrence cap for the stop-gram cut (see [[sharedPassages]]): a
@@ -339,8 +381,16 @@ object CorpusPrep {
       Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"), col("text")),
       RunK, GramDfCap)
 
-  private val substringOracle =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def sharedPassagesTopNQ(s: SparkSession, dir: String): DataFrame =
+    sharedPassagesTopN(
+      Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"), col("text")),
+      RunK, GramDfCap, TopPassages)
+
+  /** CTE prefix shared by the two substring-dedup oracles: positioned
+    * capped k-gram fingerprints → pair matches → gaps-and-islands runs.
+    */
+  private val substringCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |gr AS (SELECT doc_id,
        |         CASE WHEN len(toks) >= $RunK THEN
        |           list_transform(generate_series(1, len(toks) - $RunK + 1),
@@ -362,7 +412,10 @@ object CorpusPrep {
        |                                ORDER BY pa) AS grp
        |      FROM m),
        |runs AS (SELECT doc_a, doc_b, count(*) AS run
-       |         FROM r GROUP BY doc_a, doc_b, diag, grp)
+       |         FROM r GROUP BY doc_a, doc_b, diag, grp)""".stripMargin
+
+  private val substringOracle =
+    s"""WITH $substringCtes
        |SELECT doc_a, doc_b,
        |  CAST(max(run) + ${RunK - 1} AS BIGINT) AS max_run_tokens,
        |  CAST(sum(run) AS BIGINT) AS n_gram_matches
@@ -370,11 +423,32 @@ object CorpusPrep {
        |GROUP BY doc_a, doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val topPassagesOracle =
+    s"""WITH $substringCtes,
+       |pairs AS (SELECT doc_a, doc_b,
+       |    CAST(max(run) + ${RunK - 1} AS BIGINT) AS max_run_tokens,
+       |    CAST(sum(run) AS BIGINT) AS n_gram_matches
+       |  FROM runs GROUP BY doc_a, doc_b),
+       |sym AS (
+       |  SELECT doc_a AS doc_id, doc_b AS partner,
+       |    max_run_tokens, n_gram_matches FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, max_run_tokens, n_gram_matches FROM pairs),
+       |rk AS (SELECT doc_id, partner, max_run_tokens, n_gram_matches,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY max_run_tokens DESC, partner ASC) AS "rank"
+       |  FROM sym)
+       |SELECT doc_id, CAST("rank" AS INTEGER) AS "rank", partner,
+       |  max_run_tokens, n_gram_matches
+       |FROM rk WHERE "rank" <= $TopPassages
+       |ORDER BY doc_id, "rank"""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     Q("corpus_pipeline_e2e", corpusPipelineE2e, Some(pipelineE2eOracle)),
     Q("tfidf_keywords", tfidfKeywords, Some(tfidfOracle)),
     Q("unigram_quality", unigramQuality, Some(unigramOracle)),
     Q("pii_redact", piiRedact, Some(piiOracle)),
-    Q("substring_dedup", substringDedup, Some(substringOracle)))
+    Q("substring_dedup", substringDedup, Some(substringOracle)),
+    Q("shared_passages_topn", sharedPassagesTopNQ, Some(topPassagesOracle)))
 }

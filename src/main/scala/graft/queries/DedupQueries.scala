@@ -172,11 +172,21 @@ object DedupQueries {
     * This is the scale-correct formulation when the near-dup mass
     * itself is quadratic: at the 100x soak, the pair-enumerating query
     * pays ~40 s to list 29.6M genuine pairs, while this one answers the
-    * question dedup actually asks — who stays, who goes, who replaced
-    * whom — in seconds, because copy-cliques cost O(clique) here, not
-    * O(clique²). The pair query remains the right tool when the PAIRS
-    * are the product (audit, similarity graphs); this is the right
-    * default for the drop-duplicates pass.
+    * question dedup actually asks — who stays, who goes — in seconds,
+    * because copy-cliques cost O(clique) here, not O(clique²). The pair
+    * query remains the right tool when the PAIRS are the product
+    * (audit, similarity graphs); this is the right default for the
+    * drop-duplicates pass.
+    *
+    * `keeper` is the ONE-STEP bucket minimum, not the final surviving
+    * representative: in a chain 3→2→1 where doc 2 is itself dropped,
+    * doc 3's keeper reads 2. The kept/dropped PARTITION is still exact
+    * (kept ⟺ keeper == doc_id — a doc whose keeper is dropped is
+    * itself transitively dropped, correctly). When the replaced-by
+    * chain must resolve to final survivors, compose with the
+    * fixed-point machinery that already exists for exactly this:
+    * `dedup_clusters` ([[DedupOps]] min-label propagation) maps every
+    * doc to its component representative.
     */
   def lshKeeper(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -614,8 +624,102 @@ object DedupQueries {
        |FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN bj USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------- canonical-URL provenance dedup
+
+  /** DuckDB mirror of [[TextOps.canonicalUrl]] — the same regexp chain
+    * applied to a SQL expression; the tracking-parameter strip passes
+    * 'g' because DuckDB's regexp_replace is first-match by default
+    * where Spark's is global.
+    */
+  private def canonicalUrlSql(e: String): String = {
+    val steps: Seq[(String, String, Boolean)] = Seq(
+      ("#.*$", "", false),
+      ("^https?://", "", false),
+      ("^www\\.", "", false),
+      ("(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*&?", "", true),
+      ("\\?&", "?", false),
+      ("[?&]$", "", false),
+      ("/$", "", false))
+    steps.foldLeft(s"lower($e)") { case (acc, (re, rep, g)) =>
+      s"regexp_replace($acc, '$re', '$rep'${if (g) ", 'g'" else ""})"
+    }
+  }
+
+  /** The CCNet/RefinedWeb provenance gate: normalize each document's
+    * URL to its canonical form and keep only the NEWEST fetch per
+    * canonical key — one corpus entry per real resource, however many
+    * spellings the crawl saw. The corpus carries no URL column, so both
+    * engines derive the same synthetic provenance from doc_id/source:
+    * 49 shared paths (not source-qualified: source is doc_id mod 20, so any source-qualified doc_id-derived key would be collision-free by CRT and the collapse vacuous) (49 is co-prime with the 5-way spelling variant, so every path family genuinely mixes spellings), five URL spellings
+    * (plain, trailing slash, www + tracking params, uppercase scheme +
+    * fragment, and a REAL `?page=2` param that must stay distinct), and
+    * a fetch timestamp (doc_id·37 mod 1000).
+    *
+    * Scale shape: the keep-newest is `max(struct(fetch_ts, doc_id))` —
+    * ONE combinable groupBy shuffle on the canonical key (argmax by
+    * lexicographic struct ordering), not a window + filter: partial
+    * aggregation absorbs the per-key mass map-side, so a hot URL
+    * (every crawl has one) never concentrates rows on one reducer the
+    * way a row_number partition would.
+    */
+  private def canonicalUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val variant = pmod($"doc_id", lit(5))
+    val raw = concat(
+      when(variant === 2, lit("https://www."))
+        .when(variant === 3, lit("HTTPS://WWW."))
+        .otherwise(lit("https://")),
+      lit("example.org/page/"),
+      pmod($"doc_id", lit(49)).cast("string"),
+      when(variant === 1, lit("/"))
+        .when(variant === 2, lit("?utm_source=feed&utm_campaign=mail"))
+        .when(variant === 3, lit("#frag"))
+        .when(variant === 4, lit("?page=2"))
+        .otherwise(lit("")))
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id",
+        TextOps.canonicalUrl(raw).as("canonical_url"),
+        pmod($"doc_id" * 37, lit(1000)).as("fetch_ts"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_variants"),
+        max(struct($"fetch_ts", $"doc_id")).as("k"))
+      .select($"canonical_url", $"n_variants",
+        $"k.doc_id".as("kept_doc_id"), $"k.fetch_ts".as("kept_ts"))
+      .orderBy($"canonical_url")
+  }
+
+  private val canonicalUrlOracle =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 5 = 2 THEN 'https://www.'
+       |          WHEN doc_id % 5 = 3 THEN 'HTTPS://WWW.'
+       |          ELSE 'https://' END)
+       |    || 'example.org/page/' || CAST(doc_id % 49 AS VARCHAR)
+       |    || (CASE WHEN doc_id % 5 = 1 THEN '/'
+       |             WHEN doc_id % 5 = 2 THEN '?utm_source=feed&utm_campaign=mail'
+       |             WHEN doc_id % 5 = 3 THEN '#frag'
+       |             WHEN doc_id % 5 = 4 THEN '?page=2'
+       |             ELSE '' END) AS raw_url,
+       |    (doc_id * 37) % 1000 AS fetch_ts
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, fetch_ts,
+       |    ${canonicalUrlSql("raw_url")} AS canonical_url
+       |  FROM u),
+       |r AS (
+       |  SELECT canonical_url, fetch_ts, doc_id,
+       |    row_number() OVER (PARTITION BY canonical_url
+       |      ORDER BY fetch_ts DESC, doc_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY canonical_url) AS n_variants
+       |  FROM c)
+       |SELECT canonical_url, CAST(n_variants AS BIGINT) AS n_variants,
+       |  doc_id AS kept_doc_id, fetch_ts AS kept_ts
+       |FROM r WHERE rn = 1
+       |ORDER BY canonical_url""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    Q("canonical_url_dedup", canonicalUrlDedup, Some(canonicalUrlOracle)),
     Q("decontaminate_overlap", decontaminateOverlap, Some(decontaminateOracle)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
     Q("dedup_minhash_strict", dedupMinhashStrict, Some(dedupMinhashStrictOracle)),

@@ -183,6 +183,73 @@ object LmPipeline {
   private val CcnetSampleK = 256
   private val CcnetSeed = 23
 
+  /** Vocabulary bound for the CCNet bucket model: the scoring LM is cut
+    * to the [[CcnetVocabV]] most frequent bigrams corpus-wide (count
+    * desc, bigram asc — a total order both engines share, since bigrams
+    * are unique after the count agg). CCNet itself scores against a
+    * FIXED pretrained LM (Wenzek et al. 2020 use KenLM with a closed
+    * vocabulary); a corpus-grown unbounded model is the part that does
+    * not scale — its two window sums shuffle the full (doc, bigram)
+    * frame, measured at 52 s on the 100x soak (the r13 `weak`). The
+    * top-V cut makes the model a FIXED-WIDTH artifact: V rows collected
+    * once (the bounded codebook-collect bridge), rejoined broadcast, so
+    * scoring is one corpus pass. Out-of-vocabulary bigrams contribute
+    * nothing to a document's loss (the closed-vocab convention); a
+    * document with no in-vocab bigram drops out of the loss frame,
+    * exactly as sub-2-token documents already do. 512 is below the
+    * synthetic corpus's ~916 distinct bigrams, so the cut is REAL in
+    * the oracle-gated run, not a vacuous pass-through.
+    */
+  private val CcnetVocabV = 512
+
+  /** Per-doc (doc_id, bigram, c) counts — the corpus-sized combinable
+    * reduction both the model cut and the scoring pass start from.
+    */
+  private def docBigramCounts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", explode(bigramsOf($"text")).as("bigram"))
+      .groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-document cross-entropy against the top-`v` closed-vocabulary
+    * bigram model (see [[CcnetVocabV]]). The model — (bigram, pair
+    * count cb, head count ch = sum of in-vocab cb sharing the first
+    * word) — is computed EAGERLY once at call time (a v-row driver
+    * bridge) and rejoined as an explicit broadcast, so each evaluation
+    * of the returned frame is ONE corpus pass: tokenize → (doc, bigram)
+    * agg → broadcast join → per-doc agg. Deliberately NOT persisted:
+    * the bucket query evaluates the frame twice (threshold sample, then
+    * bucketing) and eats the second pass so the bench watermark prices
+    * the COLD path — a persist here survives between bench passes and
+    * turns the committed number into a cache-hit measurement.
+    */
+  def bigramLoglossTopV(docs: DataFrame, v: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val db = docBigramCounts(docs)
+    val vocab: Array[(String, Long)] = db
+      .groupBy($"bigram").agg(sum($"c").as("cb"))
+      .orderBy($"cb".desc, $"bigram".asc)
+      .limit(v)
+      .select($"bigram", $"cb").as[(String, Long)].collect()
+    // head totals over the CLOSED vocabulary, driver-side over v rows
+    val ch: Map[String, Long] = vocab
+      .groupBy { case (bigram, _) => bigram.takeWhile(_ != ' ') }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val model = vocab.toSeq
+      .map { case (bigram, cb) => (bigram, cb, ch(bigram.takeWhile(_ != ' '))) }
+      .toDF("bigram", "cb", "ch")
+    db.join(broadcast(model), "bigram")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_bigrams"),
+        round(sum($"c" * log($"ch" / $"cb")) / sum($"c").cast("double"), 4)
+          .as("logloss"))
+  }
+
   /** CCNet's head/middle/tail partitioning of a corpus by LM loss
     * (Wenzek et al. 2020): documents bucketed by their bigram-LM
     * cross-entropy against tercile thresholds. Thresholds come from a
@@ -193,17 +260,23 @@ object LmPipeline {
     * last ulp exactly when a document sits on the boundary, while a
     * rank-selected threshold IS a grid value both engines share.
     *
-    * Scale shape: the per-doc loss frame reuses [[bigramLogloss]]'s
-    * windowed-model shape; sampling is the two-phase salted bottom-k
-    * (no single-task sort funnel); thresholds are a 2-value driver
-    * bridge; bucketing + the final 3-group aggregation are map-side.
-    * Loss averages aggregate in exact integer micro-units.
+    * Scale shape: the per-doc loss frame is [[bigramLoglossTopV]]'s
+    * closed-vocabulary broadcast-model pass (NOT the corpus-grown
+    * windowed model — see [[CcnetVocabV]]); sampling is the two-phase
+    * salted bottom-k (no single-task sort funnel); thresholds are a
+    * 2-value driver bridge; bucketing + the final 3-group aggregation
+    * are map-side. Loss averages aggregate in exact integer
+    * micro-units. The loss frame is evaluated twice (sample, then
+    * bucket) with NO persist between: the second corpus pass is the
+    * price of an honest cold benchmark watermark, and it is cheap now
+    * that the model is a broadcast join instead of two full-frame
+    * window shuffles.
     */
   private def ccnetPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ll = bigramLogloss(Tables.fanOut(Tables.documents(s, dir)))
+    val ll = bigramLoglossTopV(
+      Tables.fanOut(Tables.documents(s, dir)), CcnetVocabV)
       .withColumn("micro", round($"logloss" * 1e6).cast("bigint"))
-      .persist()
     val hash = TextOps.portableHash64($"doc_id".cast("string"), CcnetSeed)
     val w1 = Window.partitionBy($"salt").orderBy($"h", $"doc_id")
     val w2 = Window.partitionBy().orderBy($"h", $"doc_id")
@@ -232,8 +305,39 @@ object LmPipeline {
       .orderBy($"bucket")
   }
 
+  /** CTE prefix mirroring [[bigramLoglossTopV]]: db (per-doc bigram
+    * counts) → vocab (top-[[CcnetVocabV]] by count desc, bigram asc) →
+    * model (cb + closed-vocab head totals ch) → ll (per-doc loss over
+    * in-vocab bigrams only).
+    */
+  private val ccnetCtes =
+    s"""tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(2, len(toks) + 1),
+      |      i -> toks[i - 1] || ' ' || toks[i])) AS bigram
+      |  FROM tk WHERE len(toks) >= 2),
+      |db AS (
+      |  SELECT doc_id, bigram, count(*) AS c
+      |  FROM bg GROUP BY doc_id, bigram),
+      |vocab AS (
+      |  SELECT bigram, sum(c) AS cb FROM db GROUP BY bigram
+      |  ORDER BY cb DESC, bigram ASC LIMIT $CcnetVocabV),
+      |model AS (
+      |  SELECT bigram, cb,
+      |    sum(cb) OVER (PARTITION BY string_split(bigram, ' ')[1]) AS ch
+      |  FROM vocab),
+      |ll AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    round(sum(c * ln(CAST(ch AS DOUBLE) / cb)) / CAST(sum(c) AS DOUBLE), 4)
+      |      AS logloss
+      |  FROM db JOIN model USING (bigram)
+      |  GROUP BY doc_id)""".stripMargin
+
   private val ccnetOracle =
-    s"""WITH $bigramCtes,
+    s"""WITH $ccnetCtes,
       |sh AS (
       |  SELECT logloss, doc_id,
       |    ('0x' || substr(md5('$CcnetSeed|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h

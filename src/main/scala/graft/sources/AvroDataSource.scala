@@ -42,22 +42,24 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
+    // capture the PLANNING session (see PdfDataSource.broadcastSessionConf)
     new AvroTable(schema,
-      PdfDataSource.resolvePaths(properties).filter(_.endsWith(".avro")))
+      PdfDataSource.resolvePaths(properties).filter(_.endsWith(".avro")),
+      SparkSession.active)
 }
 
-private[sources] class AvroTable(tableSchema: StructType, files: Seq[String])
-    extends Table with SupportsRead {
+private[sources] class AvroTable(tableSchema: StructType, files: Seq[String],
+    session: SparkSession) extends Table with SupportsRead {
   override def name(): String = s"graft-avro(${files.length} files)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(tableSchema, files)
+    new AvroScanBuilder(tableSchema, files, session)
 }
 
 private[sources] class AvroScanBuilder(tableSchema: StructType,
-    files: Seq[String])
+    files: Seq[String], session: SparkSession)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -66,11 +68,12 @@ private[sources] class AvroScanBuilder(tableSchema: StructType,
     required = StructType(
       tableSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new AvroScan(tableSchema, files, required)
+  override def build(): Scan =
+    new AvroScan(tableSchema, files, required, session)
 }
 
 private[sources] class AvroScan(tableSchema: StructType, files: Seq[String],
-    required: StructType) extends Scan with Batch {
+    required: StructType, session: SparkSession) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -83,7 +86,7 @@ private[sources] class AvroScan(tableSchema: StructType, files: Seq[String],
   // sources' broadcast-conf pattern
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(tableSchema, required,
-      PdfDataSource.broadcastSessionConf())
+      PdfDataSource.broadcastSessionConf(session))
 }
 
 private[sources] class AvroReaderFactory(tableSchema: StructType,
@@ -102,6 +105,14 @@ private[sources] class AvroReaderFactory(tableSchema: StructType,
   * positional corruption); a field the plan knows but the file lacks
   * reads as null — the same mergeSchema-style drift tolerance as the
   * parquet path.
+  *
+  * The container is decoded BLOCK-INCREMENTALLY off the open Hadoop
+  * input stream (`DataFileStream` buffers one compressed block at a
+  * time), never via a whole-file `readAllBytes`: a 100 TB lake has
+  * Avro containers beyond any single-buffer limit, and peak reader
+  * memory must track the BLOCK size a writer chose, not the file size
+  * an accumulation schedule produced. (`DataFileStream.close()` closes
+  * the underlying stream.)
   */
 private[sources] class AvroPartitionReader(file: String,
     tableSchema: StructType, required: StructType,
@@ -111,11 +122,7 @@ private[sources] class AvroPartitionReader(file: String,
   private val reader = {
     val path = new Path(file)
     val fs = path.getFileSystem(bconf.value.value)
-    require(fs.getFileStatus(path).getLen <= Int.MaxValue,
-      s"$file exceeds 2 GiB — single-buffer avro parse unsupported")
-    val in = fs.open(path)
-    val bytes = try in.readAllBytes() finally in.close()
-    AvroSource.openBytes(bytes)
+    AvroSource.openStream(fs.open(path))
   }
 
   private val picks: Array[(String, org.apache.spark.sql.types.DataType)] =

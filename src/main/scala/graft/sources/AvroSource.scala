@@ -110,9 +110,11 @@ object AvroSource {
     fs.delete(new Path(path), true)
     fs.mkdirs(new Path(path))
     // broadcast the session Hadoop conf so executor-side FS creation
-    // honors cluster FS settings (same pattern as the DSv2 readers)
-    val bconf = df.sparkSession.sparkContext.broadcast(
-      new SerializableHadoopConf(sessionConf))
+    // honors cluster FS settings — through the per-session CACHE the
+    // DSv2 readers share, not a fresh broadcast per write call: a loop
+    // of writes would otherwise accumulate live broadcasts (the exact
+    // leak the reader-side cache was added to avoid)
+    val bconf = PdfDataSource.broadcastSessionConf(df.sparkSession)
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
@@ -148,12 +150,27 @@ object AvroSource {
 
   // -------------------------------------------------------------- read
 
-  /** Parse one container file's bytes to (writer schema, records). */
+  /** Parse one container file's bytes to (writer schema, records) —
+    * the in-memory entry point (unit tests, small sidecar files).
+    */
   private[sources] def openBytes(bytes: Array[Byte])
       : DataFileReader[GenericRecord] =
     new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(bytes),
       new GenericDatumReader[GenericRecord]())
+
+  /** Block-incremental container decode off an open input stream — the
+    * executor-side scan path. `DataFileStream` holds ONE compressed
+    * block in memory at a time, so arbitrarily large containers read in
+    * bounded memory; closing the stream via the reader's close() closes
+    * the underlying input. The constructor parses magic + metadata
+    * eagerly, so a corrupt header fails at open, not mid-scan.
+    */
+  private[sources] def openStream(in: java.io.InputStream)
+      : DataFileStream[GenericRecord] =
+    try new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    catch { case e: Throwable => in.close(); throw e }
 
   /** Writer schema of a container file, read driver-side. Streams ONLY
     * the header: `DataFileStream`'s constructor parses magic + metadata

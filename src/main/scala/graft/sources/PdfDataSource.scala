@@ -40,8 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    in `.explain` as PushedFilters.
   *
   * Executors re-open files through the Hadoop FileSystem for the
-  * path's scheme using the SESSION Hadoop conf, broadcast at
-  * `createReaderFactory()` time via [[SerializableHadoopConf]] — so
+  * path's scheme using the OWNING session's Hadoop conf — captured at
+  * `getTable()` time, broadcast via [[SerializableHadoopConf]] — so
   * credentialed/endpoint-configured filesystems work the same as in
   * the built-in file sources.
   */
@@ -53,7 +53,9 @@ class PdfDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new PdfTable(PdfDataSource.resolvePaths(properties))
+    // capture the PLANNING session here (getTable runs driver-side
+    // inside load(), where active == the session planning this scan)
+    new PdfTable(PdfDataSource.resolvePaths(properties), SparkSession.active)
 }
 
 /** Java-serializable Hadoop `Configuration` carrier for broadcasting
@@ -82,28 +84,34 @@ object PdfDataSource {
     StructField("line_no", LongType, nullable = false),
     StructField("line", StringType)))
 
-  /** Broadcast the ACTIVE session's Hadoop conf for executor-side
+  /** Broadcast a session's Hadoop conf for executor-side
     * `Path.getFileSystem` calls — shared by every graft DSv2 reader
-    * factory (pdf/xlsx/avro). Called driver-side from
-    * `createReaderFactory()`, where `SparkSession.active` is valid.
-    * An executor-local `new Configuration()` would silently drop
+    * factory (pdf/xlsx/avro) and the Avro writer. The OWNING session is
+    * captured at `getTable()` time (where the planning session is the
+    * active one) and threaded down to `createReaderFactory()` — NOT
+    * re-resolved via `SparkSession.active` at factory time, which in a
+    * multi-session application can name a different session than the
+    * one that planned the scan and silently ship the wrong Hadoop conf.
+    * An executor-local `new Configuration()` would likewise drop
     * non-default FS settings (credentials, endpoints, buffer sizes)
     * on a real cluster; this is the built-in file sources' pattern.
     */
   private val confBroadcasts =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      new java.util.WeakHashMap[SparkSession,
         org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]]())
 
-  private[sources] def broadcastSessionConf()
+  private[sources] def broadcastSessionConf(s: SparkSession)
       : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] = {
-    val s = SparkSession.active
-    // one broadcast per SparkContext, not per createReaderFactory():
+    // one broadcast per SESSION, not per createReaderFactory() call:
     // factories are built on every physical plan, and a bench loop
-    // would otherwise accumulate hundreds of live broadcasts. Weak keys
-    // so the cache cannot outlive its context.
-    confBroadcasts.computeIfAbsent(s.sparkContext, sc =>
-      sc.broadcast(new SerializableHadoopConf(s.sessionState.newHadoopConf())))
+    // would otherwise accumulate hundreds of live broadcasts. Keyed by
+    // session (not SparkContext) so two sessions with different Hadoop
+    // confs on one context each get their own; weak keys so the cache
+    // cannot outlive its session.
+    confBroadcasts.computeIfAbsent(s, s2 =>
+      s2.sparkContext.broadcast(
+        new SerializableHadoopConf(s2.sessionState.newHadoopConf())))
   }
 
   /** Expand the `path`/`paths` table properties (as DataFrameReader
@@ -137,16 +145,17 @@ object PdfDataSource {
   }
 }
 
-private[sources] class PdfTable(files: Seq[String]) extends Table with SupportsRead {
+private[sources] class PdfTable(files: Seq[String], session: SparkSession)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-pdf(${files.length} files)"
   override def schema(): StructType = PdfDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PdfScanBuilder(files)
+    new PdfScanBuilder(files, session)
 }
 
-private[sources] class PdfScanBuilder(files: Seq[String])
+private[sources] class PdfScanBuilder(files: Seq[String], session: SparkSession)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -186,12 +195,12 @@ private[sources] class PdfScanBuilder(files: Seq[String])
       // equality values name either the full URI or a bare file name
       else files.filter(f => kept.forall(v =>
         f == v || f.endsWith("/" + v.stripPrefix("/"))))
-    new PdfScan(files2, required, pushed)
+    new PdfScan(files2, required, pushed, session)
   }
 }
 
 private[sources] class PdfScan(files: Seq[String], required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], session: SparkSession) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -200,7 +209,7 @@ private[sources] class PdfScan(files: Seq[String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => PdfInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PdfReaderFactory(required, PdfDataSource.broadcastSessionConf())
+    new PdfReaderFactory(required, PdfDataSource.broadcastSessionConf(session))
 }
 
 private[sources] final case class PdfInputPartition(file: String)

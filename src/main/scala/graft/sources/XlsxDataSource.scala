@@ -67,8 +67,9 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
+    // capture the PLANNING session (see PdfDataSource.broadcastSessionConf)
     new XlsxTable(schema, PdfDataSource.resolvePaths(properties),
-      XlsxOptions(properties))
+      XlsxOptions(properties), SparkSession.active)
 }
 
 object XlsxDataSource {
@@ -91,17 +92,17 @@ private[sources] object XlsxOptions {
 }
 
 private[sources] class XlsxTable(tableSchema: StructType, files: Seq[String],
-    opts: XlsxOptions) extends Table with SupportsRead {
+    opts: XlsxOptions, session: SparkSession) extends Table with SupportsRead {
   override def name(): String = s"graft-xlsx(${files.length} files)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsxScanBuilder(tableSchema, files, opts)
+    new XlsxScanBuilder(tableSchema, files, opts, session)
 }
 
 private[sources] class XlsxScanBuilder(tableSchema: StructType,
-    files: Seq[String], opts: XlsxOptions)
+    files: Seq[String], opts: XlsxOptions, session: SparkSession)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -131,13 +132,13 @@ private[sources] class XlsxScanBuilder(tableSchema: StructType,
       if (kept.isEmpty) files
       else files.filter(f => kept.forall(v =>
         f == v || f.endsWith("/" + v.stripPrefix("/"))))
-    new XlsxScan(tableSchema, files2, opts, required, pushed)
+    new XlsxScan(tableSchema, files2, opts, required, pushed, session)
   }
 }
 
 private[sources] class XlsxScan(tableSchema: StructType, files: Seq[String],
-    opts: XlsxOptions, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    opts: XlsxOptions, required: StructType, pushed: Array[Filter],
+    session: SparkSession) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -147,7 +148,7 @@ private[sources] class XlsxScan(tableSchema: StructType, files: Seq[String],
     files.map(f => PdfInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxReaderFactory(tableSchema, opts, required,
-      PdfDataSource.broadcastSessionConf())
+      PdfDataSource.broadcastSessionConf(session))
 }
 
 private[sources] class XlsxReaderFactory(tableSchema: StructType,

@@ -87,4 +87,31 @@ class AvroSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported column type"))
   }
+  test("multi-block container streams block-incrementally, larger than one buffer") {
+    // Force MANY avro blocks in one container: 20k rows with ~1 KiB
+    // payloads against the writer's default ~64 KiB sync interval →
+    // hundreds of data blocks. The DSv2 reader must decode them off the
+    // open stream (DataFileStream) — a whole-file readAllBytes path had
+    // a hard 2 GiB ceiling this test's contract forbids reintroducing.
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_blk").toString
+    val n = 20000
+    import spark.implicits._
+    val df = spark.range(n).toDF("id")
+      .withColumn("pad",
+        org.apache.spark.sql.functions.concat_ws("",
+          org.apache.spark.sql.functions.array_repeat(
+            org.apache.spark.sql.functions.format_string("%09d",
+              org.apache.spark.sql.functions.col("id")), 100)))
+      .coalesce(1) // ONE container file → all rows through one stream
+    AvroSource.write(df, dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1)
+    val back = AvroSource.read(spark, dir)
+    assert(back.count() == n)
+    // spot-check content integrity at both ends of the block sequence
+    val ends = back.select($"id", org.apache.spark.sql.functions.length($"pad"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(ends.head == (0L, 900) && ends.last == ((n - 1).toLong, 900))
+    assert(ends.map(_._1).toSeq == (0L until n.toLong))
+  }
 }

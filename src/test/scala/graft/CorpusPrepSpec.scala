@@ -66,6 +66,28 @@ class CorpusPrepSpec extends SparkSpec {
     assert(graft.queries.CorpusPrep.sharedPassages(docs, 12).count() == 0)
   }
 
+  test("sharedPassagesTopN: symmetric, ranked by run length, capped at n") {
+    // doc 1 shares a 15-token passage with doc 2 and a 13-token passage
+    // with doc 3; docs 2 and 3 share nothing (their filler differs)
+    val p15 = (1 to 15).map(i => s"p$i").mkString(" ")
+    val p13 = (1 to 13).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $p15 beta $p13 gamma"),
+      (2L, s"x y z $p15 w"),
+      (3L, s"m n $p13 o k")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.CorpusPrep
+      .sharedPassagesTopN(docs, 12, Int.MaxValue, 1)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // n=1: each doc reports only its LONGEST partner; doc 1's rank-1 is
+    // doc 2 (15 > 13), and the symmetric orientation gives docs 2 and 3
+    // their own row even though both pairs were mined as doc_a = 1
+    assert(got == Seq(
+      (1L, 1, 2L, 15L, 4L),
+      (2L, 1, 1L, 15L, 4L),
+      (3L, 1, 1L, 13L, 2L)))
+  }
+
   test("pii_redact: planted PII is counted and scrubbed deterministically") {
     val rows = run("pii_redact")
       .as[(Long, Int, Int, String)].collect().toSeq
@@ -163,6 +185,37 @@ class CorpusPrepSpec extends SparkSpec {
     val got = graft.queries.TextAnalysis.bpeCompressionBySource(docs)
       .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq(("s9", 1L, 3L, 10L, 3L, 0.3)))
+  }
+
+  test("bpeVocabTokenize: hand-traced greedy longest-match + rolling hash") {
+    // 1 merge on {"abab" x1, "ab" x1, "xy" x1}: pair counts ab:3, ba:1,
+    // xy:1 → vocab = {"ab"}. Doc 1 "abab ab" tokenizes ab|ab|' '|ab:
+    // 4 emits, 1 space → n_tokens 3; hash over lens [2,2,1,2]:
+    // ((((0·31+2)·31+2)·31+1)·31+2) = 61537. Doc 2 "xy" has no vocab
+    // hit: lens [1,1] → n_tokens 2, hash 31+1 = 32.
+    val docs = Seq((1L, "abab ab"), (2L, "xy")).toDF("doc_id", "text")
+    val got = graft.queries.TextAnalysis.bpeVocabTokenize(docs, nMerges = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L, 3L, 61537L), (2L, 2L, 2L, 32L)))
+  }
+
+  test("bpeVocabTokenize: maximal munch prefers the longest vocab entry") {
+    // 2 merges on "aaaa" x3: round 1 merges "aa" (sentinel S1), round 2
+    // merges S1S1 → vocab = {"aa", "aaaa"}. Greedy on "aaaa" takes ONE
+    // 4-char token (not two 2-char ones): lens [4] → n_tokens 1, hash 4.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = graft.queries.TextAnalysis.bpeVocabTokenize(docs, nMerges = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1L, 4L)))
+  }
+
+  test("requireSentinelSafe: control characters in tokens fail loudly") {
+    val docs = Seq((1L, "okbad ok")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TextAnalysis.bpeTrainMerges(docs, nMerges = 1).collect()
+    }
+    assert(e.getMessage.contains("control characters"))
+    assert(e.getMessage.contains("U+0001"))
   }
 
   test("bpe_compression_by_source: merges only shrink, ratio in (0,1]") {

@@ -246,4 +246,26 @@ class DedupOpsSpec extends SparkSpec {
         s"pair ($a,$b): doc_b should be dropped, keeper=${keeper(b)}")
     }
   }
+  test("canonicalUrl: spellings collapse, real params survive") {
+    val urls = Seq(
+      "https://example.org/page/7",
+      "https://example.org/page/7/",
+      "https://www.example.org/page/7?utm_source=feed&utm_campaign=mail",
+      "HTTPS://WWW.example.org/page/7#frag",
+      "https://example.org/page/7?page=2",
+      // tracking param BETWEEN real params: separators must be tidied
+      "https://example.org/page/7?a=1&utm_source=x&b=2",
+      // tracking param FIRST, real param after
+      "https://example.org/page/7?utm_medium=y&b=2"
+    ).toDF("u").select(graft.ops.TextOps.canonicalUrl($"u"))
+      .as[String].collect().toSeq
+    assert(urls == Seq(
+      "example.org/page/7",
+      "example.org/page/7",
+      "example.org/page/7",
+      "example.org/page/7",
+      "example.org/page/7?page=2",
+      "example.org/page/7?a=1&b=2",
+      "example.org/page/7?b=2"))
+  }
 }

@@ -83,6 +83,33 @@ class LmPipelineSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 0.0)))
   }
 
+  test("bigramLoglossTopV: OOV bigrams don't score; empty docs drop out") {
+    // counts: "a b" x3, "b a" x2, "c d" x1 → v=1 keeps only "a b"
+    // (cb=3, head total ch=3). Doc 1 scores over its in-vocab mass
+    // only: 3·ln(3/3)/3 = 0 with n_bigrams counting IN-VOCAB bigrams;
+    // doc 2's sole bigram is out-of-vocab, so it leaves the loss frame
+    // entirely (the closed-vocab convention).
+    val docs = Seq((1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = LmPipeline.bigramLoglossTopV(docs, 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0.0)))
+  }
+
+  test("bigramLoglossTopV: head totals are over the CLOSED vocab only") {
+    // all four bigrams ("a b", "b a", "a c", "d e") count 1; the v=2
+    // tie-break (count desc, bigram ASC) keeps {"a b", "a c"}. Head 'a'
+    // total ch = 2 — over the CLOSED vocab, not the corpus (which has
+    // three 'a'-headed occurrences if "b a" were miscounted in). Doc 1
+    // loss = (ln(2/1) + ln(2/1)) / 2 = ln 2 over its 2 in-vocab
+    // bigrams; doc 2 ("d e") drops.
+    val docs = Seq((1L, "a b a c"), (2L, "d e")).toDF("doc_id", "text")
+    val got = LmPipeline.bigramLoglossTopV(docs, 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 2L, ln2)))
+  }
+
   test("bigramLogloss: branching context raises loss; hand value matches") {
     // corpus: "a b" x1 and "a c" x1 → p(b|a) = p(c|a) = 1/2,
     // each doc's loss = ln 2
@@ -207,7 +234,10 @@ class LmPipelineSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(rows.map(_._1) == Seq("head", "middle", "tail"))
     val total = rows.map(_._2).sum
-    // buckets partition the scored corpus (docs with >= 2 tokens)
+    // buckets partition the SCORED corpus: docs holding >= 1 in-vocab
+    // bigram under the top-V closed-vocab model. On this corpus every
+    // >=2-token doc does, so the count matches the unbounded scorer's
+    // (a doc-dropping vocab cut here would be a semantics regression)
     val scored = run("bigram_lm_quality").count()
     assert(total == scored, s"bucket docs $total != scored docs $scored")
     // sampled terciles: each bucket holds a nontrivial share
