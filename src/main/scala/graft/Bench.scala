@@ -134,6 +134,14 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       passes(name) = passes.getOrElse(name, Vector.empty) :+ (sec, ok)
+      // cold-honest watermarks (r13 lesson: a query that persists an
+      // intermediate survives into its OWN next pass via CacheManager
+      // plan-dedup, and min-of-passes then records a cache hit as the
+      // query's cost). Clearing between passes — outside the timed
+      // region — makes every committed minimum a from-scratch number.
+      // No cross-query cache reuse is intended anywhere in the registry.
+      try spark.catalog.clearCache()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     def okTimes(name: String): Vector[Double] =

@@ -355,11 +355,17 @@ object CorpusPrep {
   def sharedPassagesTopN(docs: DataFrame, k: Int, dfCap: Int,
       n: Int): DataFrame = {
     import docs.sparkSession.implicits._
+    // both orientations via ONE explode, not a self-union: unionAll of
+    // two selects over the same pair frame would recompute the whole
+    // fingerprint-join pipeline twice (observed in the plan audit as a
+    // doubled exchange count)
     val pairs = sharedPassagePairs(docs, k, dfCap)
-    val sym = pairs.select($"doc_a".as("doc_id"), $"doc_b".as("partner"),
-        $"max_run_tokens", $"n_gram_matches")
-      .unionAll(pairs.select($"doc_b".as("doc_id"), $"doc_a".as("partner"),
-        $"max_run_tokens", $"n_gram_matches"))
+    val sym = pairs.select(explode(array(
+        struct($"doc_a".as("doc_id"), $"doc_b".as("partner"),
+          $"max_run_tokens", $"n_gram_matches"),
+        struct($"doc_b".as("doc_id"), $"doc_a".as("partner"),
+          $"max_run_tokens", $"n_gram_matches"))).as("e"))
+      .select($"e.*")
     val w = Window.partitionBy($"doc_id")
       .orderBy($"max_run_tokens".desc, $"partner".asc)
     sym.withColumn("rank", row_number().over(w))
