@@ -134,6 +134,16 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       passes(name) = passes.getOrElse(name, Vector.empty) :+ (sec, ok)
+      // the NonFatal filter above can't see an OOM thrown on a Spark
+      // internal thread (task-result-getter): it kills the context, and
+      // the main loop then "times" every remaining query as a fast
+      // failure against a stopped SparkContext (observed: one heap OOM
+      // → 149 bogus FAILED lines). A dead context means NOTHING further
+      // can be measured — abort the whole run instead.
+      if (spark.sparkContext.isStopped)
+        throw new IllegalStateException(
+          s"[bench] SparkContext died during '$name' (likely an executor" +
+            "-thread OOM) — aborting: later timings would be meaningless")
       // cold-honest watermarks (r13 lesson: a query that persists an
       // intermediate survives into its OWN next pass via CacheManager
       // plan-dedup, and min-of-passes then records a cache hit as the

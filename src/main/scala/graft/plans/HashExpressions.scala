@@ -90,6 +90,31 @@ case class Simhash(child: Expression, bits: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Positioned k-gram hashes (index = start token position); empty
+  * array for docs shorter than k tokens — posexplode row parity with
+  * the HOF form it replaces.
+  */
+case class PosGramHashes(child: Expression, k: Int)
+    extends TextHashUnaryExpression {
+  override def prettyName: String = "pos_gram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.posGramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.HashKernels.posGramHashes($c, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def shingleHashSet(text: Column, k: Int, sorted: Boolean): Column =
     SqlBridge.column(ShingleHashSet(SqlBridge.expression(text), k, sorted))
@@ -97,4 +122,6 @@ object HashExpressions {
     SqlBridge.column(MinhashSig(SqlBridge.expression(text), k, numHashes))
   def simhash(text: Column, bits: Int, seed: Int): Column =
     SqlBridge.column(Simhash(SqlBridge.expression(text), bits, seed))
+  def posGramHashes(text: Column, k: Int): Column =
+    SqlBridge.column(PosGramHashes(SqlBridge.expression(text), k))
 }

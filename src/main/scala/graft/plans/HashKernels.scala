@@ -160,4 +160,42 @@ object HashKernels {
     }
     sim
   }
+
+  /** POSITIONED k-gram hashes: element i = 60-bit md5-prefix hash
+    * (seed 0) of the space-joined gram starting at token i — the
+    * substring-dedup fingerprint (`reference project-dask.py`'s shared-
+    * passage intent), index order preserved so `posexplode` yields
+    * (pos, h) directly. Bit-identical to the HOF form
+    * `transform(sequence(0, n-k), i -> portableHash64(concat_ws(' ',
+    * slice(toks, i+1, k)), 0))` and the oracle's
+    * `('0x'||substr(md5('0|'||gram),1,15))::BIGINT`, but ONE kernel
+    * call per row: the HOF tree re-evaluates an interpreted
+    * md5→hex-substring→conv chain per WINDOW, ~3.5× the digest work,
+    * on the hottest frame the passage queries own (28 M windows at the
+    * 100× soak). Returns an EMPTY array (not null) for docs shorter
+    * than k tokens — the exact `otherwise(array())` the HOF form used,
+    * so downstream `posexplode` row counts are unchanged.
+    */
+  def posGramHashes(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val toks = splitTokens(text)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val pre = seedPrefix(0)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(96)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = md5Prefix(pre, sb.toString.getBytes("UTF-8"), 15)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

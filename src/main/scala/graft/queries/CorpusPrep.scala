@@ -304,11 +304,14 @@ object CorpusPrep {
   private def sharedPassagePairs(docs: DataFrame, k: Int,
       dfCap: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = split($"text", " ")
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => TextOps.portableHash64(concat_ws(" ", slice(toks, i + 1, lit(k))), 0)))
-      .otherwise(array().cast("array<long>"))
+    // native kernel, one call per row (HashKernels.posGramHashes) —
+    // bit-identical to the HOF executable spec
+    //   transform(sequence(0, size(toks) - k),
+    //     i => portableHash64(concat_ws(" ", slice(toks, i+1, k)), 0))
+    // which re-evaluated an interpreted md5→hex→conv tree per WINDOW;
+    // this fingerprint build dominated both passage queries at the
+    // 100× soak (28 M windows; CorpusPrepSpec pins kernel≡HOF parity)
+    val grams = graft.plans.HashExpressions.posGramHashes($"text", k)
     val g0 = docs.select($"doc_id", posexplode(grams).as(Seq("pos", "h")))
     val g =
       if (dfCap == Int.MaxValue) g0

@@ -229,7 +229,17 @@ object LmPipeline {
   def bigramLoglossTopV(docs: DataFrame, v: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // (doc_id, bigram, c) feeds TWO jobs — the vocabulary count and the
+    // scoring join — and unpersisted each re-runs the text parse +
+    // bigram explode + count shuffle, the two corpus-sized passes in
+    // this query. Persisting the POST-shuffle frame trades one extra
+    // materialization (≈ the shuffle files the count already writes,
+    // MEMORY_AND_DISK so it spills rather than evicts) for half the
+    // corpus scans — the same call CCNet itself makes when it
+    // materializes LM training counts. Cold-honest: Bench clears the
+    // cache between passes, so the watermark prices the build.
     val db = docBigramCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab: Array[(String, Long)] = db
       .groupBy($"bigram").agg(sum($"c").as("cb"))
       .orderBy($"cb".desc, $"bigram".asc)
@@ -274,9 +284,21 @@ object LmPipeline {
     */
   private def ccnetPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The per-doc loss frame feeds TWO actions (threshold-sample
+    // collect, then the bucket agg); unpersisted it is recomputed for
+    // the second — and each recompute re-runs the corpus bigram scan
+    // twice (vocab count + scoring join), i.e. four corpus passes per
+    // query. Persist is bounded and 100-TB-safe: three narrow columns,
+    // one row per DOCUMENT (not per bigram — the ~n_docs·avg_bigrams
+    // model rows never enter the cache), MEMORY_AND_DISK so an
+    // executor under pressure spills instead of evicting to recompute.
+    // No eager unpersist: the returned plan still references the cache
+    // (Analytic.scala:174 has the same shape); Bench clears the cache
+    // between passes, so the committed watermark prices this cold.
     val ll = bigramLoglossTopV(
       Tables.fanOut(Tables.documents(s, dir)), CcnetVocabV)
       .withColumn("micro", round($"logloss" * 1e6).cast("bigint"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hash = TextOps.portableHash64($"doc_id".cast("string"), CcnetSeed)
     val w1 = Window.partitionBy($"salt").orderBy($"h", $"doc_id")
     val w2 = Window.partitionBy().orderBy($"h", $"doc_id")

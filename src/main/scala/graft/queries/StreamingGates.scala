@@ -66,6 +66,35 @@ object StreamingGates {
     try body finally s.conf.set(key, old)
   }
 
+  /** Stream shuffle width sized to the DATA, not the CPU count. The
+    * fixed width 4 this replaces was right at harness scale (tens of
+    * thousands of keys — store init, per-batch delta files, and
+    * snapshot upkeep are pure fixed cost) but wrong by this file's own
+    * design rule at the 100× soak, where it pushed ~10 M state keys
+    * through 4 single-threaded state stores. One state-store instance
+    * materializes per shuffle partition per stateful operator, so the
+    * width IS the state-shard count: grant one shard per ~16 MB of
+    * source parquet (a proxy for key volume), floored at 4 so the
+    * small-scale fixed cost stays negligible, capped at the core count
+    * so a 100-TB source asks for executors, not for more shards than
+    * this host can run.
+    */
+  private[graft] def streamWidth(s: SparkSession, dir: String,
+      table: String = "events"): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+    streamWidthFor(bytes(new java.io.File(s"$dir/$table.parquet")),
+      s.sparkContext.defaultParallelism)
+  }
+
+  /** One state shard per ~16 MB of source, floored at 4 (fixed cost
+    * stays negligible when state is small), capped at the core count
+    * (floor wins when they conflict: 4 shards on 2 cores is still
+    * cheap; 2 shards on 10 M keys is not).
+    */
+  private[graft] def streamWidthFor(bytes: Long, cores: Int): Int =
+    math.max(4, math.min(cores, (bytes / (16L << 20)).toInt))
+
   private def readEventsMicros(s: SparkSession, dir: String): DataFrame = {
     val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val raw = s.readStream
@@ -94,6 +123,10 @@ object StreamingGates {
     val stream = readEventsMicros(s, dir)
       .withColumn("value", Exact.micro("value").cast("double"))
     val name = s"graft_gate_tumbling_${gateId.incrementAndGet()}"
+    // state here is bounded by KEYS (#hours × #event types — dozens of
+    // rows at any corpus size), not input rows: wider shards are pure
+    // fixed cost (measured: 1.6 s → 2.8 s at 100× under width 12), so
+    // this gate keeps the floor where the row-state gates size by data
     withStreamShuffle(s, 4) {
       Streaming.runToMemory(Streaming.tumblingCounts(stream), name, "complete")
     }
@@ -125,7 +158,7 @@ object StreamingGates {
     import s.implicits._
     val doubled = readEventsMicros(s, dir).union(readEventsMicros(s, dir))
     val name = s"graft_gate_dedup_${gateId.incrementAndGet()}"
-    withStreamShuffle(s, 4) {
+    withStreamShuffle(s, streamWidth(s, dir)) {
       Streaming.runToMemory(Streaming.dedupStream(doubled), name, "append")
     }
     s.table(name)
@@ -167,7 +200,7 @@ object StreamingGates {
     val clicks = readEventsMicros(s, dir).filter($"event_type" === "click")
     val purchases = readEventsMicros(s, dir).filter($"event_type" === "purchase")
     val name = s"graft_gate_ivj_${gateId.incrementAndGet()}"
-    withStreamShuffle(s, 4) {
+    withStreamShuffle(s, streamWidth(s, dir)) {
       Streaming.runToMemory(
         Streaming.intervalJoin(clicks, purchases, bound = "30 minutes"),
         name, "append")
@@ -200,6 +233,10 @@ object StreamingGates {
     import s.implicits._
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_gate_upsert").toString
+    // the stream reduces each batch to one row PER USER before the
+    // merge, so shuffle width tracks user cardinality, not event rows —
+    // bounded key-state, floor width (measured: width 12 only added
+    // fixed cost at 100×)
     val state = withStreamShuffle(s, 4) {
       Streaming.foreachBatchUpsert(readEventsMicros(s, dir), stateDir)
     }
@@ -236,6 +273,8 @@ object StreamingGates {
     // harness artifact never becomes the scale ceiling
     val slice = readEventsMicros(s, dir).filter(pmod($"user_id", lit(50)) === 0)
     val name = s"graft_gate_enrich_${gateId.incrementAndGet()}"
+    // STATELESS per-batch broadcast join — no state store exists to
+    // shard, so shuffle width buys nothing here: floor
     withStreamShuffle(s, 4) {
       Streaming.runToMemory(
         Streaming.enrichStream(slice, dim, "user_id"),
@@ -277,7 +316,7 @@ object StreamingGates {
     val stream = readEventsMicros(s, dir)
       .withColumn("value", Exact.micro("value").cast("double"))
     val name = s"graft_gate_session_${gateId.incrementAndGet()}"
-    withStreamShuffle(s, 4) {
+    withStreamShuffle(s, streamWidth(s, dir)) {
       Streaming.runToMemory(Streaming.sessionCounts(stream), name, "complete")
     }
     s.table(name)
@@ -323,7 +362,7 @@ object StreamingGates {
         sum(when($"score" >= 0, 1L).otherwise(0L)).as("n_keep"),
         sum($"n_tokens").as("tokens"))
     val name = s"graft_gate_quality_${gateId.incrementAndGet()}"
-    withStreamShuffle(s, 4) {
+    withStreamShuffle(s, streamWidth(s, dir, table = "documents")) {
       Streaming.runToMemory(agg, name, "complete")
     }
     s.table(name).orderBy($"source")

@@ -277,4 +277,32 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows.exists(r => r._1.length > 2 && r._1.contains(top1)),
       s"no composition of merged pair $top1 in ${rows.map(_._1)}")
   }
+
+  test("posGramHashes kernel is bit-identical to the HOF executable spec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 12
+    // 15 tokens (three windows), exactly k (one window), k-1 (empty
+    // array, not null — posexplode row parity), empty string (split
+    // keeps the empty token: 1 token, < k, empty array)
+    val docs = Seq(
+      (1L, (1 to 15).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 11).map(i => s"u$i").mkString(" ")),
+      (4L, "")).toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val hof = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => graft.ops.TextOps.portableHash64(
+          concat_ws(" ", slice(toks, i + 1, lit(k))), 0)))
+      .otherwise(array().cast("array<long>"))
+    val both = docs.select($"doc_id",
+      graft.plans.HashExpressions.posGramHashes($"text", k).as("kern"),
+      hof.as("spec"))
+    val rows = both.as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+    rows.foreach { case (id, kern, spec) =>
+      assert(kern == spec, s"doc $id: kernel $kern != HOF spec $spec")
+    }
+    assert(rows.map(_._2.size).toSeq == Seq(4, 1, 0, 0))
+  }
 }

@@ -291,4 +291,27 @@ class StreamingSpec extends SparkSpec {
       1L, Seq(SessionEvent(1L, 30L)), prior, gapUs = 80)
     assert(c3 == List(SessionOut(1L, 30L, 30L, 1L, "late")) && s3 == prior)
   }
+
+  test("streamWidth sizes state shards to source bytes, floored and capped") {
+    import graft.queries.StreamingGates.streamWidthFor
+    val mb = 1L << 20
+    // harness scale: tiny source → the fixed-cost floor
+    assert(streamWidthFor(2 * mb, 32) == 4)
+    assert(streamWidthFor(0L, 32) == 4)
+    // 100x soak scale: ~200 MB of events parquet → one shard per 16 MB
+    assert(streamWidthFor(204 * mb, 32) == 12)
+    // capped at the host's cores — more shards than cores buys nothing
+    assert(streamWidthFor(4096 * mb, 32) == 32)
+    // floor wins over the cap on a tiny host: 4 shards on 2 cores is
+    // still cheap, 2 shards on large state is not
+    assert(streamWidthFor(4096 * mb, 2) == 4)
+    // the file-backed wrapper agrees with the pure sizing on a real dir
+    val dir = Files.createTempDirectory("graft_width").toString
+    val f = new java.io.RandomAccessFile(s"$dir/events.parquet", "rw")
+    f.setLength(200 * mb) // sparse: logical length, no disk
+    f.close()
+    val expected = streamWidthFor(200 * mb,
+      spark.sparkContext.defaultParallelism)
+    assert(graft.queries.StreamingGates.streamWidth(spark, dir) == expected)
+  }
 }
