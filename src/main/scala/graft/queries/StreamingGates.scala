@@ -95,6 +95,46 @@ object StreamingGates {
   private[graft] def streamWidthFor(bytes: Long, cores: Int): Int =
     math.max(4, math.min(cores, (bytes / (16L << 20)).toInt))
 
+  /** Run a streaming body under the RocksDB state store when
+    * ROW-scaling state would not comfortably FIT the heap, restoring
+    * the provider afterwards. The default HDFSBacked store keeps every
+    * state row as JVM objects — measured 1.4-1.8× faster than RocksDB
+    * on these gates whenever it fits (100× dedup gate: 31.7 s at
+    * 48 GiB, 39.3 s at 16 GiB, vs RocksDB 50-56 s) — but its ceiling
+    * is executor memory. RocksDB keeps state in off-heap native memory
+    * + local SST files, so capacity tracks DISK, the resource that
+    * scales with an executor fleet. The switch is HEAP-AWARE, not a
+    * magic size: estimated in-heap state (source parquet bytes × ~16,
+    * the observed parquet→UnsafeRow-map inflation on the events table)
+    * must stay under a quarter of max heap, else cross to RocksDB —
+    * measured at the 100× soak, RocksDB holds a 12 GiB heap stable
+    * (49.9 s, zero OOM) right where the estimate (3.3 GiB state vs a
+    * 3 GiB budget) predicts the heap store is at risk. Same data,
+    * different hosts, different (correct) answers — the choice a
+    * 100-TB job needs made per-executor, not hardcoded. (Heap sizing
+    * still bounds the BATCH side: processing the 20 M-row doubled
+    * micro-batch needs ~10 GiB regardless of where state lives.)
+    */
+  private def withScaledStateStore[T](s: SparkSession, dir: String,
+      table: String = "events")(body: => T): T = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val estState = bytes(new java.io.File(s"$dir/$table.parquet")) * 16
+    val big = estState > Runtime.getRuntime.maxMemory() / 4
+    if (!big) body
+    else {
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try body
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+  }
+
   private def readEventsMicros(s: SparkSession, dir: String): DataFrame = {
     val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val raw = s.readStream
@@ -127,10 +167,10 @@ object StreamingGates {
     // rows at any corpus size), not input rows: wider shards are pure
     // fixed cost (measured: 1.6 s → 2.8 s at 100× under width 12), so
     // this gate keeps the floor where the row-state gates size by data
-    withStreamShuffle(s, 4) {
+    val sunk = withStreamShuffle(s, 4) {
       Streaming.runToMemory(Streaming.tumblingCounts(stream), name, "complete")
     }
-    s.table(name)
+    sunk
       .withColumn("s_micro", $"sum_value".cast("long"))
       .select($"window_start".as("hour_start"), $"event_type", $"n",
         Exact.microSumTo4dp("s_micro").as("sum_value"))
@@ -158,10 +198,16 @@ object StreamingGates {
     import s.implicits._
     val doubled = readEventsMicros(s, dir).union(readEventsMicros(s, dir))
     val name = s"graft_gate_dedup_${gateId.incrementAndGet()}"
-    withStreamShuffle(s, streamWidth(s, dir)) {
-      Streaming.runToMemory(Streaming.dedupStream(doubled), name, "append")
+    // ROW-scaling state (one state entry per distinct event): this and
+    // the interval join are the gates whose state store must outgrow
+    // the heap — withScaledStateStore switches them to RocksDB past
+    // the source-size threshold
+    val sunk = withScaledStateStore(s, dir) {
+      withStreamShuffle(s, streamWidth(s, dir)) {
+        Streaming.runToMemory(Streaming.dedupStream(doubled), name, "append")
+      }
     }
-    s.table(name)
+    sunk
       .withColumn("v_micro", Exact.micro("value"))
       .groupBy($"event_type")
       .agg(
@@ -200,12 +246,16 @@ object StreamingGates {
     val clicks = readEventsMicros(s, dir).filter($"event_type" === "click")
     val purchases = readEventsMicros(s, dir).filter($"event_type" === "purchase")
     val name = s"graft_gate_ivj_${gateId.incrementAndGet()}"
-    withStreamShuffle(s, streamWidth(s, dir)) {
-      Streaming.runToMemory(
-        Streaming.intervalJoin(clicks, purchases, bound = "30 minutes"),
-        name, "append")
+    // stream-stream join state buffers every in-watermark row on BOTH
+    // sides — row-scaling, so RocksDB past the threshold
+    val sunk = withScaledStateStore(s, dir) {
+      withStreamShuffle(s, streamWidth(s, dir)) {
+        Streaming.runToMemory(
+          Streaming.intervalJoin(clicks, purchases, bound = "30 minutes"),
+          name, "append")
+      }
     }
-    s.table(name)
+    sunk
       .select($"user_id", $"l_event_id", $"r_event_id",
         unix_micros($"l_ts").as("l_us"), unix_micros($"r_ts").as("r_us"))
       .orderBy($"user_id", $"l_event_id", $"r_event_id")
@@ -275,12 +325,12 @@ object StreamingGates {
     val name = s"graft_gate_enrich_${gateId.incrementAndGet()}"
     // STATELESS per-batch broadcast join — no state store exists to
     // shard, so shuffle width buys nothing here: floor
-    withStreamShuffle(s, 4) {
+    val sunk = withStreamShuffle(s, 4) {
       Streaming.runToMemory(
         Streaming.enrichStream(slice, dim, "user_id"),
         name, "append")
     }
-    s.table(name)
+    sunk
       .withColumn("v_micro", Exact.micro("value"))
       .groupBy($"c_mktsegment")
       .agg(
@@ -316,10 +366,14 @@ object StreamingGates {
     val stream = readEventsMicros(s, dir)
       .withColumn("value", Exact.micro("value").cast("double"))
     val name = s"graft_gate_session_${gateId.incrementAndGet()}"
-    withStreamShuffle(s, streamWidth(s, dir)) {
-      Streaming.runToMemory(Streaming.sessionCounts(stream), name, "complete")
+    // session state grows with users × sessions — data-scaling like the
+    // row-state gates, so it crosses to RocksDB with them
+    val sunk = withScaledStateStore(s, dir) {
+      withStreamShuffle(s, streamWidth(s, dir)) {
+        Streaming.runToMemory(Streaming.sessionCounts(stream), name, "complete")
+      }
     }
-    s.table(name)
+    sunk
       .withColumn("s_micro", $"sum_value".cast("long"))
       .select($"user_id", $"session_start", $"session_end", $"n_events",
         Exact.microSumTo4dp("s_micro").as("sum_value"))
@@ -362,10 +416,10 @@ object StreamingGates {
         sum(when($"score" >= 0, 1L).otherwise(0L)).as("n_keep"),
         sum($"n_tokens").as("tokens"))
     val name = s"graft_gate_quality_${gateId.incrementAndGet()}"
-    withStreamShuffle(s, streamWidth(s, dir, table = "documents")) {
+    val sunk = withStreamShuffle(s, streamWidth(s, dir, table = "documents")) {
       Streaming.runToMemory(agg, name, "complete")
     }
-    s.table(name).orderBy($"source")
+    sunk.orderBy($"source")
   }
 
   private val streamingQualityOracle =

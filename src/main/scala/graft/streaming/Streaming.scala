@@ -303,8 +303,19 @@ object Streaming {
   /** Memory-sink runner for tests/demos: drains all available input,
     * returns the result table name.
     */
+  /** Drain `df` through a memory sink and return the sunk rows as a
+    * batch frame. The sink table itself is DROPPED before returning:
+    * a memory sink pins every sunk row on the driver for the life of
+    * the session, so a bench/soak loop that runs each gate 2+ times
+    * accumulated every pass's full output (tens of millions of rows at
+    * the 100× soak) — the heap pressure behind the 10×-soak OOM at
+    * 8 GiB. The returned frame is `localCheckpoint`ed first (eager):
+    * its blocks live in block storage (evictable to disk, freed by the
+    * ContextCleaner once the frame is unreferenced), not in the
+    * catalog forever.
+    */
   def runToMemory(df: DataFrame, name: String,
-      outputMode: String = "complete"): Unit = {
+      outputMode: String = "complete"): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -312,5 +323,9 @@ object Streaming {
       .start()
     q.processAllAvailable()
     q.stop()
+    val s = df.sparkSession
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
   }
 }

@@ -21,9 +21,9 @@ class StreamingSpec extends SparkSpec {
     rows.coalesce(1).write.parquet(s"$tmp/in")
 
     val stream = Streaming.readEventsStream(spark, s"$tmp/in")
-    Streaming.runToMemory(
+    val sunk = Streaming.runToMemory(
       Streaming.tumblingCounts(stream), "tumbling_test", "complete")
-    val got = spark.table("tumbling_test")
+    val got = sunk
       .select($"window_start", $"event_type", $"n", $"sum_value")
       .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(got == Set(
@@ -45,9 +45,9 @@ class StreamingSpec extends SparkSpec {
     rows.coalesce(1).write.parquet(s"$tmp/in")
 
     val stream = Streaming.readEventsStream(spark, s"$tmp/in")
-    Streaming.runToMemory(
+    val sunk = Streaming.runToMemory(
       Streaming.sessionCounts(stream), "session_counts_test", "complete")
-    val got = spark.table("session_counts_test")
+    val got = sunk
       .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
     assert(got == Set(
       (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, 3.0),
@@ -68,8 +68,8 @@ class StreamingSpec extends SparkSpec {
     val stream = Streaming.readEventsStream(spark, s"$tmp/in")
     val enriched = Streaming.enrichStream(stream, dim, "user_id")
       .groupBy($"tier").agg(count(lit(1)).as("n"))
-    Streaming.runToMemory(enriched, "enrich_test", "complete")
-    val got = spark.table("enrich_test")
+    val sunk = Streaming.runToMemory(enriched, "enrich_test", "complete")
+    val got = sunk
       .as[(Option[String], Long)].collect().toSet
     val batch = Streaming.enrichStream(events, dim, "user_id")
       .groupBy($"tier").agg(count(lit(1)).as("n"))
@@ -149,8 +149,8 @@ class StreamingSpec extends SparkSpec {
     val joined = Streaming.intervalJoin(
       Streaming.readEventsStream(spark, s"$tmp/l"),
       Streaming.readEventsStream(spark, s"$tmp/r"))
-    Streaming.runToMemory(joined, "ssj_test", "append")
-    val got = spark.table("ssj_test")
+    val sunk = Streaming.runToMemory(joined, "ssj_test", "append")
+    val got = sunk
       .select($"user_id", $"l_event_id", $"r_event_id")
       .as[(Long, Long, Long)].collect().toSet
 
@@ -178,8 +178,8 @@ class StreamingSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(s"$tmp/in")
 
     val stream = Streaming.readEventsStream(spark, s"$tmp/in", maxFilesPerTrigger = 1)
-    Streaming.runToMemory(Streaming.dedupStream(stream), "dedup_stream_test", "append")
-    val got = spark.table("dedup_stream_test")
+    val sunk = Streaming.runToMemory(Streaming.dedupStream(stream), "dedup_stream_test", "append")
+    val got = sunk
       .select($"event_id").as[Long].collect().toSeq.sorted
     assert(got == Seq(1L, 2L, 3L))
   }
