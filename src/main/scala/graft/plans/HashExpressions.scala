@@ -115,6 +115,52 @@ case class PosGramHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Hashed-bigram bucket ids (DSIR hashing-trick features); empty array
+  * below 2 tokens.
+  */
+case class BigramBucketIds(child: Expression, seed: Int, buckets: Long)
+    extends TextHashUnaryExpression {
+  override def prettyName: String = "bigram_bucket_ids"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bigramBucketIds(input.asInstanceOf[UTF8String], seed, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.HashKernels.bigramBucketIds($c, $seed, ${buckets}L);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Adjacent-token bigram strings; empty array below 2 tokens. */
+case class BigramStrings(child: Expression)
+    extends TextHashUnaryExpression {
+  override def prettyName: String = "bigram_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bigramStrings(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.HashKernels.bigramStrings($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def shingleHashSet(text: Column, k: Int, sorted: Boolean): Column =
     SqlBridge.column(ShingleHashSet(SqlBridge.expression(text), k, sorted))
@@ -124,4 +170,8 @@ object HashExpressions {
     SqlBridge.column(Simhash(SqlBridge.expression(text), bits, seed))
   def posGramHashes(text: Column, k: Int): Column =
     SqlBridge.column(PosGramHashes(SqlBridge.expression(text), k))
+  def bigramBucketIds(text: Column, seed: Int, buckets: Long): Column =
+    SqlBridge.column(BigramBucketIds(SqlBridge.expression(text), seed, buckets))
+  def bigramStrings(text: Column): Column =
+    SqlBridge.column(BigramStrings(SqlBridge.expression(text)))
 }

@@ -198,4 +198,57 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Hashed-bigram BUCKET ids (the DSIR hashing trick's feature
+    * extractor): element i = portableHash64(tok_i ⧺ ' ' ⧺ tok_{i+1},
+    * seed) mod buckets — bit-identical to the HOF pipeline
+    * `pmod(portableHash64(concat_ws(' ', t_i, t_{i+1}), seed), B)` and
+    * its DuckDB mirror, in ONE kernel call per row. The HOF form built
+    * every bigram STRING as a column value and re-evaluated an
+    * interpreted md5→hex→conv tree per bigram (~100 M at the 100×
+    * soak); here only the 8-byte bucket ids ever leave the kernel.
+    * Empty array below 2 tokens (the bigramsOf guard).
+    */
+  def bigramBucketIds(text: UTF8String, seed: Int, buckets: Long): ArrayData = {
+    if (text == null) return null
+    val toks = splitTokens(text)
+    val n = toks.length - 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val pre = seedPrefix(seed)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      // md5Prefix(_, _, 15) is non-negative (< 2^60), so % == pmod
+      out(i) = md5Prefix(pre, sb.toString.getBytes("UTF-8"), 15) % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent-token bigram STRINGS ("tok_i tok_{i+1}"), one kernel call
+    * per row — value-identical to the HOF form
+    * `transform(sequence(2, n), i -> concat_ws(' ', t_{i-1}, t_i))`
+    * (and DuckDB's equivalent list comprehension), which re-evaluated
+    * an interpreted concat per ELEMENT on corpus-scale explodes (the
+    * bigram-LM and CCNet scans). Empty array below 2 tokens.
+    */
+  def bigramStrings(text: UTF8String): ArrayData = {
+    if (text == null) return null
+    val toks = splitTokens(text)
+    val n = toks.length - 1
+    if (n <= 0) return new GenericArrayData(new Array[UTF8String](0))
+    val out = new Array[UTF8String](n)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

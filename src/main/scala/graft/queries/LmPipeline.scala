@@ -105,13 +105,15 @@ object LmPipeline {
   /** Token-bigram array of a text column; empty (not descending-
     * sequence garbage) below two tokens.
     */
-  private def bigramsOf(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(2), size(toks)),
-        i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
-  }
+  // native kernel (one call per row); the HOF executable spec it is
+  // value-identical to — LmPipelineSpec pins parity:
+  //   when(size(toks) < 2, array())
+  //     .otherwise(transform(sequence(2, size(toks)),
+  //       i => concat_ws(" ", element_at(toks, i-1), element_at(toks, i))))
+  // which re-evaluated an interpreted concat per bigram on the corpus-
+  // scale explodes (bigram LM, CCNet — ~100 M bigrams at the 100× soak)
+  private def bigramsOf(text: Column): Column =
+    graft.plans.HashExpressions.bigramStrings(text)
 
   /** Per-document bigram cross-entropy of a (doc_id, text) frame
     * against the frame's own MLE bigram model — the next order up from
@@ -421,9 +423,15 @@ object LmPipeline {
     // per-bucket share, never by vocabulary growth.)
     val wb = Window.partitionBy($"b")
     docs
-      .select($"doc_id", $"source", explode(bigramsOf($"text")).as("bigram"))
-      .withColumn("b",
-        pmod(TextOps.portableHash64($"bigram", seed), lit(buckets.toLong)))
+      // native kernel: one call per row, only the 8-byte bucket ids
+      // leave it — the HOF executable spec this replaces,
+      //   explode(bigramsOf(text)) then pmod(portableHash64(bigram,
+      //   seed), buckets),
+      // materialized every bigram STRING and ran an interpreted
+      // md5→hex→conv tree per bigram (LmPipelineSpec pins parity)
+      .select($"doc_id", $"source", explode(
+        graft.plans.HashExpressions.bigramBucketIds($"text", seed,
+          buckets.toLong)).as("b"))
       .groupBy($"doc_id", $"source", $"b")
       .agg(count(lit(1)).as("c"))
       .withColumn("ct", sum(when(isTarget, $"c").otherwise(lit(0L))).over(wb))

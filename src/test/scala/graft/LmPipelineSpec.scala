@@ -278,4 +278,48 @@ class LmPipelineSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k should be TakeOrderedAndProject:\n$plan")
   }
+
+  test("bigramBucketIds kernel is bit-identical to the HOF executable spec") {
+    import org.apache.spark.sql.functions._
+    val (seed, buckets) = (11, 4096L)
+    // multi-bigram, exactly 2 tokens, 1 token (empty array), empty
+    // string (split keeps the empty token: 1 token, empty array)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "ab cd"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val hof = when(size(toks) < 2, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(2), size(toks)), i =>
+        pmod(graft.ops.TextOps.portableHash64(
+          concat_ws(" ", element_at(toks, i - 1), element_at(toks, i)), seed),
+          lit(buckets))))
+    val rows = docs.select($"doc_id",
+        graft.plans.HashExpressions.bigramBucketIds($"text", seed, buckets)
+          .as("kern"),
+        hof.as("spec"))
+      .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+    rows.foreach { case (id, kern, spec) =>
+      assert(kern == spec, s"doc $id: kernel $kern != HOF spec $spec")
+    }
+    assert(rows.map(_._2.size).toSeq == Seq(4, 1, 0, 0))
+  }
+
+  test("bigramStrings kernel is value-identical to the HOF executable spec") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "x y"), (3L, "one"), (4L, "")).toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val hof = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(2), size(toks)),
+        i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
+    val rows = docs.select($"doc_id",
+        graft.plans.HashExpressions.bigramStrings($"text").as("kern"),
+        hof.as("spec"))
+      .as[(Long, Seq[String], Seq[String])].collect().sortBy(_._1)
+    rows.foreach { case (id, kern, spec) =>
+      assert(kern == spec, s"doc $id: kernel $kern != HOF spec $spec")
+    }
+    assert(rows.map(_._2).toSeq ==
+      Seq(Seq("a b", "b c", "c d"), Seq("x y"), Nil, Nil))
+  }
 }
