@@ -66,9 +66,10 @@ def main():
                  "MORE documents, not denser duplication). 10x: lineitem 6M "
                  "rows; 100x: lineitem 60M, events 10M, orders 15M, "
                  "documents 500k, embeddings 200k."),
-        "method": ("graft.Bench min-of-2+ passes per scale point, local[32], "
-                   "8g heap; sf0.1 side = clean-run per-query minima "
-                   "(BENCH_WATERMARKS.json)"),
+        "method": ("graft.Bench min-of-2+ passes per scale point, local[32] "
+                   "(driver heap 16g at 10x, 48g at 100x; cache cleared "
+                   "between passes, so minima are cold); sf0.1 side = "
+                   "clean-run per-query minima (BENCH_WATERMARKS.json)"),
         "soak10x": scale_block(args.soak10, floors),
         "soak100x": scale_block(args.soak100, floors),
         "note": args.note,
