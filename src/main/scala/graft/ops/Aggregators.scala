@@ -129,4 +129,39 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** HyperLogLog register array (Flajolet et al. 2007) over the 60-bit
+    * engine-portable hash ([[TextOps.portableHash64]]): 256 registers
+    * (b=8), bucket = low byte, rho = leading-zero rank of the remaining
+    * 52 bits (1..52; 53 marks the all-zero remainder). State is 256
+    * ints, merge = elementwise max — the textbook mergeable sketch, safe
+    * under any partial-aggregation tree. Unlike Spark's built-in
+    * approx_count_distinct (HLL++, engine-private layout and bias
+    * tables), every register here is derivable by another engine from
+    * md5 alone, so a DuckDB oracle reproduces the IDENTICAL array (via
+    * `53 - length(bin(h // 256))`) and therefore the identical
+    * estimate. The raw-estimate formula and its corrections live with
+    * the caller — the aggregate's contract is just the registers.
+    */
+  final class HllRegisters extends Aggregator[Long, Array[Int], Array[Int]] {
+    private val M = 256
+    override def zero: Array[Int] = new Array[Int](M)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      val bucket = (h & (M - 1)).toInt
+      val w = h >>> 8 // 52 significant bits remain below 2^52
+      val rho = if (w == 0L) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
+      if (rho > b(bucket)) b(bucket) = rho
+      b
+    }
+    override def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < M) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Int]): Array[Int] = b
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -73,7 +73,134 @@ object Sketches {
       |GROUP BY event_type
       |ORDER BY cnt DESC, event_type""".stripMargin
 
+  // ---------------- HyperLogLog distinct (portable registers) ----------
+
+  private val HllM = 256
+  private val HllSeed = 7
+  // alpha_256 * m^2 * 2^53 precomputed HERE, embedded as ONE double
+  // literal in both engines (Scala computes it; the oracle SQL inlines
+  // its shortest-round-trip decimal form), so the estimate is a single
+  // division of that constant by the exact integer register sum —
+  // bit-identical cross-engine with no float-expression-order risk.
+  private val HllNum: Double =
+    0.7213 / (1 + 1.079 / 256) * 590295810358705651712.0 // 2^69 (exact)
+
+  /** Distinct user_id per event_type via a 256-register HyperLogLog
+    * next to the exact count. The sketch column's state is 256 bytes
+    * per group FOREVER — at 100 TB the exact column is the one that
+    * stops fitting, and this one replaces it. Register sum stays in
+    * exact integer space (Σ 2^(53-M_j) ≤ 2^61 fits a long); only the
+    * final constant/S division is floating point. The RAW estimate is
+    * reported (no linear-counting/bias correction — n_zero_registers is
+    * emitted so a caller can see when the small-range regime applies,
+    * as it does at tiny scale factors).
+    */
+  private def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hll = udaf(new Aggregators.HllRegisters)
+    Tables.events(s, dir)
+      .select($"event_type", $"user_id",
+        TextOps.portableHash64($"user_id".cast("string"), HllSeed).as("h"))
+      .groupBy($"event_type")
+      .agg(hll($"h").as("regs"),
+        countDistinct($"user_id").as("exact_distinct"))
+      .withColumn("s", expr(
+        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 53 - r)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select($"event_type",
+        round(lit(HllNum) / $"s", 2).as("hll_est"),
+        expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)")
+          .as("n_zero_registers"),
+        $"exact_distinct")
+      .orderBy($"event_type")
+  }
+
+  private val hllOracle =
+    s"""WITH h AS (
+       |  SELECT event_type, user_id,
+       |    ('0x' || substr(md5('$HllSeed|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h % $HllM AS bucket,
+       |    CASE WHEN h // $HllM = 0 THEN 53 ELSE 53 - length(bin(h // $HllM)) END AS rho
+       |  FROM h),
+       |regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type,
+       |    list_aggregate(list_transform(list(m), x -> 1::BIGINT << (53 - x)), 'sum')
+       |      + ($HllM - count(*)) * (1::BIGINT << 53) AS s,
+       |    CAST($HllM - count(*) AS BIGINT) AS n_zero_registers
+       |  FROM regs GROUP BY event_type),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |       FROM events GROUP BY event_type)
+       |SELECT s.event_type, round($HllNum / s.s, 2) AS hll_est,
+       |  s.n_zero_registers, ex.exact_distinct
+       |FROM s JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  // ---------------- Count-Min sketch point queries --------------------
+
+  private val CmDepth = 4
+  private val CmWidth = 512
+  private val CmTopK = 10
+
+  /** Count-Min frequency estimation (Cormode–Muthukrishnan 2005) for
+    * user_id occurrence counts: build the d×w cell matrix in ONE
+    * aggregation (explode d seeded-hash cells per event; partial
+    * aggregation compresses every partition to ≤ d·w = 2048 cells
+    * before a byte-tiny shuffle), then answer point queries for the
+    * exact top-k users — est = min over rows of the hashed cell, the
+    * one-sided (est ≥ exact) CM guarantee. The probe join BROADCASTS
+    * the PROBE side (k·d rows, provably bounded by the LIMIT — which
+    * the broadcast-provenance audit can verify; the sketch side is
+    * also tiny at d·w = 2048 cells, but an aggregate's bound is not
+    * visible to a plan auditor) — so frequency lookups never shuffle
+    * the corpus. The exact top-k here is ground truth for the gate; a
+    * production pipeline probes known keys instead of computing it.
+    */
+  private def cmUserFrequencies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id".cast("string").as("key"))
+    def cellsOf(key: org.apache.spark.sql.Column) =
+      explode(array((0 until CmDepth).map(i => struct(
+        lit(i).as("row"),
+        pmod(TextOps.portableHash64(key, i), lit(CmWidth)).as("col"))): _*))
+    val sketch = ev.select(cellsOf($"key").as("rc"))
+      .groupBy($"rc.row".as("row"), $"rc.col".as("col"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = ev.groupBy($"key").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"key").limit(CmTopK)
+    val probes = top
+      .select($"key".as("user_key"), $"exact_cnt", cellsOf($"key").as("rc"))
+      .select($"user_key", $"exact_cnt",
+        $"rc.row".as("row"), $"rc.col".as("col"))
+    sketch.join(broadcast(probes), Seq("row", "col"))
+      .groupBy($"user_key", $"exact_cnt")
+      .agg(min($"cnt").as("cm_est"))
+      .orderBy($"exact_cnt".desc, $"user_key")
+  }
+
+  private val cmOracle =
+    s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+       |cells AS (
+       |  SELECT i AS row,
+       |    ('0x' || substr(md5(i || '|' || key), 1, 15))::BIGINT % $CmWidth AS col,
+       |    count(*) AS cnt
+       |  FROM k, generate_series(0, ${CmDepth - 1}) t(i) GROUP BY 1, 2),
+       |top AS (SELECT key, count(*) AS exact_cnt FROM k GROUP BY key
+       |        ORDER BY exact_cnt DESC, key LIMIT $CmTopK),
+       |probe AS (
+       |  SELECT key, exact_cnt, i AS row,
+       |    ('0x' || substr(md5(i || '|' || key), 1, 15))::BIGINT % $CmWidth AS col
+       |  FROM top, generate_series(0, ${CmDepth - 1}) t(i))
+       |SELECT p.key AS user_key, p.exact_cnt, min(c.cnt) AS cm_est
+       |FROM probe p JOIN cells c USING (row, col)
+       |GROUP BY 1, 2
+       |ORDER BY exact_cnt DESC, user_key""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("kmv_distinct_parts", kmvDistinctParts, Some(kmvOracle)),
-    Q("heavy_hitters_events", heavyHittersEvents, Some(heavyHittersOracle)))
+    Q("heavy_hitters_events", heavyHittersEvents, Some(heavyHittersOracle)),
+    Q("hll_distinct_users", hllDistinctUsers, Some(hllOracle)),
+    Q("cm_user_frequencies", cmUserFrequencies, Some(cmOracle)))
 }

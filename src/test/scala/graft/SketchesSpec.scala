@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Aggregators
+import graft.queries.Registry
+
+/** HLL register semantics + Count-Min guarantees beyond what the oracle
+  * gate can see: the gate proves cross-engine equality of the full
+  * pipeline, these tests pin the SKETCH-theoretic properties (register
+  * content under merge trees, one-sided CM error) on adversarial inputs
+  * the harness tables don't contain.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refRegisters(hashes: Seq[Long]): Array[Int] = {
+    val regs = new Array[Int](256)
+    hashes.foreach { h =>
+      val b = (h & 255).toInt
+      val w = h >>> 8
+      val rho = if (w == 0L) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
+      if (rho > regs(b)) regs(b) = rho
+    }
+    regs
+  }
+
+  test("HllRegisters: registers match reference under partitioned merges") {
+    val hll = udaf(new Aggregators.HllRegisters)
+    val rnd = new scala.util.Random(11)
+    val hashes = Seq.fill(5000)(rnd.nextLong().abs % (1L << 60)) :+ 0L :+ 255L
+    // 0L exercises bucket 0 / zero-remainder (rho = 53); 255L exercises
+    // bucket 255 / zero-remainder
+    val got = hashes.toDF("h").repartition(8) // force multi-buffer merge
+      .agg(hll($"h")).first().getSeq[Int](0).toArray
+    assert(got.sameElements(refRegisters(hashes)))
+  }
+
+  test("HllRegisters: raw estimate within 3 standard errors on 10k distinct") {
+    val hll = udaf(new Aggregators.HllRegisters)
+    val rnd = new scala.util.Random(23)
+    val n = 10000
+    val hashes = Iterator.continually(rnd.nextLong().abs % (1L << 60))
+      .distinct.take(n).toSeq
+    val regs = hashes.toDF("h").repartition(8)
+      .agg(hll($"h")).first().getSeq[Int](0)
+    val s = regs.map(r => 1L << (53 - r)).sum
+    val est = 0.7213 / (1 + 1.079 / 256) * 590295810358705651712.0 / s
+    // std error for m=256 is 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est - n) / n < 0.195, s"estimate $est vs true $n")
+  }
+
+  test("cm_user_frequencies: one-sided error under forced collisions") {
+    val dir = Files.createTempDirectory("graft_cm").toString
+    // 2300 distinct users over a 512-column sketch: collisions certain,
+    // so estimates may exceed truth — but must NEVER undershoot it.
+    val heavy = (0 until 3).flatMap(i => Seq.fill(500 - i * 100)(9000L + i))
+    val tail = (0 until 2300).flatMap(u => Seq.fill(1 + (u % 3))(u.toLong))
+    val rows = (heavy ++ tail).zipWithIndex.map { case (u, i) =>
+      (i.toLong, 1700000000000000000L + i * 1000000L, u, "click", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    val got = Registry.queries("cm_user_frequencies")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.size == 10)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "exact_cnt not desc")
+    // the three planted heavies dominate the top-k
+    assert(got.take(3).map(_._1) == Seq("9000", "9001", "9002"))
+    got.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"CM undershot key $k: est $est < exact $exact")
+    }
+  }
+}
