@@ -76,7 +76,7 @@ object Sketches {
   // ---------------- HyperLogLog distinct (portable registers) ----------
 
   private val HllM = 256
-  private val HllSeed = 7
+  private[queries] val HllSeed = 7
   // alpha_256 * m^2 * 2^53 precomputed HERE, embedded as ONE double
   // literal in both engines (Scala computes it; the oracle SQL inlines
   // its shortest-round-trip decimal form), so the estimate is a single
@@ -84,6 +84,40 @@ object Sketches {
   // bit-identical cross-engine with no float-expression-order risk.
   private val HllNum: Double =
     0.7213 / (1 + 1.079 / 256) * 590295810358705651712.0 // 2^69 (exact)
+
+  /** Turn a `regs` register-array column into (hll_est, n_zero_registers)
+    * — shared by the batch query and the streaming gate so both sides of
+    * the estimate are ONE definition.
+    */
+  private[queries] def withHllEstimate(df: DataFrame): DataFrame = df
+    .withColumn("s", expr(
+      "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 53 - r)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    .withColumn("hll_est", round(lit(HllNum) / col("s"), 2))
+    .withColumn("n_zero_registers",
+      expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)"))
+    .drop("s", "regs")
+
+  /** DuckDB CTE chain ending in `s(event_type, hll_est,
+    * n_zero_registers)` — the register/estimate mirror shared by both
+    * HLL oracles.
+    */
+  private[queries] val hllSketchCtes: String =
+    s"""h AS (
+       |  SELECT event_type, user_id,
+       |    ('0x' || substr(md5('$HllSeed|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h % $HllM AS bucket,
+       |    CASE WHEN h // $HllM = 0 THEN 53 ELSE 53 - length(bin(h // $HllM)) END AS rho
+       |  FROM h),
+       |regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type,
+       |    round($HllNum / (list_aggregate(list_transform(list(m), x -> 1::BIGINT << (53 - x)), 'sum')
+       |      + ($HllM - count(*)) * (1::BIGINT << 53)), 2) AS hll_est,
+       |    CAST($HllM - count(*) AS BIGINT) AS n_zero_registers
+       |  FROM regs GROUP BY event_type)""".stripMargin
 
   /** Distinct user_id per event_type via a 256-register HyperLogLog
     * next to the exact count. The sketch column's state is 256 bytes
@@ -98,43 +132,23 @@ object Sketches {
   private def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hll = udaf(new Aggregators.HllRegisters)
-    Tables.events(s, dir)
-      .select($"event_type", $"user_id",
-        TextOps.portableHash64($"user_id".cast("string"), HllSeed).as("h"))
-      .groupBy($"event_type")
-      .agg(hll($"h").as("regs"),
-        countDistinct($"user_id").as("exact_distinct"))
-      .withColumn("s", expr(
-        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 53 - r)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .select($"event_type",
-        round(lit(HllNum) / $"s", 2).as("hll_est"),
-        expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)")
-          .as("n_zero_registers"),
+    withHllEstimate(
+      Tables.events(s, dir)
+        .select($"event_type", $"user_id",
+          TextOps.portableHash64($"user_id".cast("string"), HllSeed).as("h"))
+        .groupBy($"event_type")
+        .agg(hll($"h").as("regs"),
+          countDistinct($"user_id").as("exact_distinct")))
+      .select($"event_type", $"hll_est", $"n_zero_registers",
         $"exact_distinct")
       .orderBy($"event_type")
   }
 
   private val hllOracle =
-    s"""WITH h AS (
-       |  SELECT event_type, user_id,
-       |    ('0x' || substr(md5('$HllSeed|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-       |  FROM events),
-       |r AS (
-       |  SELECT event_type, h % $HllM AS bucket,
-       |    CASE WHEN h // $HllM = 0 THEN 53 ELSE 53 - length(bin(h // $HllM)) END AS rho
-       |  FROM h),
-       |regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
-       |s AS (
-       |  SELECT event_type,
-       |    list_aggregate(list_transform(list(m), x -> 1::BIGINT << (53 - x)), 'sum')
-       |      + ($HllM - count(*)) * (1::BIGINT << 53) AS s,
-       |    CAST($HllM - count(*) AS BIGINT) AS n_zero_registers
-       |  FROM regs GROUP BY event_type),
+    s"""WITH $hllSketchCtes,
        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
        |       FROM events GROUP BY event_type)
-       |SELECT s.event_type, round($HllNum / s.s, 2) AS hll_est,
-       |  s.n_zero_registers, ex.exact_distinct
+       |SELECT s.event_type, s.hll_est, s.n_zero_registers, ex.exact_distinct
        |FROM s JOIN ex USING (event_type)
        |ORDER BY event_type""".stripMargin
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.Exact
+import graft.ops.{Aggregators, Exact}
 import graft.streaming.Streaming
 
 /** The streaming surface under the DuckDB correctness gate: each query
@@ -432,9 +432,50 @@ object StreamingGates {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ------------------- streaming HLL distinct (8th gate)
+
+  /** The HyperLogLog register aggregator ([[Sketches]],
+    * [[graft.ops.Aggregators.HllRegisters]]) executed as a REAL
+    * streaming aggregation. Exact per-key distinct is the aggregate a
+    * stream CANNOT run (state = one entry per distinct value, unbounded
+    * — Spark rejects streaming countDistinct outright); the mergeable
+    * register array IS the streaming answer: 256 ints per key forever,
+    * and the micro-batch state update is the very same elementwise-max
+    * merge the batch partial-aggregation tree uses, so batch and stream
+    * share one sketch definition. Complete-mode drain to a memory sink;
+    * the oracle rebuilds the identical registers in DuckDB
+    * ([[Sketches.hllSketchCtes]]).
+    */
+  private def streamingHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hll = udaf(new Aggregators.HllRegisters)
+    val agg = readEventsMicros(s, dir)
+      .select($"event_type",
+        graft.ops.TextOps.portableHash64($"user_id".cast("string"),
+          Sketches.HllSeed).as("h"))
+      .groupBy($"event_type")
+      .agg(hll($"h").as("regs"))
+    val name = s"graft_gate_hll_${gateId.incrementAndGet()}"
+    // key-bounded state (|event types| × 256 ints — constant in the
+    // corpus): floor width, like the tumbling gate
+    val sunk = withStreamShuffle(s, 4) {
+      Streaming.runToMemory(agg, name, "complete")
+    }
+    Sketches.withHllEstimate(sunk)
+      .select($"event_type", $"hll_est", $"n_zero_registers")
+      .orderBy($"event_type")
+  }
+
+  private val streamingHllOracle =
+    s"""WITH ${Sketches.hllSketchCtes}
+       |SELECT event_type, hll_est, n_zero_registers FROM s
+       |ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("streaming_quality_filter", streamingQualityFilter,
       Some(streamingQualityOracle)),
+    Q("streaming_hll_distinct", streamingHllDistinct,
+      Some(streamingHllOracle)),
     Q("streaming_session_window", streamingSessionWindow,
       Some(Events.sessionWindowOracle)),
     Q("streaming_interval_join", streamingIntervalJoin,
