@@ -291,7 +291,73 @@ object Behavioral {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** First/last-touch conversion attribution — the credit-assignment
+    * query every marketing warehouse runs: each purchase credits the
+    * most recent (last-touch) and earliest (first-touch) preceding
+    * non-purchase event of the same user; purchases with no prior
+    * touch fall to the 'none' channel (direct conversions). Both
+    * credits come from ONE ordered window pass (rows unbounded-
+    * preceding..1-preceding, `last/first(..., ignoreNulls)`), so the
+    * corpus is shuffled once on user_id and conversions never join
+    * back to the event history; the two per-channel aggregates then
+    * run over the purchases-only frame. Revenue follows the
+    * integer-micro discipline ([[Exact]]).
+    */
+  private def attributionTouch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when($"event_type" =!= "purchase", $"event_type")
+    val purchases = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"), Exact.micro("value").as("v_micro"))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(coalesce($"lt", lit("none")).as("lt"),
+        coalesce($"ft", lit("none")).as("ft"), $"v_micro")
+    val lastAgg = purchases.groupBy($"lt".as("channel"))
+      .agg(count(lit(1)).as("last_touch_conversions"),
+        sum($"v_micro").as("rev"))
+    val firstAgg = purchases.groupBy($"ft".as("channel"))
+      .agg(count(lit(1)).as("first_touch_conversions"))
+    lastAgg.join(firstAgg, Seq("channel"), "full_outer")
+      .withColumn("rev_m", coalesce($"rev", lit(0L)))
+      .select($"channel",
+        coalesce($"last_touch_conversions", lit(0L)).as("last_touch_conversions"),
+        coalesce($"first_touch_conversions", lit(0L)).as("first_touch_conversions"),
+        Exact.microSumTo4dp("rev_m").as("last_touch_revenue"))
+      .orderBy($"channel")
+  }
+
+  private val attributionOracle = {
+    val frame = """OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT event_type,
+       |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+       |      $frame AS lt,
+       |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+       |      $frame AS ft,
+       |    ${Exact.microSql("value")} AS v_micro
+       |  FROM events),
+       |pur AS (SELECT coalesce(lt, 'none') AS lt, coalesce(ft, 'none') AS ft,
+       |               v_micro
+       |        FROM p WHERE event_type = 'purchase'),
+       |la AS (SELECT lt AS channel, count(*) AS last_touch_conversions,
+       |              CAST(sum(v_micro) AS BIGINT) AS rev FROM pur GROUP BY lt),
+       |fa AS (SELECT ft AS channel, count(*) AS first_touch_conversions
+       |       FROM pur GROUP BY ft)
+       |SELECT channel,
+       |  coalesce(last_touch_conversions, 0) AS last_touch_conversions,
+       |  coalesce(first_touch_conversions, 0) AS first_touch_conversions,
+       |  ${Exact.microSumTo4dpSql("coalesce(rev, 0)", Exact.DuckDiv)} AS last_touch_revenue
+       |FROM la FULL OUTER JOIN fa USING (channel)
+       |ORDER BY channel""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("attribution_touch", attributionTouch, Some(attributionOracle)),
     Q("funnel_steps", funnelSteps, Some(funnelOracle)),
     Q("retention_cohorts", retentionCohorts, Some(retentionOracle)),
     Q("cdc_latest_state", cdcLatestState, Some(cdcOracle)),

@@ -51,6 +51,35 @@ class BehavioralSpec extends SparkSpec {
       "1_signup" -> 3L, "2_view" -> 1L, "3_click" -> 1L, "4_purchase" -> 1L), got.toString)
   }
 
+  test("attribution credits last/first prior touch; direct buys hit 'none'") {
+    val dir = Files.createTempDirectory("graft_attr").toString
+    writeEvents(dir, Seq(
+      // user 10: view → click → purchase(5.5): last=click, first=view
+      (1L, ns(0, 1), 10L, "view", 1.0),
+      (2L, ns(0, 2), 10L, "click", 1.0),
+      (3L, ns(0, 3), 10L, "purchase", 5.5),
+      // user 11: purchase with NO prior touch → 'none'; the view AFTER
+      // must not be credited
+      (4L, ns(0, 1), 11L, "purchase", 2.0),
+      (5L, ns(0, 2), 11L, "view", 1.0),
+      // user 12: ts TIE between click(id 6) and view(id 7) — event_id
+      // breaks it, so last touch is the view; an intervening purchase
+      // is never a touch for the next purchase
+      (6L, ns(0, 1), 12L, "click", 1.0),
+      (7L, ns(0, 1), 12L, "view", 1.0),
+      (8L, ns(0, 2), 12L, "purchase", 1.25),
+      (9L, ns(0, 3), 12L, "purchase", 0.75)))
+    val got = Registry.queries("attribution_touch")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      // user 12: both purchases last-credit the view (the intervening
+      // purchase is transparent) and first-credit the click (event_id
+      // breaks the ts tie), so view takes 1.25 + 0.75 of revenue
+      ("click", 1L, 2L, 5.5),
+      ("none", 1L, 1L, 2.0),
+      ("view", 2L, 1L, 2.0)), got.toString)
+  }
+
   test("cdc latest-state honors (ts, event_id) order and error tombstones") {
     val dir = Files.createTempDirectory("graft_cdc").toString
     writeEvents(dir, Seq(

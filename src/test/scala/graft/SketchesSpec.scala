@@ -52,6 +52,23 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.195, s"estimate $est vs true $n")
   }
 
+  test("HllRegisters: merge-tree invariant — same registers at any width") {
+    // Spark is free to build ANY partial-aggregation tree; a sketch
+    // that is only correct for one merge order would pass the oracle
+    // gate by luck. Pin equality across widths 1/3/16 on data with
+    // heavy duplication (merge sees overlapping registers).
+    val hll = udaf(new Aggregators.HllRegisters)
+    val rnd = new scala.util.Random(31)
+    val hashes = Seq.fill(2000)(rnd.nextLong().abs % (1L << 60))
+      .flatMap(h => Seq(h, h, h)) // triplicate: non-trivial overlaps
+    val byWidth = Seq(1, 3, 16).map { w =>
+      hashes.toDF("h").repartition(w).agg(hll($"h"))
+        .first().getSeq[Int](0).toSeq
+    }
+    assert(byWidth.distinct.size == 1,
+      "registers differ across partial-aggregation widths")
+  }
+
   test("cm_user_frequencies: one-sided error under forced collisions") {
     val dir = Files.createTempDirectory("graft_cm").toString
     // 2300 distinct users over a 512-column sketch: collisions certain,
