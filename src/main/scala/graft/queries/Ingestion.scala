@@ -136,10 +136,60 @@ object Ingestion {
       .orderBy($"o_orderpriority")
   }
 
+  /** WARC round-trip: documents written as `.warc.gz` response records
+    * (one gzip member per record — the Common Crawl layout,
+    * [[graft.sources.WarcSource]]), streamed back, HTTP-split, and
+    * aggregated per source with a content fingerprint — so the gate
+    * pins BOTH directions byte-exactly against the documents table the
+    * oracle reads directly. The source key travels in the URI path and
+    * is re-extracted by regexp, like a crawl pipeline would.
+    */
+  private def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warcPath = s"/tmp/graft_warc/$tag/docs"
+    graft.sources.WarcSource.write(
+      graft.ops.Tables.documents(s, dir)
+        .select(
+          concat(lit("https://corpus.example/"), $"source", lit("/"),
+            $"doc_id").as("url"),
+          lit("2024-01-01T00:00:00Z").as("date"),
+          $"text"),
+      warcPath)
+    graft.sources.WarcSource.read(s, s"$warcPath/*.warc.gz")
+      .filter($"warc_type" === "response" && $"http_status" === 200)
+      .select(
+        regexp_extract($"target_uri", "corpus\\.example/([^/]+)/", 1)
+          .as("source"),
+        regexp_extract($"target_uri", "/(\\d+)$", 1).cast("long").as("doc_id"),
+        decode($"body", "UTF-8").as("text"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length($"text")).cast("long").as("chars"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"),
+        sum(pmod(expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"),
+          lit(1000003L))).cast("long").as("fp_sum"))
+      .orderBy($"source")
+  }
+
+  private val warcOracle =
+    """SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars,
+      |  min(doc_id) AS min_id,
+      |  max(doc_id) AS max_id,
+      |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003) AS BIGINT) AS fp_sum
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("jsonl_ingest", jsonlIngest, Some(jsonlOracle)),
     Q("csv_ingest", csvIngest, Some(csvOracle)),
     Q("orc_ingest", orcIngest, Some(orcOracle)),
     // same oracle as orc: both round-trips must reproduce the source
-    Q("avro_ingest", avroIngest, Some(orcOracle)))
+    Q("avro_ingest", avroIngest, Some(orcOracle)),
+    Q("warc_ingest", warcIngest, Some(warcOracle)))
 }
