@@ -111,7 +111,71 @@ object CorpusQuality {
       |GROUP BY source, pack_id
       |ORDER BY source, pack_id""".stripMargin
 
+  // --------------------- URL filter rules (C4/RefinedWeb crawl step)
+
+  /** URL-rule corpus filtering — the step crawl pipelines run BEFORE
+    * any content is fetched or scored: drop blocklisted domains, binary
+    * media extensions, over-deep paths, and session-tracking URLs. Pure
+    * codegen'd expression cascade (host extraction + `when` chain) with
+    * FIRST-MATCH precedence, over the same doc_id-derived synthetic
+    * provenance the canonical-URL gate uses (the corpus carries no URL
+    * column; both engines derive identical URLs, so the gate checks the
+    * RULES, not the synthesis). Map-only until a reasons-sized final
+    * aggregate — nothing here shuffles corpus rows at any scale.
+    */
+  private def urlFilterRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val domains = Seq("example.org", "news.example", "blog.example",
+      "ads.example", "tracker.example", "cdn.example", "files.example")
+    val domain = element_at(typedlit(domains), (pmod($"doc_id", lit(7)) + 1).cast("int"))
+    val ext = element_at(typedlit(Seq("", ".html", ".php", ".jpg", ".html",
+      ".png", "", ".html", ".mp4", ".html", ".txt")),
+      (pmod($"doc_id", lit(11)) + 1).cast("int"))
+    val depth = (pmod($"doc_id", lit(9)) + 1).cast("int")
+    val url = concat(lit("https://"), domain,
+      expr("repeat('/seg', CAST(pmod(doc_id, 9) + 1 AS INT))"),
+      lit("/page"), ext,
+      when(pmod($"doc_id", lit(13)) === 0, lit("?sessionid=abc123"))
+        .otherwise(lit("")))
+    val reason = when(domain.isin("ads.example", "tracker.example"),
+        lit("blocked_domain"))
+      .when(ext.isin(".jpg", ".png", ".mp4"), lit("binary_ext"))
+      .when(depth > 6, lit("path_too_deep"))
+      .when(url.contains("sessionid="), lit("session_param"))
+      .otherwise(lit("kept"))
+    Tables.documents(s, dir)
+      .select($"doc_id", url.as("url"), reason.as("reason"))
+      .groupBy($"reason")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("first_doc"))
+      .orderBy($"reason")
+  }
+
+  private val urlFilterOracle =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    ['example.org','news.example','blog.example','ads.example',
+      |     'tracker.example','cdn.example','files.example'][(doc_id % 7) + 1] AS domain,
+      |    ['', '.html', '.php', '.jpg', '.html', '.png', '', '.html',
+      |     '.mp4', '.html', '.txt'][(doc_id % 11) + 1] AS ext,
+      |    (doc_id % 9) + 1 AS depth,
+      |    CASE WHEN doc_id % 13 = 0 THEN '?sessionid=abc123' ELSE '' END AS qs
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN domain IN ('ads.example', 'tracker.example') THEN 'blocked_domain'
+      |      WHEN ext IN ('.jpg', '.png', '.mp4') THEN 'binary_ext'
+      |      WHEN depth > 6 THEN 'path_too_deep'
+      |      WHEN qs LIKE '%sessionid=%' THEN 'session_param'
+      |      ELSE 'kept' END AS reason
+      |  FROM u)
+      |SELECT reason, count(*) AS n, min(doc_id) AS first_doc
+      |FROM r
+      |GROUP BY reason
+      |ORDER BY reason""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("doc_repetition", docRepetition, Some(docRepetitionOracle)),
-    Q("token_packing", tokenPacking, Some(tokenPackingOracle)))
+    Q("token_packing", tokenPacking, Some(tokenPackingOracle)),
+    Q("url_filter_rules", urlFilterRules, Some(urlFilterOracle)))
 }
