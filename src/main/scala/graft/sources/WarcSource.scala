@@ -192,13 +192,19 @@ object WarcSource {
         val raw = new BufferedInputStream(fs.open(path), 1 << 16)
         val in: InputStream =
           if (p.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
-        // flatMap drains one file's iterator before opening the next;
-        // close this file's stream when its records run out
+        // flatMap drains one file's iterator before opening the next, so
+        // eager close on exhaustion is the normal path; the
+        // task-completion listener covers task failure mid-file (a
+        // parse error must not leak the FS stream)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOnce()))
         val recs = parseStream(in, p)
         new Iterator[WarcRow] {
           override def hasNext: Boolean = {
             val h = recs.hasNext
-            if (!h) in.close()
+            if (!h) closeOnce()
             h
           }
           override def next(): WarcRow = recs.next()
