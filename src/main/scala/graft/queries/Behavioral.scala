@@ -316,16 +316,27 @@ object Behavioral {
       .filter($"event_type" === "purchase")
       .select(coalesce($"lt", lit("none")).as("lt"),
         coalesce($"ft", lit("none")).as("ft"), $"v_micro")
-    val lastAgg = purchases.groupBy($"lt".as("channel"))
-      .agg(count(lit(1)).as("last_touch_conversions"),
-        sum($"v_micro").as("rev"))
-    val firstAgg = purchases.groupBy($"ft".as("channel"))
-      .agg(count(lit(1)).as("first_touch_conversions"))
-    lastAgg.join(firstAgg, Seq("channel"), "full_outer")
-      .withColumn("rev_m", coalesce($"rev", lit(0L)))
-      .select($"channel",
-        coalesce($"last_touch_conversions", lit(0L)).as("last_touch_conversions"),
-        coalesce($"first_touch_conversions", lit(0L)).as("first_touch_conversions"),
+    // ONE downstream pass: grouping by lt and by ft are different keys,
+    // so each purchase explodes into a (channel, kind) credit row — two
+    // rows per conversion, not two evaluations of the scan+window plan
+    // (a lastAgg/firstAgg branch pair re-runs the whole upstream twice
+    // and full-outer-joins the results back; PLANS.md caught exactly
+    // that shape in the first cut of this query)
+    purchases
+      .select(explode(array(
+        struct($"lt".as("channel"), lit("last").as("kind"),
+          $"v_micro".as("v")),
+        struct($"ft".as("channel"), lit("first").as("kind"),
+          lit(0L).as("v")))).as("c"))
+      .groupBy($"c.channel".as("channel"))
+      .agg(
+        sum(when($"c.kind" === "last", 1L).otherwise(0L))
+          .as("last_touch_conversions"),
+        sum(when($"c.kind" === "first", 1L).otherwise(0L))
+          .as("first_touch_conversions"),
+        sum($"c.v").as("rev_m"))
+      .select($"channel", $"last_touch_conversions",
+        $"first_touch_conversions",
         Exact.microSumTo4dp("rev_m").as("last_touch_revenue"))
       .orderBy($"channel")
   }

@@ -84,6 +84,12 @@ object Sketches {
   // bit-identical cross-engine with no float-expression-order risk.
   private val HllNum: Double =
     0.7213 / (1 + 1.079 / 256) * 590295810358705651712.0 // 2^69 (exact)
+  // pre-scaled to centi-units so the 2-dp estimate is floor(x + 0.5) —
+  // floor is bit-identical across engines, while round(double, 2)'s
+  // half-way behavior is NOT (Spark rounds the shortest-decimal string
+  // HALF_UP, DuckDB scales the binary double): the same integer-space
+  // discipline as Exact.microSumTo4dp
+  private val HllNumCents: Double = HllNum * 100.0
 
   /** Turn a `regs` register-array column into (hll_est, n_zero_registers)
     * — shared by the batch query and the streaming gate so both sides of
@@ -93,7 +99,8 @@ object Sketches {
     .withColumn("s", expr(
       "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), 53 - r)), " +
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-    .withColumn("hll_est", round(lit(HllNum) / col("s"), 2))
+    .withColumn("hll_est",
+      floor(lit(HllNumCents) / col("s") + lit(0.5)) / lit(100.0))
     .withColumn("n_zero_registers",
       expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)"))
     .drop("s", "regs")
@@ -114,8 +121,8 @@ object Sketches {
        |regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
        |s AS (
        |  SELECT event_type,
-       |    round($HllNum / (list_aggregate(list_transform(list(m), x -> 1::BIGINT << (53 - x)), 'sum')
-       |      + ($HllM - count(*)) * (1::BIGINT << 53)), 2) AS hll_est,
+       |    floor($HllNumCents / (list_aggregate(list_transform(list(m), x -> 1::BIGINT << (53 - x)), 'sum')
+       |      + ($HllM - count(*)) * (1::BIGINT << 53)) + 0.5) / 100.0 AS hll_est,
        |    CAST($HllM - count(*) AS BIGINT) AS n_zero_registers
        |  FROM regs GROUP BY event_type)""".stripMargin
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPOutputStream
 
 import scala.collection.mutable
 
@@ -29,7 +29,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   * Scale shape: `read` uses `binaryFile` ONLY for its distributed glob
   * listing (selecting just `path` — the content column is pruned and
   * never read), then each task streams its files off the FileSystem
-  * through a bounded `BufferedInputStream`/`GZIPInputStream` — one
+  * through a bounded strict multi-member gzip decoder — one
   * compressed record in memory at a time, so a 1 GB Common-Crawl
   * segment reads in constant memory. One (unsplittable) file = one
   * task, the correct grain for member-per-record gzip.
@@ -100,9 +100,14 @@ object WarcSource {
       var last: String = null
       var h = readLine(in)
       while (h != null && h.nonEmpty) {
-        if ((h.head == ' ' || h.head == '\t') && last != null)
-          headers(last) = headers(last) + " " + h.trim // continuation line
-        else h.indexOf(':') match {
+        if (h.head == ' ' || h.head == '\t') {
+          // continuation line — invalid before any field (strict: a
+          // leading-space first header would otherwise be silently
+          // absorbed as a bogus 'name: value')
+          if (last == null) throw new IllegalArgumentException(
+            s"$srcFile: continuation line before any header field")
+          headers(last) = headers(last) + " " + h.trim
+        } else h.indexOf(':') match {
           case -1 => throw new IllegalArgumentException(
             s"$srcFile: malformed WARC header line '${h.take(40)}'")
           case i =>
@@ -162,16 +167,121 @@ object WarcSource {
     (status, java.util.Arrays.copyOfRange(payload, split + 4, payload.length))
   }
 
+  /** Concatenated-gzip decoder with the STRICT failure contract JDK's
+    * `GZIPInputStream` lacks: at a member boundary, anything other than
+    * clean EOF or a well-formed next member header is an ERROR —
+    * `GZIPInputStream.readTrailer` swallows a corrupt next-member
+    * header as ordinary EOF, which for member-per-record WARC means
+    * every record after the corruption silently vanishes from the
+    * corpus. Every member's CRC32 and ISIZE trailer is verified too.
+    * Construction does no I/O, so wiring cleanup before the first read
+    * is race-free.
+    */
+  private[graft] final class StrictGzipInputStream(raw: InputStream)
+      extends InputStream {
+    private val inflater = new java.util.zip.Inflater(true) // raw deflate
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](1 << 16)
+    private var pos, lim = 0
+    private var memberOpen = false
+    private var eof = false
+    private val one = new Array[Byte](1)
+
+    private def fill(): Boolean = {
+      if (pos < lim) return true
+      lim = raw.read(buf); pos = 0
+      lim > 0
+    }
+    private def nextByte(): Int = if (!fill()) -1 else { val b = buf(pos) & 0xFF; pos += 1; b }
+    private def expectByte(what: String): Int = {
+      val b = nextByte()
+      if (b < 0) throw new EOFException(s"gzip: truncated $what")
+      b
+    }
+    private def readShortLE(what: String): Int =
+      expectByte(what) | (expectByte(what) << 8)
+    private def readIntLE(what: String): Long =
+      readShortLE(what).toLong | (readShortLE(what).toLong << 16)
+
+    /** Position on the next member's deflate data, or set `eof` on a
+      * clean end-of-stream. Garbage where a member should start throws.
+      */
+    private def openMember(): Unit = {
+      val b0 = nextByte()
+      if (b0 < 0) { eof = true; return }
+      val b1 = nextByte()
+      if (b0 != 0x1F || b1 != 0x8B)
+        throw new java.util.zip.ZipException(
+          f"gzip: corrupt member boundary (magic 0x$b0%02x" +
+            (if (b1 < 0) "<EOF>" else f"0x$b1%02x") + ")")
+      val cm = expectByte("header")
+      if (cm != 8)
+        throw new java.util.zip.ZipException(s"gzip: unsupported method $cm")
+      val flg = expectByte("header")
+      var i = 0
+      while (i < 6) { expectByte("header"); i += 1 } // MTIME, XFL, OS
+      if ((flg & 4) != 0) {
+        var n = readShortLE("FEXTRA")
+        while (n > 0) { expectByte("FEXTRA"); n -= 1 }
+      }
+      if ((flg & 8) != 0) while (expectByte("FNAME") != 0) ()
+      if ((flg & 16) != 0) while (expectByte("FCOMMENT") != 0) ()
+      if ((flg & 2) != 0) { expectByte("FHCRC"); expectByte("FHCRC") }
+      inflater.reset(); crc.reset(); memberOpen = true
+    }
+
+    private def verifyTrailer(): Unit = {
+      val expCrc = readIntLE("trailer")
+      val expIsize = readIntLE("trailer")
+      if (expCrc != crc.getValue)
+        throw new java.util.zip.ZipException(
+          f"gzip: member CRC mismatch (stored 0x$expCrc%08x, computed 0x${crc.getValue}%08x)")
+      if (expIsize != (inflater.getBytesWritten & 0xFFFFFFFFL))
+        throw new java.util.zip.ZipException(
+          s"gzip: member ISIZE mismatch (stored $expIsize, " +
+            s"inflated ${inflater.getBytesWritten & 0xFFFFFFFFL})")
+    }
+
+    override def read(): Int =
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xFF
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (!memberOpen) {
+          if (eof) return -1
+          openMember()
+          if (eof) return -1
+        }
+        val n = inflater.inflate(b, off, len)
+        if (n > 0) { crc.update(b, off, n); return n }
+        if (inflater.finished()) {
+          pos = lim - inflater.getRemaining // reclaim unconsumed tail
+          verifyTrailer()
+          memberOpen = false // loop: next member or clean EOF
+        } else if (inflater.needsInput()) {
+          if (!fill())
+            throw new EOFException("gzip: truncated deflate stream")
+          inflater.setInput(buf, pos, lim - pos)
+          pos = lim // unconsumed bytes reclaimed via getRemaining at finish
+        }
+      }
+      -1 // unreachable
+    }
+
+    override def close(): Unit = { inflater.end(); raw.close() }
+  }
+
   /** Bytes entry point (unit tests, small sidecars). Gzip is detected
-    * by magic, member-per-record concatenations decode transparently
-    * (GZIPInputStream consumes successive members).
+    * by magic; member-per-record concatenations decode strictly
+    * ([[StrictGzipInputStream]]).
     */
   private[graft] def parseBytes(bytes: Array[Byte], srcFile: String)
       : Iterator[WarcRow] = {
     val raw = new ByteArrayInputStream(bytes)
     val in: InputStream =
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
-        new GZIPInputStream(raw, 1 << 16)
+        new StrictGzipInputStream(raw)
       else raw
     parseStream(in, srcFile)
   }
@@ -189,9 +299,12 @@ object WarcSource {
       it.flatMap { p =>
         val path = new Path(new java.net.URI(p))
         val fs = path.getFileSystem(bconf.value.value)
-        val raw = new BufferedInputStream(fs.open(path), 1 << 16)
+        val raw = fs.open(path)
+        // neither wrapper constructor does I/O, so the stream cannot
+        // leak between open and listener registration below
         val in: InputStream =
-          if (p.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+          if (p.endsWith(".gz")) new StrictGzipInputStream(raw)
+          else new BufferedInputStream(raw, 1 << 16)
         // flatMap drains one file's iterator before opening the next, so
         // eager close on exhaustion is the normal path; the
         // task-completion listener covers task failure mid-file (a

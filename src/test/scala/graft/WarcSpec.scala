@@ -73,6 +73,33 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_.target_uri) == Seq("https://x.test/1", "https://x.test/2"))
   }
 
+  test("corrupt gzip member boundaries fail loudly, never silently EOF") {
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(out)
+      gz.write(b); gz.close()
+      out.toByteArray
+    }
+    val m1 = gzMember(record("response", "https://x.test/1", httpPayload))
+    val m2 = gzMember(record("response", "https://x.test/2", httpPayload))
+    // JDK GZIPInputStream would stop after member 1 and report clean
+    // EOF for each of these — silently dropping record 2.
+    val corruptMagic = m1 ++ m2.updated(0, 'X'.toByte)
+    intercept[java.util.zip.ZipException] {
+      WarcSource.parseBytes(corruptMagic, "t.warc.gz").toSeq
+    }
+    val trailingGarbage = m1 ++ "leftover bytes".getBytes(UTF_8)
+    intercept[java.util.zip.ZipException] {
+      WarcSource.parseBytes(trailingGarbage, "t.warc.gz").toSeq
+    }
+    // flipped payload byte inside member 2: CRC must catch it
+    val body2 = java.util.Arrays.copyOf(m2, m2.length)
+    body2(m2.length / 2) = (body2(m2.length / 2) ^ 0x01).toByte
+    intercept[Exception] { // ZipException (CRC/ISIZE) or inflate DataFormatException
+      WarcSource.parseBytes(m1 ++ body2, "t.warc.gz").toSeq
+    }
+  }
+
   test("truncated payload and malformed version line fail loudly") {
     val good = record("response", "https://x.test/c", httpPayload)
     intercept[java.io.EOFException] {
