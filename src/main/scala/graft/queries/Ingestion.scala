@@ -144,10 +144,15 @@ object Ingestion {
     * oracle reads directly. The source key travels in the URI path and
     * is re-extracted by regexp, like a crawl pipeline would.
     */
-  private def warcIngest(s: SparkSession, dir: String): DataFrame = {
+  /** Documents → `.warc.gz` response records under `subdir`, then back
+    * to (source, doc_id, text) via the reader's HTTP split — shared by
+    * the round-trip gate and the crawl pipeline.
+    */
+  private def docsViaWarc(s: SparkSession, dir: String, subdir: String)
+      : DataFrame = {
     import s.implicits._
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val warcPath = s"/tmp/graft_warc/$tag/docs"
+    val warcPath = s"/tmp/graft_warc/$tag/$subdir"
     graft.sources.WarcSource.write(
       graft.ops.Tables.documents(s, dir)
         .select(
@@ -163,6 +168,11 @@ object Ingestion {
           .as("source"),
         regexp_extract($"target_uri", "/(\\d+)$", 1).cast("long").as("doc_id"),
         decode($"body", "UTF-8").as("text"))
+  }
+
+  private def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsViaWarc(s, dir, "docs")
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -185,11 +195,81 @@ object Ingestion {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Crawl → training corpus, end to end over the WARC trip: read the
+    * archive, token/stopword quality gate, exact-fingerprint dedup
+    * (keeper = min doc_id among quality survivors), per-source yield
+    * accounting. The integration gate for the whole front of the
+    * pipeline — every stage reuses an already-gated operator, and the
+    * oracle recomputes the same cascade straight off the documents
+    * table, so a WARC decode corrupting even one byte shows up as a
+    * fingerprint-partition difference. Scale shape: decode and scoring
+    * are map-side; the only shuffles are the fingerprint groupBy and
+    * the final per-source aggregate.
+    */
+  private def crawlPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val scored = docsViaWarc(s, dir, "crawl")
+      .select($"source", $"doc_id", $"text",
+        graft.ops.TextOps.tokens($"text").as("toks"))
+      .select($"source", $"doc_id",
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+          .as("fp"),
+        size($"toks").cast("long").as("n_tok"),
+        graft.ops.TextOps.stopwordHits($"toks", stop).as("stop_hits"))
+      .withColumn("quality", $"n_tok" >= 30 && $"stop_hits" >= 2)
+    val keepers = scored.filter($"quality")
+      .groupBy($"fp").agg(min($"doc_id").as("keeper"))
+    val kept = scored.filter($"quality")
+      .join(keepers, Seq("fp"))
+      .filter($"doc_id" === $"keeper")
+    scored.groupBy($"source").agg(
+        count(lit(1)).as("n_crawled"),
+        sum(when($"quality", 1L).otherwise(0L)).as("n_quality"))
+      .join(
+        kept.groupBy($"source").agg(
+          count(lit(1)).as("n_kept"),
+          sum($"n_tok").as("tokens_kept")),
+        Seq("source"), "left")
+      .select($"source", $"n_crawled", $"n_quality",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"tokens_kept", lit(0L)).as("tokens_kept"))
+      .orderBy($"source")
+  }
+
+  private val crawlPipelineOracle =
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS stop_hits
+      |  FROM documents),
+      |q AS (SELECT *, n_tok >= 30 AND stop_hits >= 2 AS quality FROM scored),
+      |keepers AS (
+      |  SELECT fp, min(doc_id) AS keeper FROM q WHERE quality GROUP BY fp),
+      |kept AS (
+      |  SELECT q.source, q.n_tok FROM q JOIN keepers k
+      |  ON q.fp = k.fp AND q.doc_id = k.keeper WHERE q.quality),
+      |per_src AS (
+      |  SELECT source, count(*) AS n_crawled,
+      |    CAST(sum(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+      |  FROM q GROUP BY source),
+      |kept_src AS (
+      |  SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+      |  FROM kept GROUP BY source)
+      |SELECT p.source, p.n_crawled, p.n_quality,
+      |  coalesce(k.n_kept, 0) AS n_kept,
+      |  coalesce(k.tokens_kept, 0) AS tokens_kept
+      |FROM per_src p LEFT JOIN kept_src k USING (source)
+      |ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("jsonl_ingest", jsonlIngest, Some(jsonlOracle)),
     Q("csv_ingest", csvIngest, Some(csvOracle)),
     Q("orc_ingest", orcIngest, Some(orcOracle)),
     // same oracle as orc: both round-trips must reproduce the source
     Q("avro_ingest", avroIngest, Some(orcOracle)),
-    Q("warc_ingest", warcIngest, Some(warcOracle)))
+    Q("warc_ingest", warcIngest, Some(warcOracle)),
+    Q("crawl_pipeline_e2e", crawlPipelineE2e, Some(crawlPipelineOracle)))
 }
