@@ -141,6 +141,16 @@ object TextOps {
   def fingerprint64(c: Column): Column =
     conv(substring(fingerprintHex(c), 1, 15), 16, 10).cast("long")
 
+  /** RAW (un-normalized) 60-bit fingerprint of the exact bytes — the
+    * variant round-trip gates use, where any whitespace/case
+    * normalization would hide a decode corruption. DuckDB mirror:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`. One definition — three
+    * gates (WARC ×2, lake compaction) hash-compare on it, and a drift
+    * in any copy would break oracle parity only at the drifted site.
+    */
+  def rawFingerprint64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Seeded 60-bit hash of an arbitrary string column (building block for
     * MinHash signatures: h_i(x) = portableHash64(i || x)).
     */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -136,14 +137,6 @@ object Ingestion {
       .orderBy($"o_orderpriority")
   }
 
-  /** WARC round-trip: documents written as `.warc.gz` response records
-    * (one gzip member per record — the Common Crawl layout,
-    * [[graft.sources.WarcSource]]), streamed back, HTTP-split, and
-    * aggregated per source with a content fingerprint — so the gate
-    * pins BOTH directions byte-exactly against the documents table the
-    * oracle reads directly. The source key travels in the URI path and
-    * is re-extracted by regexp, like a crawl pipeline would.
-    */
   /** Documents → `.warc.gz` response records under `subdir`, then back
     * to (source, doc_id, text) via the reader's HTTP split — shared by
     * the round-trip gate and the crawl pipeline.
@@ -170,6 +163,14 @@ object Ingestion {
         decode($"body", "UTF-8").as("text"))
   }
 
+  /** WARC round-trip: documents written as `.warc.gz` response records
+    * (one gzip member per record — the Common Crawl layout,
+    * [[graft.sources.WarcSource]]), streamed back, HTTP-split, and
+    * aggregated per source with a content fingerprint — so the gate
+    * pins BOTH directions byte-exactly against the documents table the
+    * oracle reads directly. The source key travels in the URI path and
+    * is re-extracted by regexp, like a crawl pipeline would.
+    */
   private def warcIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docsViaWarc(s, dir, "docs")
@@ -179,7 +180,7 @@ object Ingestion {
         sum(length($"text")).cast("long").as("chars"),
         min($"doc_id").as("min_id"),
         max($"doc_id").as("max_id"),
-        sum(pmod(expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"),
+        sum(pmod(graft.ops.TextOps.rawFingerprint64($"text"),
           lit(1000003L))).cast("long").as("fp_sum"))
       .orderBy($"source")
   }
@@ -202,38 +203,37 @@ object Ingestion {
     * pipeline — every stage reuses an already-gated operator, and the
     * oracle recomputes the same cascade straight off the documents
     * table, so a WARC decode corrupting even one byte shows up as a
-    * fingerprint-partition difference. Scale shape: decode and scoring
-    * are map-side; the only shuffles are the fingerprint groupBy and
-    * the final per-source aggregate.
+    * fingerprint-partition difference. Scale shape (the
+    * [[CorpusPrep]] corpusPipelineE2e window idiom): ONE archive scan,
+    * keeper = min-over-fingerprint-partition window, then the
+    * per-source aggregate — a keepers groupBy + join-back would
+    * re-execute the WARC decode per branch AND auto-broadcast an
+    * unbounded per-fingerprint aggregate (the q02-class shape, which
+    * the provenance audit can't even see behind a /tmp path). Tokens
+    * materialize behind a barrier per the TextOps rule: interpreted
+    * HOFs get no codegen CSE, so an inlined split re-tokenizes per
+    * consumer.
     */
   private def crawlPipelineE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a", "of", "and", "in", "to", "is")
-    val scored = docsViaWarc(s, dir, "crawl")
-      .select($"source", $"doc_id", $"text",
-        graft.ops.TextOps.tokens($"text").as("toks"))
+    val scored = graft.ops.Tables.barrier(docsViaWarc(s, dir, "crawl")
+        .select($"source", $"doc_id", $"text",
+          graft.ops.TextOps.tokens($"text").as("toks")))
       .select($"source", $"doc_id",
-        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
-          .as("fp"),
+        graft.ops.TextOps.rawFingerprint64($"text").as("fp"),
         size($"toks").cast("long").as("n_tok"),
         graft.ops.TextOps.stopwordHits($"toks", stop).as("stop_hits"))
       .withColumn("quality", $"n_tok" >= 30 && $"stop_hits" >= 2)
-    val keepers = scored.filter($"quality")
-      .groupBy($"fp").agg(min($"doc_id").as("keeper"))
-    val kept = scored.filter($"quality")
-      .join(keepers, Seq("fp"))
-      .filter($"doc_id" === $"keeper")
-    scored.groupBy($"source").agg(
+    val keeper = min(when($"quality", $"doc_id"))
+      .over(Window.partitionBy($"fp"))
+    scored
+      .withColumn("kept", $"quality" && $"doc_id" === keeper)
+      .groupBy($"source").agg(
         count(lit(1)).as("n_crawled"),
-        sum(when($"quality", 1L).otherwise(0L)).as("n_quality"))
-      .join(
-        kept.groupBy($"source").agg(
-          count(lit(1)).as("n_kept"),
-          sum($"n_tok").as("tokens_kept")),
-        Seq("source"), "left")
-      .select($"source", $"n_crawled", $"n_quality",
-        coalesce($"n_kept", lit(0L)).as("n_kept"),
-        coalesce($"tokens_kept", lit(0L)).as("tokens_kept"))
+        sum(when($"quality", 1L).otherwise(0L)).as("n_quality"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", $"n_tok").otherwise(0L)).as("tokens_kept"))
       .orderBy($"source")
   }
 

@@ -87,7 +87,7 @@ object LakeOps {
         // RAW md5, not TextOps.fingerprint64 (which normalizes
         // whitespace): compaction must preserve bytes, so the
         // fingerprint must see bytes
-        sum(pmod(conv(substring(md5($"text"), 1, 15), 16, 10).cast("long"),
+        sum(pmod(graft.ops.TextOps.rawFingerprint64($"text"),
           lit(1000000007L))).as("content_fp"))
       // The small side is gated as a capped FLAG, not the exact 16:
       // round-robin repartition(16) yields one file per NON-EMPTY
