@@ -151,6 +151,52 @@ object TextOps {
   def rawFingerprint64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** HTML → text: the boilerplate-strip between crawl decode and
+    * quality filtering. Regexp cascade, fully codegen'd, mirrored
+    * step-for-step by [[htmlToTextSql]] (one definition of the step
+    * list drives both engines):
+    *  1. drop script/style subtrees WITH their content (code is never
+    *     corpus text; `(?s)` so the blocks may span lines);
+    *  2. drop comments, then every remaining tag (attributes included);
+    *  3. decode the five named entities crawl text actually carries
+    *     plus decimal numeric references;
+    *  4. collapse runs of whitespace and trim — tag removal leaves
+    *     seams, and downstream tokenization assumes single spaces.
+    * Deliberately NOT a full HTML5 parser (no entity table beyond the
+    * named five, no CDATA): malformed-markup recovery belongs in a DOM
+    * library, and the regexp subset is the industry-standard fast path
+    * for crawl-scale extraction where the per-byte budget is tiny.
+    */
+  private val htmlSteps: Seq[(String, String)] = Seq(
+    // script and style as SEPARATE patterns: DuckDB's RE2 has no
+    // backreferences, so a shared `</\1>` close-tag form is not portable
+    "(?s)<script\\b[^>]*>.*?</script\\s*>" -> " ",
+    "(?s)<style\\b[^>]*>.*?</style\\s*>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ",
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&#(\\d+);" -> "", // numeric refs: dropped (rare; keeps both engines trivially identical)
+    "&amp;" -> "&",    // LAST, so "&amp;lt;" decodes to the literal "&lt;"
+    "\\s+" -> " ")
+
+  def htmlToText(c: Column): Column =
+    trim(htmlSteps.foldLeft(c) { case (acc, (re, rep)) =>
+      regexp_replace(acc, re, rep)
+    })
+
+  /** The same cascade as DuckDB SQL over expression text `e`. DuckDB
+    * regexp_replace needs the explicit 'g' flag (Spark is global by
+    * default); `(?s)` travels inline, which both Java regex and RE2
+    * accept, and SQL single-quoted strings pass backslashes through
+    * verbatim — only quotes need doubling.
+    */
+  def htmlToTextSql(e: String): String = {
+    val body = htmlSteps.foldLeft(e) { case (acc, (re, rep)) =>
+      s"regexp_replace($acc, '${re.replace("'", "''")}', '$rep', 'g')"
+    }
+    s"trim($body)"
+  }
+
   /** Seeded 60-bit hash of an arbitrary string column (building block for
     * MinHash signatures: h_i(x) = portableHash64(i || x)).
     */

@@ -795,7 +795,52 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------- HTML → text extraction (crawl boilerplate strip)
+
+  /** [[TextOps.htmlToText]] under the oracle gate: each document is
+    * wrapped in deterministic HTML furniture exercising every cascade
+    * step — a style block, an entity-laden heading (`&amp;`, `&#39;`,
+    * `&lt;`/`&gt;`), a comment, and a script whose body contains a
+    * bare `<` — and the stripped result is aggregated per source. The
+    * oracle does NOT run the cascade: it states the EXPECTED text
+    * directly (`'t Header & x''s <tag> ' || text`, whitespace-
+    * collapsed), so any cascade bug — an eaten word, a surviving tag,
+    * a wrong entity — breaks the fingerprint match. Map-only;
+    * the per-source aggregate is the only shuffle.
+    */
+  private def htmlExtractText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><title>t</title><style>p{color:red}</style></head>" +
+        "<body><h1>Header &amp; x&#39;s &lt;tag&gt;</h1><p>"),
+      $"text",
+      lit("</p><!-- crawl note --><script>var x = 1 < 2;</script></body></html>"))
+    Tables.fanOut(Tables.documents(s, dir))
+      .select($"source", TextOps.htmlToText(html).as("stripped"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length($"stripped")).cast("long").as("chars"),
+        sum(pmod(TextOps.rawFingerprint64($"stripped"), lit(1000003L)))
+          .cast("long").as("fp_sum"))
+      .orderBy($"source")
+  }
+
+  private val htmlExtractOracle =
+    """WITH expected AS (
+      |  SELECT source,
+      |    trim(regexp_replace('t Header & x''s <tag> ' || text, '\s+', ' ', 'g'))
+      |      AS stripped
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(length(stripped)) AS BIGINT) AS chars,
+      |  CAST(sum(('0x' || substr(md5(stripped), 1, 15))::BIGINT % 1000003) AS BIGINT) AS fp_sum
+      |FROM expected
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("html_extract_text", htmlExtractText, Some(htmlExtractOracle)),
     Q("text_nfc_normalize", nfcNormalize, Some(nfcOracle)),
     Q("text_stats", textStats, Some(textStatsOracle)),
     Q("lang_id", langIdQuery, Some(langIdOracle)),
