@@ -139,11 +139,22 @@ object Ingestion {
 
   /** Documents → `.warc.gz` response records under `subdir`, then back
     * to (source, doc_id, text) via the reader's HTTP split — shared by
-    * the round-trip gate and the crawl pipeline.
+    * the round-trip gate and the crawl pipeline. With `html = true`
+    * the written bodies are HTML pages (the [[TextAnalysis]] furniture:
+    * style block, entity-laden heading, comment, script) and the read
+    * side runs [[graft.ops.TextOps.htmlToText]] — the realistic crawl
+    * shape, where what the archive holds is markup, not corpus text.
     */
-  private def docsViaWarc(s: SparkSession, dir: String, subdir: String)
-      : DataFrame = {
+  private def docsViaWarc(s: SparkSession, dir: String, subdir: String,
+      html: Boolean = false): DataFrame = {
     import s.implicits._
+    val body =
+      if (!html) $"text"
+      else concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style></head>" +
+          "<body><h1>Header &amp; x&#39;s &lt;tag&gt;</h1><p>"),
+        $"text",
+        lit("</p><!-- crawl note --><script>var x = 1 < 2;</script></body></html>"))
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val warcPath = s"/tmp/graft_warc/$tag/$subdir"
     graft.sources.WarcSource.write(
@@ -152,15 +163,17 @@ object Ingestion {
           concat(lit("https://corpus.example/"), $"source", lit("/"),
             $"doc_id").as("url"),
           lit("2024-01-01T00:00:00Z").as("date"),
-          $"text"),
+          body.as("text")),
       warcPath)
+    val decoded = decode($"body", "UTF-8")
     graft.sources.WarcSource.read(s, s"$warcPath/*.warc.gz")
       .filter($"warc_type" === "response" && $"http_status" === 200)
       .select(
         regexp_extract($"target_uri", "corpus\\.example/([^/]+)/", 1)
           .as("source"),
         regexp_extract($"target_uri", "/(\\d+)$", 1).cast("long").as("doc_id"),
-        decode($"body", "UTF-8").as("text"))
+        (if (html) graft.ops.TextOps.htmlToText(decoded) else decoded)
+          .as("text"))
   }
 
   /** WARC round-trip: documents written as `.warc.gz` response records
@@ -196,14 +209,17 @@ object Ingestion {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
-  /** Crawl → training corpus, end to end over the WARC trip: read the
-    * archive, token/stopword quality gate, exact-fingerprint dedup
-    * (keeper = min doc_id among quality survivors), per-source yield
-    * accounting. The integration gate for the whole front of the
-    * pipeline — every stage reuses an already-gated operator, and the
-    * oracle recomputes the same cascade straight off the documents
-    * table, so a WARC decode corrupting even one byte shows up as a
-    * fingerprint-partition difference. Scale shape (the
+  /** Crawl → training corpus, end to end over the WARC trip with HTML
+    * bodies: the archive holds markup (what a crawl actually stores),
+    * so the pipeline is read → [[graft.ops.TextOps.htmlToText]]
+    * boilerplate strip → token/stopword quality gate →
+    * exact-fingerprint dedup (keeper = min doc_id among quality
+    * survivors) → per-source yield accounting. The integration gate
+    * for the whole front of the pipeline — every stage reuses an
+    * already-gated operator, and the oracle does NOT run any of them:
+    * it states the expected extracted text directly off the documents
+    * table, so a WARC decode corrupting one byte OR a strip eating one
+    * word shows up as a fingerprint-partition difference. Scale shape (the
     * [[CorpusPrep]] corpusPipelineE2e window idiom): ONE archive scan,
     * keeper = min-over-fingerprint-partition window, then the
     * per-source aggregate — a keepers groupBy + join-back would
@@ -217,7 +233,8 @@ object Ingestion {
   private def crawlPipelineE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a", "of", "and", "in", "to", "is")
-    val scored = graft.ops.Tables.barrier(docsViaWarc(s, dir, "crawl")
+    val scored = graft.ops.Tables.barrier(docsViaWarc(s, dir, "crawl",
+          html = true)
         .select($"source", $"doc_id", $"text",
           graft.ops.TextOps.tokens($"text").as("toks")))
       .select($"source", $"doc_id",
@@ -238,13 +255,18 @@ object Ingestion {
   }
 
   private val crawlPipelineOracle =
-    """WITH scored AS (
+    """WITH extracted AS (
+      |  SELECT source, doc_id,
+      |    trim(regexp_replace('t Header & x''s <tag> ' || text, '\s+', ' ', 'g'))
+      |      AS text
+      |  FROM documents),
+      |scored AS (
       |  SELECT source, doc_id,
       |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,
       |    len(string_split(text, ' ')) AS n_tok,
       |    len(list_filter(string_split(text, ' '),
       |      t -> t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS stop_hits
-      |  FROM documents),
+      |  FROM extracted),
       |q AS (SELECT *, n_tok >= 30 AND stop_hits >= 2 AS quality FROM scored),
       |keepers AS (
       |  SELECT fp, min(doc_id) AS keeper FROM q WHERE quality GROUP BY fp),
