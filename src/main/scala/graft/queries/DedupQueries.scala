@@ -542,6 +542,86 @@ object DedupQueries {
        |GROUP BY train_id
        |ORDER BY train_id""".stripMargin
 
+  // ---- Bloom decontamination (the map-side scale path) ----
+
+  /** Decontamination WITHOUT a shuffle of the training side: the bench
+    * set's shingle hashes build a 2^17-bit Bloom filter
+    * ([[graft.ops.BloomOps]], Kirsch–Mitzenmacher double hashing over
+    * the portable md5 family), broadcast as a literal, and every
+    * training shingle is probed MAP-SIDE — where the exact
+    * `decontaminate_overlap` shuffles every (shingle, doc) pair to a
+    * join, this touches the corpus once and shuffles only the
+    * per-source summary. The price is one-sided error: `maybe` can be
+    * a false positive (flagged grams are an overcount to verify or
+    * tolerate), never a false negative — a contaminated doc cannot slip
+    * through, which is the direction decontamination cares about. The
+    * oracle rebuilds the SAME filter relationally (bench probe
+    * positions as a distinct set, a train gram flagged iff all
+    * [[graft.ops.BloomOps.DefaultProbes]] of its positions are
+    * present), so even the false-positive pattern must match bit for
+    * bit.
+    */
+  private def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"source",
+        DedupOps.shingleHashSetNative($"text", DecontamK).as("hs"))
+      .filter($"hs".isNotNull)
+    val words = graft.ops.BloomOps.buildBloom(
+      docs.filter($"source" === "src0").select(explode($"hs").as("key")),
+      "key")
+    docs.filter($"source" =!= "src0")
+      .select($"doc_id", $"source", explode($"hs").as("h"))
+      .withColumn("maybe", graft.ops.BloomOps.mightContain($"h", words))
+      .groupBy($"doc_id", $"source")
+      .agg(sum(when($"maybe", 1L).otherwise(0L)).as("n_flagged"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(when($"n_flagged" > 0, 1L).otherwise(0L)).as("n_flagged_docs"),
+        sum($"n_flagged").as("flagged_grams"))
+      .orderBy($"source")
+  }
+
+  private val decontaminateBloomOracle = {
+    val m = graft.ops.BloomOps.DefaultBits
+    val k = graft.ops.BloomOps.DefaultProbes
+    def h12(keyExpr: String) =
+      s"""('0x' || substr(md5('b1|' || CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT AS h1,
+         |      (('0x' || substr(md5('b2|' || CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT | 1) AS h2""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, $decontamShinglesSql AS shingles FROM documents),
+       |h AS (
+       |  SELECT doc_id, source, list_distinct($shingleHashesSql) AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |bench_keys AS (
+       |  SELECT DISTINCT unnest(hs) AS key FROM h WHERE source = 'src0'),
+       |bits AS (
+       |  SELECT DISTINCT (h1 + i * h2) % $m AS pos
+       |  FROM (SELECT ${h12("key")} FROM bench_keys), generate_series(0, ${k - 1}) t(i)),
+       |train_g AS (
+       |  SELECT doc_id, source, unnest(hs) AS key FROM h WHERE source <> 'src0'),
+       |probes AS (
+       |  SELECT doc_id, source, key, (h1 + i * h2) % $m AS pos
+       |  FROM (SELECT doc_id, source, key, ${h12("key")} FROM train_g),
+       |       generate_series(0, ${k - 1}) t(i)),
+       |hit AS (
+       |  SELECT p.doc_id, p.source, p.key, count(*) AS n_set
+       |  FROM probes p JOIN bits b ON p.pos = b.pos
+       |  GROUP BY 1, 2, 3),
+       |per_doc AS (
+       |  SELECT h.doc_id, h.source,
+       |    coalesce((SELECT count(*) FROM hit
+       |              WHERE hit.doc_id = h.doc_id AND n_set = $k), 0) AS n_flagged
+       |  FROM h WHERE source <> 'src0')
+       |SELECT source, count(*) AS n_train_docs,
+       |  CAST(sum(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs,
+       |  CAST(sum(n_flagged) AS BIGINT) AS flagged_grams
+       |FROM per_doc
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   // ---- incremental ingest: classify a new batch against the corpus ----
 
   /** The held-out "new batch" source and the near-dup admission bar. */
@@ -721,6 +801,7 @@ object DedupQueries {
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("canonical_url_dedup", canonicalUrlDedup, Some(canonicalUrlOracle)),
     Q("decontaminate_overlap", decontaminateOverlap, Some(decontaminateOracle)),
+    Q("decontaminate_bloom", decontaminateBloom, Some(decontaminateBloomOracle)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
     Q("dedup_minhash_strict", dedupMinhashStrict, Some(dedupMinhashStrictOracle)),
     Q("dedup_lsh_keeper", dedupLshKeeper, Some(dedupLshKeeperOracle)),
