@@ -169,13 +169,19 @@ object TextOps {
     */
   private val htmlSteps: Seq[(String, String)] = Seq(
     // script and style as SEPARATE patterns: DuckDB's RE2 has no
-    // backreferences, so a shared `</\1>` close-tag form is not portable
-    "(?s)<script\\b[^>]*>.*?</script\\s*>" -> " ",
-    "(?s)<style\\b[^>]*>.*?</style\\s*>" -> " ",
+    // backreferences, so a shared `</\1>` close-tag form is not
+    // portable; (?is) because real markup carries <SCRIPT>/<Style>
+    // spellings, and a case-missed block leaks its whole JS/CSS body
+    // into the corpus
+    "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>" -> " ",
     "(?s)<!--.*?-->" -> " ",
     "<[^>]+>" -> " ",
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-    "&#(\\d+);" -> "", // numeric refs: dropped (rare; keeps both engines trivially identical)
+    // numeric refs become a SPACE, not "": 'day&#8212;night' must not
+    // fuse into the never-written token 'daynight' (the \s+ collapse
+    // cleans the seam)
+    "&#(\\d+);" -> " ",
     "&amp;" -> "&",    // LAST, so "&amp;lt;" decodes to the literal "&lt;"
     "\\s+" -> " ")
 
@@ -186,16 +192,36 @@ object TextOps {
 
   /** The same cascade as DuckDB SQL over expression text `e`. DuckDB
     * regexp_replace needs the explicit 'g' flag (Spark is global by
-    * default); `(?s)` travels inline, which both Java regex and RE2
+    * default); `(?is)` travels inline, which both Java regex and RE2
     * accept, and SQL single-quoted strings pass backslashes through
-    * verbatim — only quotes need doubling.
+    * verbatim — only quotes need doubling, in pattern AND replacement
+    * (the `&#39;` step replaces with a literal `'`). The
+    * html_extract_text oracle RUNS this mirror and asserts it equals
+    * the hand-stated expected text, so the two cascades cannot drift.
     */
   def htmlToTextSql(e: String): String = {
     val body = htmlSteps.foldLeft(e) { case (acc, (re, rep)) =>
-      s"regexp_replace($acc, '${re.replace("'", "''")}', '$rep', 'g')"
+      s"regexp_replace($acc, '${re.replace("'", "''")}', '${rep.replace("'", "''")}', 'g')"
     }
     s"trim($body)"
   }
+
+  /** The deterministic HTML furniture the extraction gate and the crawl
+    * archive wrap documents in — one definition for the two queries and
+    * their oracles (each exercises every cascade step: style block,
+    * entity-laden heading, comment, script with a bare `<`).
+    * [[HtmlFurnitureExpected]] is the hand-derived post-strip prefix
+    * those oracles state as ground truth.
+    */
+  val HtmlFurniturePrefix: String =
+    "<html><head><title>t</title><style>p{color:red}</style></head>" +
+      "<body><h1>Header &amp; x&#39;s &lt;tag&gt;</h1><p>"
+  val HtmlFurnitureSuffix: String =
+    "</p><!-- crawl note --><script>var x = 1 < 2;</script></body></html>"
+  val HtmlFurnitureExpected: String = "t Header & x's <tag> "
+
+  def wrapInHtml(text: Column): Column =
+    concat(lit(HtmlFurniturePrefix), text, lit(HtmlFurnitureSuffix))
 
   /** Seeded 60-bit hash of an arbitrary string column (building block for
     * MinHash signatures: h_i(x) = portableHash64(i || x)).

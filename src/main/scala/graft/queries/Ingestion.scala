@@ -149,12 +149,7 @@ object Ingestion {
       html: Boolean = false): DataFrame = {
     import s.implicits._
     val body =
-      if (!html) $"text"
-      else concat(
-        lit("<html><head><title>t</title><style>p{color:red}</style></head>" +
-          "<body><h1>Header &amp; x&#39;s &lt;tag&gt;</h1><p>"),
-        $"text",
-        lit("</p><!-- crawl note --><script>var x = 1 < 2;</script></body></html>"))
+      if (html) graft.ops.TextOps.wrapInHtml($"text") else $"text"
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val warcPath = s"/tmp/graft_warc/$tag/$subdir"
     graft.sources.WarcSource.write(
@@ -255,9 +250,9 @@ object Ingestion {
   }
 
   private val crawlPipelineOracle =
-    """WITH extracted AS (
+    s"""WITH extracted AS (
       |  SELECT source, doc_id,
-      |    trim(regexp_replace('t Header & x''s <tag> ' || text, '\s+', ' ', 'g'))
+      |    trim(regexp_replace('${graft.ops.TextOps.HtmlFurnitureExpected.replace("'", "''")}' || text, '\\s+', ' ', 'g'))
       |      AS text
       |  FROM documents),
       |scored AS (

@@ -810,34 +810,47 @@ object TextAnalysis {
     */
   private def htmlExtractText(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val html = concat(
-      lit("<html><head><title>t</title><style>p{color:red}</style></head>" +
-        "<body><h1>Header &amp; x&#39;s &lt;tag&gt;</h1><p>"),
-      $"text",
-      lit("</p><!-- crawl note --><script>var x = 1 < 2;</script></body></html>"))
+    // the gate's two legs: `stripped` runs the production cascade over
+    // the wrapped markup; `direct` states the expected result without
+    // it. Counting their per-doc disagreements (must be 0) pins the
+    // cascade to the independent expectation INSIDE the query, and the
+    // oracle does the same with the SQL mirror — so both engines'
+    // cascades are load-bearing, not just the aggregate.
+    val direct = trim(regexp_replace(
+      concat(lit(TextOps.HtmlFurnitureExpected), $"text"), "\\s+", " "))
     Tables.fanOut(Tables.documents(s, dir))
-      .select($"source", TextOps.htmlToText(html).as("stripped"))
+      .select($"source",
+        TextOps.htmlToText(TextOps.wrapInHtml($"text")).as("stripped"),
+        direct.as("direct"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(length($"stripped")).cast("long").as("chars"),
         sum(pmod(TextOps.rawFingerprint64($"stripped"), lit(1000003L)))
-          .cast("long").as("fp_sum"))
+          .cast("long").as("fp_sum"),
+        sum(when($"stripped" =!= $"direct", 1L).otherwise(0L))
+          .as("n_cascade_mismatch"))
       .orderBy($"source")
   }
 
-  private val htmlExtractOracle =
-    """WITH expected AS (
-      |  SELECT source,
-      |    trim(regexp_replace('t Header & x''s <tag> ' || text, '\s+', ' ', 'g'))
-      |      AS stripped
-      |  FROM documents)
-      |SELECT source, count(*) AS n_docs,
-      |  CAST(sum(length(stripped)) AS BIGINT) AS chars,
-      |  CAST(sum(('0x' || substr(md5(stripped), 1, 15))::BIGINT % 1000003) AS BIGINT) AS fp_sum
-      |FROM expected
-      |GROUP BY source
-      |ORDER BY source""".stripMargin
+  private val htmlExtractOracle = {
+    def q(s: String) = s.replace("'", "''")
+    s"""WITH src AS (
+       |  SELECT source,
+       |    '${q(TextOps.HtmlFurniturePrefix)}' || text || '${q(TextOps.HtmlFurnitureSuffix)}' AS html,
+       |    trim(regexp_replace('${q(TextOps.HtmlFurnitureExpected)}' || text, '\\s+', ' ', 'g')) AS direct
+       |  FROM documents),
+       |legs AS (
+       |  SELECT source, direct, ${TextOps.htmlToTextSql("html")} AS stripped
+       |  FROM src)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(length(stripped)) AS BIGINT) AS chars,
+       |  CAST(sum(('0x' || substr(md5(stripped), 1, 15))::BIGINT % 1000003) AS BIGINT) AS fp_sum,
+       |  CAST(sum(CASE WHEN stripped <> direct THEN 1 ELSE 0 END) AS BIGINT) AS n_cascade_mismatch
+       |FROM legs
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
 
   val queries: Seq[Q] = Seq(
     Q("html_extract_text", htmlExtractText, Some(htmlExtractOracle)),

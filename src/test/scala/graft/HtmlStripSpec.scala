@@ -29,6 +29,15 @@ class HtmlStripSpec extends SparkSpec {
       "a <tag> \"q\" x's b")
   }
 
+  test("uppercase/mixed-case script and style blocks strip with content") {
+    assert(strip("<p>a</p><SCRIPT>var leak = 1;</SCRIPT><Style>.x{}</Style><p>b</p>")
+      == "a b")
+  }
+
+  test("numeric refs become a seam, never fusing neighboring words") {
+    assert(strip("day&#8212;night") == "day night")
+  }
+
   test("double-encoded &amp;lt; yields the literal entity text, not '<'") {
     // &amp; decodes LAST, so the author who wrote &amp;lt; meant the
     // four characters "&lt;" to be displayed
