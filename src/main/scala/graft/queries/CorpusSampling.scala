@@ -188,8 +188,70 @@ object CorpusSampling {
        |FROM w
        |ORDER BY source""".stripMargin
 
+  // --------------------------- deterministic shard shuffle
+
+  private val NumShards = 8
+  private val ShardSeed = 17
+
+  /** The final write-side step of a training-data pipeline: a
+    * DETERMINISTIC global shuffle of the corpus into [[NumShards]]
+    * shards — LLM training wants documents in pseudo-random order, but
+    * a 100-TB corpus cannot pay a global sort, and the permutation must
+    * be reproducible (resume a run, re-emit a shard, diff two emits).
+    * The standard shape: shard = hash(doc) mod N, within-shard order by
+    * the same hash — one hash repartition + per-shard sort, which is
+    * Spark's `repartition(shard).sortWithinPartitions(key)` physical
+    * plan (here expressed as a window so the result is a frame, not a
+    * write). The hash is the engine-portable md5 form, so DuckDB
+    * reproduces the identical permutation.
+    *
+    * Scale: N is 8 here to keep the oracle small; in production N
+    * scales with the corpus (shard ≈ fixed bytes), so per-shard sort
+    * mass stays constant as data grows — no operator in this plan sees
+    * more than one shard's rows after the one hash exchange.
+    *
+    * Each output row pins one shard: its size, byte volume, and an
+    * order-sensitive checksum `sum(pos · (doc_id mod 1000003))` — any
+    * engine that assigns a doc to the wrong shard OR emits the right
+    * docs in the wrong order changes `order_check`.
+    */
+  private def corpusShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars",
+        graft.ops.TextOps.portableHash64($"doc_id".cast("string"), ShardSeed)
+          .as("k"))
+      .withColumn("shard", pmod($"k", lit(NumShards.toLong)))
+    keyed
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy($"shard").orderBy($"k", $"doc_id"))
+        .cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        sum($"pos" * pmod($"doc_id", lit(1000003L))).as("order_check"))
+      .orderBy($"shard")
+  }
+
+  private val corpusShardShuffleOracle =
+    s"""WITH k AS (
+       |  SELECT doc_id, n_chars,
+       |    ('0x' || substr(md5('$ShardSeed|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_chars, k % $NumShards AS shard,
+       |    row_number() OVER (PARTITION BY k % $NumShards ORDER BY k, doc_id) AS pos
+       |  FROM k)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(pos * (doc_id % 1000003)) AS BIGINT) AS order_check
+       |FROM p
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("weighted_sample_docs", weightedSampleDocs, Some(weightedSampleOracle)),
+    Q("corpus_shard_shuffle", corpusShardShuffle, Some(corpusShardShuffleOracle)),
     Q("corpus_stratified_sample", stratifiedSample, Some(stratifiedOracle)),
     Q("corpus_domain_mix", domainMix, Some(domainMixOracle)),
     Q("corpus_temperature_mix", temperatureMix, Some(temperatureMixOracle)),

@@ -704,6 +704,114 @@ object DedupQueries {
        |FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN bj USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------- incremental admission via LSH band index
+
+  /** The SCALE path for incremental admission — the approximate sibling
+    * of [[incrementalIngest]]. That query answers "is this batch doc a
+    * near-dup of the corpus" EXACTLY, with a cross-set AllPairs Jaccard
+    * whose cost tracks shingle overlap mass; at 100 TB the corpus side
+    * of that join is re-derived per batch. Production pipelines instead
+    * maintain a persisted LSH BAND INDEX — (band, key) → bucket — built
+    * once over the corpus and appended to as batches are admitted. A new
+    * doc probes its `NumBands` keys against the index: any occupied
+    * bucket makes it an `lsh_candidate` (to be verified or simply
+    * dropped, per the S-curve guarantee); no hits plus no fingerprint
+    * match admits it without EVER touching corpus text.
+    *
+    * Cost shape: index build is one groupBy over O(corpus · bands) rows
+    * (incremental in steady state — append the new batch's keys); each
+    * batch pays O(batch · bands) probe rows through one keyed join
+    * against the index — never batch × corpus, and no corpus text or
+    * shingle sets move. Columns carried: (band, key, min-id, count) —
+    * the same payload discipline as [[DedupOps.lshCandidates]].
+    *
+    * Output per batch doc: `n_hit_bands` (how many of its band buckets
+    * the corpus occupies), `candidate` (min corpus doc over hit
+    * buckets — the doc a verify step would read), and the admission
+    * `category`: exact_dup (fingerprint match) / lsh_candidate / admit.
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"source",
+        TextOps.fingerprint64($"text").as("fp64"),
+        DedupOps.minhashSigNative($"text", ShingleK, NumHashes).as("sig"))
+    val corpus = d.filter($"source" =!= NewSource)
+    val batch = d.filter($"source" === NewSource)
+    // the persisted artifact: corpus band buckets, min-id + occupancy
+    val index = corpus.filter($"sig".isNotNull)
+      .select($"doc_id",
+        explode(DedupOps.lshBands($"sig", NumBands, RowsPerBand)).as("b"))
+      .groupBy($"b.band".as("band"), $"b.key".as("key"))
+      .agg(min($"doc_id").as("c_min"))
+    val probes = batch.filter($"sig".isNotNull)
+      .select($"doc_id",
+        explode(DedupOps.lshBands($"sig", NumBands, RowsPerBand)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.key".as("key"))
+    val hits = probes.join(index, Seq("band", "key"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("hit"), min($"c_min").as("cand"))
+    val exact = batch
+      .join(corpus.select($"fp64".as("c_fp")), $"fp64" === $"c_fp",
+        "left_semi")
+      .select($"doc_id", lit(true).as("is_exact"))
+    batch.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        when($"is_exact", lit("exact_dup"))
+          .when($"hit" > 0, lit("lsh_candidate"))
+          .otherwise(lit("admit")).as("category"),
+        coalesce($"hit", lit(0L)).as("n_hit_bands"),
+        $"cand".as("candidate"))
+      .orderBy($"doc_id")
+  }
+
+  private val dedupIncrementalOracle = {
+    val sigExprs = (0 until NumHashes).map(sigComponentSql)
+      .mkString("[", ",\n    ", "]")
+    def bandRows(src: String) = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig WHERE $src"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, $shinglesSql AS shingles FROM documents),
+       |hsv AS (
+       |  SELECT doc_id, source, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, source, $sigExprs AS sig FROM hsv),
+       |fp AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64
+       |  FROM documents),
+       |cb AS (
+       |  ${bandRows(s"source <> '$NewSource'")}),
+       |idx AS (SELECT band, key, min(doc_id) AS c_min FROM cb GROUP BY band, key),
+       |pb AS (
+       |  ${bandRows(s"source = '$NewSource'")}),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS hit, min(c_min) AS cand
+       |  FROM pb JOIN idx USING (band, key) GROUP BY doc_id),
+       |ex AS (
+       |  SELECT DISTINCT b.doc_id FROM fp b
+       |  JOIN fp c ON b.fp64 = c.fp64 AND c.source <> '$NewSource'
+       |  WHERE b.source = '$NewSource')
+       |SELECT b.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN coalesce(hits.hit, 0) > 0 THEN 'lsh_candidate'
+       |       ELSE 'admit' END AS category,
+       |  CAST(coalesce(hits.hit, 0) AS BIGINT) AS n_hit_bands,
+       |  hits.cand AS candidate
+       |FROM fp b LEFT JOIN ex ON b.doc_id = ex.doc_id
+       |LEFT JOIN hits ON b.doc_id = hits.doc_id
+       |WHERE b.source = '$NewSource'
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // --------------------------- canonical-URL provenance dedup
 
   /** DuckDB mirror of [[TextOps.canonicalUrl]] — the same regexp chain
@@ -810,5 +918,6 @@ object DedupQueries {
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Q("corpus_select", corpusSelect, Some(corpusSelectOracle)),
-    Q("incremental_ingest", incrementalIngest, Some(incrementalOracle)))
+    Q("incremental_ingest", incrementalIngest, Some(incrementalOracle)),
+    Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)))
 }

@@ -225,23 +225,23 @@ object TextAnalysis {
     "symbol_ratio", "bullet_lines", "ellipsis_lines", "stopword_floor",
     "alpha_words")
 
-  /** The standard pretraining pre-filter (Gopher §A1.1 / C4) as ONE
-    * composed gate: per-rule pass/fail accounting over the corpus plus
-    * an `all_rules` conjunction row — the number a pipeline operator
-    * actually watches ("how much survives the filter, and which rule
-    * bites"). Pure per-row map work off two bound arrays (tokens,
-    * lines) + one 8-column global aggregate; at 100 TB this is a
-    * map-side scan and a single tiny reduce.
+  /** Per-document rule booleans (`doc_id`, `r_<rule>` …) — the shared
+    * scan under both the independent per-rule accounting
+    * (`corpus_quality_rules`) and the sequential funnel
+    * (`filter_funnel`). Pure per-row map work off two bound arrays
+    * (tokens, lines); all comparisons are integer, so both consumers
+    * inherit the engine-portability of the flags.
     */
-  private def corpusQualityRules(s: SparkSession, dir: String): DataFrame = {
+  private def qualityFlags(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val counts = Tables.barrier(Tables.documents(s, dir)
+    Tables.barrier(Tables.documents(s, dir)
       .select($"doc_id", $"text", TextOps.tokens($"text").as("toks"),
         split($"text", "\n").as("lines")))
       // guarded barrier so the arrays are physical — HOFs are
       // interpreted and would otherwise re-tokenize per consumer
       // (textStats rule); identity on an already-wide scan
       .select(
+        $"doc_id",
         size($"toks").as("n_tok"),
         aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
         size(filter($"toks", t => t.rlike("[a-zA-Z]"))).as("alpha_tok"),
@@ -252,15 +252,28 @@ object TextAnalysis {
         size(filter($"lines", l =>
           ltrim(l).like("-%") || ltrim(l).like("*%"))).as("bullets"),
         size(filter($"lines", l => l.like("%..."))).as("ells"))
-    val flagged = counts.select(
-      ($"n_tok" >= 50 && $"n_tok" <= 100000).as("r_word_count"),
-      (lit(3) * $"n_tok" <= $"sum_len"
-        && $"sum_len" <= lit(10) * $"n_tok").as("r_mean_word_len"),
-      (lit(10) * $"symbols" <= $"n_tok").as("r_symbol_ratio"),
-      (lit(10) * $"bullets" <= lit(9) * $"n_lines").as("r_bullet_lines"),
-      (lit(10) * $"ells" <= lit(3) * $"n_lines").as("r_ellipsis_lines"),
-      ($"stop_hits" >= 2).as("r_stopword_floor"),
-      (lit(5) * $"alpha_tok" >= lit(4) * $"n_tok").as("r_alpha_words"))
+      .select(
+        $"doc_id",
+        ($"n_tok" >= 50 && $"n_tok" <= 100000).as("r_word_count"),
+        (lit(3) * $"n_tok" <= $"sum_len"
+          && $"sum_len" <= lit(10) * $"n_tok").as("r_mean_word_len"),
+        (lit(10) * $"symbols" <= $"n_tok").as("r_symbol_ratio"),
+        (lit(10) * $"bullets" <= lit(9) * $"n_lines").as("r_bullet_lines"),
+        (lit(10) * $"ells" <= lit(3) * $"n_lines").as("r_ellipsis_lines"),
+        ($"stop_hits" >= 2).as("r_stopword_floor"),
+        (lit(5) * $"alpha_tok" >= lit(4) * $"n_tok").as("r_alpha_words"))
+  }
+
+  /** The standard pretraining pre-filter (Gopher §A1.1 / C4) as ONE
+    * composed gate: per-rule pass/fail accounting over the corpus plus
+    * an `all_rules` conjunction row — the number a pipeline operator
+    * actually watches ("how much survives the filter, and which rule
+    * bites"). Pure per-row map work + one 8-column global aggregate; at
+    * 100 TB this is a map-side scan and a single tiny reduce.
+    */
+  private def corpusQualityRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flagged = qualityFlags(s, dir).drop("doc_id")
       .withColumn("r_all_rules",
         qualityRules.map(r => col(s"r_$r")).reduce(_ && _))
     val names = qualityRules :+ "all_rules"
@@ -273,16 +286,14 @@ object TextAnalysis {
       .orderBy($"rule")
   }
 
-  private val qualityRulesOracle = {
+  /** The shared per-doc flags CTE prefix (`t`, `f`) — the DuckDB mirror
+    * of [[qualityFlags]]; both rule oracles build on it.
+    */
+  private val qualityFlagsSql = {
     val toks = "string_split(text, ' ')"
     val lines = "string_split(text, chr(10))"
-    val passCol = (r: String) =>
-      s"CAST(sum(CASE WHEN r_$r THEN 1 ELSE 0 END) AS BIGINT) AS p_$r"
-    val names = qualityRules :+ "all_rules"
-    val rows = names.map(r =>
-      s"SELECT '$r' AS rule, p_$r AS n_pass, n_docs - p_$r AS n_fail FROM a")
-    s"""WITH t AS (
-       |  SELECT len($toks) AS n_tok,
+    s"""t AS (
+       |  SELECT doc_id, len($toks) AS n_tok,
        |    coalesce(list_sum(list_transform($toks, t -> length(t))), 0) AS sum_len,
        |    len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha_tok,
        |    len(list_filter($toks, t -> t IN ($stopSql))) AS stop_hits,
@@ -293,14 +304,24 @@ object TextAnalysis {
        |    len(list_filter($lines, l -> l LIKE '%...')) AS ells
        |  FROM documents),
        |f AS (
-       |  SELECT (n_tok >= 50 AND n_tok <= 100000) AS r_word_count,
+       |  SELECT doc_id,
+       |    (n_tok >= 50 AND n_tok <= 100000) AS r_word_count,
        |    (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok) AS r_mean_word_len,
        |    (10 * symbols <= n_tok) AS r_symbol_ratio,
        |    (10 * bullets <= 9 * n_lines) AS r_bullet_lines,
        |    (10 * ells <= 3 * n_lines) AS r_ellipsis_lines,
        |    (stop_hits >= 2) AS r_stopword_floor,
        |    (5 * alpha_tok >= 4 * n_tok) AS r_alpha_words
-       |  FROM t),
+       |  FROM t)""".stripMargin
+  }
+
+  private val qualityRulesOracle = {
+    val passCol = (r: String) =>
+      s"CAST(sum(CASE WHEN r_$r THEN 1 ELSE 0 END) AS BIGINT) AS p_$r"
+    val names = qualityRules :+ "all_rules"
+    val rows = names.map(r =>
+      s"SELECT '$r' AS rule, p_$r AS n_pass, n_docs - p_$r AS n_fail FROM a")
+    s"""WITH $qualityFlagsSql,
        |a AS (
        |  SELECT count(*) AS n_docs,
        |    ${names.map(passCol).mkString(",\n    ")}
@@ -308,6 +329,60 @@ object TextAnalysis {
        |          AS r_all_rules FROM f))
        |${rows.mkString("\nUNION ALL\n")}
        |ORDER BY rule""".stripMargin
+  }
+
+  /** The same quality rules as a SEQUENTIAL funnel — the ops-dashboard
+    * view of a pretraining filter chain: per stage, how many docs enter,
+    * how many THIS stage removes from the survivors of all previous
+    * stages, and how many continue. `corpus_quality_rules` answers
+    * "which rule bites in isolation"; this answers "which rule bites in
+    * the order we actually run them" (a rule late in the chain can show
+    * zero marginal drops even if it fails many docs in isolation).
+    *
+    * Scale shape: identical to the independent accounting — one map-side
+    * scan producing 7 booleans per doc, one 8-column global aggregate
+    * (cumulative conjunctions are free: stage i's AND chain reuses the
+    * same row-local flags), and a constant 7-row stack. No shuffle wider
+    * than the final reduce; at 100 TB this is scan-bound.
+    */
+  private def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flags = qualityFlags(s, dir)
+    // cum(i) = docs surviving rules 0..i, as one conjunction per stage
+    val cum = qualityRules
+      .scanLeft(lit(true): Column)((acc, r) => acc && col(s"r_$r")).tail
+    val aggd = flags.agg(
+      count(lit(1)).as("n_docs"),
+      cum.zipWithIndex.map { case (c, i) =>
+        sum(c.cast("long")).as(s"c_$i")
+      }: _*)
+    val stackArgs = qualityRules.zipWithIndex.map { case (r, i) =>
+      val in = if (i == 0) "n_docs" else s"c_${i - 1}"
+      s"${i + 1}L, '$r', $in, $in - c_$i, c_$i"
+    }.mkString(", ")
+    aggd.selectExpr(
+      s"stack(${qualityRules.length}, $stackArgs)" +
+        " AS (stage, rule, n_in, n_drop, n_out)")
+      .orderBy($"stage")
+  }
+
+  private val filterFunnelOracle = {
+    val cums = qualityRules.indices.map { i =>
+      val conj = qualityRules.take(i + 1).map(r => s"r_$r").mkString(" AND ")
+      s"CAST(sum(CASE WHEN $conj THEN 1 ELSE 0 END) AS BIGINT) AS c_$i"
+    }
+    val rows = qualityRules.zipWithIndex.map { case (r, i) =>
+      val in = if (i == 0) "n_docs" else s"c_${i - 1}"
+      s"SELECT CAST(${i + 1} AS BIGINT) AS stage, '$r' AS rule," +
+        s" $in AS n_in, $in - c_$i AS n_drop, c_$i AS n_out FROM a"
+    }
+    s"""WITH $qualityFlagsSql,
+       |a AS (
+       |  SELECT count(*) AS n_docs,
+       |    ${cums.mkString(",\n    ")}
+       |  FROM f)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY stage""".stripMargin
   }
 
   // ----------------------------- BPE merge-candidate counting
@@ -859,6 +934,7 @@ object TextAnalysis {
     Q("lang_id", langIdQuery, Some(langIdOracle)),
     Q("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     Q("corpus_quality_rules", corpusQualityRules, Some(qualityRulesOracle)),
+    Q("filter_funnel", filterFunnel, Some(filterFunnelOracle)),
     Q("bpe_pair_counts", bpePairCountsQ, Some(bpePairOracle)),
     Q("bpe_apply_merge", bpeApplyMergeQ, Some(bpeApplyOracle)),
     Q("bpe_train_merges", bpeTrainMergesQ, Some(bpeTrainOracle)),

@@ -43,4 +43,21 @@ class SamplingSpec extends SparkSpec {
     val shrunk = s1.join(s2, "id").filter($"sp" === "val" && $"sp2" === "test").count()
     assert(shrunk == 0)
   }
+
+  test("shard shuffle covers the corpus, balances, and repeats exactly") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = graft.queries.Registry.queries("corpus_shard_shuffle")(spark, sf)
+      .select("shard", "n_docs", "sum_chars", "order_check")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val a = run()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(a.map(_._1) == (0L until 8L))
+    assert(a.map(_._2).sum == nDocs)
+    // hash sharding balances: no shard more than 3x another (n/8 = 12.5
+    // expected at sf0.001 — loose bound, but catches mod-bias bugs)
+    assert(a.map(_._2).max <= 3 * a.map(_._2).min, a.map(_._2).toString)
+    // the permutation (shard assignment AND within-shard order) is
+    // deterministic: a fresh plan reproduces every checksum bit-for-bit
+    assert(run() == a)
+  }
 }
