@@ -553,6 +553,157 @@ object LmPipeline {
        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------- training the classifier: hashed Naive Bayes
+
+  private val NbBuckets = 256L
+  private val NbSeed = 23
+  private val NbStops = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** TRAINS the model-based quality gate instead of assuming one —
+    * the step [[qualityClassifierScore]] deliberately skips (its
+    * weights are a fixed hash mix; the point there is inference
+    * shape). This is the CCNet/fastText distillation recipe: label
+    * every document with a cheap heuristic (here: stopword density
+    * ≥ 5%, a C4-style fluency signal that is linear in token counts),
+    * train a multinomial Naive Bayes model over hashed unigram
+    * features on a 90% split, and report held-out accuracy on the
+    * rest. NB rather than iterative GD because its training IS one
+    * aggregation — closed-form, no driver loop, no learning rate —
+    * which is exactly what a 100-TB training pass wants:
+    *
+    *  - the model (per-bucket per-class token counts) attaches as
+    *    WINDOW sums over `partitionBy(b)` — the dsirWeights/bigram-LM
+    *    pattern: one keyed shuffle on the fixed `NbBuckets` key space,
+    *    no join, no broadcast of a fact-derived frame, and a bucket
+    *    unseen in training degrades to the Laplace prior by the same
+    *    arithmetic (its window counts are 0), with no special case.
+    *  - class totals are a 4-long scalar bridge (`first()` on a 1-row
+    *    aggregate — the dsirWeights/unigramQuality pattern) computed
+    *    map-side from doc-level token counts, never off the exploded
+    *    frame.
+    *  - log-likelihood-ratio weights are rounded to integer
+    *    micro-nats, so every cross-row sum in the query (training
+    *    counts, per-doc scores, per-split accuracy) is INTEGER —
+    *    aggregation-order-free and bit-identical in DuckDB; `ln` is
+    *    per token row but each call is pure map work, and the
+    *    1e-6-rounded result sits far from decision boundaries.
+    *
+    * Output: one row per split — docs, correct, accuracy (milli), and
+    * the split's total score mass, which pins every weight and every
+    * per-doc dot product, not just the argmax decisions.
+    *
+    * Precision notes: count products entering `ln` stay < 2^53 up to
+    * ~1e7-token classes per bucket (the 100x soak's range); beyond
+    * that, compute the ratio as two divisions before `ln`. Score sums
+    * are micro-nat · count ≤ ~1e13 per doc — BIGINT-safe until corpus
+    * row counts approach 1e5 docs per (split) times that, which a
+    * per-split DECIMAL(38) sum would lift.
+    */
+  private def qualityClassifierTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.barrier(Tables.fanOut(Tables.documents(s, dir))
+        .select($"doc_id", TextOps.tokens($"text").as("toks")))
+      .select($"doc_id", $"toks",
+        when(lit(20) * TextOps.stopwordHits($"toks", NbStops)
+          >= size($"toks"), 1L).otherwise(0L).as("y"),
+        (pmod($"doc_id", lit(10)) =!= 0).as("is_train"))
+    // class totals: 4 longs from doc-level token counts (scalar bridge)
+    val t = docs.filter($"is_train").agg(
+      sum(when($"y" === 1, size($"toks").cast("long")).otherwise(0L)),
+      sum(when($"y" === 0, size($"toks").cast("long")).otherwise(0L)),
+      sum($"y"), sum(lit(1L) - $"y")).first()
+    val (ptot, ntot) = (t.getLong(0), t.getLong(1))
+    val (npos, nneg) = (t.getLong(2), t.getLong(3))
+    val tok = docs
+      .select($"doc_id", $"y", $"is_train", explode($"toks").as("t"))
+      .select($"doc_id", $"y", $"is_train",
+        pmod(TextOps.portableHash64($"t", NbSeed), lit(NbBuckets)).as("b"))
+    // Laplace-smoothed log-likelihood ratio per bucket, integer
+    // micro-nats, off the per-bucket window counts
+    def llr(pos: Column, neg: Column): Column =
+      round(lit(1e6) * log(
+        ((pos + 1L) * lit(ntot + NbBuckets)).cast("double") /
+          ((neg + 1L) * lit(ptot + NbBuckets)).cast("double")))
+        .cast("long")
+    val prior = math.round(1e6 * math.log((npos + 1).toDouble / (nneg + 1)))
+    val wb = Window.partitionBy($"b")
+    tok
+      .select($"doc_id", $"y", $"is_train",
+        llr(
+          sum(when($"is_train" && $"y" === 1, 1L).otherwise(0L)).over(wb),
+          sum(when($"is_train" && $"y" === 0, 1L).otherwise(0L)).over(wb))
+          .as("w"))
+      .groupBy($"doc_id", $"y", $"is_train")
+      .agg(sum($"w").as("sum_w"))
+      .select($"y", $"is_train", ($"sum_w" + prior).as("score"))
+      .withColumn("pred", when($"score" >= 0, 1L).otherwise(0L))
+      .groupBy($"is_train")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pred" === $"y", 1L).otherwise(0L)).as("n_correct"),
+        sum($"score").as("sum_score"))
+      .select(
+        when($"is_train", lit("train")).otherwise(lit("test")).as("split"),
+        $"n_docs", $"n_correct",
+        expr("1000 * n_correct div n_docs").as("acc_milli"),
+        $"sum_score")
+      .orderBy($"split")
+  }
+
+  private val classifierTrainOracle = {
+    val stops = NbStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |docs AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN 20 * len(list_filter(toks, t -> t IN ($stops)))
+       |         >= len(toks) THEN 1 ELSE 0 END AS y,
+       |    doc_id % 10 <> 0 AS is_train
+       |  FROM d),
+       |tok AS (
+       |  SELECT doc_id, y, is_train,
+       |    ('0x' || substr(md5('$NbSeed|' || unnest(toks)), 1, 15))::BIGINT
+       |      % $NbBuckets AS b
+       |  FROM docs),
+       |tots AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN y = 1 THEN len(toks) ELSE 0 END) AS BIGINT) AS ptot,
+       |    CAST(sum(CASE WHEN y = 0 THEN len(toks) ELSE 0 END) AS BIGINT) AS ntot,
+       |    CAST(sum(y) AS BIGINT) AS npos,
+       |    CAST(sum(1 - y) AS BIGINT) AS nneg
+       |  FROM docs WHERE is_train),
+       |wtok AS (
+       |  SELECT doc_id, y, is_train,
+       |    CAST(sum(CASE WHEN is_train AND y = 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY b) AS BIGINT) AS pos,
+       |    CAST(sum(CASE WHEN is_train AND y = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY b) AS BIGINT) AS neg
+       |  FROM tok),
+       |consts AS (
+       |  SELECT
+       |    CAST(round(1e6 * ln(CAST(npos + 1 AS DOUBLE)
+       |      / CAST(nneg + 1 AS DOUBLE))) AS BIGINT) AS prior
+       |  FROM tots),
+       |scored AS (
+       |  SELECT doc_id, y, is_train,
+       |    CAST(sum(CAST(round(1e6 * ln(
+       |        CAST((pos + 1) * (ntot + $NbBuckets) AS DOUBLE) /
+       |        CAST((neg + 1) * (ptot + $NbBuckets) AS DOUBLE))) AS BIGINT))
+       |      + any_value(prior) AS BIGINT) AS score
+       |  FROM wtok, tots, consts
+       |  GROUP BY doc_id, y, is_train)
+       |SELECT
+       |  CASE WHEN is_train THEN 'train' ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN (CASE WHEN score >= 0 THEN 1 ELSE 0 END) = y
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(1000 * sum(CASE WHEN (CASE WHEN score >= 0 THEN 1 ELSE 0 END) = y
+       |    THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS acc_milli,
+       |  CAST(sum(score) AS BIGINT) AS sum_score
+       |FROM scored
+       |GROUP BY is_train
+       |ORDER BY split""".stripMargin
+  }
+
   // --------------------------------- RAG sliding-window chunking
 
   private val RagWindow = 8
@@ -786,6 +937,8 @@ object LmPipeline {
     Q("dsir_importance_weights", dsirImportanceWeights, Some(dsirOracle)),
     Q("quality_classifier_score", qualityClassifierDocs,
       Some(qualityClassifierOracle)),
+    Q("quality_classifier_train", qualityClassifierTrain,
+      Some(classifierTrainOracle)),
     Q("rag_chunk_overlap", ragChunkDocs, Some(ragChunkOracle)),
     Q("rag_retrieve_e2e", ragRetrieveE2e, Some(ragRetrieveOracle)))
 }
