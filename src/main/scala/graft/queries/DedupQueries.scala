@@ -361,19 +361,29 @@ object DedupQueries {
       .withColumn("len", size($"hs"))
       // t = 0.8: ceil(0.8·len) = (4·len+4) div 5 in exact integer math
       .withColumn("pref_len", expr("len - ((4*len+4) div 5) + 1"))
-    val pref = sh.select($"doc_id", $"lang", $"source", $"hs", $"len",
+    // payload discipline (the r8 lshCandidates lesson, re-learned here
+    // when the r14 full-suite 100x soak OOMed this query): the prefix
+    // join and the pair-dedup carry ONLY ids + the grouping cols — the
+    // shingle sets re-attach AFTER the distinct by two id-equi-joins.
+    // Carrying hs through dropDuplicates made its hash state hold two
+    // full shingle sets per CANDIDATE (not per surviving pair), which
+    // is exactly what detonated on clique-structured 100x data.
+    val pref = sh.select($"doc_id", $"lang", $"source", $"len",
       explode(slice($"hs", lit(1), $"pref_len")).as("tok"))
-    pref.as("a").join(pref.as("b"),
+    val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok")
           && col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
           && col("a.doc_id") < col("b.doc_id")
           && lit(5) * least(col("a.len"), col("b.len"))
             >= lit(4) * greatest(col("a.len"), col("b.len")))
       .select(col("a.lang").as("lang"), col("a.source").as("source"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.hs").as("hs_a"), col("b.hs").as("hs_b"))
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       // a pair sharing several prefix hashes appears once per shared hash
       .dropDuplicates("doc_a", "doc_b")
+    val hsOf = sh.select($"doc_id", $"hs")
+    cand
+      .join(hsOf.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("doc_a"))
+      .join(hsOf.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
       .select($"lang", $"source", $"doc_a", $"doc_b",
         round(DedupOps.jaccardSorted($"hs_a", $"hs_b"), 4).as("jaccard"))
       .filter($"jaccard" >= 0.8)
@@ -395,6 +405,78 @@ object DedupQueries {
        |WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
        |    / nullif(len(list_distinct(a.hs || b.hs)), 0), 4) >= 0.8
        |ORDER BY lang, source, doc_a, doc_b""".stripMargin
+
+  // ---- containment (asymmetric) near-dup ----
+
+  private val ContainMin = 0.8
+
+  /** Asymmetric CONTAINMENT dedup: C(a→b) = |a∩b| / |a| ≥
+    * [[ContainMin]] — "most of document a's shingles appear in b".
+    * Jaccard misses exactly this case: a tweet quoted inside an
+    * article has J ≈ |tweet|/|article| ≈ 0 but containment ≈ 1, and a
+    * corpus keeps the article while dropping (or attributing) the
+    * subsumed doc. The standard set-containment-join semantics
+    * (Vernica et al., see PAPERS.md set-similarity entries).
+    *
+    * Scale shape — the ASYMMETRIC prefix filter: a qualifying pair
+    * must share a hash within the first |a| − ⌈t·|a|⌉ + 1 elements of
+    * the CONTAINED side a (sorted by the global hash order), but
+    * anywhere in b — so the join explodes a's short prefix against b's
+    * full postings (the decontaminate_overlap shape). Lossless for
+    * C ≥ t; the only size bound is one-directional (|b| ≥ ⌈t·|a|⌉ —
+    * b may be arbitrarily larger, that's the point). The shuffle
+    * carries O(n·prefix) + O(n·len) rows, never doc × doc; the exact
+    * |a∩b| verify is the codegen'd two-pointer kernel.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id",
+        DedupOps.shingleHashSetNative($"text", ShingleK).as("hs"))
+      .filter($"hs".isNotNull)
+      .withColumn("len", size($"hs"))
+    // t = 0.8: ceil(0.8·len) = (4·len+4) div 5 in exact integer math.
+    // Payload discipline (the lshCandidates/dedup_jaccard_blocked
+    // lesson): candidates and the pair-dedup carry ids + lengths only;
+    // the shingle sets re-attach after the distinct by id-equi-joins.
+    val contained = sh
+      .withColumn("pref_len", expr("len - ((4*len+4) div 5) + 1"))
+      .select($"doc_id".as("doc_a"), $"len".as("len_a"),
+        explode(slice($"hs", lit(1), $"pref_len")).as("tok"))
+    val container = sh
+      .select($"doc_id".as("doc_b"), $"len".as("len_b"),
+        explode($"hs").as("tok"))
+    val cand = contained.join(container,
+        contained("tok") === container("tok")
+          && $"doc_a" =!= $"doc_b"
+          && lit(5) * $"len_b" >= lit(4) * $"len_a")
+      .select($"doc_a", $"doc_b", $"len_a")
+      .dropDuplicates("doc_a", "doc_b")
+    val hsOf = sh.select($"doc_id", $"hs")
+    cand
+      .join(hsOf.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("doc_a"))
+      .join(hsOf.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        round(graft.plans.VectorExpressions.sortedIntersectCount(
+          $"hs_a", $"hs_b").cast("double") / $"len_a", 4).as("containment"))
+      .filter($"containment" >= ContainMin)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val dedupContainmentOracle =
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct($shingleHashesSql) AS hs
+       |  FROM sh0 WHERE len(shingles) > 0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |    / len(a.hs), 4) AS containment
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id <> b.doc_id AND 5 * len(b.hs) >= 4 * len(a.hs)
+       |WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |    / len(a.hs), 4) >= $ContainMin
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- SimHash near-dedup ----
 
@@ -914,6 +996,7 @@ object DedupQueries {
     Q("dedup_minhash_strict", dedupMinhashStrict, Some(dedupMinhashStrictOracle)),
     Q("dedup_lsh_keeper", dedupLshKeeper, Some(dedupLshKeeperOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
+    Q("dedup_containment", dedupContainment, Some(dedupContainmentOracle)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),

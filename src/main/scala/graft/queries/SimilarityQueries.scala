@@ -616,7 +616,82 @@ object SimilarityQueries {
        |ORDER BY cell""".stripMargin
   }
 
+  // ----------------------- contrastive training-pair mining
+
+  private val CpBits = 6       // 64 sign-LSH buckets = the candidate pool
+  private val CpAnchorMod = 97L // ~1% of vectors become anchors
+  private val CpNegK = 3
+
+  /** Mines (anchor, positive, hard-negative) training pairs for
+    * embedding-model finetuning — the data-prep step contrastive
+    * training (SimCSE/DPR-style) runs over a corpus: for each sampled
+    * anchor, the positive is its most-similar SAME-label vector and the
+    * hard negatives are the [[CpNegK]] most-similar DIFFERENT-label
+    * vectors. "Hard" is the point: random negatives are trivial for the
+    * model; the informative ones are the lookalikes that cross the
+    * label boundary.
+    *
+    * Scale shape — approximate mining, the way production systems do
+    * it: candidates come from the anchor's sign-LSH bucket
+    * (equi-join on the [[CpBits]]-bit key, the dedup_embedding_lsh
+    * machinery), NOT from an all-pairs scan, so the join carries
+    * O(anchors × bucket-occupancy) rows and the anchor FRACTION (a
+    * deterministic hash gate, no broadcast, no collect) controls total
+    * cost. Per-anchor top-k is one window on (anchor, role) — a keyed
+    * shuffle whose width is the anchor count. Ranking uses the
+    * 4dp-rounded cosine with a vec_id tiebreak so both engines rank
+    * identically even at float ulp boundaries.
+    */
+  private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+      .select($"vec_id", $"embedding", $"label",
+        VectorOps.signBucket($"embedding", CpBits).as("bkt"))
+    val anchors = emb.filter(pmod($"vec_id", lit(CpAnchorMod)) === 0)
+      .select($"vec_id".as("anchor_id"), $"embedding".as("a_emb"),
+        $"label".as("a_label"), $"bkt")
+    val cands = anchors.join(emb, Seq("bkt"))
+      .filter($"vec_id" =!= $"anchor_id")
+      .select($"anchor_id", $"vec_id",
+        when($"label" === $"a_label", lit("pos")).otherwise(lit("neg"))
+          .as("role"),
+        round(VectorOps.cosine($"a_emb", $"embedding"), 4).as("cos"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"anchor_id", $"role").orderBy($"cos".desc, $"vec_id")
+    cands.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(($"role" === "pos" && $"rnk" === 1L)
+        || ($"role" === "neg" && $"rnk" <= CpNegK))
+      .select($"anchor_id", $"role", $"rnk", $"vec_id", $"cos")
+      .orderBy($"anchor_id", $"role", $"rnk")
+  }
+
+  private val contrastivePairsOracle = {
+    val bucket = VectorOps.signBucketSql("embedding", CpBits)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label, $bucket AS bkt FROM embeddings),
+       |a AS (
+       |  SELECT vec_id AS anchor_id, embedding AS a_emb, label AS a_label, bkt
+       |  FROM e WHERE vec_id % $CpAnchorMod = 0),
+       |cand AS (
+       |  SELECT a.anchor_id,
+       |    e.vec_id,
+       |    CASE WHEN e.label = a.a_label THEN 'pos' ELSE 'neg' END AS role,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], a.a_emb::DOUBLE[]), 4) AS cos
+       |  FROM a JOIN e USING (bkt)
+       |  WHERE e.vec_id <> a.anchor_id),
+       |ranked AS (
+       |  SELECT anchor_id, role, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY anchor_id, role
+       |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT anchor_id, role, rnk, vec_id, cos
+       |FROM ranked
+       |WHERE (role = 'pos' AND rnk = 1) OR (role = 'neg' AND rnk <= $CpNegK)
+       |ORDER BY anchor_id, role, rnk""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle)),
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
     Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),

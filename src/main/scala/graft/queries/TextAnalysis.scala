@@ -385,6 +385,83 @@ object TextAnalysis {
        |ORDER BY stage""".stripMargin
   }
 
+  // ------------------------- T5-style span-corruption planning
+
+  private val ScStartMod = 20 // 5% of positions start a span
+  private val ScSeedStart = 29
+  private val ScSeedLen = 31
+  private val ScMaxLen = 5    // span length 1..5, mean 3 -> ~15% masked
+
+  /** Plans the DENOISING MASK a T5/UL2-style pretraining pipeline
+    * applies to every document: ~5% of token positions start a
+    * corruption span of length 1–5 (mean 3 → ~15% of tokens masked,
+    * the published T5 ratio), overlapping spans merge, and each merged
+    * span becomes one sentinel. The mask must be a pure function of
+    * (doc, position) — resumable, shardable, identical across reruns —
+    * so both the start gate and the length draw come from the
+    * engine-portable md5 hash of (doc_id, position); the oracle
+    * reproduces the exact mask, not just its statistics.
+    *
+    * Scale shape: per-row map work only (two bound arrays per doc; the
+    * span list is materialized once behind a barrier so the
+    * interpreted HOFs don't recompute it per consumer) — md5 cost is
+    * O(tokens + starts) per doc, the mask test O(positions · spans).
+    * No shuffle at any corpus size; the ORDER BY is oracle
+    * determinism, not operator semantics.
+    */
+  private def spanCorruptionPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def posH(seed: Int, i: Column) = TextOps.portableHash64(
+      concat($"doc_id".cast("string"), lit(":"), i.cast("string")), seed)
+    val withSpans = Tables.barrier(
+      Tables.fanOut(Tables.documents(s, dir))
+        .select($"doc_id", size(TextOps.tokens($"text")).as("n"))
+        .withColumn("spans", transform(
+          filter(sequence(lit(1), $"n"),
+            i => pmod(posH(ScSeedStart, i), lit(ScStartMod)) === 0),
+          st => struct(st.as("s"),
+            (st + pmod(posH(ScSeedLen, st), lit(ScMaxLen))).as("e")))))
+    def masked(i: Column) =
+      exists($"spans", p => i >= p("s") && i <= p("e"))
+    withSpans
+      .select($"doc_id", $"n".as("n_tokens"),
+        size(filter(sequence(lit(1), $"n"), i => masked(i)))
+          .cast("long").as("n_masked"),
+        size(filter(sequence(lit(1), $"n"),
+          i => masked(i) && !masked(i - 1)))
+          .cast("long").as("n_spans"))
+      .withColumn("corruption_permille",
+        expr("1000 * n_masked div n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val spanCorruptionOracle = {
+    def posH(seed: Int, i: String) =
+      s"('0x' || substr(md5('$seed|' || doc_id || ':' || $i), 1, 15))::BIGINT"
+    val masked = (i: String) =>
+      s"len(list_filter(spans, p -> $i >= p.s AND $i <= p.e)) > 0"
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |sp AS (
+       |  SELECT doc_id, n,
+       |    list_transform(
+       |      list_filter(generate_series(1, n),
+       |        i -> ${posH(ScSeedStart, "i")} % $ScStartMod = 0),
+       |      st -> {'s': st, 'e': st + ${posH(ScSeedLen, "st")} % $ScMaxLen})
+       |      AS spans
+       |  FROM d)
+       |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+       |  CAST(len(list_filter(generate_series(1, n),
+       |    i -> ${masked("i")})) AS BIGINT) AS n_masked,
+       |  CAST(len(list_filter(generate_series(1, n),
+       |    i -> ${masked("i")} AND NOT (${masked("(i - 1)")}))) AS BIGINT)
+       |    AS n_spans,
+       |  CAST(1000 * len(list_filter(generate_series(1, n),
+       |    i -> ${masked("i")})) // n AS BIGINT) AS corruption_permille
+       |FROM sp
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------- BPE merge-candidate counting
 
   private val BpeTopK = 20
@@ -935,6 +1012,7 @@ object TextAnalysis {
     Q("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     Q("corpus_quality_rules", corpusQualityRules, Some(qualityRulesOracle)),
     Q("filter_funnel", filterFunnel, Some(filterFunnelOracle)),
+    Q("span_corruption_plan", spanCorruptionPlan, Some(spanCorruptionOracle)),
     Q("bpe_pair_counts", bpePairCountsQ, Some(bpePairOracle)),
     Q("bpe_apply_merge", bpeApplyMergeQ, Some(bpeApplyOracle)),
     Q("bpe_train_merges", bpeTrainMergesQ, Some(bpeTrainOracle)),
