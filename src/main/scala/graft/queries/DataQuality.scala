@@ -257,9 +257,96 @@ object DataQuality {
       |JOIN names rep ON coalesce(l.label, n.id) = rep.id
       |ORDER BY name""".stripMargin
 
+  // ------------------------------ vector (embedding) QA audit
+
+  /** Vector hygiene — the audit an ANN/retrieval pipeline runs BEFORE
+    * building any index, because every defect class here silently
+    * poisons similarity math rather than erroring: NULL/empty vectors
+    * vanish from recall, a dimension mismatch makes dot products read
+    * garbage (or throw mid-build), non-finite components turn whole
+    * distance computations into NaN, zero-norm vectors divide by zero
+    * in cosine, and duplicate ids corrupt the id→vector mapping.
+    * Same contract as [[dataQualityAudit]]: one (check_name,
+    * n_violations) row per class, all-zero on healthy data.
+    *
+    * The expected dimensionality is taken from vec_id 0 — the
+    * designated query vector every ANN query in this registry probes
+    * with, i.e. the dimension the INDEX will be built at (a 1-value
+    * scalar bridge). Each check is a global aggregate over one scan;
+    * the only shuffle is the duplicate-id groupBy.
+    */
+  private def embeddingQualityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val dim0 = emb.filter($"vec_id" === 0).select(size($"embedding"))
+      .limit(1).collect().headOption.map(_.getInt(0))
+      .getOrElse(sys.error(s"embeddings vec_id=0 missing in $dir"))
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"), $"v".as("n_violations"))
+    val finiteBound = lit(3.0e38)
+    val checks = Seq(
+      check("embeddings_null_vector",
+        emb.agg(count(when($"embedding".isNull, 1)).as("v"))),
+      check("embeddings_empty_vector",
+        emb.agg(count(when($"embedding".isNotNull
+          && size($"embedding") === 0, 1)).as("v"))),
+      check("embeddings_dim_mismatch",
+        emb.agg(count(when($"embedding".isNotNull && size($"embedding") > 0
+          && size($"embedding") =!= dim0, 1)).as("v"))),
+      check("embeddings_nonfinite_component",
+        emb.agg(count(when($"embedding".isNotNull
+          && exists($"embedding",
+            x => isnan(x) || abs(x) > finiteBound), 1)).as("v"))),
+      check("embeddings_zero_norm",
+        emb.agg(count(when($"embedding".isNotNull && size($"embedding") > 0
+          && array_max(transform($"embedding", x => abs(x))) === 0, 1))
+          .as("v"))),
+      check("embeddings_duplicate_vec_id",
+        emb.groupBy($"vec_id").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(when($"c" > 1, $"c" - 1)), lit(0L)).as("v"))),
+      check("embeddings_null_label",
+        emb.agg(count(when($"label".isNull, 1)).as("v"))))
+    checks.reduce(_.unionByName(_)).orderBy($"check_name")
+  }
+
+  private val embAuditOracle =
+    """WITH dim0 AS (
+      |  SELECT len(embedding) AS d FROM embeddings WHERE vec_id = 0 LIMIT 1)
+      |SELECT check_name, n_violations FROM (
+      |  SELECT 'embeddings_null_vector' AS check_name,
+      |    (SELECT count(*) FROM embeddings WHERE embedding IS NULL) AS n_violations
+      |  UNION ALL
+      |  SELECT 'embeddings_empty_vector',
+      |    (SELECT count(*) FROM embeddings
+      |     WHERE embedding IS NOT NULL AND len(embedding) = 0)
+      |  UNION ALL
+      |  SELECT 'embeddings_dim_mismatch',
+      |    (SELECT count(*) FROM embeddings, dim0
+      |     WHERE embedding IS NOT NULL AND len(embedding) > 0
+      |       AND len(embedding) <> dim0.d)
+      |  UNION ALL
+      |  SELECT 'embeddings_nonfinite_component',
+      |    (SELECT count(*) FROM embeddings
+      |     WHERE embedding IS NOT NULL AND len(list_filter(embedding,
+      |       x -> isnan(x) OR abs(x) > 3.0e38)) > 0)
+      |  UNION ALL
+      |  SELECT 'embeddings_zero_norm',
+      |    (SELECT count(*) FROM embeddings
+      |     WHERE embedding IS NOT NULL AND len(embedding) > 0
+      |       AND list_max(list_transform(embedding, x -> abs(x))) = 0)
+      |  UNION ALL
+      |  SELECT 'embeddings_duplicate_vec_id',
+      |    (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+      |       SELECT count(*) AS c FROM embeddings GROUP BY vec_id) WHERE c > 1)
+      |  UNION ALL
+      |  SELECT 'embeddings_null_label',
+      |    (SELECT count(*) FROM embeddings WHERE label IS NULL))
+      |ORDER BY check_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("fuzzy_name_pairs", fuzzyNamePairs, Some(fuzzyNamePairsOracle)),
     Q("fuzzy_name_clusters", fuzzyNameClusters, Some(fuzzyNameClustersOracle)),
     Q("data_quality_audit", dataQualityAudit, Some(auditOracle)),
+    Q("embedding_quality_audit", embeddingQualityAudit, Some(embAuditOracle)),
     Q("column_profile", columnProfile, Some(profileOracle)))
 }

@@ -384,6 +384,85 @@ object LmPipeline {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------- domain reweighting by excess loss (DoReMi)
+
+  /** DoReMi-shaped domain mixture tuning: per source, the
+    * token-weighted cross-entropy under the SAME closed-vocabulary
+    * bigram model the CCNet buckets score with, its EXCESS over the
+    * corpus-wide loss, and a new mixture weight ∝ natural share ×
+    * exp(excess) — domains the reference model finds hard get
+    * up-weighted (Xie et al. 2023's multiplicative-weights direction,
+    * one step, η = 1). This is the principled version of the
+    * temperature mix in [[CorpusSampling]]: temperature reweights by
+    * SIZE alone; excess loss reweights by how much signal a domain
+    * still carries.
+    *
+    * Determinism contract: per-doc loss enters as integer micro-nats
+    * (the ccnet `micro` column), so every cross-row sum — per-source,
+    * global, and the weight normalization — is integer and
+    * aggregation-order-free; the only per-row doubles are |sources|
+    * `exp` calls on a ≤20-row frame, rounded at milli. Scale shape:
+    * one corpus pass for the loss frame ([[bigramLoglossTopV]] — the
+    * fixed-width broadcast model), one id-join to attach `source`, one
+    * combinable per-source aggregate; the global totals and the weight
+    * normalization are window sums over the |sources|-row result.
+    */
+  private def domainReweightExcess(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val ll = bigramLoglossTopV(docs, CcnetVocabV)
+      .withColumn("micro", round($"logloss" * 1e6).cast("bigint"))
+    val all = Window.partitionBy()
+    ll.join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bigrams").as("n_bigrams"),
+        sum($"n_bigrams" * $"micro").as("s_wmicro"))
+      .withColumn("loss_micro", expr("s_wmicro div n_bigrams"))
+      .withColumn("g_loss_micro",
+        expr("sum(s_wmicro) over () div sum(n_bigrams) over ()"))
+      .withColumn("excess_micro", $"loss_micro" - $"g_loss_micro")
+      .withColumn("boost_milli",
+        round(lit(1000.0) * exp($"excess_micro".cast("double") / 1e6))
+          .cast("long"))
+      .withColumn("numer", $"n_bigrams" * $"boost_milli")
+      .withColumn("weight_permille",
+        expr("(1000 * numer) div (sum(numer) over ())"))
+      .select($"source", $"n_docs", $"n_bigrams",
+        round($"loss_micro".cast("double") / 1e6, 4).as("avg_logloss"),
+        round($"excess_micro".cast("double") / 1e6, 4).as("excess"),
+        $"weight_permille")
+      .orderBy($"source")
+  }
+
+  private val domainReweightOracle =
+    s"""WITH $ccnetCtes,
+      |src AS (SELECT doc_id, source FROM documents),
+      |per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_bigrams) AS BIGINT) AS nb,
+      |    CAST(sum(n_bigrams * CAST(round(logloss * 1e6) AS BIGINT)) AS BIGINT) AS sw
+      |  FROM ll JOIN src USING (doc_id)
+      |  GROUP BY source),
+      |g AS (
+      |  SELECT CAST(sum(sw) AS BIGINT) AS gs, CAST(sum(nb) AS BIGINT) AS gn
+      |  FROM per),
+      |e AS (
+      |  SELECT source, n_docs, nb, sw // nb AS loss_micro,
+      |    (sw // nb) - (gs // gn) AS excess_micro
+      |  FROM per, g),
+      |b AS (
+      |  SELECT *, nb * CAST(round(1000 * exp(CAST(excess_micro AS DOUBLE) / 1e6))
+      |    AS BIGINT) AS numer
+      |  FROM e)
+      |SELECT source, n_docs, nb AS n_bigrams,
+      |  round(CAST(loss_micro AS DOUBLE) / 1e6, 4) AS avg_logloss,
+      |  round(CAST(excess_micro AS DOUBLE) / 1e6, 4) AS excess,
+      |  CAST((1000 * numer) // (SELECT CAST(sum(numer) AS BIGINT) FROM b)
+      |    AS BIGINT) AS weight_permille
+      |FROM b
+      |ORDER BY source""".stripMargin
+
   // --------------------------------------- DSIR importance weighting
 
   private val DsirBuckets = 1024
@@ -934,6 +1013,7 @@ object LmPipeline {
     Q("chunk_dedup_docs", chunkDedupDocs, Some(chunkDedupOracle)),
     Q("bigram_lm_quality", bigramLmQuality, Some(bigramOracle)),
     Q("ccnet_perplexity_buckets", ccnetPerplexityBuckets, Some(ccnetOracle)),
+    Q("domain_reweight_excess", domainReweightExcess, Some(domainReweightOracle)),
     Q("dsir_importance_weights", dsirImportanceWeights, Some(dsirOracle)),
     Q("quality_classifier_score", qualityClassifierDocs,
       Some(qualityClassifierOracle)),
