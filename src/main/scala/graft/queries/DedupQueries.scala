@@ -409,6 +409,16 @@ object DedupQueries {
   // ---- containment (asymmetric) near-dup ----
 
   private val ContainMin = 0.8
+  // Stop-shingle document-frequency cap on CANDIDATE GENERATION (the
+  // substring_dedup GramDfCap precedent, mirrored verbatim in the
+  // oracle): a shingle present in > this many documents is boilerplate
+  // and cannot nominate candidate pairs — without it the container
+  // side's hot-key postings join spilled past the disk at the 100x
+  // soak (every doc pairs with every doc through "the of the"-grade
+  // shingles). A pair whose ENTIRE overlap is such boilerplate is by
+  // definition not a containment-dedup target, so the cap is part of
+  // the operator's semantics, not an approximation the gate hides.
+  private val ContainDfCap = 64
 
   /** Asymmetric CONTAINMENT dedup: C(a→b) = |a∩b| / |a| ≥
     * [[ContainMin]] — "most of document a's shingles appear in b".
@@ -439,13 +449,18 @@ object DedupQueries {
     // Payload discipline (the lshCandidates/dedup_jaccard_blocked
     // lesson): candidates and the pair-dedup carry ids + lengths only;
     // the shingle sets re-attach after the distinct by id-equi-joins.
+    val hot = sh.select(explode($"hs").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+      .filter($"df" > ContainDfCap).select($"tok")
     val contained = sh
       .withColumn("pref_len", expr("len - ((4*len+4) div 5) + 1"))
       .select($"doc_id".as("doc_a"), $"len".as("len_a"),
         explode(slice($"hs", lit(1), $"pref_len")).as("tok"))
+      .join(hot, Seq("tok"), "left_anti")
     val container = sh
       .select($"doc_id".as("doc_b"), $"len".as("len_b"),
         explode($"hs").as("tok"))
+      .join(hot, Seq("tok"), "left_anti")
     val cand = contained.join(container,
         contained("tok") === container("tok")
           && $"doc_a" =!= $"doc_b"
@@ -467,14 +482,28 @@ object DedupQueries {
     s"""WITH sh0 AS (
        |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
        |sh AS (
-       |  SELECT doc_id, list_distinct($shingleHashesSql) AS hs
-       |  FROM sh0 WHERE len(shingles) > 0)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  SELECT doc_id, list_sort(list_distinct($shingleHashesSql)) AS hs
+       |  FROM sh0 WHERE len(shingles) > 0),
+       |po AS (SELECT doc_id, unnest(hs) AS tok FROM sh),
+       |hot AS (SELECT tok FROM po GROUP BY tok HAVING count(*) > $ContainDfCap),
+       |pr AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(hs, 1, len(hs) - ((4 * len(hs) + 4) // 5) + 1))
+       |      AS tok
+       |  FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT pr.doc_id AS doc_a, po.doc_id AS doc_b
+       |  FROM pr JOIN po ON pr.tok = po.tok
+       |  WHERE pr.doc_id <> po.doc_id
+       |    AND pr.tok NOT IN (SELECT tok FROM hot))
+       |SELECT c.doc_a, c.doc_b,
        |  round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
        |    / len(a.hs), 4) AS containment
-       |FROM sh a JOIN sh b
-       |  ON a.doc_id <> b.doc_id AND 5 * len(b.hs) >= 4 * len(a.hs)
-       |WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |FROM cand c
+       |JOIN sh a ON c.doc_a = a.doc_id
+       |JOIN sh b ON c.doc_b = b.doc_id
+       |WHERE 5 * len(b.hs) >= 4 * len(a.hs)
+       |  AND round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
        |    / len(a.hs), 4) >= $ContainMin
        |ORDER BY doc_a, doc_b""".stripMargin
 

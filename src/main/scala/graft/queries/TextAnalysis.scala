@@ -920,10 +920,15 @@ object TextAnalysis {
     * and folds the length into the rolling hash. The terminal row per
     * doc is the one whose pos ran past the text.
     */
-  private val bpeVocabTokenizeOracle = {
+  /** Shared maximal-munch walk CTE chain (train → vocab → recursive
+    * walk) — both the per-doc tokenizer oracle and the fertility
+    * oracle end in `walk` rows whose `pos > length(text)` leg carries
+    * the final (n, h) per document.
+    */
+  private val bpeWalkCtes = {
     val vocabArms = (1 to BpeMerges)
       .map(i => s"SELECT txt FROM d$i").mkString(" UNION ALL ")
-    s"""WITH RECURSIVE $bpeTrainCtes,
+    s"""$bpeTrainCtes,
        |vocabt AS (
        |  SELECT DISTINCT txt, length(txt) AS l FROM ($vocabArms)),
        |walk AS (
@@ -937,15 +942,70 @@ object TextAnalysis {
        |    SELECT doc_id, text, pos, n, h,
        |      coalesce((SELECT max(l) FROM vocabt
        |                WHERE substr(text, pos, l) = txt), 1) AS ml
-       |    FROM walk WHERE pos <= length(text)) s)
-       |SELECT doc_id,
-       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
-       |  n - (length(text) - length(replace(text, ' ', ''))) AS n_tokens,
-       |  h AS token_hash
-       |FROM walk
-       |WHERE pos > length(text)
-       |ORDER BY doc_id""".stripMargin
+       |    FROM walk WHERE pos <= length(text)) s),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       |    n - (length(text) - length(replace(text, ' ', ''))) AS n_tokens,
+       |    h
+       |  FROM walk
+       |  WHERE pos > length(text))""".stripMargin
   }
+
+  private val bpeVocabTokenizeOracle =
+    s"""WITH RECURSIVE $bpeWalkCtes
+       |SELECT doc_id, n_chars, n_tokens, h AS token_hash
+       |FROM per
+       |ORDER BY doc_id""".stripMargin
+
+  /** Tokenizer FERTILITY per source — the standard tokenizer-QA
+    * number (tokens emitted per whitespace word, and characters per
+    * token) under the corpus-trained merge vocabulary, broken out by
+    * domain: the metric that tells a pipeline which domains pay more
+    * sequence length per word of content (and therefore more training
+    * compute per document) under a given tokenizer. Integer milli
+    * ratios; all cross-row sums integer.
+    *
+    * Scale shape: training touches only the vocabulary
+    * ([[bpeTrainMerges]]); the walk is the same one per-row codegen'd
+    * fold `bpe_vocab_tokenize` runs, followed by an id-join to attach
+    * `source` and a |sources|-group combinable aggregate.
+    */
+  private def bpeFertilityBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    val perDoc = bpeVocabTokenize(docs)
+      .select($"doc_id", $"n_chars", $"n_tokens")
+    docs
+      .select($"doc_id", $"source",
+        size(TextOps.tokens($"text")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_tokens").as("n_bpe_tokens"),
+        sum($"n_chars").as("n_chars"))
+      .select($"source", $"n_docs", $"n_words", $"n_bpe_tokens",
+        expr("1000 * n_bpe_tokens div n_words").as("fertility_milli"),
+        expr("1000 * n_chars div n_bpe_tokens").as("chars_per_token_milli"))
+      .orderBy($"source")
+  }
+
+  private val bpeFertilityOracle =
+    s"""WITH RECURSIVE $bpeWalkCtes,
+       |w AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(1000 * sum(n_tokens) // sum(n_words) AS BIGINT) AS fertility_milli,
+       |  CAST(1000 * sum(n_chars) // sum(n_tokens) AS BIGINT)
+       |    AS chars_per_token_milli
+       |FROM per JOIN w USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   // ------------------- HTML → text extraction (crawl boilerplate strip)
 
@@ -1018,5 +1078,6 @@ object TextAnalysis {
     Q("bpe_train_merges", bpeTrainMergesQ, Some(bpeTrainOracle)),
     Q("bpe_compression_by_source", bpeCompressionQ, Some(bpeCompressionOracle)),
     Q("bpe_vocab_tokenize", bpeVocabTokenizeQ, Some(bpeVocabTokenizeOracle)),
+    Q("bpe_fertility_by_source", bpeFertilityBySource, Some(bpeFertilityOracle)),
     Q("doc_fingerprints", fingerprints, Some(fingerprintsOracle)))
 }

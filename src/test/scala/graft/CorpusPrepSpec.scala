@@ -305,4 +305,21 @@ class CorpusPrepSpec extends SparkSpec {
     }
     assert(rows.map(_._2.size).toSeq == Seq(4, 1, 0, 0))
   }
+
+  test("bpe_fertility_by_source: ratios are consistent and bounded") {
+    import spark.implicits._
+    val rows = graft.queries.Registry.queries("bpe_fertility_by_source")(
+      spark, "/root/testdata/sf0.001")
+      .select("source", "n_docs", "n_words", "n_bpe_tokens",
+        "fertility_milli", "chars_per_token_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nd, nw, nb, fert, cpt) =>
+      assert(nd > 0 && nw > 0 && nb >= nw,
+        s"$src: BPE cannot emit fewer tokens than words ($nb < $nw)")
+      assert(fert == 1000 * nb / nw && fert >= 1000, s"$src fert $fert")
+      // merges only shrink: a token covers at least one character
+      assert(cpt >= 1000, s"$src chars/token $cpt")
+    }
+  }
 }
