@@ -235,6 +235,68 @@ object DedupQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // ------------------------- LSH index health (bucket occupancy)
+
+  /** Band-bucket occupancy histogram of the MinHash LSH index — the
+    * index-health number that predicts candidate-join cost BEFORE any
+    * pair is enumerated: expected candidate pairs = Σ over buckets of
+    * C(occ, 2), so a fat tail here IS the r8 quadratic-banding bug
+    * (fixed key space ⇒ occupancy ∝ corpus). Shipping the histogram as
+    * a query makes the invariant the banding comments promise —
+    * "size the band key space to keep per-bucket occupancy O(1)" —
+    * operationally CHECKABLE: run it after a corpus growth step and
+    * watch the tail, instead of finding out in a 60 s candidate join.
+    *
+    * Output: one row per (band, occupancy) with the bucket count and
+    * the implied pair mass occ·(occ−1)/2 · n_buckets. Scale shape: one
+    * signature pass, one (band, key) groupBy, one (band, occ) groupBy
+    * — the second aggregate runs on index-sized (not corpus-sized)
+    * rows, and the histogram itself is O(distinct occupancies).
+    */
+  private def lshBucketStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docSig = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id",
+        DedupOps.minhashSigNative($"text", ShingleK, NumHashes).as("sig"))
+      .filter($"sig".isNotNull)
+    docSig
+      .select(explode(DedupOps.lshBands($"sig", NumBands, RowsPerBand)).as("b"))
+      .groupBy($"b.band".as("band"), $"b.key".as("key"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy($"band", $"occ")
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("pair_mass", expr("n_buckets * occ * (occ - 1) div 2"))
+      .orderBy($"band", $"occ")
+  }
+
+  private val lshBucketStatsOracle = {
+    val sigExprs = (0 until NumHashes).map(sigComponentSql)
+      .mkString("[", ",\n    ", "]")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |hsv AS (
+       |  SELECT doc_id, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig FROM hsv),
+       |b AS (
+       |  $bandRows),
+       |occ AS (
+       |  SELECT band, key, count(*) AS occ FROM b GROUP BY band, key)
+       |SELECT band, CAST(occ AS BIGINT) AS occ,
+       |  count(*) AS n_buckets,
+       |  CAST(count(*) * occ * (occ - 1) // 2 AS BIGINT) AS pair_mass
+       |FROM occ
+       |GROUP BY band, occ
+       |ORDER BY band, occ""".stripMargin
+  }
+
   /** The WITH-prefix producing the candidate `cand(doc_a, doc_b,
     * est_jaccard)` relation — shared by three oracles.
     */
@@ -1024,6 +1086,7 @@ object DedupQueries {
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
     Q("dedup_minhash_strict", dedupMinhashStrict, Some(dedupMinhashStrictOracle)),
     Q("dedup_lsh_keeper", dedupLshKeeper, Some(dedupLshKeeperOracle)),
+    Q("lsh_bucket_stats", lshBucketStats, Some(lshBucketStatsOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentOracle)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashOracle)),

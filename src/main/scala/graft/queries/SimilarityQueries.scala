@@ -690,8 +690,81 @@ object SimilarityQueries {
        |ORDER BY anchor_id, role, rnk""".stripMargin
   }
 
+  // --------------------------- embedding-space outlier detection
+
+  private val OutlierTopK = 5
+
+  /** Per-label embedding OUTLIERS — the curation pass that surfaces
+    * mislabeled or off-distribution vectors before they poison a
+    * class centroid, a SemDeDup cluster, or a training mix: for each
+    * label, the [[OutlierTopK]] vectors farthest (squared L2) from
+    * their own label's centroid.
+    *
+    * Determinism contract (the kmeans lesson, taken further): float
+    * centroids need cross-row float sums, whose order neither engine
+    * pins. Components are quantized to integer micro-units FIRST
+    * (round(x·1e6) — exact in double for |x| < 2^33), so the centroid
+    * numerators are INTEGER sums (order-free), the centroid is the
+    * integer-division mean in micro-units, and each vector's distance
+    * is an exact integer in micro² — the ranking both engines produce
+    * is bit-identical with no rounding boundary anywhere.
+    *
+    * Scale shape: vectors explode to (label, pos, value) once; the
+    * centroid is one combinable (label, pos) aggregate (|labels|·dim
+    * rows — index-sized, broadcastable at any corpus size, carried
+    * here as a second keyed join on (label, pos) to keep the plan
+    * hint-free); distances re-reduce per doc; top-k per label is a
+    * window over label-partitioned, index-sized rows.
+    */
+  private def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = Tables.fanOut(Tables.embeddings(s, dir))
+      .select($"vec_id", $"label",
+        posexplode(transform($"embedding",
+          x => round(x.cast("double") * 1e6).cast("long"))))
+      .toDF("vec_id", "label", "pos", "v")
+    val cent = comp.groupBy($"label", $"pos")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      .select($"label", $"pos", expr("sv div n").as("c"))
+    val dist = comp.join(cent, Seq("label", "pos"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(($"v" - $"c") * ($"v" - $"c")).as("dist2"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"dist2".desc, $"vec_id")
+    dist.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter($"rnk" <= OutlierTopK)
+      .select($"label", $"rnk", $"vec_id", $"dist2")
+      .orderBy($"label", $"rnk")
+  }
+
+  private val embeddingOutliersOracle =
+    s"""WITH comp AS (
+       |  SELECT vec_id, label, pos - 1 AS pos,
+       |    CAST(round(v * 1e6) AS BIGINT) AS v
+       |  FROM (SELECT vec_id, label,
+       |          unnest(embedding) AS v,
+       |          generate_subscripts(embedding, 1) AS pos
+       |        FROM embeddings)),
+       |cent AS (
+       |  SELECT label, pos, CAST(sum(v) // count(*) AS BIGINT) AS c
+       |  FROM comp GROUP BY label, pos),
+       |dist AS (
+       |  SELECT vec_id, comp.label,
+       |    CAST(sum((v - c) * (v - c)) AS BIGINT) AS dist2
+       |  FROM comp JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
+       |  GROUP BY vec_id, comp.label),
+       |ranked AS (
+       |  SELECT label, vec_id, dist2,
+       |    CAST(row_number() OVER (PARTITION BY label
+       |      ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM dist)
+       |SELECT label, rnk, vec_id, dist2
+       |FROM ranked WHERE rnk <= $OutlierTopK
+       |ORDER BY label, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle)),
+    Q("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
     Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
