@@ -452,8 +452,162 @@ object CorpusPrep {
        |FROM rk WHERE "rank" <= $TopPassages
        |ORDER BY doc_id, "rank"""".stripMargin
 
+  // ------------------------------------------------- PMI collocations
+
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  /** Top-50 collocations (adjacent token pairs) by pointwise mutual
+    * information — the corpus statistic behind multi-word vocabulary
+    * entries and tokenizer merge audits: PMI = ln(p(w1,w2) /
+    * (p(w1)·p(w2))), estimated from the bigram table with marginals
+    * taken over the SAME table (c1 = Σ_w2 c12, c2 = Σ_w1 c12), so the
+    * three counts are mutually consistent and the whole statistic
+    * derives from one corpus scan.
+    *
+    * Scale shape: the per-(doc,bigram) explode aggregates to the
+    * bigram-count frame (vocabulary²-bounded, far below corpus-bounded
+    * in practice); marginals are WINDOW sums over that frame — not a
+    * grouped aggregate joined back via broadcast, which would be the
+    * q02-class driver-OOM shape on a corpus-scale vocabulary. Total
+    * bigram mass N is a single-row scalar bridge (A2). The final top-k
+    * is a TakeOrdered over rounded PMI with a total tie-break; the
+    * MinCount floor keeps one-off juxtapositions (whose PMI estimate
+    * is pure noise) out of the ranking.
+    */
+  private def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(
+        graft.plans.HashExpressions.bigramStrings($"text")).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+      .withColumn("w2", substring_index($"bigram", " ", -1))
+    // total bigram mass: single-row scalar bridge (A2 pattern)
+    val n = bg.agg(sum($"c12")).collect()(0).getLong(0)
+    bg
+      .withColumn("c1", sum($"c12").over(Window.partitionBy($"w1")))
+      .withColumn("c2", sum($"c12").over(Window.partitionBy($"w2")))
+      .filter($"c12" >= PmiMinCount)
+      .withColumn("pmi", round(log(
+        ($"c12".cast("double") * lit(n.toDouble))
+          / ($"c1".cast("double") * $"c2".cast("double"))), 6))
+      .select($"bigram", $"c12".as("pair_count"), $"pmi")
+      .orderBy($"pmi".desc, $"bigram")
+      .limit(PmiTopK)
+  }
+
+  private val pmiOracle =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg0 AS (
+       |  SELECT unnest(list_transform(range(2, len(toks) + 1),
+       |    i -> toks[i - 1] || ' ' || toks[i])) AS bigram
+       |  FROM tk WHERE len(toks) >= 2),
+       |bg AS (
+       |  SELECT bigram, CAST(count(*) AS BIGINT) AS c12,
+       |    string_split(bigram, ' ')[1] AS w1,
+       |    string_split(bigram, ' ')[2] AS w2
+       |  FROM bg0 GROUP BY bigram),
+       |m AS (
+       |  SELECT bigram, c12,
+       |    sum(c12) OVER (PARTITION BY w1) AS c1,
+       |    sum(c12) OVER (PARTITION BY w2) AS c2
+       |  FROM bg),
+       |nn AS (SELECT CAST(sum(c12) AS DOUBLE) AS n FROM bg)
+       |SELECT bigram, c12 AS pair_count,
+       |  round(ln((CAST(c12 AS DOUBLE) * nn.n)
+       |    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+       |FROM m CROSS JOIN nn
+       |WHERE c12 >= $PmiMinCount
+       |ORDER BY pmi DESC, bigram
+       |LIMIT $PmiTopK""".stripMargin
+
+  // ------------------------------------------------------- Zipf-law fit
+
+  private val ZipfTopV = 1000
+
+  /** Least-squares fit of the rank-frequency law over the top-V
+    * vocabulary — the corpus-health check that catches template/boiler-
+    * plate floods (slope collapses toward 0) and synthetic token soup
+    * (slope far from the natural-language ≈ −1). ln count is regressed
+    * on ln rank; the slope/intercept/r² come out of integer micro-unit
+    * sums (x, y fixed to 1e-6 precision as BIGINTs) so every aggregate
+    * is exact and aggregation-order-free on both engines; only the
+    * final division is floating point, written identically in both.
+    *
+    * Scale shape: the vocabulary frame is corpus-sublinear; the top-V
+    * cut is a TakeOrdered (no global sort materialization), and the
+    * ranking window runs on the BOUNDED V-row result — the one place a
+    * single-partition window is correct by construction. The
+    * DECIMAL(38,0) casts before the n·Σxy products keep the closed-form
+    * normal equations exact (the products overflow BIGINT at V = 1000).
+    */
+  private def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = docTermCounts(s, dir)
+      .groupBy($"term").agg(sum($"c").as("tc"))
+      .orderBy($"tc".desc, $"term")
+      .limit(ZipfTopV)
+    top
+      .withColumn("r", row_number()
+        .over(Window.orderBy($"tc".desc, $"term")).cast("long"))
+      .selectExpr(
+        "CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x",
+        "CAST(round(ln(CAST(tc AS DOUBLE)) * 1000000) AS BIGINT) AS y")
+      .agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        sum($"y" * $"y").as("syy"))
+      .selectExpr("n", "sx", "sy",
+        // exact normal-equation terms; the products overflow BIGINT
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) AS num",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS den",
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) AS deny")
+      .selectExpr(
+        "n AS n_terms",
+        "round(num / den, 6) AS slope",
+        """round((CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * 1000000.0), 6) AS intercept""".stripMargin,
+        "round(num * num / (den * deny), 6) AS r2")
+  }
+
+  private val zipfOracle =
+    s"""WITH dt AS ($docTermSql),
+       |tv AS (
+       |  SELECT term, CAST(sum(c) AS BIGINT) AS tc FROM dt
+       |  GROUP BY term ORDER BY tc DESC, term LIMIT $ZipfTopV),
+       |rk AS (
+       |  SELECT tc, CAST(row_number() OVER (ORDER BY tc DESC, term) AS BIGINT) AS r
+       |  FROM tv),
+       |mu AS (
+       |  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(tc AS DOUBLE)) * 1000000) AS BIGINT) AS y
+       |  FROM rk),
+       |sm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM mu),
+       |nd AS (
+       |  SELECT n, sx, sy,
+       |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+       |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS den,
+       |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS deny
+       |  FROM sm)
+       |SELECT n AS n_terms,
+       |  round(num / den, 6) AS slope,
+       |  round((CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * 1000000.0), 6) AS intercept,
+       |  round(num * num / (den * deny), 6) AS r2
+       |FROM nd""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
+    Q("pmi_collocations", pmiCollocations, Some(pmiOracle)),
+    Q("zipf_fit", zipfFit, Some(zipfOracle)),
     Q("corpus_pipeline_e2e", corpusPipelineE2e, Some(pipelineE2eOracle)),
     Q("tfidf_keywords", tfidfKeywords, Some(tfidfOracle)),
     Q("unigram_quality", unigramQuality, Some(unigramOracle)),

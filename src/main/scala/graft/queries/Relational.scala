@@ -315,26 +315,57 @@ object Relational {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
-  /** Price-distribution deciles per order priority: ntile(10) over a
-    * TOTAL order (price, then orderkey — ntile is rank-based, so a
-    * non-total order would be engine-ambiguous on price ties). Window
-    * partitions by the low-cardinality priority but the heavy work is
-    * the per-partition sort — at scale the same query runs on a
-    * range-partitioned sort, same plan shape. min/max stay on the 2dp
-    * input grid (no rounding hazard), counts are exact.
+  /** Price-distribution deciles per order priority, with EXACT
+    * `ntile(10)` semantics but WITHOUT the ntile plan: a window
+    * partitioned by the 5-value priority hash-routes each priority's
+    * entire row mass through ONE task's sort — a 5-way funnel at
+    * 100 TB. Instead the total order (priority, price, orderkey —
+    * ntile is rank-based, so a non-total order would be
+    * engine-ambiguous on price ties) is established once by the
+    * range-partitioned two-pass numbering of
+    * [[graft.ops.Ids.withScalableGlobalIdManaged]] (every core sorts a
+    * slice), the rank WITHIN a priority falls out as
+    * `gid − min(gid per priority) + 1` via a broadcast of the ≤5-row
+    * bounds frame, and the bucket is the closed-form ntile assignment
+    * (first `n mod k` buckets get `n div k + 1` rows, the rest
+    * `n div k`) — a pure per-row expression, no window anywhere.
+    * min/max stay on the 2dp input grid (no rounding hazard), counts
+    * are exact; the ≤50-row result materializes while the pinned range
+    * partitioning is alive, then the DISK_ONLY entry is released
+    * (idsScalableOrders lifecycle).
     */
   private def priceDeciles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderpriority")
-      .orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(s, dir)
-      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
-      .withColumn("decile", ntile(10).over(w))
+    val (withId, release) = graft.ops.Ids.withScalableGlobalIdManaged(
+      Tables.orders(s, dir)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+      "gid", Seq($"o_orderpriority", $"o_totalprice", $"o_orderkey"))
+    // per-priority row count + first global id — ≤5 rows, broadcast
+    val bounds = withId.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("np"), min($"gid").as("startp"))
+    // closed-form ntile(K): q = np div K rows per bucket, the first
+    // rem = np mod K buckets hold one extra. The rem*(q+1) guard keeps
+    // the q=0 branch (np < K ⇒ bucket = rank) out of the division; the
+    // greatest(q,1) is belt-and-braces for ANSI div-by-zero.
+    val K = 10
+    val agg = withId.join(broadcast(bounds), "o_orderpriority")
+      .withColumn("r", $"gid" - $"startp" + lit(1L))
+      .withColumn("q", expr(s"np div $K"))
+      .withColumn("rem", expr(s"np % $K"))
+      .withColumn("decile", expr(
+        s"""CAST(CASE WHEN r <= rem * (q + 1)
+           |  THEN (r - 1) div (q + 1)
+           |  ELSE rem + (r - rem * (q + 1) - 1) div greatest(q, 1L)
+           |END AS INT) + 1""".stripMargin))
       .groupBy($"o_orderpriority", $"decile")
       .agg(count(lit(1)).as("n"),
         min($"o_totalprice").as("min_price"),
         max($"o_totalprice").as("max_price"))
       .orderBy($"o_orderpriority", $"decile")
+    val rows = agg.collect().toIndexedSeq
+    release()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, agg.schema)
   }
 
   private val decilesOracle =

@@ -322,4 +322,47 @@ class CorpusPrepSpec extends SparkSpec {
       assert(cpt >= 1000, s"$src chars/token $cpt")
     }
   }
+
+  test("pmi_collocations: counts respect the floor, PMI finite and sorted") {
+    val rows = run("pmi_collocations")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 50)
+    rows.foreach { case (bg, c, pmi) =>
+      assert(bg.contains(" "), s"'$bg' is not a token pair")
+      assert(c >= 5, s"'$bg' below the MinCount floor: $c")
+      assert(!pmi.isNaN && !pmi.isInfinite, s"'$bg' PMI $pmi")
+    }
+    val pmis = rows.map(_._3)
+    assert(pmis == pmis.sorted.reverse, "not ordered by PMI desc")
+  }
+
+  test("pmi_collocations: PMI matches a literal recount of the marginals") {
+    // independently recount c12/c1/c2/N from raw text for the top row
+    val (bg, c12, pmi) = run("pmi_collocations")
+      .as[(String, Long, Double)].collect().head
+    val Array(w1, w2) = bg.split(" ", 2)
+    val bigrams = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().toSeq
+      .flatMap(t => { val ts = t.split(" ", -1); ts.zip(ts.drop(1)) })
+    val n = bigrams.size.toDouble
+    val c12r = bigrams.count { case (a, b) => a == w1 && b == w2 }
+    val c1r = bigrams.count(_._1 == w1)
+    val c2r = bigrams.count(_._2 == w2)
+    assert(c12r.toLong == c12, s"pair count $c12 != recount $c12r")
+    val want = BigDecimal(math.log(c12r * n / (c1r.toDouble * c2r)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(pmi - want) < 1e-9, s"PMI $pmi != recount $want")
+  }
+
+  test("zipf_fit: single summary row with a negative slope and sane r2") {
+    val Seq((n, slope, intercept, r2)) = run("zipf_fit")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(n > 10 && n <= 1000, s"n_terms $n")
+    // counts are non-increasing in rank, so the log-log slope is <= 0
+    assert(slope <= 0.0, s"slope $slope")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2")
+    // intercept is ln(count) at rank 1 under the fit — bounded by the
+    // corpus token mass on the high side, 0 on the low side
+    assert(intercept > 0.0, s"intercept $intercept")
+  }
 }

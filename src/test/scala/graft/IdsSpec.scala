@@ -65,4 +65,27 @@ class IdsSpec extends SparkSpec {
       s"numbering pass should be a pure projection over the cached scan:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("orders_price_deciles: closed-form buckets == the window ntile plan") {
+    // the scalable path (range-partitioned global ids + arithmetic
+    // bucket assignment) must be VALUE-identical to the ntile window it
+    // replaces — same totals, same bucket boundaries, on real data
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Registry.queries("orders_price_deciles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sorted
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val want = graft.ops.Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"o_orderpriority", $"decile")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sorted
+    assert(got == want)
+  }
 }
