@@ -133,6 +133,87 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
 
+  /** Perceptual average-hash over REAL decoded pixels: 8×8
+    * floor-boundary blocks of the integer grayscale `(r+g+b) div 3`,
+    * bit (by·8+bx) set iff the block mean exceeds the global mean —
+    * compared exactly by cross-multiplication
+    * (`blockSum·nTotal > totalSum·nBlock`, no division; exact in Long
+    * up to ~4.8 gigapixels — far past any decodable image) — packed
+    * MSB-first (block (0,0) is bit 63). The executable spec lives in
+    * tools/make_png_fixtures.py (`average_hash`), which also prints
+    * the expected hashes the oracle/spec literals pin.
+    *
+    * Output: (media_key, width, height, ahash) — NULL hash for bytes
+    * that don't decode or images under 8×8 (a block would be empty).
+    * Same mapPartitions codec boundary and fixed-width-output contract
+    * as [[decodeImages]]: no pixel data survives past the executor, so
+    * a 100 TB image corpus ships 8 bytes per image into the dedup
+    * join.
+    */
+  def averageHash(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("media_key", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ahash", LongType)))
+    df.select(col(idCol).cast("string"), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (key, bytes) =>
+          val img = readImage(bytes)
+          if (img == null || img.getWidth < 8 || img.getHeight < 8) {
+            val dims: (Integer, Integer) =
+              if (img == null) (null, null) else (img.getWidth, img.getHeight)
+            org.apache.spark.sql.Row(key, dims._1, dims._2, null)
+          } else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val gray = Array.ofDim[Int](h, w)
+            val row = new Array[Int](w)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = row(x)
+                val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                gray(y)(x) = g
+                total += g
+                x += 1
+              }
+              y += 1
+            }
+            val nTotal = w.toLong * h
+            var hash = 0L
+            var by = 0
+            while (by < 8) {
+              val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+              var bx = 0
+              while (bx < 8) {
+                val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+                var bs = 0L
+                var yy = y0
+                while (yy < y1) {
+                  var xx = x0
+                  while (xx < x1) { bs += gray(yy)(xx); xx += 1 }
+                  yy += 1
+                }
+                val nb = (y1 - y0).toLong * (x1 - x0)
+                val bit = if (bs * nTotal > total * nb) 1L else 0L
+                hash = (hash << 1) | bit
+                bx += 1
+              }
+              by += 1
+            }
+            org.apache.spark.sql.Row(key, w, h, hash)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** REAL audio decode: JDK javax.sound.sampled parses WAV/AIFF/AU
     * (PCM) executor-side at the same mapPartitions batch boundary as
     * [[decodeImages]]. Output per clip: sample rate, channels, bits,

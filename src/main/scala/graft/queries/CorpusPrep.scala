@@ -452,6 +452,66 @@ object CorpusPrep {
        |FROM rk WHERE "rank" <= $TopPassages
        |ORDER BY doc_id, "rank"""".stripMargin
 
+  // ------------------------------------------- per-source novelty rate
+
+  private val NoveltyK = 8
+
+  /** Per-source contribution audit for corpus curation: what fraction
+    * of each source's [[NoveltyK]]-gram shingles appears for the FIRST
+    * time in that source's documents (first = lowest doc_id corpus-
+    * wide)? A crawl snapshot that mostly re-serves content already in
+    * the corpus scores near 0 and is a candidate for dropping before
+    * tokenization spend; rates are exact integer milli-units.
+    *
+    * Scale shape: per-doc distinct shingle fingerprints (the
+    * positioned-k-gram kernel shared with substring_dedup, 8 bytes per
+    * shingle past the scan), first-seen doc as ONE window min over the
+    * shingle hash — not a grouped min joined back (that join's build
+    * side is shingle-cardinality, the q02-class OOM shape) — then a
+    * source-keyed aggregate whose cardinality is the source dimension.
+    * Two shuffles total, both on keys that keep map-side partials
+    * effective.
+    */
+  private def docNoveltyRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"source",
+        explode(array_distinct(
+          graft.plans.HashExpressions.posGramHashes($"text", NoveltyK)))
+          .as("h"))
+    g.withColumn("first_doc", min($"doc_id").over(Window.partitionBy($"h")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"doc_id" === $"first_doc", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_milli", expr("1000 * n_novel div n_shingles"))
+      .orderBy($"source")
+  }
+
+  private val noveltyOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |gr AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(toks) >= $NoveltyK THEN
+       |      list_distinct(list_transform(
+       |        generate_series(1, len(toks) - $NoveltyK + 1),
+       |        i -> ('0x' || substr(md5('0|' ||
+       |               array_to_string(list_slice(toks, i, i + $NoveltyK - 1), ' ')),
+       |             1, 15))::BIGINT))
+       |    ELSE [] END AS ghs
+       |  FROM t),
+       |g AS (SELECT doc_id, source, unnest(ghs) AS h
+       |      FROM gr WHERE len(ghs) > 0),
+       |f AS (SELECT source, doc_id,
+       |        min(doc_id) OVER (PARTITION BY h) AS first_doc
+       |      FROM g)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST(1000 * sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+       |    // count(*) AS BIGINT) AS novelty_milli
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------- PMI collocations
 
   private val PmiMinCount = 5
@@ -545,8 +605,18 @@ object CorpusPrep {
     */
   private def zipfFit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val top = docTermCounts(s, dir)
-      .groupBy($"term").agg(sum($"c").as("tc"))
+    zipfFitFromCounts(docTermCounts(s, dir)
+      .groupBy($"term").agg(sum($"c").as("tc")))
+  }
+
+  /** The regression core of [[zipfFit]] over an arbitrary
+    * (term, tc) frame — public so the property gate can feed an
+    * exactly-Zipfian vocabulary and pin the fitted slope at −1.
+    */
+  def zipfFitFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val top = counts
       .orderBy($"tc".desc, $"term")
       .limit(ZipfTopV)
     top
@@ -606,6 +676,7 @@ object CorpusPrep {
 
   val queries: Seq[Q] = Seq(
     Q("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
+    Q("doc_novelty_rate", docNoveltyRate, Some(noveltyOracle)),
     Q("pmi_collocations", pmiCollocations, Some(pmiOracle)),
     Q("zipf_fit", zipfFit, Some(zipfOracle)),
     Q("corpus_pipeline_e2e", corpusPipelineE2e, Some(pipelineE2eOracle)),

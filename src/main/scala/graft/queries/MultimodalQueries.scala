@@ -122,6 +122,10 @@ object MultimodalQueries {
 
   private val imageDecodeOracle =
     """SELECT * FROM (VALUES
+      |  ('ahash_base_16x16.png',    16, 16, CAST(256 AS BIGINT), CAST(120.9961 AS DOUBLE), CAST(120.9961 AS DOUBLE), CAST(120.9961 AS DOUBLE)),
+      |  ('ahash_distinct_16x16.png',16, 16, CAST(256 AS BIGINT), CAST(120.9961 AS DOUBLE), CAST(120.9961 AS DOUBLE), CAST(120.9961 AS DOUBLE)),
+      |  ('ahash_neardup_16x16.png', 16, 16, CAST(256 AS BIGINT), CAST(121.9297 AS DOUBLE), CAST(121.9297 AS DOUBLE), CAST(121.9297 AS DOUBLE)),
+      |  ('ahash_variant_16x16.png', 16, 16, CAST(256 AS BIGINT), CAST(114.3906 AS DOUBLE), CAST(114.3906 AS DOUBLE), CAST(114.3906 AS DOUBLE)),
       |  ('checker_2x2.png',   2,  2, CAST(4  AS BIGINT), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE)),
       |  ('gradient_16x2.png', 16, 2, CAST(32 AS BIGINT), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE)),
       |  ('solid_gray_4x4.png', 4, 4, CAST(16 AS BIGINT), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE)),
@@ -201,7 +205,69 @@ object MultimodalQueries {
       |) AS t(file_name, brand, timescale, duration_ms, n_tracks)
       |ORDER BY file_name""".stripMargin
 
+  // --------------------------------------------- image near-dup dedup
+
+  private val AHashBands = 4
+  private val AHashMaxHamming = 3
+
+  /** Image near-duplicate detection over REAL decoded pixels: the
+    * perceptual average-hash ([[Multimodal.averageHash]], 64-bit) of
+    * each committed aHash fixture, then the banded Hamming-LSH shape —
+    * each hash splits into [[AHashBands]] 16-bit band keys, candidates
+    * are pairs sharing ≥1 band (an equi-join on (band, bits), never
+    * all-pairs), and candidates verify with `bit_count(xor)` ≤
+    * [[AHashMaxHamming]]. Bands = MaxHamming + 1, so the pigeonhole
+    * guarantees NO false negatives at the threshold: a pair within
+    * Hamming 3 cannot differ in all 4 bands.
+    *
+    * The fixture family is constructed (tools/make_png_fixtures.py)
+    * with known hashes: neardup ≡ base (a blemish confined inside one
+    * bright block), variant at exactly Hamming 3 (three dimmed
+    * blocks), distinct at Hamming 64 (inverted phase) — the oracle
+    * states the surviving pairs as literals, pinning decoder, hash
+    * kernel, banding, and verify in one gate.
+    *
+    * Scale shape: hashes are 8 bytes/image leaving the executors; the
+    * band join shuffles band keys only; the bucket-occupancy story is
+    * the same as minhash-LSH banding (DedupQueries) — hot buckets mean
+    * genuinely similar images, and the verify is a codegen'd bit op.
+    */
+  private def imageAhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile")
+      .load("/root/repo/fixtures/img/ahash_*.png")
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+    val hashed = Multimodal.averageHash(files, "file_name", "content")
+      .filter($"ahash".isNotNull)
+      .select($"media_key".as("file_name"), $"ahash")
+    val banded = hashed.select($"file_name", $"ahash",
+      explode(array((0 until AHashBands).map(b => struct(
+        lit(b).as("band"),
+        expr(s"shiftright(ahash, ${b * 16}) & 65535").as("bits"))): _*))
+        .as("bk"))
+      .select($"file_name", $"ahash", $"bk.band", $"bk.bits")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits"
+          && $"a.file_name" < $"b.file_name")
+      .select($"a.file_name".as("file_a"), $"b.file_name".as("file_b"),
+        $"a.ahash".as("ha"), $"b.ahash".as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter($"hamming" <= AHashMaxHamming)
+      .select($"file_a", $"file_b", $"hamming")
+      .orderBy($"file_a", $"file_b")
+  }
+
+  private val imageAhashOracle =
+    """SELECT * FROM (VALUES
+      |  ('ahash_base_16x16.png',    'ahash_neardup_16x16.png', 0),
+      |  ('ahash_base_16x16.png',    'ahash_variant_16x16.png', 3),
+      |  ('ahash_neardup_16x16.png', 'ahash_variant_16x16.png', 3)
+      |) AS t(file_a, file_b, hamming)
+      |ORDER BY file_a, file_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("image_ahash_dedup", imageAhashDedup, Some(imageAhashOracle)),
     Q("multimodal_features", mediaFeatures, Some(mediaFeaturesOracle)),
     Q("multimodal_frames", frameSample, Some(frameSampleOracle)),
     Q("image_decode_features", imageDecodeFeatures, Some(imageDecodeOracle)),

@@ -354,6 +354,41 @@ class CorpusPrepSpec extends SparkSpec {
     assert(math.abs(pmi - want) < 1e-9, s"PMI $pmi != recount $want")
   }
 
+  test("doc_novelty_rate: novel credits partition the distinct shingle space") {
+    val rows = run("doc_novelty_rate")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, ns, nn, milli) =>
+      assert(nn >= 0 && nn <= ns, s"$src: $nn novel of $ns")
+      assert(milli == 1000 * nn / ns, s"$src: milli $milli")
+    }
+    // every distinct shingle is credited to exactly one (source, doc):
+    // the per-source novel counts must sum to the corpus-wide distinct
+    // fingerprint count, recomputed here through the same kernel
+    import org.apache.spark.sql.functions.{explode, array_distinct, countDistinct}
+    val distinctH = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(array_distinct(
+        graft.plans.HashExpressions.posGramHashes($"text", 8))).as("h"))
+      .agg(countDistinct($"h")).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == distinctH,
+      s"novel sum ${rows.map(_._3).sum} != distinct shingles $distinctH")
+  }
+
+  test("zipfFitFromCounts: an exactly Zipfian vocabulary fits slope -1") {
+    // c_r = round(1e9 / r): ln c = ln 1e9 - ln r up to rounding, so the
+    // fit must recover slope -1 and an essentially perfect r2
+    val counts = (1 to 800)
+      .map(r => (f"t$r%04d", math.round(1e9 / r)))
+      .toDF("term", "tc")
+    val Seq((n, slope, intercept, r2)) = CorpusPrep.zipfFitFromCounts(counts)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(n == 800)
+    assert(math.abs(slope + 1.0) < 1e-4, s"slope $slope")
+    assert(r2 > 0.999999, s"r2 $r2")
+    assert(math.abs(intercept - math.log(1e9)) < 1e-3, s"intercept $intercept")
+  }
+
   test("zipf_fit: single summary row with a negative slope and sane r2") {
     val Seq((n, slope, intercept, r2)) = run("zipf_fit")
       .as[(Long, Double, Double, Double)].collect().toSeq

@@ -149,4 +149,31 @@ class MultimodalSpec extends SparkSpec {
     val bad = rows("bad")
     assert((1 to 6).forall(bad.isNullAt))
   }
+
+  test("averageHash: exact hashes pinned by the fixture generator") {
+    // expected values printed by tools/make_png_fixtures.py, whose
+    // average_hash() is the executable spec of the Scala kernel
+    val expected = Map(
+      "ahash_base_16x16.png" -> 6172840429334713770L,
+      "ahash_neardup_16x16.png" -> 6172840429334713770L,
+      "ahash_variant_16x16.png" -> 6163833230012863786L,
+      "ahash_distinct_16x16.png" -> -6172840429334713771L)
+    val files = spark.read.format("binaryFile")
+      .load("/root/repo/fixtures/img/ahash_*.png")
+      .select(element_at(split($"path", "/"), -1).as("k"), $"content")
+    val got = Multimodal.averageHash(files, "k", "content")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == expected)
+  }
+
+  test("averageHash: undecodable bytes and sub-8x8 images yield NULL") {
+    val gray = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/img/solid_gray_4x4.png"))
+    val rows = Multimodal.averageHash(
+        Seq(("small", gray), ("bad", Array[Byte](9, 9, 9)))
+          .toDF("k", "bytes"), "k", "bytes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("small").getInt(1) == 4 && rows("small").isNullAt(3))
+    assert(rows("bad").isNullAt(1) && rows("bad").isNullAt(3))
+  }
 }
