@@ -127,7 +127,19 @@ object Bench {
         // NonFatal only: an OutOfMemoryError or similar VM corruption
         // must abort the run visibly, not be logged as a per-query
         // failure while every later timing runs in a broken JVM
-        try { fn(spark, sfDir).count(); true }
+        //
+        // toRdd.count(), NOT Dataset.count(): wrapping the query in a
+        // count() aggregate lets Catalyst prune every column the count
+        // doesn't need — for transform-shaped queries (c4_span_scrub,
+        // pii_redact, the tokenizers) that deletes the expensive output
+        // expressions AND eliminates whole joins (observed: the span
+        // scrub's rebuild join + string agg optimized away entirely,
+        // benching a bare scan). toRdd executes the query's OWN
+        // physical plan — every output column materializes, the
+        // presentation sort included — so the watermark prices what
+        // Verify actually writes. The count is a row count over
+        // InternalRows, no driver collect.
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           false

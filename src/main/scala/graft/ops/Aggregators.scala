@@ -164,4 +164,62 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Int]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** One-pass exact second moments of an embedding column in integer
+    * micro-units — the distributed half of PCA/whitening: count, Σx_j,
+    * and the upper-triangle Gram Σ round(x_i·x_j·1e6). Buffer layout:
+    * [0] = n, [1..dim] = s_j, then g(i,j) for i ≤ j at
+    * dim+1 + i·dim − i(i−1)/2 + (j−i). Each term is quantized
+    * (`floor(x_i·x_j·1e6 + 0.5)`, f32→f64 exact, same IEEE ops the
+    * DuckDB oracle runs), so partial sums are INTEGERS — merge order
+    * across partitions cannot change the result, which is what makes
+    * the whole PCA gate engine-portable. Map-side combine applies as
+    * with any Aggregator; one buffer of 1 + dim + dim(dim+1)/2 longs
+    * (dim 64 → 2145, ~17 KB) per partition reaches the driver.
+    *
+    * Per-term magnitude ≤ 1e6 for unit-normalized embeddings, so Long
+    * overflow needs ~9e12 rows per EXECUTOR-PARTIAL — at petabyte row
+    * counts, widen to 128-bit accumulation (the oracle already runs
+    * HUGEINT); the driver-side eigen math is BigInt and has no bound.
+    */
+  final class VecMoments(dim: Int)
+      extends Aggregator[Seq[Float], Array[Long], Seq[Long]] {
+    private val size = 1 + dim + dim * (dim + 1) / 2
+    override def zero: Array[Long] = new Array[Long](size)
+    override def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
+      require(v != null && v.length == dim,
+        s"VecMoments(dim=$dim): embedding of length ${if (v == null) -1 else v.length}")
+      val x = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { x(j) = v(j).toDouble; j += 1 }
+      b(0) += 1L
+      j = 0
+      var t = 1 + dim
+      while (j < dim) {
+        b(1 + j) += math.floor(x(j) * 1000000.0 + 0.5).toLong
+        j += 1
+      }
+      var i = 0
+      while (i < dim) {
+        j = i
+        while (j < dim) {
+          b(t) += math.floor(x(i) * x(j) * 1000000.0 + 0.5).toLong
+          t += 1
+          j += 1
+        }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < size) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -163,55 +163,235 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (key, bytes) =>
           val img = readImage(bytes)
-          if (img == null || img.getWidth < 8 || img.getHeight < 8) {
-            val dims: (Integer, Integer) =
-              if (img == null) (null, null) else (img.getWidth, img.getHeight)
-            org.apache.spark.sql.Row(key, dims._1, dims._2, null)
-          } else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val gray = Array.ofDim[Int](h, w)
-            val row = new Array[Int](w)
-            var total = 0L
-            var y = 0
-            while (y < h) {
-              img.getRGB(0, y, w, 1, row, 0, w)
-              var x = 0
-              while (x < w) {
-                val p = row(x)
-                val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
-                gray(y)(x) = g
-                total += g
-                x += 1
-              }
-              y += 1
-            }
-            val nTotal = w.toLong * h
-            var hash = 0L
-            var by = 0
-            while (by < 8) {
-              val y0 = by * h / 8; val y1 = (by + 1) * h / 8
-              var bx = 0
-              while (bx < 8) {
-                val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
-                var bs = 0L
-                var yy = y0
-                while (yy < y1) {
-                  var xx = x0
-                  while (xx < x1) { bs += gray(yy)(xx); xx += 1 }
-                  yy += 1
-                }
-                val nb = (y1 - y0).toLong * (x1 - x0)
-                val bit = if (bs * nTotal > total * nb) 1L else 0L
-                hash = (hash << 1) | bit
-                bx += 1
-              }
-              by += 1
-            }
-            org.apache.spark.sql.Row(key, w, h, hash)
+          if (img == null)
+            org.apache.spark.sql.Row(key, null, null, null)
+          else {
+            val gray = grayMatrix(img)
+            org.apache.spark.sql.Row(key, img.getWidth, img.getHeight,
+              ahashOf(gray))
           }
         }
       }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** All three standard perceptual hashes in ONE decode pass —
+    * (media_key, width, height, ahash, dhash, phash). Each hash is NULL
+    * when the image is too small for its grid (ahash 8×8, dhash 9×8,
+    * phash 32×32); all are NULL when the bytes don't decode. Executable
+    * specs and pinned fixture values: tools/make_png_fixtures.py
+    * (`average_hash` / `dhash` / `phash`).
+    *
+    *  - ahash: [[averageHash]]'s kernel (global-mean threshold).
+    *  - dhash: 8×9 block grid, bit (r·8+c) set iff block (r,c) mean <
+    *    block (r,c+1) mean — exact cross-multiplied comparison, packed
+    *    MSB-first. Gradient sign survives global brightness shifts that
+    *    flip ahash bits.
+    *  - phash: integer-exact DCT-II — 32×32 block means in micro-units
+    *    (round-half-up), two-stage transform against a 1e6-scaled
+    *    cosine table with a half-up 1e6 rescale between stages (peak
+    *    magnitudes 8.2e15 / 2.7e17, Long-safe), the 63 top-left AC
+    *    coefficients thresholded at their exact median (32nd smallest
+    *    — an order statistic, never a float), packed MSB-first into
+    *    bits 62..0. No float is ever compared, so the Scala and Python
+    *    kernels agree bit-for-bit; the generator asserts every cosine
+    *    table entry sits > 1e-3 from its rounding boundary, so a
+    *    last-ulp libm difference cannot flip a table cell.
+    *
+    * Scale: 24 bytes/image leave the executor regardless of pixel
+    * count; every downstream near-dup pass (banded Hamming-LSH,
+    * [[graft.queries.MultimodalQueries]]) joins on these, never on
+    * pixels.
+    */
+  def perceptualHashes(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("media_key", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ahash", LongType),
+      StructField("dhash", LongType),
+      StructField("phash", LongType)))
+    df.select(col(idCol).cast("string"), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (key, bytes) =>
+          val img = readImage(bytes)
+          if (img == null)
+            org.apache.spark.sql.Row(key, null, null, null, null, null)
+          else {
+            val gray = grayMatrix(img)
+            org.apache.spark.sql.Row(key, img.getWidth, img.getHeight,
+              ahashOf(gray), dhashOf(gray), phashOf(gray))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Integer grayscale matrix `(r+g+b) div 3` of a decoded image — the
+    * shared front half of every perceptual-hash kernel (one bulk getRGB
+    * per row stripe, same rationale as [[decodeImages]]).
+    */
+  private def grayMatrix(img: java.awt.image.BufferedImage): Array[Array[Int]] = {
+    val w = img.getWidth; val h = img.getHeight
+    val gray = Array.ofDim[Int](h, w)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        gray(y)(x) = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    gray
+  }
+
+  private def blockSum(gray: Array[Array[Int]],
+      y0: Int, y1: Int, x0: Int, x1: Int): Long = {
+    var s = 0L
+    var y = y0
+    while (y < y1) {
+      var x = x0
+      while (x < x1) { s += gray(y)(x); x += 1 }
+      y += 1
+    }
+    s
+  }
+
+  /** Boxed Long or null — the hash kernels return null (not a sentinel)
+    * for images under their grid size.
+    */
+  private def ahashOf(gray: Array[Array[Int]]): java.lang.Long = {
+    val h = gray.length; val w = if (h == 0) 0 else gray(0).length
+    if (w < 8 || h < 8) return null
+    var total = 0L
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { total += gray(y)(x); x += 1 }; y += 1 }
+    val nTotal = w.toLong * h
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+        val bs = blockSum(gray, y0, y1, x0, x1)
+        val nb = (y1 - y0).toLong * (x1 - x0)
+        hash = (hash << 1) | (if (bs * nTotal > total * nb) 1L else 0L)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  private def dhashOf(gray: Array[Array[Int]]): java.lang.Long = {
+    val h = gray.length; val w = if (h == 0) 0 else gray(0).length
+    if (w < 9 || h < 8) return null
+    val bs = Array.ofDim[Long](8, 9)
+    val nb = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        bs(r)(c) = blockSum(gray, y0, y1, x0, x1)
+        nb(r)(c) = (y1 - y0).toLong * (x1 - x0)
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        hash = (hash << 1) |
+          (if (bs(r)(c) * nb(r)(c + 1) < bs(r)(c + 1) * nb(r)(c)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** round-half-up division (half toward +∞), exact for negatives —
+    * mirrors `_rdiv` in the Python spec.
+    */
+  private def rdiv(a: Long, b: Long): Long = Math.floorDiv(2 * a + b, 2 * b)
+
+  /** DCT-II cosine table, 1e6-scaled integers: ctab(k)(n) =
+    * round(cos(π(2n+1)k/64)·1e6). The fixture generator asserts every
+    * entry is > 1e-3 from its rounding boundary, so this table is
+    * libm-portable despite the float cos call.
+    */
+  private lazy val phashCos: Array[Array[Long]] =
+    Array.tabulate(8, 32) { (k, n) =>
+      math.floor(math.cos(math.Pi * (2 * n + 1) * k / 64.0) * 1e6 + 0.5).toLong
+    }
+
+  private def phashOf(gray: Array[Array[Int]]): java.lang.Long = {
+    val h = gray.length; val w = if (h == 0) 0 else gray(0).length
+    if (w < 32 || h < 32) return null
+    val bm = Array.ofDim[Long](32, 32)
+    var by = 0
+    while (by < 32) {
+      val y0 = by * h / 32; val y1 = (by + 1) * h / 32
+      var bx = 0
+      while (bx < 32) {
+        val x0 = bx * w / 32; val x1 = (bx + 1) * w / 32
+        bm(by)(bx) = rdiv(blockSum(gray, y0, y1, x0, x1) * 1000000L,
+          (y1 - y0).toLong * (x1 - x0))
+        bx += 1
+      }
+      by += 1
+    }
+    // stage 1: column-wise DCT over y, rescaled to ~1e9
+    val rp = Array.ofDim[Long](8, 32)
+    var k = 0
+    while (k < 8) {
+      var x = 0
+      while (x < 32) {
+        var s = 0L
+        var y = 0
+        while (y < 32) { s += bm(y)(x) * phashCos(k)(y); y += 1 }
+        rp(k)(x) = rdiv(s, 1000000L)
+        x += 1
+      }
+      k += 1
+    }
+    // stage 2: row-wise DCT over x; 63 ACs of the top-left 8×8
+    val ac = new Array[Long](63)
+    var i = 0
+    k = 0
+    while (k < 8) {
+      var l = 0
+      while (l < 8) {
+        if (k != 0 || l != 0) {
+          var s = 0L
+          var x = 0
+          while (x < 32) { s += rp(k)(x) * phashCos(l)(x); x += 1 }
+          ac(i) = s
+          i += 1
+        }
+        l += 1
+      }
+      k += 1
+    }
+    val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    i = 0
+    while (i < 63) {
+      hash = (hash << 1) | (if (ac(i) > med) 1L else 0L)
+      i += 1
+    }
+    hash
   }
 
   /** REAL audio decode: JDK javax.sound.sampled parses WAV/AIFF/AU

@@ -512,6 +512,114 @@ object CorpusPrep {
        |    // count(*) AS BIGINT) AS novelty_milli
        |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // ----------------------------------- C4 span scrub (keep-first dedup)
+
+  private val ScrubK = 6
+  /** Token positions are encoded as `doc_id * 2^20 + pos` for the exact
+    * first-occurrence min; docs must stay under 2^20 tokens (checked
+    * loudly — a crawl "document" past a million tokens is a concatenation
+    * bug upstream, not data).
+    */
+  private val ScrubPosBits = 20
+
+  /** C4's span-dedup scrub (Raffel et al. 2020 §2.2): any [[ScrubK]]-token
+    * span occurring more than once in the CORPUS keeps only its first
+    * occurrence — every later occurrence's tokens are removed, and the
+    * cleaned text is reconstructed from the surviving positions. "First"
+    * is the lexicographic minimum of (doc_id, pos), made a single exact
+    * integer min by the 2^[[ScrubPosBits]] position encoding (no struct
+    * min needed on the corpus-sized gram frame). Overlapping duplicated
+    * spans compose by position-set union, so the result is order-free —
+    * no greedy scan-order dependence to mirror across engines.
+    *
+    * Scale shape: positioned k-gram fingerprints (8 bytes/gram past the
+    * scan, the substring_dedup kernel), ONE gram-keyed agg for
+    * (occurrence count, first key), a gram-keyed join back of only the
+    * duplicated grams, a k-wide position explode of only the LATER
+    * occurrences, and a per-doc rebuild agg. No pair join anywhere —
+    * cost tracks duplicated-gram OCCURRENCES (linear in corpus), not
+    * near-dup pair mass; this is why C4 could afford it at web scale.
+    */
+  def c4SpanScrub(docs: DataFrame, k: Int = ScrubK): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    val grams = docs
+      .select($"doc_id",
+        posexplode(graft.plans.HashExpressions.posGramHashes($"text", k))
+          .as(Seq("pos", "h")))
+    val enc = when($"pos" < lit(1 << ScrubPosBits),
+        $"doc_id" * lit(1L << ScrubPosBits) + $"pos")
+      .otherwise(raise_error(lit(
+        s"c4_span_scrub: document exceeds 2^$ScrubPosBits tokens")))
+    val dupGrams = grams.groupBy($"h")
+      .agg(count(lit(1)).as("occ"), min(enc).as("first_key"))
+      .filter($"occ" >= 2)
+      .select($"h", $"first_key")
+    val covered = grams.join(dupGrams, Seq("h"))
+      .filter(enc =!= $"first_key")
+      .select($"doc_id",
+        explode(sequence($"pos", $"pos" + lit(k - 1))).as("p"))
+      .distinct()
+    val kept = docs
+      .select($"doc_id", posexplode(toks).as(Seq("p", "tok")))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct($"p", $"tok"))),
+            x => x("tok")), " ").as("clean_text"))
+    docs.select($"doc_id", size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  private def c4SpanScrubQ(s: SparkSession, dir: String): DataFrame =
+    c4SpanScrub(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val c4ScrubOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |gr AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, len(toks) - $ScrubK + 1),
+       |      i -> {'pos': i - 1,
+       |            'h': ('0x' || substr(md5('0|' ||
+       |                   array_to_string(list_slice(toks, i, i + $ScrubK - 1), ' ')),
+       |                 1, 15))::BIGINT})) AS g
+       |  FROM t WHERE len(toks) >= $ScrubK),
+       |g AS (SELECT doc_id, g.pos AS pos, g.h AS h FROM gr),
+       |dg AS (
+       |  SELECT h, min(doc_id * ${1L << ScrubPosBits} + pos) AS first_key
+       |  FROM g GROUP BY h HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + ${ScrubK - 1})) AS p
+       |  FROM g JOIN dg USING (h)
+       |  WHERE doc_id * ${1L << ScrubPosBits} + pos <> first_key),
+       |tp AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)),
+       |      i -> {'p': i - 1, 'tok': toks[i]})) AS tp
+       |  FROM t),
+       |tpx AS (SELECT doc_id, tp.p AS p, tp.tok AS tok FROM tp),
+       |kept AS (
+       |  SELECT tpx.* FROM tpx
+       |  ANTI JOIN cov USING (doc_id, p)),
+       |cl AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(clean_text, '') AS clean_text
+       |FROM t LEFT JOIN cl USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------- PMI collocations
 
   private val PmiMinCount = 5
@@ -677,6 +785,7 @@ object CorpusPrep {
   val queries: Seq[Q] = Seq(
     Q("vocab_topk", vocabTopk, Some(vocabTopkOracle)),
     Q("doc_novelty_rate", docNoveltyRate, Some(noveltyOracle)),
+    Q("c4_span_scrub", c4SpanScrubQ, Some(c4ScrubOracle)),
     Q("pmi_collocations", pmiCollocations, Some(pmiOracle)),
     Q("zipf_fit", zipfFit, Some(zipfOracle)),
     Q("corpus_pipeline_e2e", corpusPipelineE2e, Some(pipelineE2eOracle)),

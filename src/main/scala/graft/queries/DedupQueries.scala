@@ -235,6 +235,94 @@ object DedupQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // ----------- quality-aware bucket keeper (survivor = best member)
+
+  /** [[lshKeeper]] with QUALITY-AWARE survivor selection: the bucket
+    * representative is the member with the highest classifier score
+    * (ties → lowest doc_id), not the minimum id. This is the step real
+    * curation pipelines run after near-dup detection — when a copy
+    * family collapses to one document, you keep the best-scoring
+    * variant (cleanest extraction, least boilerplate), not whichever
+    * crawled first. Same O(n·bands) pair-free shape as [[lshKeeper]]:
+    * one groupBy for the per-bucket best, one keyed join back, one
+    * per-doc agg; NO candidate join.
+    *
+    * Ordering is the lexicographic max of `struct(score_milli,
+    * -doc_id)` — Spark and DuckDB both order structs field-by-field,
+    * so the (score desc, doc_id asc) argmax is a single exact
+    * aggregate in both engines, no float keys, no encoded-BIGINT
+    * tricks. `kept ⟺ keeper == doc_id` partitions exactly as in
+    * [[lshKeeper]]; the keeper column is the one-step bucket best
+    * (the same caveat documented there applies).
+    */
+  def lshKeeperQuality(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val scored = docs
+      .select($"doc_id",
+        DedupOps.minhashSigNative($"text", ShingleK, NumHashes).as("sig"),
+        LmPipeline.classifierScoreCol(TextOps.tokens($"text"))
+          .as("score_milli"))
+      .filter($"sig".isNotNull)
+    val banded = scored
+      .select($"doc_id", $"score_milli",
+        explode(DedupOps.lshBands($"sig", NumBands, RowsPerBand)).as("b"))
+      .select($"doc_id", $"score_milli",
+        $"b.band".as("band"), $"b.key".as("key"))
+    val bucketBest = banded.groupBy($"band", $"key")
+      .agg(max(struct($"score_milli".as("s"), (-$"doc_id").as("nid")))
+        .as("best"))
+    banded.join(bucketBest, Seq("band", "key"))
+      .groupBy($"doc_id", $"score_milli")
+      .agg(max(struct($"best.s".as("s"), $"best.nid".as("nid"))).as("ov"))
+      .select($"doc_id", $"score_milli",
+        (-$"ov.nid").as("keeper"),
+        $"ov.s".as("keeper_score_milli"),
+        ($"ov.nid" === -$"doc_id").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  private def dedupKeeperQuality(s: SparkSession, dir: String): DataFrame =
+    lshKeeperQuality(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val dedupKeeperQualityOracle = {
+    val sigExprs = (0 until NumHashes).map(sigComponentSql).mkString("[", ",\n    ", "]")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |hsv AS (
+       |  SELECT doc_id, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig FROM hsv),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ${LmPipeline.classifierScoreSql("string_split(text, ' ')")}
+       |      AS score_milli
+       |  FROM documents),
+       |b AS (
+       |  $bandRows),
+       |bs AS (
+       |  SELECT b.doc_id, b.band, b.key, sc.score_milli
+       |  FROM b JOIN sc USING (doc_id)),
+       |bb AS (
+       |  SELECT band, key,
+       |    max({'s': score_milli, 'nid': -doc_id}) AS best
+       |  FROM bs GROUP BY band, key)
+       |SELECT bs.doc_id, bs.score_milli,
+       |  -(max(bb.best)).nid AS keeper,
+       |  (max(bb.best)).s AS keeper_score_milli,
+       |  (max(bb.best)).nid = -bs.doc_id AS kept
+       |FROM bs JOIN bb USING (band, key)
+       |GROUP BY bs.doc_id, bs.score_milli
+       |ORDER BY bs.doc_id""".stripMargin
+  }
+
   // ------------------------- LSH index health (bucket occupancy)
 
   /** Band-bucket occupancy histogram of the MinHash LSH index — the
@@ -1086,6 +1174,7 @@ object DedupQueries {
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupMinhashOracle)),
     Q("dedup_minhash_strict", dedupMinhashStrict, Some(dedupMinhashStrictOracle)),
     Q("dedup_lsh_keeper", dedupLshKeeper, Some(dedupLshKeeperOracle)),
+    Q("dedup_keeper_quality", dedupKeeperQuality, Some(dedupKeeperQualityOracle)),
     Q("lsh_bucket_stats", lshBucketStats, Some(lshBucketStatsOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentOracle)),

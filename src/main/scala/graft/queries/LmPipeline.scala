@@ -589,7 +589,7 @@ object LmPipeline {
     * pure expression, so the same column works on batch and STREAMING
     * frames alike (the streaming quality gate reuses it verbatim).
     */
-  private[queries] def classifierScoreCol(toks: Column,
+  private[graft] def classifierScoreCol(toks: Column,
       buckets: Long = LrBuckets, seed: Int = LrSeed): Column = {
     val w = (t: Column) =>
       pmod(TextOps.portableHash64(t, seed), lit(buckets)) * LrMix % LrRange -

@@ -127,6 +127,11 @@ object MultimodalQueries {
       |  ('ahash_neardup_16x16.png', 16, 16, CAST(256 AS BIGINT), CAST(121.9297 AS DOUBLE), CAST(121.9297 AS DOUBLE), CAST(121.9297 AS DOUBLE)),
       |  ('ahash_variant_16x16.png', 16, 16, CAST(256 AS BIGINT), CAST(114.3906 AS DOUBLE), CAST(114.3906 AS DOUBLE), CAST(114.3906 AS DOUBLE)),
       |  ('checker_2x2.png',   2,  2, CAST(4  AS BIGINT), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE)),
+      |  ('hash_uneven_48x40.png', 48, 40, CAST(1920 AS BIGINT), CAST(125.8333 AS DOUBLE), CAST(125.8333 AS DOUBLE), CAST(125.8333 AS DOUBLE)),
+      |  ('phash_base_32x32.png', 32, 32, CAST(1024 AS BIGINT), CAST(126.4131 AS DOUBLE), CAST(126.4131 AS DOUBLE), CAST(126.4131 AS DOUBLE)),
+      |  ('phash_distinct_32x32.png', 32, 32, CAST(1024 AS BIGINT), CAST(127.8398 AS DOUBLE), CAST(127.8398 AS DOUBLE), CAST(127.8398 AS DOUBLE)),
+      |  ('phash_neardup_32x32.png', 32, 32, CAST(1024 AS BIGINT), CAST(126.4248 AS DOUBLE), CAST(126.4248 AS DOUBLE), CAST(126.4248 AS DOUBLE)),
+      |  ('phash_variant_32x32.png', 32, 32, CAST(1024 AS BIGINT), CAST(128.9131 AS DOUBLE), CAST(128.9131 AS DOUBLE), CAST(128.9131 AS DOUBLE)),
       |  ('gradient_16x2.png', 16, 2, CAST(32 AS BIGINT), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE)),
       |  ('solid_gray_4x4.png', 4, 4, CAST(16 AS BIGINT), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE), CAST(128.0 AS DOUBLE)),
       |  ('solid_red_8x6.png',  8, 6, CAST(48 AS BIGINT), CAST(255.0 AS DOUBLE), CAST(0.0 AS DOUBLE),   CAST(0.0 AS DOUBLE))
@@ -266,8 +271,94 @@ object MultimodalQueries {
       |) AS t(file_a, file_b, hamming)
       |ORDER BY file_a, file_b""".stripMargin
 
+  // --------------------------------------- perceptual hash features
+
+  /** Every committed image fixture through ONE decode pass of all three
+    * perceptual hashes ([[Multimodal.perceptualHashes]]): the literal
+    * oracle pins the aHash, dHash, and integer-DCT pHash kernels —
+    * including each kernel's NULL rule (ahash < 8×8, dhash < 9×8,
+    * phash < 32×32) and the fractional-block path (48×40 is divisible
+    * by none of the grids). Values printed by
+    * tools/make_png_fixtures.py, whose `average_hash`/`dhash`/`phash`
+    * are the executable specs.
+    */
+  private def imageHashFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile")
+      .load("/root/repo/fixtures/img/*.png")
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+    Multimodal.perceptualHashes(files, "file_name", "content")
+      .withColumnRenamed("media_key", "file_name")
+      .orderBy($"file_name")
+  }
+
+  private val imageHashOracle =
+    """SELECT * FROM (VALUES
+      |  ('ahash_base_16x16.png',     16, 16, 6172840429334713770,  -7698106371068488406, CAST(NULL AS BIGINT)),
+      |  ('ahash_distinct_16x16.png', 16, 16, -6172840429334713771, 771604915693095605,   CAST(NULL AS BIGINT)),
+      |  ('ahash_neardup_16x16.png',  16, 16, 6172840429334713770,  -3086420352641100502, CAST(NULL AS BIGINT)),
+      |  ('ahash_variant_16x16.png',  16, 16, 6163833230012863786,  -7707113570323229334, CAST(NULL AS BIGINT)),
+      |  ('checker_2x2.png',           2,  2, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+      |  ('gradient_16x2.png',        16,  2, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+      |  ('hash_uneven_48x40.png',    48, 40, 3785095825684013580,  -1523988864288698699, 6583157265028601898),
+      |  ('phash_base_32x32.png',     32, 32, 6869277392412143965,  -4921068366117366999, 5382022396421639600),
+      |  ('phash_distinct_32x32.png', 32, 32, 9072229087654252723,  -3797710225816574394, 9044080021237168732),
+      |  ('phash_neardup_32x32.png',  32, 32, 6869277392412143965,  -4921068366117366999, 5382022396421639600),
+      |  ('phash_variant_32x32.png',  32, 32, 2122518569537778009,  -4925571965744721111, 5670252772556574128),
+      |  ('solid_gray_4x4.png',        4,  4, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+      |  ('solid_red_8x6.png',         8,  6, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+      |) AS t(file_name, width, height, ahash, dhash, phash)
+      |ORDER BY file_name""".stripMargin
+
+  // ------------------------------------------ pHash near-dup dedup
+
+  /** [[imageAhashDedup]]'s banded Hamming-LSH shape over the DCT pHash
+    * — the production-grade perceptual hash (robust to brightness and
+    * blemish edits that flip aHash bits). The 63-bit hash splits into
+    * three 16-bit bands plus one 15-bit band (bits 48..62); bands =
+    * MaxHamming + 1, so the pigeonhole no-false-negative guarantee at
+    * Hamming ≤ 3 is unchanged. Fixture family constructed with known
+    * distances (neardup ≡ base, variant at Hamming 2, distinct at 36).
+    */
+  private def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile")
+      .load("/root/repo/fixtures/img/phash_*.png")
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+    val hashed = Multimodal.perceptualHashes(files, "file_name", "content")
+      .filter($"phash".isNotNull)
+      .select($"media_key".as("file_name"), $"phash")
+    val banded = hashed.select($"file_name", $"phash",
+      explode(array((0 until AHashBands).map(b => struct(
+        lit(b).as("band"),
+        expr(s"shiftright(phash, ${b * 16}) & ${if (b == 3) 32767 else 65535}")
+          .as("bits"))): _*))
+        .as("bk"))
+      .select($"file_name", $"phash", $"bk.band", $"bk.bits")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits"
+          && $"a.file_name" < $"b.file_name")
+      .select($"a.file_name".as("file_a"), $"b.file_name".as("file_b"),
+        $"a.phash".as("ha"), $"b.phash".as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter($"hamming" <= AHashMaxHamming)
+      .select($"file_a", $"file_b", $"hamming")
+      .orderBy($"file_a", $"file_b")
+  }
+
+  private val imagePhashOracle =
+    """SELECT * FROM (VALUES
+      |  ('phash_base_32x32.png',    'phash_neardup_32x32.png', 0),
+      |  ('phash_base_32x32.png',    'phash_variant_32x32.png', 2),
+      |  ('phash_neardup_32x32.png', 'phash_variant_32x32.png', 2)
+      |) AS t(file_a, file_b, hamming)
+      |ORDER BY file_a, file_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("image_ahash_dedup", imageAhashDedup, Some(imageAhashOracle)),
+    Q("image_phash_dedup", imagePhashDedup, Some(imagePhashOracle)),
+    Q("image_hash_features", imageHashFeatures, Some(imageHashOracle)),
     Q("multimodal_features", mediaFeatures, Some(mediaFeaturesOracle)),
     Q("multimodal_frames", frameSample, Some(frameSampleOracle)),
     Q("image_decode_features", imageDecodeFeatures, Some(imageDecodeOracle)),

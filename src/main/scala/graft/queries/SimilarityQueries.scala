@@ -762,7 +762,168 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= $OutlierTopK
        |ORDER BY label, rnk""".stripMargin
 
+  // ------------------------- PCA: top principal component, exact
+
+  private val PcaDim = 64
+  private val PcaIters = 15
+
+  /** Floor division with MATHEMATICAL floor (q > 0, any-sign p):
+    * BigInt `/` truncates toward zero and `%` follows the dividend, so
+    * the remainder is re-canonicalized first. Mirrors the identical
+    * `(p - ((p % q) + q) % q) // q` the DuckDB oracle runs on HUGEINT.
+    */
+  private def fdiv(p: BigInt, q: BigInt): BigInt = (p - ((p % q) + q) % q) / q
+
+  /** Round-half-up (half toward +∞) division, exact for negatives. */
+  private def rdivB(x: BigInt, y: BigInt): BigInt = fdiv(2 * x + y, 2 * y)
+
+  /** Top principal component of the embedding corpus, exact and
+    * engine-portable end to end — the whitening/decorrelation front
+    * half every embedding-quality pipeline needs at scale:
+    *
+    *  1. ONE distributed pass ([[Aggregators.VecMoments]]): n, Σx, and
+    *     the Gram matrix in integer micro-units — map-side combined,
+    *     one 2145-long buffer per partition, NO per-row pair explode
+    *     (a posexplode self-join would blow the corpus up 4096×; the
+    *     aggregate ships 17 KB regardless of row count).
+    *  2. A bounded driver bridge (the kmeans_train pattern): the scaled
+    *     covariance A = n·G − s·sᵀ (integer, PSD) runs [[PcaIters]]
+    *     power-iteration steps in BigInt — matvec, then renormalize to
+    *     |v|∞ = 1e6 by round-half-up division. Every operation is
+    *     integer, so Spark and DuckDB (same unrolled iteration as
+    *     chained CTEs on HUGEINT) agree bit-for-bit; there is no
+    *     float eigensolver to make "almost equal".
+    *  3. Sign-canonicalized (leading max-|component| positive) with the
+    *     eigenvalue reported as explained-variance ∈ milli-units:
+    *     round(1000 · vᵀAv / (vᵀv · tr A)).
+    *
+    * The result is DEFINED as 15 half-up-normalized power steps from
+    * v₀ = 1e6·𝟙 — a deterministic spec, not a convergence promise. On
+    * a corpus with a dominant direction the iterate settles in a
+    * handful of steps; the synthetic test embeddings are deliberately
+    * near-isotropic (top PC explains ~2-3% of variance), so there the
+    * DIRECTION keeps micro-wandering inside the flat top eigenspace
+    * while the reported explained-variance ratio is already stable
+    * (PcaSpec pins evr(15) within ±3 milli of evr(30), and the
+    * constructed single-axis corpus recovers its axis exactly).
+    */
+  private def embeddingPcaPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vm = udaf(new graft.ops.Aggregators.VecMoments(PcaDim))
+    val m: Seq[Long] = Tables.embeddings(s, dir)
+      .filter($"embedding".isNotNull)
+      .agg(vm($"embedding"))
+      .as[Seq[Long]].head()
+    pcaFromMoments(s, m)
+  }
+
+  /** Driver half of [[embeddingPcaPower]], split out so the spec can
+    * feed constructed moments and assert stationarity.
+    */
+  private[graft] def pcaFromMoments(s: SparkSession, m: Seq[Long],
+      iters: Int = PcaIters): DataFrame = {
+    import s.implicits._
+    val n = BigInt(m(0))
+    require(n > 0, "embedding_pca_power: empty corpus")
+    val sv = Array.tabulate(PcaDim)(j => BigInt(m(1 + j)))
+    val g = Array.ofDim[BigInt](PcaDim, PcaDim)
+    var t = 1 + PcaDim
+    for (i <- 0 until PcaDim; j <- i until PcaDim) {
+      g(i)(j) = BigInt(m(t)); g(j)(i) = g(i)(j); t += 1
+    }
+    // n·G is 1e6-scaled (one quantization per PRODUCT) while s·sᵀ is
+    // (1e6)² — rescale G so both terms live at 1e12 before subtracting
+    val a = Array.tabulate(PcaDim, PcaDim)((i, j) =>
+      n * g(i)(j) * 1000000 - sv(i) * sv(j))
+    var v = Array.fill(PcaDim)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(PcaDim)(i =>
+        (0 until PcaDim).map(j => a(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      require(mx > 0, "embedding_pca_power: zero covariance matrix")
+      v = w.map(wi => rdivB(wi * 1000000, mx))
+    }
+    val mAbs = v.map(_.abs).max
+    val sgn = if (v(v.indexWhere(_.abs == mAbs)) < 0) BigInt(-1) else BigInt(1)
+    val ray = (for (i <- 0 until PcaDim; j <- 0 until PcaDim)
+      yield a(i)(j) * v(i) * v(j)).sum
+    val vtv = v.map(x => x * x).sum
+    val tr = (0 until PcaDim).map(i => a(i)(i)).sum
+    require(vtv > 0 && tr > 0, "embedding_pca_power: degenerate trace")
+    // two-step rounding (λ = vᵀAv/vᵀv, then λ/tr in milli) keeps the
+    // oracle's HUGEINT intermediates bounded; the definition is the
+    // two-step form in BOTH engines
+    val evr = rdivB(rdivB(ray, vtv) * 1000, tr)
+    (0 until PcaDim)
+      .map(i => (i, (sgn * v(i)).toLong, n.toLong, evr.toLong))
+      .toDF("dim_idx", "eigvec_micro", "n_vecs", "evr_milli")
+      .orderBy($"dim_idx")
+  }
+
+  private val pcaOracle: String = {
+    // HUGEINT bounds at the biggest tested scale (100×, n = 5e5):
+    // |a| ≤ n²·1e12·E[x²] ≈ 4e21, |w| ≤ 64·|a|·1e6 ≈ 2.6e29,
+    // 2·w·1e6 ≈ 5e35, λ·1000 ≤ 64·|a|·1e3 ≈ 2.6e26 — all inside
+    // HUGEINT's 1.7e38 (ray itself ≈ 1.6e37 — that is why evr divides
+    // by vᵀv BEFORE scaling by 1000)
+    val fd = (p: String, q: String) => s"(($p) - ((($p) % ($q) + ($q)) % ($q))) // ($q)"
+    val steps = (1 to PcaIters).map { k =>
+      val mk = s"(SELECT m FROM m$k)"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT am.i AS i, sum(am.a * v.v) AS w
+         |  FROM am JOIN v${k - 1} v ON v.i = am.j GROUP BY am.i),
+         |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, ${fd(s"2 * w * 1000000 + $mk", s"2 * $mk")} AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xr AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    unnest(list_transform(generate_series(1, len(embedding)),
+       |      j -> {'i': j - 1, 'x': CAST(embedding[j] AS DOUBLE)})) AS u
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |xe AS MATERIALIZED (SELECT vec_id, u.i AS i, u.x AS x FROM xr),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n
+       |       FROM embeddings WHERE embedding IS NOT NULL),
+       |s AS MATERIALIZED (
+       |  SELECT i, sum(CAST(floor(x * 1000000 + 0.5) AS HUGEINT)) AS s
+       |  FROM xe GROUP BY i),
+       |g AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |    sum(CAST(floor(a.x * b.x * 1000000 + 0.5) AS HUGEINT)) AS g
+       |  FROM xe a JOIN xe b USING (vec_id) GROUP BY a.i, b.i),
+       |am AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |    (SELECT n FROM nn) * g.g * 1000000 - sa.s * sb.s AS a
+       |  FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j),
+       |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM s),
+       |$steps,
+       |fin AS MATERIALIZED (SELECT i, v FROM v$PcaIters),
+       |sg AS (
+       |  SELECT CASE WHEN (SELECT v FROM fin
+       |                    WHERE abs(v) = (SELECT max(abs(v)) FROM fin)
+       |                    ORDER BY i LIMIT 1) < 0
+       |         THEN -1 ELSE 1 END AS s),
+       |ray AS (
+       |  SELECT sum(am.a * va.v * vb.v) AS r
+       |  FROM am JOIN fin va ON va.i = am.i JOIN fin vb ON vb.i = am.j),
+       |vtv AS (SELECT sum(v * v) AS q FROM fin),
+       |trc AS (SELECT sum(a) AS t FROM am WHERE i = j),
+       |lam AS (
+       |  SELECT ${fd("2 * (SELECT r FROM ray) + (SELECT q FROM vtv)",
+      "2 * (SELECT q FROM vtv)")} AS l),
+       |evr AS (
+       |  SELECT ${fd("2 * (SELECT l FROM lam) * 1000 + (SELECT t FROM trc)",
+      "2 * (SELECT t FROM trc)")} AS e)
+       |SELECT CAST(i AS INTEGER) AS dim_idx,
+       |  CAST((SELECT s FROM sg) * v AS BIGINT) AS eigvec_micro,
+       |  CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs,
+       |  CAST((SELECT e FROM evr) AS BIGINT) AS evr_milli
+       |FROM fin ORDER BY i""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("embedding_pca_power", embeddingPcaPower, Some(pcaOracle)),
     Q("contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle)),
     Q("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),

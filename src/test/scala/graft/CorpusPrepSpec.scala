@@ -400,4 +400,52 @@ class CorpusPrepSpec extends SparkSpec {
     // corpus token mass on the high side, 0 on the low side
     assert(intercept > 0.0, s"intercept $intercept")
   }
+
+  // --------------------------------------------------- C4 span scrub
+
+  test("c4SpanScrub: keep-first semantics on a constructed corpus") {
+    // span S = 6 tokens; d1 holds the corpus-first occurrence, d2 a
+    // later cross-doc copy, d4 two later copies (one per position),
+    // d3 untouched
+    val s6 = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (1L, s"$s6 u1 u2 u3"),
+      (2L, s"v1 v2 $s6 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7"),
+      (4L, s"$s6 x1 $s6")
+    ).toDF("doc_id", "text")
+    val got = CorpusPrep.c4SpanScrub(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      // d1: first occurrence kept in full
+      (1L, 9L, 0L, s"$s6 u1 u2 u3"),
+      // d2: its copy of S removed, frame tokens survive
+      (2L, 9L, 6L, "v1 v2 v3"),
+      (3L, 7L, 0L, "w1 w2 w3 w4 w5 w6 w7"),
+      // d4: BOTH copies are later than d1's -> all 12 span tokens go.
+      // x1 survives: no duplicated 6-gram covers it (the grams through
+      // x1 occur once each)
+      (4L, 13L, 12L, "x1")))
+  }
+
+  test("c4SpanScrub: intra-doc repeat keeps only the earlier occurrence") {
+    val s6 = "r1 r2 r3 r4 r5 r6"
+    val docs = Seq((7L, s"$s6 m1 $s6")).toDF("doc_id", "text")
+    val Seq((_, n, rm, clean)) = CorpusPrep.c4SpanScrub(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(n == 13 && rm == 6 && clean == s"$s6 m1")
+  }
+
+  test("c4_span_scrub: registry query invariants at sf0.001") {
+    val rows = run("c4_span_scrub")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, rm, clean) =>
+      assert(rm >= 0 && rm <= n, s"doc $id")
+      val keptToks = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(keptToks == n - rm, s"doc $id: $keptToks != $n - $rm")
+    }
+    // the synthetic corpus has copy families: something must be scrubbed
+    assert(rows.exists(_._3 > 0))
+  }
 }

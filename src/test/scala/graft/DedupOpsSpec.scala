@@ -268,4 +268,44 @@ class DedupOpsSpec extends SparkSpec {
       "example.org/page/7?a=1&b=2",
       "example.org/page/7?b=2"))
   }
+
+  // --------------- quality-aware bucket keeper
+
+  test("lshKeeperQuality: kept iff argmax of every occupied bucket (independent recount)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.DedupQueries.queries
+      .find(_.name == "dedup_keeper_quality").get.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.nonEmpty)
+    // invariants: the doc itself is in every bucket it occupies, so the
+    // keeper dominates it in (score, -id) order; kept iff keeper == id
+    got.foreach { case (id, score, keeper, kScore, kept) =>
+      assert(kScore > score || (kScore == score && keeper <= id),
+        s"doc $id: keeper ($keeper, $kScore) does not dominate ($id, $score)")
+      assert(kept == (keeper == id))
+    }
+    // independent recount through a different code path: collect the
+    // banded (doc, band, key, score) frame (4 rows/doc at sf0.001) and
+    // fold the two-level argmax in plain Scala
+    import graft.queries.{DedupQueries, LmPipeline}
+    import graft.ops.{DedupOps, Tables, TextOps}
+    val banded = Tables.documents(spark, dir)
+      .select($"doc_id",
+        DedupOps.minhashSigNative($"text", 3, 8).as("sig"),
+        LmPipeline.classifierScoreCol(TextOps.tokens($"text")).as("sc"))
+      .filter($"sig".isNotNull)
+      .select($"doc_id", $"sc",
+        explode(DedupOps.lshBands($"sig", 4, 2)).as("b"))
+      .select($"doc_id", $"sc", $"b.band", $"b.key")
+      .as[(Long, Long, Int, String)].collect().toSeq
+    val bucketBest = banded.groupBy(r => (r._3, r._4)).view
+      .mapValues(_.map(r => (r._2, -r._1)).max).toMap
+    val want = banded.groupBy(_._1).view.mapValues { rows =>
+      val (s, nid) = rows.map(r => bucketBest((r._3, r._4))).max
+      (-nid, s)
+    }.toMap
+    got.foreach { case (id, _, keeper, kScore, _) =>
+      assert(want(id) == ((keeper, kScore)), s"doc $id")
+    }
+  }
 }

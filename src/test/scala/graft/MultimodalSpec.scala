@@ -176,4 +176,47 @@ class MultimodalSpec extends SparkSpec {
     assert(rows("small").getInt(1) == 4 && rows("small").isNullAt(3))
     assert(rows("bad").isNullAt(1) && rows("bad").isNullAt(3))
   }
+
+  test("perceptualHashes: all three kernels pinned by the fixture generator") {
+    // expected values printed by tools/make_png_fixtures.py (dhash/phash
+    // reference implementations are the executable specs)
+    val expected = Map(
+      "phash_base_32x32.png" ->
+        (6869277392412143965L, -4921068366117366999L, 5382022396421639600L),
+      "phash_neardup_32x32.png" ->
+        (6869277392412143965L, -4921068366117366999L, 5382022396421639600L),
+      "phash_variant_32x32.png" ->
+        (2122518569537778009L, -4925571965744721111L, 5670252772556574128L),
+      "phash_distinct_32x32.png" ->
+        (9072229087654252723L, -3797710225816574394L, 9044080021237168732L),
+      "hash_uneven_48x40.png" ->
+        (3785095825684013580L, -1523988864288698699L, 6583157265028601898L))
+    val files = spark.read.format("binaryFile")
+      .load("/root/repo/fixtures/img/phash_*.png",
+        "/root/repo/fixtures/img/hash_uneven_*.png")
+      .select(element_at(split($"path", "/"), -1).as("k"), $"content")
+    val got = Multimodal.perceptualHashes(files, "k", "content")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("perceptualHashes: per-kernel NULL rules by grid size") {
+    // 8x6: too short for every grid; 16x16: ahash+dhash only
+    val red = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/img/solid_red_8x6.png"))
+    val a16 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/img/ahash_base_16x16.png"))
+    val rows = Multimodal.perceptualHashes(
+        Seq(("red", red), ("a16", a16), ("bad", Array[Byte](1, 2)))
+          .toDF("k", "bytes"), "k", "bytes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("red").getInt(1) == 8
+      && (3 to 5).forall(rows("red").isNullAt))
+    assert(rows("a16").getLong(3) == 6172840429334713770L
+      && rows("a16").getLong(4) == -7698106371068488406L
+      && rows("a16").isNullAt(5))
+    assert((1 to 5).forall(rows("bad").isNullAt))
+  }
 }

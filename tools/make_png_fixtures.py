@@ -59,6 +59,132 @@ def average_hash(width: int, height: int, pixel) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def dhash(width: int, height: int, pixel) -> int:
+    """Reference difference-hash — the executable spec for the dhash
+    column of graft.ops.Multimodal.perceptualHashes: an 8-row x 9-col
+    floor-boundary block grid over the integer grayscale, bit (r*8+c)
+    set iff block (r,c) mean < block (r,c+1) mean (exact
+    cross-multiplied comparison), packed MSB-first (bit 63 = (0,0) vs
+    (0,1)). Requires width >= 9 and height >= 8."""
+    gray = [[sum(pixel(x, y)) // 3 for x in range(width)]
+            for y in range(height)]
+    bs, nb = {}, {}
+    for r in range(8):
+        y0, y1 = r * height // 8, (r + 1) * height // 8
+        for c in range(9):
+            x0, x1 = c * width // 9, (c + 1) * width // 9
+            bs[(r, c)] = sum(gray[y][x]
+                             for y in range(y0, y1) for x in range(x0, x1))
+            nb[(r, c)] = (y1 - y0) * (x1 - x0)
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            bit = 1 if bs[(r, c)] * nb[(r, c + 1)] < bs[(r, c + 1)] * nb[(r, c)] else 0
+            h = (h << 1) | bit
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _rdiv(a: int, b: int) -> int:
+    # round-half-up division (half toward +inf), exact for negatives:
+    # floor((2a + b) / (2b)) — mirrors Math.floorDiv in the Scala kernel
+    return (2 * a + b) // (2 * b)
+
+
+def _ctab():
+    """Integer DCT-II cosine table ctab[k][n] = round(cos(pi*(2n+1)*k/64)
+    * 1e6), k in 0..7, n in 0..31. The margin assert makes the table
+    immune to last-ulp cos() differences between libm implementations:
+    a 1-ulp wobble (~1e-10 after scaling) cannot cross a rounding
+    boundary that is > 1e-3 away."""
+    import math
+    tab = []
+    for k in range(8):
+        row = []
+        for n in range(32):
+            t = math.cos(math.pi * (2 * n + 1) * k / 64.0) * 1e6
+            assert abs(t - math.floor(t) - 0.5) > 1e-3, (k, n, t)
+            row.append(math.floor(t + 0.5))
+        tab.append(row)
+    return tab
+
+
+def phash(width: int, height: int, pixel) -> int:
+    """Reference perceptual DCT hash — the executable spec for the phash
+    column of graft.ops.Multimodal.perceptualHashes, integer-exact end
+    to end (no float ever compared):
+      1. 32x32 floor-boundary block means of the integer grayscale, in
+         micro-units: bm = round_half_up(blockSum * 1e6 / nBlock);
+      2. two-stage integer DCT-II with the 1e6-scaled cosine table,
+         rescaled by round-half-up 1e6 division between stages (peak
+         magnitudes 8.2e15 / 2.7e17 — Long-safe);
+      3. the 63 AC coefficients of the top-left 8x8 (row-major, DC
+         skipped), thresholded at their exact median (32nd smallest);
+      4. bit 62 - idx set iff coef > median (packed MSB-first; bit 63
+         unused, so the value is always a non-negative 63-bit Long).
+    Requires width >= 32 and height >= 32."""
+    gray = [[sum(pixel(x, y)) // 3 for x in range(width)]
+            for y in range(height)]
+    bm = [[0] * 32 for _ in range(32)]
+    for by in range(32):
+        y0, y1 = by * height // 32, (by + 1) * height // 32
+        for bx in range(32):
+            x0, x1 = bx * width // 32, (bx + 1) * width // 32
+            s = sum(gray[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            bm[by][bx] = _rdiv(s * 1000000, (y1 - y0) * (x1 - x0))
+    tab = _ctab()
+    # stage 1: column-wise DCT over y -> R'[k][x] (rescaled to ~1e9)
+    rp = [[_rdiv(sum(bm[y][x] * tab[k][y] for y in range(32)), 1000000)
+           for x in range(32)] for k in range(8)]
+    # stage 2: row-wise DCT over x -> F[k][l]
+    ac = []
+    for k in range(8):
+        for l in range(8):
+            if k == 0 and l == 0:
+                continue
+            ac.append(sum(rp[k][x] * tab[l][x] for x in range(32)))
+    med = sorted(ac)[31]
+    h = 0
+    for v in ac:
+        h = (h << 1) | (1 if v > med else 0)
+    return h  # 63 bits -> always fits a signed 64-bit Long
+
+
+def _phash_base_v(x: int, y: int) -> int:
+    # rich-spectrum pseudo-pattern: the 63 AC coefficients spread over a
+    # continuum, so the median's nearest neighbors sit ~1e13 away (a
+    # block-checkerboard clusters its tiny ACs AT the median, where any
+    # pixel edit reorders 20 bits — measured before choosing this)
+    return (x * 37 + y * 23 + ((x * y) % 13) * 5) % 200 + 28
+
+
+def phash_pixel_base(x: int, y: int):
+    v = _phash_base_v(x, y)
+    return (v, v, v)
+
+
+def phash_pixel_neardup(x: int, y: int):
+    # three +4 pixel blemishes: the worst-case DCT shift stays under the
+    # base pattern's median gap -> SAME 63-bit phash (asserted below)
+    if (x, y) in ((3, 3), (20, 9), (28, 30)):
+        v = min(255, _phash_base_v(x, y) + 4)
+        return (v, v, v)
+    return phash_pixel_base(x, y)
+
+
+def phash_pixel_variant(x: int, y: int):
+    # one 8-px vertical band brightened: a moderate low-frequency change
+    # -> Hamming 2 (asserted <= 3 below so the banded Hamming-LSH query
+    # finds the pair at the same threshold as ahash)
+    v = min(255, _phash_base_v(x, y) + (10 if x // 8 == 1 else 0))
+    return (v, v, v)
+
+
+def phash_pixel_distinct(x: int, y: int):
+    # an unrelated pseudo-pattern -> Hamming 36 (asserted >= 20 below)
+    v = (x * 53 + y * 41 + ((x + y) % 11) * 7) % 200 + 28
+    return (v, v, v)
+
+
 def ahash_pixel_base(x: int, y: int):
     # block-structured 16x16 pattern: alternating dark/bright 2x2 blocks
     # with a mild per-pixel texture, so the 64 hash bits are a clean
@@ -121,6 +247,36 @@ def main() -> None:
             a, b = fam[i][0], fam[j][0]
             d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
             print(f"  hamming({a}, {b}) = {d}")
+    # dhash values of the ahash family (same 16x16 images, 9x8 grid)
+    for name, px in fam:
+        print(f"  dhash({name}) = {dhash(16, 16, px)}")
+    # perceptual-DCT family (32x32 -> every phash block is 1 pixel)
+    pfam = [("phash_base_32x32.png", phash_pixel_base),
+            ("phash_neardup_32x32.png", phash_pixel_neardup),
+            ("phash_variant_32x32.png", phash_pixel_variant),
+            ("phash_distinct_32x32.png", phash_pixel_distinct)]
+    ph = {}
+    for name, px in pfam:
+        write_png(f"{OUT_DIR}/{name}", 32, 32, px)
+        ph[name] = phash(32, 32, px)
+        print(f"  phash({name}) = {ph[name]}")
+        print(f"  dhash({name}) = {dhash(32, 32, px)}")
+        print(f"  ahash({name}) = {average_hash(32, 32, px)}")
+    ham = lambda a, b: bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1")
+    for i in range(len(pfam)):
+        for j in range(i + 1, len(pfam)):
+            print(f"  phash hamming({pfam[i][0]}, {pfam[j][0]}) = "
+                  f"{ham(pfam[i][0], pfam[j][0])}")
+    assert ham("phash_base_32x32.png", "phash_neardup_32x32.png") == 0
+    assert 1 <= ham("phash_base_32x32.png", "phash_variant_32x32.png") <= 3
+    assert ham("phash_base_32x32.png", "phash_distinct_32x32.png") >= 20
+    # uneven-block fixture (48x40: 32 does not divide either side) pins
+    # the fractional block-mean path of both kernels in MultimodalSpec
+    uneven = lambda x, y: (_phash_base_v(x, y),) * 3  # fractional blocks
+    write_png(f"{OUT_DIR}/hash_uneven_48x40.png", 48, 40, uneven)
+    print(f"  phash(hash_uneven_48x40.png) = {phash(48, 40, uneven)}")
+    print(f"  dhash(hash_uneven_48x40.png) = {dhash(48, 40, uneven)}")
+    print(f"  ahash(hash_uneven_48x40.png) = {average_hash(48, 40, uneven)}")
 
 
 if __name__ == "__main__":
