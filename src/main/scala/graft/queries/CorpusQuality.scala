@@ -46,9 +46,26 @@ object CorpusQuality {
         size($"t").as("n_tokens"),
         size(array_distinct($"t")).as("n_distinct"),
         size($"bg").as("n_bigrams"),
+        // max bigram frequency via a LINEAR run-length scan of the
+        // SORTED bigram list (equal values are adjacent after sort, so
+        // the longest run IS the top frequency). The previous form —
+        // filter() inside transform() over the distinct list — was
+        // O(distinct·n) per document; invisible under the old pruned
+        // count() benchmark, 2.8 s at sf0.1 under the honest one, and
+        // quadratic in document length at corpus scale. The NUL sentinel
+        // cannot appear in a space-joined bigram, so the first element
+        // always starts a fresh run.
         when(size($"bg") > 0,
-          array_max(transform(array_distinct($"bg"),
-            x => size(filter($"bg", y => y === x)))))
+          aggregate(array_sort($"bg"),
+            struct(lit("\u0000").as("prev"), lit(0).as("run"),
+              lit(0).as("best")),
+            (acc, x) => {
+              val run = when(x === acc("prev"), acc("run") + 1)
+                .otherwise(lit(1))
+              struct(x.as("prev"), run.as("run"),
+                greatest(acc("best"), run).as("best"))
+            },
+            acc => acc("best")))
           .otherwise(lit(0)).as("top_bigram_freq"))
       .select(
         $"doc_id", $"n_tokens",

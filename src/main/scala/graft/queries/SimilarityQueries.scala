@@ -823,6 +823,20 @@ object SimilarityQueries {
   private[graft] def pcaFromMoments(s: SparkSession, m: Seq[Long],
       iters: Int = PcaIters): DataFrame = {
     import s.implicits._
+    val (v, n, evr) = pcaSolve(m, iters)
+    (0 until PcaDim)
+      .map(i => (i, v(i), n, evr))
+      .toDF("dim_idx", "eigvec_micro", "n_vecs", "evr_milli")
+      .orderBy($"dim_idx")
+  }
+
+  /** The pure driver math of [[embeddingPcaPower]]: moments → 15-step
+    * power iterate (sign-canonicalized, |v|∞ = 1e6 micro-units), corpus
+    * count, and explained-variance milli — shared by the eigenvector
+    * report and the corpus projection pass.
+    */
+  private[graft] def pcaSolve(m: Seq[Long],
+      iters: Int = PcaIters): (Array[Long], Long, Long) = {
     val n = BigInt(m(0))
     require(n > 0, "embedding_pca_power: empty corpus")
     val sv = Array.tabulate(PcaDim)(j => BigInt(m(1 + j)))
@@ -854,19 +868,23 @@ object SimilarityQueries {
     // oracle's HUGEINT intermediates bounded; the definition is the
     // two-step form in BOTH engines
     val evr = rdivB(rdivB(ray, vtv) * 1000, tr)
-    (0 until PcaDim)
-      .map(i => (i, (sgn * v(i)).toLong, n.toLong, evr.toLong))
-      .toDF("dim_idx", "eigvec_micro", "n_vecs", "evr_milli")
-      .orderBy($"dim_idx")
+    (v.map(x => (sgn * x).toLong), n.toLong, evr.toLong)
   }
 
-  private val pcaOracle: String = {
+  private def fdSql(p: String, q: String): String =
+    s"(($p) - ((($p) % ($q) + ($q)) % ($q))) // ($q)"
+
+  /** Shared oracle CTE prefix: moments → unrolled power iteration →
+    * `fin` (the 15-step iterate) and `sg` (the canonical sign), on
+    * HUGEINT throughout. Used by both the eigenvector report and the
+    * projection pass, so the two oracles cannot drift.
+    */
+  private val pcaOracleCtes: String = {
     // HUGEINT bounds at the biggest tested scale (100×, n = 5e5):
     // |a| ≤ n²·1e12·E[x²] ≈ 4e21, |w| ≤ 64·|a|·1e6 ≈ 2.6e29,
     // 2·w·1e6 ≈ 5e35, λ·1000 ≤ 64·|a|·1e3 ≈ 2.6e26 — all inside
     // HUGEINT's 1.7e38 (ray itself ≈ 1.6e37 — that is why evr divides
     // by vᵀv BEFORE scaling by 1000)
-    val fd = (p: String, q: String) => s"(($p) - ((($p) % ($q) + ($q)) % ($q))) // ($q)"
     val steps = (1 to PcaIters).map { k =>
       val mk = s"(SELECT m FROM m$k)"
       s"""w$k AS MATERIALIZED (
@@ -874,10 +892,10 @@ object SimilarityQueries {
          |  FROM am JOIN v${k - 1} v ON v.i = am.j GROUP BY am.i),
          |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
          |v$k AS MATERIALIZED (
-         |  SELECT i, ${fd(s"2 * w * 1000000 + $mk", s"2 * $mk")} AS v
+         |  SELECT i, ${fdSql(s"2 * w * 1000000 + $mk", s"2 * $mk")} AS v
          |  FROM w$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH xr AS MATERIALIZED (
+    s"""xr AS MATERIALIZED (
        |  SELECT vec_id,
        |    unnest(list_transform(generate_series(1, len(embedding)),
        |      j -> {'i': j - 1, 'x': CAST(embedding[j] AS DOUBLE)})) AS u
@@ -903,27 +921,77 @@ object SimilarityQueries {
        |  SELECT CASE WHEN (SELECT v FROM fin
        |                    WHERE abs(v) = (SELECT max(abs(v)) FROM fin)
        |                    ORDER BY i LIMIT 1) < 0
-       |         THEN -1 ELSE 1 END AS s),
+       |         THEN -1 ELSE 1 END AS s)""".stripMargin
+  }
+
+  private val pcaOracle: String =
+    s"""WITH $pcaOracleCtes,
        |ray AS (
        |  SELECT sum(am.a * va.v * vb.v) AS r
        |  FROM am JOIN fin va ON va.i = am.i JOIN fin vb ON vb.i = am.j),
        |vtv AS (SELECT sum(v * v) AS q FROM fin),
        |trc AS (SELECT sum(a) AS t FROM am WHERE i = j),
        |lam AS (
-       |  SELECT ${fd("2 * (SELECT r FROM ray) + (SELECT q FROM vtv)",
+       |  SELECT ${fdSql("2 * (SELECT r FROM ray) + (SELECT q FROM vtv)",
       "2 * (SELECT q FROM vtv)")} AS l),
        |evr AS (
-       |  SELECT ${fd("2 * (SELECT l FROM lam) * 1000 + (SELECT t FROM trc)",
+       |  SELECT ${fdSql("2 * (SELECT l FROM lam) * 1000 + (SELECT t FROM trc)",
       "2 * (SELECT t FROM trc)")} AS e)
        |SELECT CAST(i AS INTEGER) AS dim_idx,
        |  CAST((SELECT s FROM sg) * v AS BIGINT) AS eigvec_micro,
        |  CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs,
        |  CAST((SELECT e FROM evr) AS BIGINT) AS evr_milli
        |FROM fin ORDER BY i""".stripMargin
+
+  /** Project every embedding onto the solved top principal component —
+    * the corpus-sized SECOND pass that makes the PCA actionable
+    * (outlier cuts, curriculum ordering, decorrelation audits key off
+    * this scalar). The eigenvector rides along as a 64-element literal
+    * (the kmeans broadcast-codebook pattern): the projection is a
+    * zip_with/aggregate over exact integers — p = Σ round(x_i·1e6)·v_i,
+    * reported half-up at micro scale — so the corpus pass is pure
+    * map-side expression work, no join, no shuffle except the
+    * presentation sort.
+    */
+  private def embeddingPcaProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vm = udaf(new graft.ops.Aggregators.VecMoments(PcaDim))
+    val m: Seq[Long] = Tables.embeddings(s, dir)
+      .filter($"embedding".isNotNull)
+      .agg(vm($"embedding")).as[Seq[Long]].head()
+    val (v, _, _) = pcaSolve(m)
+    val vLit = typedlit(v)
+    // p ≤ 64·1e6·1e6 = 6.4e13 — Long-safe; rdiv(p, 1e6) half-up via the
+    // same pmod-floor identity the BigInt/HUGEINT sides use
+    val p = aggregate(
+      zip_with($"embedding", vLit,
+        (x, vi) => floor(x.cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long") * vi),
+      lit(0L), (acc, t) => acc + t)
+    val num = p * 2 + lit(1000000L)
+    val proj = (num - pmod(num, lit(2000000L))) / lit(2000000L)
+    Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"embedding".isNotNull)
+      .select($"vec_id", $"label",
+        proj.cast("long").as("proj_micro"))
+      .orderBy($"vec_id")
   }
+
+  private val pcaProjectOracle: String =
+    s"""WITH $pcaOracleCtes,
+       |p AS (
+       |  SELECT xe.vec_id,
+       |    sum(CAST(floor(xe.x * 1000000 + 0.5) AS HUGEINT)
+       |      * (SELECT s FROM sg) * fin.v) AS p
+       |  FROM xe JOIN fin ON fin.i = xe.i GROUP BY xe.vec_id)
+       |SELECT e.vec_id, e.label,
+       |  CAST(${fdSql("2 * p.p + 1000000", "2000000")} AS BIGINT) AS proj_micro
+       |FROM p JOIN embeddings e USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("embedding_pca_power", embeddingPcaPower, Some(pcaOracle)),
+    Q("embedding_pca_project", embeddingPcaProject, Some(pcaProjectOracle)),
     Q("contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle)),
     Q("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),

@@ -272,6 +272,69 @@ object StreamingGates {
       |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
       |ORDER BY user_id, l_event_id, r_event_id""".stripMargin
 
+  /** [[Streaming.intervalJoinLeftOuter]] under the gate: click→purchase
+    * attribution where every click emits — with its purchases, or with
+    * a null row ONCE THE WATERMARK PROVES no purchase can still arrive.
+    * The oracle states the streaming-specific part explicitly: the
+    * global watermark of a multi-source query is the MINIMUM of the
+    * per-source watermarks (max click ts − 1 h, max purchase ts − 2 h),
+    * and an unmatched click gets its null row iff its full join window
+    * [l_ts, l_ts + 30 min] closed strictly before that watermark.
+    * Clicks in the final 2.5 h of the bounded stream whose proof never
+    * completes are (correctly) absent — asserting THAT is the point of
+    * the gate: it would catch an engine that silently treats streaming
+    * outer join as batch outer join on the drained prefix.
+    */
+  private def streamingLeftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clicks = readEventsMicros(s, dir).filter($"event_type" === "click")
+    val purchases = readEventsMicros(s, dir).filter($"event_type" === "purchase")
+    val name = s"graft_gate_loj_${gateId.incrementAndGet()}"
+    val sunk = withScaledStateStore(s, dir) {
+      withStreamShuffle(s, streamWidth(s, dir)) {
+        Streaming.runToMemory(
+          Streaming.intervalJoinLeftOuter(clicks, purchases, bound = "30 minutes"),
+          name, "append")
+      }
+    }
+    sunk
+      .select($"user_id", $"l_event_id", $"r_event_id",
+        unix_micros($"l_ts").as("l_us"), unix_micros($"r_ts").as("r_us"))
+      .orderBy($"user_id", $"l_event_id", $"r_event_id")
+  }
+
+  private val streamingLeftOuterOracle =
+    """WITH wm AS (
+      |  SELECT least(
+      |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click')
+      |      - 3600000000,
+      |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+      |      - 7200000000) AS w),
+      |matches AS (
+      |  SELECT l.user_id AS user_id, l.event_id AS l_event_id,
+      |    r.event_id AS r_event_id,
+      |    epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us
+      |  FROM events l JOIN events r
+      |    ON l.user_id = r.user_id
+      |    AND epoch_us(r.ts) >= epoch_us(l.ts)
+      |    AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+      |  WHERE l.event_type = 'click' AND r.event_type = 'purchase'),
+      |expired_unmatched AS (
+      |  SELECT l.user_id, l.event_id AS l_event_id,
+      |    CAST(NULL AS BIGINT) AS r_event_id,
+      |    epoch_us(l.ts) AS l_us, CAST(NULL AS BIGINT) AS r_us
+      |  FROM events l
+      |  WHERE l.event_type = 'click'
+      |    AND epoch_us(l.ts) + 1800000000 < (SELECT w FROM wm)
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM events r
+      |      WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+      |        AND epoch_us(r.ts) >= epoch_us(l.ts)
+      |        AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000))
+      |SELECT * FROM (
+      |  SELECT * FROM matches UNION ALL SELECT * FROM expired_unmatched)
+      |ORDER BY user_id, l_event_id, r_event_id""".stripMargin
+
   /** [[Streaming.foreachBatchUpsert]] — checkpointed incremental
     * upsert: the events stream reduces to one latest row per user,
     * merged into a versioned parquet state table via foreachBatch. The
@@ -480,6 +543,8 @@ object StreamingGates {
       Some(Events.sessionWindowOracle)),
     Q("streaming_interval_join", streamingIntervalJoin,
       Some(streamingIntervalOracle)),
+    Q("streaming_left_outer_join", streamingLeftOuterJoin,
+      Some(streamingLeftOuterOracle)),
     Q("streaming_upsert_state", streamingUpsertState,
       Some(streamingUpsertOracle)),
     Q("streaming_enrich_events", streamingEnrichEvents,

@@ -208,6 +208,38 @@ object Streaming {
         col("r_event_id"), col("r_type"), col("r_ts"))
   }
 
+  /** [[intervalJoin]] with LEFT OUTER semantics — the attribution shape
+    * "every click, with its purchase if one followed within the bound,
+    * else a null row". Unlike the inner join, the outer row for an
+    * unmatched click can only emit once the watermark PROVES no
+    * matching purchase can still arrive (event time has passed
+    * l_ts + bound on the join clock), so rows near the end of a
+    * bounded stream whose no-match proof never completes stay buffered
+    * and are NEVER emitted — streaming left-outer is not batch
+    * left-outer on a finite prefix, and the gate's oracle encodes
+    * exactly that watermark cutoff.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      bound: String = "30 minutes",
+      leftWatermark: String = "1 hour",
+      rightWatermark: String = "2 hours"): DataFrame = {
+    val l = left.select(
+        col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+        col("user_id").as("user_id"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", leftWatermark)
+    val r = right.select(
+        col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user_id"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", rightWatermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $bound"),
+      "leftOuter")
+      .select(col("user_id"), col("l_event_id"), col("l_type"), col("l_ts"),
+        col("r_event_id"), col("r_type"), col("r_ts"))
+  }
+
   /** Stream-static enrichment: join each micro-batch against a bounded
     * dimension frame. The static side is re-planned per batch (so a
     * refreshed dim parquet is picked up) and broadcast — the streaming

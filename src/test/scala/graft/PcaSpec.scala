@@ -81,4 +81,23 @@ class PcaSpec extends SparkSpec {
         .agg(vm($"embedding")).as[Seq[Long]].head()
     assert(moments(1) == moments(8))
   }
+
+  test("embedding_pca_project: projection matches a driver-side recount") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Registry.queries("embedding_pca_project")(spark, dir)
+      .select($"vec_id", $"proj_micro").as[(Long, Long)].collect().toMap
+    val vec = graft.queries.Registry.queries("embedding_pca_power")(spark, dir)
+      .select($"eigvec_micro").as[Long].collect()
+    val embs = graft.ops.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    assert(got.size == embs.length)
+    embs.foreach { case (id, x) =>
+      val p = (0 until dim).map(i =>
+        BigInt(math.floor(x(i).toDouble * 1000000.0 + 0.5).toLong) * vec(i)).sum
+      val q = BigInt(2000000)
+      val num = 2 * p + BigInt(1000000)
+      val want = ((num - ((num % q) + q) % q) / q).toLong
+      assert(got(id) == want, s"vec $id: ${got(id)} != $want")
+    }
+  }
 }

@@ -314,4 +314,37 @@ class StreamingSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism)
     assert(graft.queries.StreamingGates.streamWidth(spark, dir) == expected)
   }
+
+  test("intervalJoinLeftOuter: nulls emit only past the watermark proof") {
+    val tmp = Files.createTempDirectory("graft_loj").toString
+    val clicks = Seq(
+      // matched within 30m -> plain joined row
+      (10L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      // unmatched, and the stream runs long past its window -> null row
+      (11L, ts("2024-01-01 10:10:00"), 8L, "click", 1.0, "{}"),
+      // unmatched but too close to the end of the stream: the watermark
+      // never proves no purchase can arrive -> NOT emitted (this is the
+      // streaming-vs-batch difference the operator documents)
+      (12L, ts("2024-01-01 17:50:00"), 9L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val buys = Seq(
+      (20L, ts("2024-01-01 10:20:00"), 7L, "purchase", 5.0, "{}"),
+      // a late unrelated purchase drives the event-time clock far
+      // enough to expire click 11's window (wm = 18:00 - 2h = 16:00)
+      (21L, ts("2024-01-01 18:00:00"), 1L, "purchase", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    clicks.coalesce(1).write.parquet(s"$tmp/l")
+    buys.coalesce(1).write.parquet(s"$tmp/r")
+
+    val joined = Streaming.intervalJoinLeftOuter(
+      Streaming.readEventsStream(spark, s"$tmp/l"),
+      Streaming.readEventsStream(spark, s"$tmp/r"))
+    val sunk = Streaming.runToMemory(joined, "loj_test", "append")
+    val got = sunk
+      .select($"user_id", $"l_event_id", $"r_event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((7L, 10L, 20L), (8L, 11L, -1L)))
+  }
 }
