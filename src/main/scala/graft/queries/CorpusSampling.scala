@@ -188,6 +188,109 @@ object CorpusSampling {
        |FROM w
        |ORDER BY source""".stripMargin
 
+  // --------------------------- UniMax budget allocation
+
+  private val UniMaxEpochCap = 4L
+
+  /** UniMax sampling (Chung et al. 2023): spread a total token budget
+    * as UNIFORMLY as possible across sources, capping every source at
+    * [[UniMaxEpochCap]] epochs of its own data — the mixing rule that
+    * replaced temperature sampling for multilingual pretraining
+    * because it never over-repeats low-resource sources. Budget here:
+    * one epoch of the natural corpus (B = Σ n_tokens).
+    *
+    * The allocation is the integer closed form of water-filling, NOT
+    * the sequential greedy (whose per-step floor divisions would
+    * accumulate engine-specific rounding): sort sources by capacity
+    * c = n_tokens·E ascending (ties by source), K = the largest rank
+    * whose source fits under the uniform share of what remains —
+    * c_i·(n−i) ≤ B−P_i with P the running capacity sum — then ranks
+    * ≤ K take their full capacity, and the remainder R = B−P_K splits
+    * evenly over the m = n−K uncapped sources: ⌊R/m⌋ each, +1 token
+    * for the first R mod m of them in sort order. Pure integer
+    * arithmetic end to end, so both engines compute the identical
+    * allocation.
+    *
+    * Scale shape: one combinable per-source aggregation is the only
+    * corpus-sized pass; every window below runs on the |sources|-row
+    * aggregate (the temperature-mix pattern).
+    */
+  private def unimaxMixing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unimaxFromCounts(Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens")))
+  }
+
+  /** The allocation core of [[unimaxMixing]] over an arbitrary
+    * (source, n_tokens) frame — public so SamplingSpec can construct a
+    * skewed corpus where the epoch cap actually binds (the balanced
+    * synthetic sources never reach it).
+    */
+  def unimaxFromCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy($"cap", $"source")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cap", $"n_tokens" * UniMaxEpochCap)
+      .withColumn("budget", sum($"n_tokens").over(wAll))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("p_run", sum($"cap").over(wRun))
+      .withColumn("capped",
+        $"cap" * ($"n_src" - $"i") <= $"budget" - $"p_run")
+      .withColumn("k", max(when($"capped", $"i").otherwise(0L)).over(wAll))
+      .withColumn("p_k",
+        max(when($"capped", $"p_run").otherwise(0L)).over(wAll))
+      .withColumn("r", $"budget" - $"p_k")
+      .withColumn("m", greatest($"n_src" - $"k", lit(1L)))
+      .withColumn("alloc",
+        when($"i" <= $"k", $"cap")
+          .otherwise(expr("r div m") +
+            when($"i" - $"k" <= expr("r % m"), 1L).otherwise(0L)))
+      .select(
+        $"source", $"n_tokens", $"cap", $"alloc",
+        ($"i" <= $"k").as("at_cap"),
+        expr("(alloc * 1000) div n_tokens").as("epochs_milli"))
+      .orderBy($"source")
+  }
+
+  private val unimaxOracle =
+    s"""WITH agg AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |c AS (
+       |  SELECT source, n_tokens, n_tokens * $UniMaxEpochCap AS cap,
+       |    sum(n_tokens) OVER () AS budget,
+       |    count(*) OVER () AS n_src,
+       |    row_number() OVER (ORDER BY n_tokens * $UniMaxEpochCap, source) AS i,
+       |    sum(n_tokens * $UniMaxEpochCap)
+       |      OVER (ORDER BY n_tokens * $UniMaxEpochCap, source
+       |            ROWS UNBOUNDED PRECEDING) AS p_run
+       |  FROM agg),
+       |k AS (
+       |  SELECT *,
+       |    max(CASE WHEN cap * (n_src - i) <= budget - p_run THEN i ELSE 0 END)
+       |      OVER () AS k,
+       |    max(CASE WHEN cap * (n_src - i) <= budget - p_run THEN p_run ELSE 0 END)
+       |      OVER () AS p_k
+       |  FROM c),
+       |a AS (
+       |  SELECT *, budget - p_k AS r, greatest(n_src - k, 1) AS m FROM k)
+       |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
+       |  CAST(CASE WHEN i <= k THEN cap
+       |    ELSE r // m + (CASE WHEN i - k <= r % m THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS alloc,
+       |  i <= k AS at_cap,
+       |  CAST((CASE WHEN i <= k THEN cap
+       |    ELSE r // m + (CASE WHEN i - k <= r % m THEN 1 ELSE 0 END)
+       |  END * 1000) // n_tokens AS BIGINT) AS epochs_milli
+       |FROM a
+       |ORDER BY source""".stripMargin
+
   // --------------------------- deterministic shard shuffle
 
   private val NumShards = 8
@@ -255,5 +358,6 @@ object CorpusSampling {
     Q("corpus_stratified_sample", stratifiedSample, Some(stratifiedOracle)),
     Q("corpus_domain_mix", domainMix, Some(domainMixOracle)),
     Q("corpus_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
+    Q("corpus_unimax_mix", unimaxMixing, Some(unimaxOracle)),
     Q("corpus_split_stats", splitStats, Some(splitStatsOracle)))
 }

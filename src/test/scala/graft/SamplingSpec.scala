@@ -60,4 +60,43 @@ class SamplingSpec extends SparkSpec {
     // deterministic: a fresh plan reproduces every checksum bit-for-bit
     assert(run() == a)
   }
+
+  test("unimaxFromCounts: the epoch cap binds on a skewed corpus") {
+    // tiny source (10 tokens, cap 40) + three big ones; budget = one
+    // epoch = 3010 tokens. Water-filling: tiny is capped at 4 epochs,
+    // the remaining 2970 splits 990/990/990
+    val counts = Seq(("tiny", 10L), ("big_a", 1000L), ("big_b", 1000L),
+      ("big_c", 1000L)).toDF("source", "n_tokens")
+    val got = graft.queries.CorpusSampling.unimaxFromCounts(counts)
+      .as[(String, Long, Long, Long, Boolean, Long)].collect().toSeq
+    assert(got == Seq(
+      ("big_a", 1000L, 4000L, 990L, false, 990L),
+      ("big_b", 1000L, 4000L, 990L, false, 990L),
+      ("big_c", 1000L, 4000L, 990L, false, 990L),
+      ("tiny", 10L, 40L, 40L, true, 4000L)))
+  }
+
+  test("unimaxFromCounts: invariants — exact budget, caps respected, near-uniform") {
+    val counts = Seq(("a", 7L), ("b", 19L), ("c", 400L), ("d", 401L),
+      ("e", 52L)).toDF("source", "n_tokens")
+    val rows = graft.queries.CorpusSampling.unimaxFromCounts(counts)
+      .as[(String, Long, Long, Long, Boolean, Long)].collect().toSeq
+    val budget = rows.map(_._2).sum
+    assert(rows.map(_._4).sum == budget, "allocations must spend the budget exactly")
+    rows.foreach { case (src, _, cap, alloc, atCap, _) =>
+      assert(alloc <= cap, s"$src over its epoch cap")
+      assert(atCap == (alloc == cap) || alloc < cap)
+    }
+    val un = rows.filter(!_._5).map(_._4)
+    assert(un.isEmpty || un.max - un.min <= 1,
+      s"uncapped allocations must be near-uniform: $un")
+  }
+
+  test("corpus_unimax_mix: budget spent exactly on the real corpus") {
+    val rows = graft.queries.Registry.queries("corpus_unimax_mix")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Boolean, Long)].collect().toSeq
+    assert(rows.map(_._4).sum == rows.map(_._2).sum)
+    rows.foreach { case (_, _, cap, alloc, _, _) => assert(alloc <= cap) }
+  }
 }
