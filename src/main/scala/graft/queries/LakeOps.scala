@@ -157,8 +157,68 @@ object LakeOps {
       |GROUP BY file_bkt
       |ORDER BY file_bkt""".stripMargin
 
+  // ------------------------------------ content integrity digests
+
+  /** Order-independent content digests per source + a corpus ROOT row
+    * (ROLLUP) — the attestation a 100 TB lake runs after every
+    * migration, compaction, or engine swap: if the digests match, the
+    * rows survived bit-for-bit, regardless of file layout, row order,
+    * or partitioning. Each row canonicalizes to one 60-bit portable
+    * hash (so the digest is engine-reproducible), and the per-group
+    * digests are COMMUTATIVE folds — xor and a modular sum — so any
+    * merge tree over any partitioning yields the identical value;
+    * that is what lets digests computed by a 1000-executor job be
+    * compared against digests computed file-by-file by an auditor.
+    * The xor digest alone cannot see a row REPLACED by a second copy
+    * of an existing row (pairs cancel); the modular sum and count
+    * close that hole, which is why all three ship together.
+    */
+  private def lakeIntegrityHash(s: SparkSession, dir: String): DataFrame =
+    integrityDigests(Tables.fanOut(Tables.documents(s, dir)))
+
+  /** Digest core over any documents-shaped frame — public so the spec
+    * can prove partitioning-invariance and tamper sensitivity on
+    * constructed frames.
+    */
+  def integrityDigests(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val rowHash = graft.ops.TextOps.portableHash64(
+      concat_ws("|", $"doc_id", $"lang", $"source", $"n_chars", $"text"),
+      seed = 5)
+    docs
+      .select($"source", rowHash.as("h"))
+      .rollup($"source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_digest"),
+        // exact big-int sum (decimal 38 holds ~1e12 rows of 60-bit
+        // hashes), reduced mod 2^61-1 for a portable BIGINT digest
+        pmod(sum($"h".cast("decimal(38,0)")),
+          lit(2305843009213693951L).cast("decimal(38,0)"))
+          .cast("long").as("sum_digest"))
+      .withColumn("source", coalesce($"source", lit("__ROOT__")))
+      .orderBy($"source")
+  }
+
+  private val lakeIntegrityOracle =
+    """SELECT coalesce(source, '__ROOT__') AS source,
+      |  count(*) AS n_rows,
+      |  bit_xor(h) AS xor_digest,
+      |  CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+      |    AS sum_digest
+      |FROM (
+      |  SELECT source,
+      |    ('0x' || substr(md5('5|' ||
+      |      concat_ws('|', doc_id, lang, source, n_chars, text)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM documents)
+      |GROUP BY ROLLUP (source)
+      |ORDER BY coalesce(source, '__ROOT__')""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
+    Q("lake_integrity_hash", lakeIntegrityHash, Some(lakeIntegrityOracle)),
     Q("file_provenance", fileProvenance, Some(fileProvenanceOracle)))
 }
