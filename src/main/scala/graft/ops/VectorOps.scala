@@ -53,16 +53,27 @@ object VectorOps {
     * on the bucket id, turning the O(n²) all-pairs search into
     * sum-over-buckets O(Σ b_i²) — with a sensible `bits` that's ~n²/2^bits.
     */
-  def signBucket(a: Column, bits: Int): Column =
+  def signBucket(a: Column, bits: Int): Column = signBucketAt(a, bits, 0)
+
+  /** [[signBucket]] over dims `offset+1 .. offset+bits` — disjoint
+    * offsets give INDEPENDENT hash tables for multi-index LSH (a pair
+    * missed by one table's buckets can still collide in another's),
+    * the standard recall lever that costs buckets, not dimensions.
+    */
+  def signBucketAt(a: Column, bits: Int, offset: Int): Column =
     (0 until bits)
-      .map(d => when(element_at(a, d + 1) >= 0f, lit(1 << d)).otherwise(lit(0)))
+      .map(d => when(element_at(a, offset + d + 1) >= 0f, lit(1 << d)).otherwise(lit(0)))
       .reduce(_ + _)
 
   /** SQL fragment mirroring [[signBucket]] for DuckDB oracles
     * (1-based list indexing there too).
     */
   def signBucketSql(col: String, bits: Int): String =
+    signBucketAtSql(col, bits, 0)
+
+  /** SQL mirror of [[signBucketAt]]. */
+  def signBucketAtSql(col: String, bits: Int, offset: Int): String =
     (0 until bits)
-      .map(d => s"(CASE WHEN $col[${d + 1}] >= 0 THEN ${1 << d} ELSE 0 END)")
+      .map(d => s"(CASE WHEN $col[${offset + d + 1}] >= 0 THEN ${1 << d} ELSE 0 END)")
       .mkString("(", " + ", ")")
 }

@@ -191,8 +191,95 @@ object CorpusQuality {
       |GROUP BY reason
       |ORDER BY reason""".stripMargin
 
+  // --------------------- distribution drift monitor (per-source KL)
+
+  /** Per-source unigram-distribution drift vs the whole corpus:
+    * KL(source ‖ corpus) in nats — the monitor a training pipeline runs
+    * between corpus snapshots (or across providers) to catch a source
+    * whose token distribution silently shifted (scraper change, encoding
+    * regression, topic collapse). KL(s‖c) = (1/n_s)·Σ_w c_sw·ln(c_sw·N /
+    * (n_s·c_w)): always ≥ 0, and 0 iff the source's word distribution
+    * equals the corpus mixture.
+    *
+    * Determinism contract: every count is an exact BIGINT; the only
+    * double is the per-row log-ratio, rounded to integer micro-nats
+    * before the cross-row sum, so aggregation order cannot change the
+    * result (the ccnet/DoReMi micro-unit convention).
+    *
+    * Scale shape: ONE corpus pass (explode → combinable (source, word)
+    * count); everything after runs on the |sources|·|vocab| count frame,
+    * orders of magnitude smaller than the corpus. The two window sums
+    * (per-source totals, per-word corpus totals) shuffle only that
+    * frame; at 100 TB they would be two small groupBy-join legs off the
+    * same counts — same plan family, no corpus re-scan.
+    */
+  private def corpusDriftKl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the (source, word) count frame feeds THREE consumers (corpus
+    // total, per-source totals, the scoring pass); persist the
+    // POST-SHUFFLE frame so the corpus explode runs once —
+    // MEMORY_AND_DISK spills under pressure instead of re-scanning
+    // (the docBigramCounts convention). Bench clears the cache between
+    // passes, so the committed watermark prices this cold.
+    val wc = Tables.fanOut(Tables.documents(s, dir))
+      .select($"source", explode(toks($"text")).as("word"))
+      .groupBy($"source", $"word")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus total: 1-row driver bridge → literal (not a crossJoin,
+    // which plans as the BNLJ shape the plan audit bans outright).
+    // Per-source totals: an UNHINTED join — |sources| rows in practice,
+    // but corpus-derived, so the broadcast decision belongs to AQE at
+    // runtime, not a hint (the decontaminate convention; a forced
+    // broadcast of a grouped fact aggregate is the audited q02 bug
+    // shape). NOT `sum over (partition by source)`: one source's whole
+    // vocabulary in a single window partition is an unbounded task.
+    val srcTot = wc.groupBy($"source").agg(sum($"c").as("ns"))
+    val nTot: Long = srcTot.agg(sum($"ns")).head().getLong(0)
+    // per-word corpus counts: keyed window, ≤ |sources| rows per key
+    val byWord = Window.partitionBy($"word")
+    wc.withColumn("cw", sum($"c").over(byWord))
+      .join(srcTot, Seq("source"))
+      .withColumn("n", lit(nTot))
+      // integer products first (exact), ONE double division, ln, then
+      // micro-round to BIGINT — identical op order in the oracle
+      .withColumn("t_micro",
+        $"c" * round(log(($"c" * $"n").cast("double") / ($"ns" * $"cw")) * 1e6)
+          .cast("bigint"))
+      .groupBy($"source")
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_words"),
+        sum($"t_micro").as("s_micro"))
+      .select($"source", $"n_tokens", $"n_words",
+        round($"s_micro".cast("double") / $"n_tokens" / 1e6, 4).as("kl_nats"))
+      .orderBy($"source")
+  }
+
+  private val corpusDriftOracle =
+    """WITH wc AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, word, count(*) AS c FROM wc GROUP BY source, word),
+      |x AS (
+      |  SELECT source, word, c,
+      |    sum(c) OVER (PARTITION BY source) AS ns,
+      |    sum(c) OVER (PARTITION BY word) AS cw,
+      |    sum(c) OVER () AS n
+      |  FROM c)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_words,
+      |  round(CAST(sum(c * CAST(round(ln(CAST(c * n AS DOUBLE) / (ns * cw)) * 1e6)
+      |      AS BIGINT)) AS DOUBLE) / sum(c) / 1e6, 4) AS kl_nats
+      |FROM x
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("doc_repetition", docRepetition, Some(docRepetitionOracle)),
     Q("token_packing", tokenPacking, Some(tokenPackingOracle)),
-    Q("url_filter_rules", urlFilterRules, Some(urlFilterOracle)))
+    Q("url_filter_rules", urlFilterRules, Some(urlFilterOracle)),
+    Q("corpus_drift_kl", corpusDriftKl, Some(corpusDriftOracle)))
 }

@@ -989,7 +989,104 @@ object SimilarityQueries {
        |FROM p JOIN embeddings e USING (vec_id)
        |ORDER BY e.vec_id""".stripMargin
 
+  // ---------------------- mutual-kNN graph construction (LSH-blocked)
+
+  private val KnnBits = 6
+  private val KnnK = 3
+
+  /** Corpus-level mutual-kNN graph over the embedding column — the
+    * structure SemDeDup-style clustering, label propagation, and
+    * manifold methods all start from. Candidates come from TWO
+    * independent sign-LSH tables (disjoint dimension slices, see
+    * [[VectorOps.signBucketAt]]): per table, each node keeps its
+    * [[KnnK]] best same-bucket neighbors via the BOUNDED
+    * [[graft.ops.Aggregators.TopKByScore]] aggregator (map-side
+    * combine; memory O(k·nodes), never a full candidate sort — a
+    * window over raw same-bucket pairs would shuffle O(Σ bucket²)
+    * rows, exactly what detonates at 100×). The per-table winners
+    * (≤ 2k per node) merge, dedup, re-score, and a cheap window takes
+    * the final top-k; an edge survives only if BOTH endpoints keep it
+    * (the mutual-kNN symmetrization that prunes hub nodes).
+    *
+    * Approximation is the standard multi-index ANN contract — a true
+    * neighbor outside both tables' buckets is missed — and the oracle
+    * mirrors the same two tables, so the gate is exact.
+    */
+  private def knnGraphMutual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = udaf(new graft.ops.Aggregators.TopKByScore(KnnK))
+    val e = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"embedding".isNotNull)
+      .select($"vec_id", $"embedding",
+        VectorOps.signBucketAt($"embedding", KnnBits, 0).as("b1"),
+        VectorOps.signBucketAt($"embedding", KnnBits, KnnBits).as("b2"),
+        VectorOps.norm($"embedding").as("nrm"))
+    def tableTopk(bucket: String): DataFrame =
+      e.as("a").join(e.as("b"),
+          col(s"a.$bucket") === col(s"b.$bucket")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"),
+          (VectorOps.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm"))).as("cos"),
+          col("b.vec_id").as("dst"))
+        .groupBy($"src").agg(top($"cos", $"dst").as("nn"))
+        .select($"src", explode($"nn").as("dst"))
+    val merged = tableTopk("b1").unionByName(tableTopk("b2")).distinct()
+    // re-score the ≤ 2k survivors per node (the recompute-for-survivors
+    // pattern) and take the final top-k — group size is ≤ 2k here, so
+    // the window is cheap at any corpus size
+    val withCos = merged
+      .join(e.select($"vec_id".as("src"), $"embedding".as("ea"), $"nrm".as("na")),
+        Seq("src"))
+      .join(e.select($"vec_id".as("dst"), $"embedding".as("eb"), $"nrm".as("nb")),
+        Seq("dst"))
+      .select($"src", $"dst",
+        (VectorOps.dot($"ea", $"eb") / ($"na" * $"nb")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    val topk = withCos.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= KnnK).select($"src", $"dst", $"cos")
+    topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
+          && col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+        round(col("x.cos"), 4).as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val knnGraphOracle = {
+    val b1 = VectorOps.signBucketAtSql("embedding", KnnBits, 0)
+    val b2 = VectorOps.signBucketAtSql("embedding", KnnBits, KnnBits)
+    def leg(b: String) =
+      s"""SELECT src, dst FROM (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+         |        b.embedding::DOUBLE[]) DESC, b.vec_id) AS rn
+         |  FROM e a JOIN e b ON a.$b = b.$b AND a.vec_id <> b.vec_id)
+         |WHERE rn <= $KnnK""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $b1 AS b1, $b2 AS b2
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |m AS (SELECT DISTINCT src, dst FROM (${leg("b1")} UNION ALL ${leg("b2")})),
+       |sc AS (
+       |  SELECT m.src, m.dst,
+       |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+       |  FROM m JOIN e a ON a.vec_id = m.src JOIN e b ON b.vec_id = m.dst),
+       |t AS (
+       |  SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos,
+       |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM sc)
+       |  WHERE rn <= $KnnK)
+       |SELECT x.src AS vec_a, x.dst AS vec_b, round(x.cos, 4) AS cos
+       |FROM t x JOIN t y ON x.src = y.dst AND x.dst = y.src
+       |WHERE x.src < x.dst
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("knn_graph_mutual", knnGraphMutual, Some(knnGraphOracle)),
     Q("embedding_pca_power", embeddingPcaPower, Some(pcaOracle)),
     Q("embedding_pca_project", embeddingPcaProject, Some(pcaProjectOracle)),
     Q("contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle)),

@@ -1064,7 +1064,150 @@ object TextAnalysis {
        |ORDER BY source""".stripMargin
   }
 
+  // -------------- unigram-LM (SentencePiece-style) Viterbi segmentation
+
+  private val UniPieceMax = 4
+  private val UniVocabV = 64
+  private val UniWordMax = 12
+  private val UniTopWords = 20
+
+  /** Unigram-LM subword segmentation (Kudo 2018, the SentencePiece
+    * alternative to BPE): build a piece vocabulary — every single
+    * character plus the [[UniVocabV]] most corpus-frequent multi-char
+    * substrings (length ≤ [[UniPieceMax]]) — assign each piece the
+    * log-probability of its corpus frequency share, and segment each
+    * word by VITERBI dynamic programming: the segmentation maximizing
+    * Σ log p(piece), tie-broken to the fewest pieces.
+    *
+    * This is the missing half of the tokenizer family: BPE
+    * ([[bpeVocabTokenize]]) segments greedily by merge rank; unigram-LM
+    * segments GLOBALLY optimally under an explicit probability model —
+    * the difference is exactly what the DP computes.
+    *
+    * Engine portability: piece log-probs are integer micro-nats
+    * (one `ln` per VOCAB row, HALF_UP at 1e-6 — the ccnet convention),
+    * and the DP state packs (score, pieces) into one BIGINT as
+    * `enc = s_micro·128 − n_pieces` — every DP compare and add is
+    * integer arithmetic, so the argmax cannot drift between engines. The
+    * oracle re-derives the same optimum by exhaustive path enumeration
+    * (recursive CTE) — an INDEPENDENT algorithm agreeing on the
+    * optimum, not a mirrored DP.
+    *
+    * Scale shape: one corpus pass for word-TYPE counts (combinable
+    * groupBy); everything after runs on the type frame, orders of
+    * magnitude smaller. The vocabulary is a bounded driver bridge
+    * (≤ alphabet + [[UniVocabV]] rows → one literal map), and the DP is
+    * a map-side `aggregate` HOF over ≤ [[UniWordMax]] positions with
+    * O(1) lookups — at 100 TB the cost is the token explode, exactly
+    * like every other corpus statistic here.
+    */
+  private def unigramLmSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // word-TYPE counts: the one corpus-sized reduction, feeding both
+    // the piece frequencies and the output word selection (persist the
+    // post-shuffle frame rather than re-run the corpus explode; it is
+    // one row per TYPE, bounded by vocabulary not corpus size)
+    val words = Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(TextOps.tokens($"text")).as("word"))
+      .filter(length($"word").between(1, UniWordMax))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate pieces: every substring (length 1..UniPieceMax, each
+    // start position) of each word TYPE, weighted by the type count
+    val pieceFreq = words
+      .select($"word", $"n",
+        explode(sequence(lit(1), lit(UniPieceMax))).as("l"))
+      .filter($"l" <= length($"word"))
+      .select($"n", explode(transform(
+        sequence(lit(1), length($"word") - $"l" + 1),
+        i => $"word".substr(i, $"l"))).as("piece"))
+      .groupBy($"piece").agg(sum($"n").as("f"))
+    val singles = pieceFreq.filter(length($"piece") === 1)
+    val multi = pieceFreq.filter(length($"piece") >= 2)
+      .orderBy($"f".desc, $"piece".asc).limit(UniVocabV)
+    // bounded driver bridge: ≤ |alphabet| + UniVocabV rows
+    val sel: Array[(String, Long)] = singles.unionByName(multi)
+      .select($"piece", $"f").as[(String, Long)].collect()
+    val fTot = sel.map(_._2).sum
+    // HALF_UP at micro — BigDecimal mirrors Spark/DuckDB round() on
+    // negatives (Math.round would floor -x.5 the other way)
+    def lpMicro(f: Long): Long =
+      java.math.BigDecimal.valueOf(math.log(f.toDouble / fTot.toDouble) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    // DP step value: appending a piece adds lp to the score and 1 to
+    // the piece count under enc = s_micro·128 − n_pieces
+    val step: Map[String, Long] = sel.map { case (p, f) => p -> (lpMicro(f) * 128 - 1) }.toMap
+    val vm = typedlit(step)
+    val enc = aggregate(
+      sequence(lit(1), length($"word")),
+      array(lit(0L)),
+      (acc, i) => {
+        val cands = (1 to UniPieceMax).map { l =>
+          when(i >= l,
+            element_at(acc, i - l + 1)
+              + element_at(vm, $"word".substr(i - lit(l) + 1, lit(l))))
+            .otherwise(lit(null).cast("long"))
+        }
+        // every 1-char substring of every retained word type is in the
+        // vocabulary, so at least the l=1 candidate is always non-null
+        concat(acc, array(greatest(cands: _*)))
+      },
+      acc => element_at(acc, -1))
+    words.orderBy($"n".desc, $"word".asc).limit(UniTopWords)
+      .select($"word", $"n", length($"word").as("n_chars"), enc.as("enc"))
+      .withColumn("p", pmod(-$"enc", lit(128L)))
+      .withColumn("s_micro", expr("(enc + p) div 128"))
+      .select($"word", $"n", $"n_chars",
+        $"p".cast("int").as("n_pieces"),
+        round($"s_micro".cast("double") / 1e6, 4).as("logprob"))
+      .orderBy($"n".desc, $"word".asc)
+  }
+
+  private val unigramLmOracle =
+    s"""WITH RECURSIVE wc AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |w AS (
+       |  SELECT word, count(*) AS n FROM wc
+       |  WHERE length(word) BETWEEN 1 AND $UniWordMax
+       |  GROUP BY word),
+       |p0 AS (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS f FROM (
+       |    SELECT n, unnest(flatten(list_transform(range(1, ${UniPieceMax + 1}),
+       |      l -> list_transform(range(1, length(word) - l + 2),
+       |        i -> substr(word, i, l))))) AS piece
+       |    FROM w)
+       |  GROUP BY piece),
+       |sel AS (
+       |  SELECT piece, f FROM p0 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, f FROM (
+       |    SELECT piece, f FROM p0 WHERE length(piece) >= 2
+       |    ORDER BY f DESC, piece LIMIT $UniVocabV)),
+       |tot AS (SELECT CAST(sum(f) AS BIGINT) AS ft FROM sel),
+       |vocab AS (
+       |  SELECT piece, length(piece) AS pl,
+       |    CAST(round(ln(CAST(f AS DOUBLE) / (SELECT ft FROM tot)) * 1e6)
+       |      AS BIGINT) * 128 - 1 AS step
+       |  FROM sel),
+       |topw AS (SELECT word, n FROM w ORDER BY n DESC, word LIMIT $UniTopWords),
+       |dp AS (
+       |  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS enc FROM topw
+       |  UNION ALL
+       |  SELECT d.word, d.n, d.pos + v.pl, d.enc + v.step
+       |  FROM dp d JOIN vocab v
+       |    ON d.pos + v.pl <= length(d.word)
+       |   AND substr(d.word, d.pos + 1, v.pl) = v.piece),
+       |best AS (
+       |  SELECT word, n, max(enc) AS enc FROM dp
+       |  WHERE pos = length(word) GROUP BY word, n)
+       |SELECT word, n, CAST(length(word) AS INTEGER) AS n_chars,
+       |  CAST((-enc) % 128 AS INTEGER) AS n_pieces,
+       |  round(CAST((enc + ((-enc) % 128)) // 128 AS DOUBLE) / 1e6, 4) AS logprob
+       |FROM best
+       |ORDER BY n DESC, word""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("unigram_lm_segment", unigramLmSegment, Some(unigramLmOracle)),
     Q("html_extract_text", htmlExtractText, Some(htmlExtractOracle)),
     Q("text_nfc_normalize", nfcNormalize, Some(nfcOracle)),
     Q("text_stats", textStats, Some(textStatsOracle)),
