@@ -66,6 +66,30 @@ object Aggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** [[KmvDistinct]]'s raw SKETCH (the k smallest distinct hashes,
+    * ascending) instead of the count estimate — the mergeable form
+    * other estimators compose from: bottom-k of a union is bottom-k of
+    * the concatenated bottom-k's, so pairwise set-overlap estimates
+    * (Jaccard, containment) between groups need only the per-group
+    * sketches, never a re-scan or a pair join over the raw sets.
+    */
+  final class KmvSketch(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    private def compact(b: List[Long]): List[Long] =
+      b.distinct.sorted.take(k)
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], h: Long): List[Long] = {
+      val nb = h :: b
+      if (nb.lengthCompare(8 * k) >= 0) compact(nb) else nb
+    }
+    override def merge(x: List[Long], y: List[Long]): List[Long] =
+      compact(x ++ y)
+    override def finish(b: List[Long]): Seq[Long] = compact(b)
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Misra–Gries heavy-hitters summary: at most `c` counters per group,
     * constant memory regardless of input size. reduce: bump a present
     * key, admit if a slot is free, else decrement every counter (the

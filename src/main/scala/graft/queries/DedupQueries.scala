@@ -1166,7 +1166,89 @@ object DedupQueries {
        |FROM r WHERE rn = 1
        |ORDER BY canonical_url""".stripMargin
 
+  // ----------- pairwise source-overlap estimation (mergeable sketches)
+
+  private val SrcKmvK = 128
+
+  /** Pairwise Jaccard ESTIMATES between every two sources from
+    * [[graft.ops.Aggregators.KmvSketch]] bottom-k shingle sketches —
+    * the cross-provider duplication matrix a corpus operator reads
+    * before deciding which feeds overlap (two crawl vendors reselling
+    * the same dump, a mirror masquerading as a new source). The exact
+    * answer is a shingle-postings self-join (the decontaminate shape)
+    * per source PAIR; the sketch answer is ONE corpus pass — bottom-k
+    * is mergeable, so per-source sketches build map-side — and the
+    * pairwise estimation then runs on |sources|·k values. That driver
+    * bridge is bounded by design (10^4 sources × 128 hashes = ~10 MB
+    * at lake scale), and pairing sketches driver-side avoids the
+    * inequality-only self-join that would otherwise plan as the BNLJ
+    * shape the audit bans.
+    *
+    * Estimator (Bar-Yossef et al. / Beyer et al.): with U = bottom-k
+    * of A_k ∪ B_k (valid because bottom-k of a union is bottom-k of
+    * the unioned bottom-k's), Ĵ = |U ∩ A_k ∩ B_k| / |U|. Reported in
+    * integer permyriad (floor division) — an exact-integer output, so
+    * no double rounding boundary exists between engines.
+    */
+  private def sourceJaccardKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = udaf(new graft.ops.Aggregators.KmvSketch(SrcKmvK))
+    val sk = Tables.fanOut(Tables.documents(s, dir))
+      .select($"source",
+        explode(DedupOps.shingleHashSetNative($"text", ShingleK)).as("h"))
+      .groupBy($"source").agg(sketch($"h").as("hs"))
+    // bounded driver bridge: |sources| rows × ≤ k hashes each
+    val rows: Array[(String, Seq[Long])] =
+      sk.as[(String, Seq[Long])].collect().sortBy(_._1)
+    val pairs = for {
+      i <- rows.indices
+      j <- (i + 1) until rows.length
+    } yield {
+      val (sa, ha) = rows(i)
+      val (sb, hb) = rows(j)
+      val setA = ha.toSet
+      val setB = hb.toSet
+      val union = (ha ++ hb).distinct.sorted.take(SrcKmvK)
+      val shared = union.count(h => setA(h) && setB(h))
+      (sa, sb, union.length.toLong, shared.toLong,
+        10000L * shared / union.length)
+    }
+    s.createDataFrame(pairs)
+      .toDF("source_a", "source_b", "k_union", "n_shared", "est_permyriad")
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val sourceJaccardOracle =
+    s"""WITH sh0 AS (
+       |  SELECT source, $shinglesSql AS shingles FROM documents),
+       |shl AS (
+       |  SELECT source, unnest($shingleHashesSql) AS h
+       |  FROM sh0 WHERE len(shingles) > 0),
+       |d AS (SELECT DISTINCT source, h FROM shl),
+       |r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM d),
+       |sk AS (
+       |  SELECT source, list(h ORDER BY h) AS hs
+       |  FROM r WHERE rn <= $SrcKmvK GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS sa, a.hs AS ha, b.source AS sb, b.hs AS hb,
+       |    list_sort(list_distinct(a.hs || b.hs))[1:$SrcKmvK] AS un
+       |  FROM sk a JOIN sk b ON a.source < b.source)
+       |SELECT sa AS source_a, sb AS source_b,
+       |  CAST(len(un) AS BIGINT) AS k_union,
+       |  CAST(len(list_filter(un,
+       |    h -> list_contains(ha, h) AND list_contains(hb, h))) AS BIGINT)
+       |    AS n_shared,
+       |  (10000 * CAST(len(list_filter(un,
+       |    h -> list_contains(ha, h) AND list_contains(hb, h))) AS BIGINT))
+       |    // CAST(len(un) AS BIGINT) AS est_permyriad
+       |FROM p
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("source_jaccard_kmv", sourceJaccardKmv, Some(sourceJaccardOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("canonical_url_dedup", canonicalUrlDedup, Some(canonicalUrlOracle)),
     Q("decontaminate_overlap", decontaminateOverlap, Some(decontaminateOracle)),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Tables, VectorOps}
+import graft.ops.{DedupOps, Tables, VectorOps}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -1014,6 +1014,16 @@ object SimilarityQueries {
     */
   private def knnGraphMutual(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    knnMutualEdges(s, dir)
+      .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Raw mutual edge list (vec_a < vec_b, unrounded cos) — shared by
+    * the edge-list gate and the cluster composition.
+    */
+  private def knnMutualEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val top = udaf(new graft.ops.Aggregators.TopKByScore(KnnK))
     val e = Tables.fanOut(Tables.embeddings(s, dir))
       .filter($"embedding".isNotNull)
@@ -1050,11 +1060,13 @@ object SimilarityQueries {
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
           && col("x.src") < col("x.dst"))
       .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
-        round(col("x.cos"), 4).as("cos"))
-      .orderBy($"vec_a", $"vec_b")
+        col("x.cos").as("cos"))
   }
 
-  private val knnGraphOracle = {
+  /** Shared CTE chain ending in `mut` (mutual edges, unrounded cos) —
+    * no leading WITH; the clusters oracle prepends WITH RECURSIVE.
+    */
+  private val knnMutualCtes = {
     val b1 = VectorOps.signBucketAtSql("embedding", KnnBits, 0)
     val b2 = VectorOps.signBucketAtSql("embedding", KnnBits, KnnBits)
     def leg(b: String) =
@@ -1065,7 +1077,7 @@ object SimilarityQueries {
          |        b.embedding::DOUBLE[]) DESC, b.vec_id) AS rn
          |  FROM e a JOIN e b ON a.$b = b.$b AND a.vec_id <> b.vec_id)
          |WHERE rn <= $KnnK""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding, $b1 AS b1, $b2 AS b2
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |m AS (SELECT DISTINCT src, dst FROM (${leg("b1")} UNION ALL ${leg("b2")})),
@@ -1078,15 +1090,57 @@ object SimilarityQueries {
        |    SELECT src, dst, cos,
        |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |    FROM sc)
-       |  WHERE rn <= $KnnK)
-       |SELECT x.src AS vec_a, x.dst AS vec_b, round(x.cos, 4) AS cos
-       |FROM t x JOIN t y ON x.src = y.dst AND x.dst = y.src
-       |WHERE x.src < x.dst
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |  WHERE rn <= $KnnK),
+       |mut AS (
+       |  SELECT x.src AS vec_a, x.dst AS vec_b, x.cos AS cos
+       |  FROM t x JOIN t y ON x.src = y.dst AND x.dst = y.src
+       |  WHERE x.src < x.dst)""".stripMargin
   }
+
+  private val knnGraphOracle =
+    s"""WITH $knnMutualCtes
+       |SELECT vec_a, vec_b, round(cos, 4) AS cos
+       |FROM mut
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Semantic clusters: connected components over the mutual-kNN graph
+    * — SemDeDup's grouping step run on graph structure instead of
+    * trained centroids ([[dedupSemanticKmeans]] is the centroid form).
+    * Composes [[knnMutualEdges]] with the size-gated
+    * [[graft.ops.DedupOps.connectedComponents]] (driver union-find
+    * under 1M edges, distributed min-label propagation above); the
+    * oracle recomputes the transitive closure as a recursive CTE —
+    * same convention as dedup_clusters: only vertices with at least
+    * one mutual edge appear.
+    */
+  private def knnGraphClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = knnMutualEdges(s, dir).select($"vec_a", $"vec_b")
+    DedupOps.connectedComponents(
+      DedupOps.symmetrize(edges.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))))
+      .select($"id".as("vec_id"), $"label".as("cluster"))
+      .withColumn("is_rep", $"vec_id" === $"cluster")
+      .orderBy($"vec_id")
+  }
+
+  private val knnClustersOracle =
+    s"""WITH RECURSIVE $knnMutualCtes,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM mut
+       |  UNION
+       |  SELECT vec_b, vec_a FROM mut),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT id AS vec_id, min(r) AS cluster, id = min(r) AS is_rep
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY vec_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("knn_graph_mutual", knnGraphMutual, Some(knnGraphOracle)),
+    Q("knn_graph_clusters", knnGraphClusters, Some(knnClustersOracle)),
     Q("embedding_pca_power", embeddingPcaPower, Some(pcaOracle)),
     Q("embedding_pca_project", embeddingPcaProject, Some(pcaProjectOracle)),
     Q("contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle)),

@@ -33,5 +33,13 @@ class KnnGraphSpec extends SparkSpec {
     assert(edges.forall { case (a, b, c) => a < b && c >= -1.0 && c <= 1.0 })
     // near-identical directions: every kept edge is high-cosine
     assert(edges.forall(_._3 > 0.9), edges.mkString(", "))
+
+    // the planted buckets are exactly the graph's connected components
+    val clusters = Registry.queries("knn_graph_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clusters.map(c => (c._1, c._2)).toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 5L)),
+      clusters.mkString(", "))
+    assert(clusters.count(_._3) == 2)
   }
 }
