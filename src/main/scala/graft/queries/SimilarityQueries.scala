@@ -1011,6 +1011,16 @@ object SimilarityQueries {
     * Approximation is the standard multi-index ANN contract — a true
     * neighbor outside both tables' buckets is missed — and the oracle
     * mirrors the same two tables, so the gate is exact.
+    *
+    * Density lever: in-bucket work is Σ bucket², so [[KnnBits]] must
+    * track corpus size (2^bits ∝ n / target occupancy — 16-bit tables
+    * at lake scale, 6-bit here so the sf0.01 gate has real bucket
+    * structure). The 100× soak is this query's worst case BY
+    * CONSTRUCTION: the generator clones every embedding value 100
+    * times verbatim (only vec_id shifts), which is a 100-way exact-dup
+    * clique in every bucket — the same adjudicated pathology as
+    * dedup_embedding_lsh's soak tail, and the reason real pipelines
+    * run exact-dedup before graph construction.
     */
   private def knnGraphMutual(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

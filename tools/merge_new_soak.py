@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Fold dedicated new-query bench passes into the committed artifacts
+(driver-side tooling, like make_soak_report.py).
+
+Per the soak honesty rules: new queries get their own dual cold passes
+at each scale point; their sf0.1 floors come from dedicated clean runs
+at the code they shipped with, and nothing pre-change enters a minimum.
+
+Usage:
+  python3 tools/merge_new_soak.py --queries q1 q2 \
+      --floors /tmp/wm_1.json /tmp/wm_2.json \
+      --soak10 /tmp/s10_1.json /tmp/s10_2.json \
+      --soak100 /tmp/s100_1.json /tmp/s100_2.json
+Updates BENCH_WATERMARKS.json and BENCH_SOAK.json in place.
+"""
+import argparse
+import json
+
+
+def per_query_min(paths, names):
+    best = {}
+    for p in paths:
+        d = json.load(open(p))
+        for q, sec in d["queries"].items():
+            if q in names and (q not in best or sec < best[q]):
+                best[q] = sec
+    missing = set(names) - set(best)
+    assert not missing, f"no bench entry for: {sorted(missing)}"
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", nargs="+", required=True)
+    ap.add_argument("--floors", nargs="+", required=True)
+    ap.add_argument("--soak10", nargs="+", required=True)
+    ap.add_argument("--soak100", nargs="+", required=True)
+    args = ap.parse_args()
+    names = set(args.queries)
+
+    floors = per_query_min(args.floors, names)
+    wm = json.load(open("BENCH_WATERMARKS.json"))
+    wm.update({q: round(v, 3) for q, v in floors.items()})
+    with open("BENCH_WATERMARKS.json", "w") as f:
+        json.dump(dict(sorted(wm.items())), f, indent=1)
+
+    soak = json.load(open("BENCH_SOAK.json"))
+    for key, paths in (("soak10x", args.soak10), ("soak100x", args.soak100)):
+        best = per_query_min(paths, names)
+        block = soak[key]
+        for q, sec in best.items():
+            ent = {"sf0.1_sec": round(floors[q], 3), "soak_sec": round(sec, 3)}
+            if floors[q] > 0:
+                ent["ratio"] = round(sec / floors[q], 2)
+            block["queries"][q] = ent
+        qs = block["queries"]
+        block["n_queries"] = len(qs)
+        block["total_sec"] = round(sum(e["soak_sec"] for e in qs.values()), 1)
+        ratios = [e["ratio"] for e in qs.values() if "ratio" in e]
+        block["max_ratio"] = max(ratios)
+    with open("BENCH_SOAK.json", "w") as f:
+        json.dump(soak, f, indent=1)
+    print("merged", sorted(names))
+
+
+if __name__ == "__main__":
+    main()
