@@ -1012,15 +1012,19 @@ object SimilarityQueries {
     * neighbor outside both tables' buckets is missed — and the oracle
     * mirrors the same two tables, so the gate is exact.
     *
-    * Density lever: in-bucket work is Σ bucket², so [[KnnBits]] must
-    * track corpus size (2^bits ∝ n / target occupancy — 16-bit tables
-    * at lake scale, 6-bit here so the sf0.01 gate has real bucket
-    * structure). The 100× soak is this query's worst case BY
-    * CONSTRUCTION: the generator clones every embedding value 100
-    * times verbatim (only vec_id shifts), which is a 100-way exact-dup
-    * clique in every bucket — the same adjudicated pathology as
-    * dedup_embedding_lsh's soak tail, and the reason real pipelines
-    * run exact-dedup before graph construction.
+    * Dedup-before-graph: exact-duplicate VECTORS collapse to their
+    * min-vec_id representative before any bucketing (one value-keyed
+    * groupBy — the order real pipelines run anyway), so in-bucket pair
+    * work tracks DISTINCT vectors, not raw rows. Without it the 100×
+    * soak — which clones every embedding value verbatim — put a
+    * 100-way exact-dup clique in every bucket and the query paid a
+    * 44× ratio; with it the clique is one node. On all-distinct data
+    * (the sf0.01 gate) the collapse is the identity.
+    *
+    * Density lever beyond that: in-bucket work is Σ bucket², so
+    * [[KnnBits]] must track distinct-vector count (2^bits ∝ n /
+    * target occupancy — 16-bit tables at lake scale, 6-bit here so
+    * the sf0.01 gate has real bucket structure).
     */
   private def knnGraphMutual(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1037,6 +1041,10 @@ object SimilarityQueries {
     val top = udaf(new graft.ops.Aggregators.TopKByScore(KnnK))
     val e = Tables.fanOut(Tables.embeddings(s, dir))
       .filter($"embedding".isNotNull)
+      // exact-dup collapse (see scaladoc): one shuffle keyed by the
+      // embedding VALUE; Spark groups array<float> natively, and the
+      // oracle mirrors with GROUP BY the list column
+      .groupBy($"embedding").agg(min($"vec_id").as("vec_id"))
       .select($"vec_id", $"embedding",
         VectorOps.signBucketAt($"embedding", KnnBits, 0).as("b1"),
         VectorOps.signBucketAt($"embedding", KnnBits, KnnBits).as("b2"),
@@ -1088,8 +1096,9 @@ object SimilarityQueries {
          |  FROM e a JOIN e b ON a.$b = b.$b AND a.vec_id <> b.vec_id)
          |WHERE rn <= $KnnK""".stripMargin
     s"""e AS (
-       |  SELECT vec_id, embedding, $b1 AS b1, $b2 AS b2
-       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |  SELECT min(vec_id) AS vec_id, embedding, $b1 AS b1, $b2 AS b2
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |  GROUP BY embedding),
        |m AS (SELECT DISTINCT src, dst FROM (${leg("b1")} UNION ALL ${leg("b2")})),
        |sc AS (
        |  SELECT m.src, m.dst,
