@@ -1101,19 +1101,30 @@ object TextAnalysis {
     * O(1) lookups — at 100 TB the cost is the token explode, exactly
     * like every other corpus statistic here.
     */
-  private def unigramLmSegment(s: SparkSession, dir: String): DataFrame = {
+  /** Word-TYPE counts — the one corpus-sized reduction both unigram
+    * queries start from. Persisted post-shuffle (one row per TYPE,
+    * bounded by vocabulary not corpus size); Bench clears the cache
+    * between passes, so watermarks price it cold.
+    */
+  private def uniWordTypes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // word-TYPE counts: the one corpus-sized reduction, feeding both
-    // the piece frequencies and the output word selection (persist the
-    // post-shuffle frame rather than re-run the corpus explode; it is
-    // one row per TYPE, bounded by vocabulary not corpus size)
-    val words = Tables.fanOut(Tables.documents(s, dir))
+    Tables.fanOut(Tables.documents(s, dir))
       .select(explode(TextOps.tokens($"text")).as("word"))
       .filter(length($"word").between(1, UniWordMax))
       .groupBy($"word").agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate pieces: every substring (length 1..UniPieceMax, each
-    // start position) of each word TYPE, weighted by the type count
+  }
+
+  /** The vocabulary's DP step map piece → lp_micro·128 − 1 (see
+    * [[unigramLmSegment]]): candidate pieces are every substring
+    * (length 1..[[UniPieceMax]], each start position) of each word
+    * TYPE weighted by the type count; the vocabulary keeps all
+    * singles + the top-[[UniVocabV]] multi-char pieces. Bounded driver
+    * bridge: ≤ |alphabet| + [[UniVocabV]] rows.
+    */
+  private def uniStepMap(words: DataFrame): Map[String, Long] = {
+    val s = words.sparkSession
+    import s.implicits._
     val pieceFreq = words
       .select($"word", $"n",
         explode(sequence(lit(1), lit(UniPieceMax))).as("l"))
@@ -1125,7 +1136,6 @@ object TextAnalysis {
     val singles = pieceFreq.filter(length($"piece") === 1)
     val multi = pieceFreq.filter(length($"piece") >= 2)
       .orderBy($"f".desc, $"piece".asc).limit(UniVocabV)
-    // bounded driver bridge: ≤ |alphabet| + UniVocabV rows
     val sel: Array[(String, Long)] = singles.unionByName(multi)
       .select($"piece", $"f").as[(String, Long)].collect()
     val fTot = sel.map(_._2).sum
@@ -1136,8 +1146,13 @@ object TextAnalysis {
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     // DP step value: appending a piece adds lp to the score and 1 to
     // the piece count under enc = s_micro·128 − n_pieces
-    val step: Map[String, Long] = sel.map { case (p, f) => p -> (lpMicro(f) * 128 - 1) }.toMap
-    val vm = typedlit(step)
+    sel.map { case (p, f) => p -> (lpMicro(f) * 128 - 1) }.toMap
+  }
+
+  private def unigramLmSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = uniWordTypes(s, dir)
+    val vm = typedlit(uniStepMap(words))
     val enc = aggregate(
       sequence(lit(1), length($"word")),
       array(lit(0L)),
@@ -1163,8 +1178,12 @@ object TextAnalysis {
       .orderBy($"n".desc, $"word".asc)
   }
 
-  private val unigramLmOracle =
-    s"""WITH RECURSIVE wc AS (
+  /** Shared CTE prefix (no leading WITH; callers prepend WITH
+    * RECURSIVE): wc/w (word types) → p0 (weighted piece freqs) → sel
+    * (singles + top-V multi) → tot → vocab (piece, pl, DP step).
+    */
+  private val uniVocabCtes =
+    s"""wc AS (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |w AS (
        |  SELECT word, count(*) AS n FROM wc
@@ -1188,7 +1207,10 @@ object TextAnalysis {
        |  SELECT piece, length(piece) AS pl,
        |    CAST(round(ln(CAST(f AS DOUBLE) / (SELECT ft FROM tot)) * 1e6)
        |      AS BIGINT) * 128 - 1 AS step
-       |  FROM sel),
+       |  FROM sel)""".stripMargin
+
+  private val unigramLmOracle =
+    s"""WITH RECURSIVE $uniVocabCtes,
        |topw AS (SELECT word, n FROM w ORDER BY n DESC, word LIMIT $UniTopWords),
        |dp AS (
        |  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS enc FROM topw
@@ -1206,8 +1228,121 @@ object TextAnalysis {
        |FROM best
        |ORDER BY n DESC, word""".stripMargin
 
+  // ------------------------- unigram-LM hard-EM step (count + re-estimate)
+
+  /** One hard-EM iteration of unigram-LM training (Kudo 2018 §3.2, the
+    * Viterbi-approximation form): segment EVERY word type under the
+    * current piece model, count actual piece usage (weighted by type
+    * count), and re-estimate log-probabilities from the usage shares.
+    * Pieces the optimal segmentations never use drop out — this is the
+    * vocabulary-pruning step between [[unigramLmSegment]]'s scoring
+    * pass and a final tokenizer.
+    *
+    * The Viterbi argmax must be UNIQUE for an engine-portable E-step,
+    * so the DP state carries (enc, path) and ties on enc break to the
+    * lexicographically smallest piece path. That tie-break has optimal
+    * substructure BECAUSE equal enc at equal position implies equal
+    * piece count (enc ≡ −pieces mod 128), hence equal path string
+    * length, hence prefix-extension-safe comparison. The path joins
+    * pieces with U+001F — below any corpus character (the BPE
+    * control-char precondition, TextAnalysis sentinel convention), and
+    * binary string order in both engines.
+    *
+    * Scale shape: the DP runs map-side per word TYPE; usage counts are
+    * a combinable explode-groupBy over the type frame; the final
+    * normalization is a window over the ≤ |alphabet|+[[UniVocabV]]-row
+    * piece frame.
+    */
+  private def unigramEmStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = uniWordTypes(s, dir)
+    val vm = typedlit(uniStepMap(words))
+    val sep = "\u001f"
+    val nullSt = lit(null).cast("struct<enc:bigint,path:string>")
+    val bestPath = aggregate(
+      sequence(lit(1), length($"word")),
+      array(struct(lit(0L).as("enc"), lit("").as("path"))),
+      (acc, i) => {
+        // a missing-piece candidate carries a NULL enc and loses in the
+        // comparator; the l=1 candidate is always in-vocabulary
+        val cands = (1 to UniPieceMax).map { l =>
+          val prev = element_at(acc, i - l + 1)
+          val piece = $"word".substr(i - lit(l) + 1, lit(l))
+          when(i >= l,
+            struct(
+              (prev.getField("enc") + element_at(vm, piece)).as("enc"),
+              when(prev.getField("path") === "", piece)
+                .otherwise(concat(prev.getField("path"), lit(sep), piece))
+                .as("path")))
+            .otherwise(nullSt)
+        }
+        // best candidate via an array_sort COMPARATOR, not a when-chain
+        // reduce: a fold referencing x/y several times copies each
+        // candidate subtree (with its embedded vocab-map literal)
+        // exponentially and stalls Catalyst ANALYSIS for seconds; the
+        // comparator's l/r are lambda variables — leaf nodes, no copies
+        val bestC = element_at(
+          array_sort(array(cands: _*), (l, r) =>
+            when(l.isNull && r.isNull, 0)
+              .when(l.isNull, 1).when(r.isNull, -1)
+              .when(l.getField("enc").isNull && r.getField("enc").isNull, 0)
+              .when(l.getField("enc").isNull, 1)
+              .when(r.getField("enc").isNull, -1)
+              .when(l.getField("enc") > r.getField("enc"), -1)
+              .when(l.getField("enc") < r.getField("enc"), 1)
+              .when(l.getField("path") < r.getField("path"), -1)
+              .when(l.getField("path") > r.getField("path"), 1)
+              .otherwise(0)),
+          1)
+        concat(acc, array(bestC))
+      },
+      acc => element_at(acc, -1).getField("path"))
+    val uses = words
+      .select($"word", $"n", explode(split(bestPath, sep)).as("piece"))
+      .groupBy($"piece")
+      .agg(sum($"n").as("n_uses"), countDistinct($"word").as("n_words"))
+    // ≤ |alphabet|+V rows: a scalar window, not a shuffle risk
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    uses
+      .withColumn("t", sum($"n_uses").over(all))
+      .select($"piece", $"n_uses", $"n_words",
+        round(log($"n_uses".cast("double") / $"t") * 1e6).cast("bigint")
+          .as("lp_micro_new"))
+      .orderBy($"n_uses".desc, $"piece".asc)
+  }
+
+  private val unigramEmOracle =
+    s"""WITH RECURSIVE $uniVocabCtes,
+       |dp AS (
+       |  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS enc, '' AS path FROM w
+       |  UNION ALL
+       |  SELECT d.word, d.n, d.pos + v.pl, d.enc + v.step,
+       |    CASE WHEN d.path = '' THEN v.piece
+       |         ELSE d.path || chr(31) || v.piece END
+       |  FROM dp d JOIN vocab v
+       |    ON d.pos + v.pl <= length(d.word)
+       |   AND substr(d.word, d.pos + 1, v.pl) = v.piece),
+       |term AS (
+       |  SELECT word, n, path,
+       |    row_number() OVER (PARTITION BY word ORDER BY enc DESC, path ASC) AS rn
+       |  FROM dp WHERE pos = length(word)),
+       |us AS (
+       |  SELECT word, n, unnest(string_split(path, chr(31))) AS piece
+       |  FROM term WHERE rn = 1),
+       |ag AS (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS n_uses,
+       |    CAST(count(DISTINCT word) AS BIGINT) AS n_words
+       |  FROM us GROUP BY piece),
+       |t AS (SELECT CAST(sum(n_uses) AS BIGINT) AS tt FROM ag)
+       |SELECT piece, n_uses, n_words,
+       |  CAST(round(ln(CAST(n_uses AS DOUBLE) / (SELECT tt FROM t)) * 1e6)
+       |    AS BIGINT) AS lp_micro_new
+       |FROM ag
+       |ORDER BY n_uses DESC, piece""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("unigram_lm_segment", unigramLmSegment, Some(unigramLmOracle)),
+    Q("unigram_em_step", unigramEmStep, Some(unigramEmOracle)),
     Q("html_extract_text", htmlExtractText, Some(htmlExtractOracle)),
     Q("text_nfc_normalize", nfcNormalize, Some(nfcOracle)),
     Q("text_stats", textStats, Some(textStatsOracle)),

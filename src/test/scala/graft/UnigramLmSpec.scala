@@ -33,6 +33,18 @@ class UnigramLmSpec extends SparkSpec {
     }
     assert(rows("abab") == ((3L, 4, 1, lp(3))), rows.toString)
     assert(rows("xy") == ((1L, 2, 1, lp(1))), rows.toString)
+
+    // hard-EM usage counts: both optimal paths are whole-word pieces,
+    // so exactly two pieces survive with weighted counts 3 and 1
+    val em = Registry.queries("unigram_em_step")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def lpm(n: Long, t: Long): Long = java.math.BigDecimal
+      .valueOf(math.log(n.toDouble / t.toDouble) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    assert(em == Map(
+      "abab" -> ((3L, 1L, lpm(3, 4))),
+      "xy" -> ((1L, 1L, lpm(1, 4)))), em.toString)
   }
 
   test("segmentations are well-formed on the harness corpus") {
