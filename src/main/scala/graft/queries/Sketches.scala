@@ -29,18 +29,21 @@ object Sketches {
     val base = Tables.lineitem(s, dir)
       .select($"l_returnflag",
         TextOps.portableHashBase($"l_partkey".cast("string")).as("h"))
-    // one agg() with both, DELIBERATELY: count(DISTINCT) rewrites the
-    // aggregate to key on (l_returnflag, h), which does drag the
+    // TWO-LEVEL aggregation, deliberately: a single agg() with
+    // countDistinct rewrites to key on (l_returnflag, h) and drags the
     // imperative kmv buffer through a per-distinct-hash partial level —
-    // but the alternative (separate aggregations joined on the 3-row
-    // key) re-runs the md5 scan per aggregate, because the two paths
-    // shuffle on different keys and ReusedExchange cannot dedupe them.
-    // Measured at sf0.1 warmed: combined 3.8 s, split 7.0 s — the
-    // portable-hash scan dominates, so scanning once wins.
-    base.groupBy($"l_returnflag")
+    // one List buffer serialization PER DISTINCT KEY (measured 3.8 s
+    // warmed at sf0.1). Distinct-reducing on (flag, h) first keeps the
+    // md5 scan single (the split-aggregations alternative re-scans:
+    // 7.0 s), gets map-side combine on the distinct step, and the kmv
+    // sketch then folds only distinct hashes with one buffer per FLAG
+    // (measured 1.0 s). KMV over distinct values is the same sketch by
+    // definition (k smallest DISTINCT hashes).
+    base.groupBy($"l_returnflag", $"h").agg(count(lit(1)).as("_n"))
+      .groupBy($"l_returnflag")
       .agg(
         kmv($"h").as("est_distinct"),
-        countDistinct($"h").as("exact_distinct"))
+        count(lit(1)).as("exact_distinct"))
       .orderBy($"l_returnflag")
   }
 
