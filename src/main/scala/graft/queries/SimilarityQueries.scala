@@ -989,6 +989,58 @@ object SimilarityQueries {
        |FROM p JOIN embeddings e USING (vec_id)
        |ORDER BY e.vec_id""".stripMargin
 
+  // ------------------- truncated-dimension (matryoshka) recall audit
+
+  private val TruncDims = 16
+
+  /** Recall@k of cosine top-k computed on only the FIRST [[TruncDims]]
+    * of 64 dimensions vs the full-dimension baseline — the audit run
+    * before adopting matryoshka-style dimension truncation (Kusupati
+    * et al. 2022): shipping 4× fewer floats per vector quarters scan
+    * bytes and ANN index size IF leading-dim recall holds. Same shape
+    * as the int8/IVF recall gates: two TakeOrderedAndProject legs
+    * (each an O(n) scan with a literal query side, no shuffle beyond
+    * top-k) and a semi-join on the k survivors.
+    */
+  private def annTruncatedRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = queryVecLit(s, dir)
+    val approx = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cos_t", VectorOps.cosine(
+        slice($"embedding", 1, TruncDims), slice(qv, 1, TruncDims)))
+      .orderBy($"cos_t".desc, $"vec_id")
+      .limit(TopK)
+      .select($"vec_id")
+    val exact = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", qv))
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(TopK)
+      .select($"vec_id")
+    approx.join(exact, Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)).cast("double") / TopK).as("recall_at_k"))
+      .select(lit(TopK).as("k"), lit(TruncDims).as("trunc_dims"), $"recall_at_k")
+  }
+
+  private val annTruncatedOracle =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |approx AS (
+       |  SELECT e.vec_id FROM embeddings e, q
+       |  WHERE e.vec_id <> $QueryVecId
+       |  ORDER BY list_cosine_similarity(
+       |    (e.embedding[1:$TruncDims])::DOUBLE[],
+       |    (q.qv[1:$TruncDims])::DOUBLE[]) DESC, e.vec_id
+       |  LIMIT $TopK),
+       |exact AS (
+       |  SELECT e.vec_id FROM embeddings e, q
+       |  WHERE e.vec_id <> $QueryVecId
+       |  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id
+       |  LIMIT $TopK)
+       |SELECT $TopK AS k, $TruncDims AS trunc_dims,
+       |  CAST(count(*) AS DOUBLE) / $TopK AS recall_at_k
+       |FROM approx JOIN exact USING (vec_id)""".stripMargin
+
   // ---------------------- mutual-kNN graph construction (LSH-blocked)
 
   private val KnnBits = 6
@@ -1160,6 +1212,7 @@ object SimilarityQueries {
   val queries: Seq[Q] = Seq(
     Q("knn_graph_mutual", knnGraphMutual, Some(knnGraphOracle)),
     Q("knn_graph_clusters", knnGraphClusters, Some(knnClustersOracle)),
+    Q("ann_truncated_recall", annTruncatedRecall, Some(annTruncatedOracle)),
     Q("embedding_pca_power", embeddingPcaPower, Some(pcaOracle)),
     Q("embedding_pca_project", embeddingPcaProject, Some(pcaProjectOracle)),
     Q("contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle)),
