@@ -534,7 +534,59 @@ object StreamingGates {
        |SELECT event_type, hll_est, n_zero_registers FROM s
        |ORDER BY event_type""".stripMargin
 
+  // --------------- transformWithState gate (Spark 4 state API, 10th)
+
+  /** [[Streaming.userStatsTws]] executed as a real streaming query —
+    * the `transformWithState` StatefulProcessor API (typed named
+    * ValueState, Spark 4's successor to flatMapGroupsWithState) under
+    * the same batch-oracle discipline as the other nine gates. The
+    * processor emits RUNNING per-user totals each micro-batch; the
+    * gate keeps each user's final row (max n — counts strictly
+    * increase), which must equal the plain batch GROUP BY. The API is
+    * only implemented by the RocksDB state-store provider, so the gate
+    * forces it for the run (restoring the session's provider after).
+    * Same 1/50-user slice as the enrich gate: the operator scales, the
+    * driver-side memory-sink artifact is what's bounded.
+    */
+  private def streamingTwsUserStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = readEventsMicros(s, dir)
+      .filter(pmod($"user_id", lit(50)) === 0)
+      .withColumn("v_micro", Exact.micro("value"))
+    val name = s"graft_gate_tws_${gateId.incrementAndGet()}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    val sunk =
+      try withStreamShuffle(s, streamWidth(s, dir)) {
+        Streaming.runToMemory(Streaming.userStatsTws(slice), name, "append")
+      }
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_events".desc)
+    sunk.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"n_events",
+        Exact.microSumTo4dp("s_micro").as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  private val streamingTwsOracle =
+    s"""SELECT user_id, n_events,
+       |  ${Exact.microSumTo4dpSql("s_micro", Exact.DuckDiv)} AS sum_value
+       |FROM (
+       |  SELECT user_id, count(*) AS n_events,
+       |    CAST(sum(${Exact.microSql("value")}) AS BIGINT) AS s_micro
+       |  FROM events WHERE user_id % 50 = 0
+       |  GROUP BY user_id)
+       |ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("streaming_tws_user_stats", streamingTwsUserStats,
+      Some(streamingTwsOracle)),
     Q("streaming_quality_filter", streamingQualityFilter,
       Some(streamingQualityOracle)),
     Q("streaming_hll_distinct", streamingHllDistinct,

@@ -360,4 +360,47 @@ object Streaming {
     s.catalog.dropTempView(name)
     out
   }
+
+  // ------------------ transformWithState (the Spark 4 state API)
+
+  /** Per-user running (event count, exact micro-unit value sum) kept in
+    * a [[org.apache.spark.sql.streaming.ValueState]] under the
+    * `transformWithState` StatefulProcessor API — Spark 4's replacement
+    * for flatMapGroupsWithState: typed named state primitives, explicit
+    * TTL, and a state layout the engine can evolve. Each micro-batch
+    * emits the RUNNING totals for every user it touched, so the final
+    * row per user (the one with the largest n — counts strictly
+    * increase) is the complete aggregate; intermediate rows are the
+    * change feed. Requires the RocksDB state-store provider (the only
+    * provider implementing the new API) — callers set it.
+    *
+    * Scale shape: state is one (long, long) per user, sharded by the
+    * shuffle width; rows stream through handleInputRows once each —
+    * exactly the bounded-state discipline of the other gates.
+    */
+  def userStatsTws(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    class UserStats extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+      @transient private var st: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, Long)]("agg",
+          org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+          timers: TimerValues): Iterator[(Long, Long, Long)] = {
+        var (n, sum) = if (st.exists()) st.get() else (0L, 0L)
+        rows.foreach { case (_, vMicro) => n += 1; sum += vMicro }
+        st.update((n, sum))
+        Iterator.single((key, n, sum))
+      }
+    }
+    events
+      .select($"user_id", $"v_micro")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStats,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "s_micro")
+  }
 }
