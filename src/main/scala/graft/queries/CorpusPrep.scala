@@ -255,6 +255,71 @@ object CorpusPrep {
        |FROM aug
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus datasheet
+
+  /** The dataset-card generator: per-source corpus statistics a data
+    * release ships with (Gebru et al.'s datasheets / Dolma's summary
+    * tables) — document and token counts, exact-duplicate count
+    * (content fingerprint), labeled-language share, total quality-
+    * classifier score (milli-units, the [[LmPipeline]] model), and
+    * PII-bearing document count (the pii_redact email pattern, here
+    * over the raw corpus). ONE corpus pass: every per-doc signal is a
+    * map-side expression over the bound token array, and the only
+    * shuffle is the per-source aggregate (countDistinct adds the
+    * fingerprint-keyed partial level — the exact-dup count is the one
+    * datasheet column that inherently needs it).
+    *
+    * Sums, not averages, for the signed quality column: Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so a negative
+    * integer average is the one derivation the two engines disagree
+    * on — the datasheet ships the exact integer numerator instead.
+    */
+  private def corpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.barrier(Tables.documents(s, dir)
+      .select($"source", $"lang", $"text", TextOps.tokens($"text").as("toks")))
+      .select($"source", $"lang",
+        size($"toks").cast("long").as("n_toks"),
+        LmPipeline.classifierScoreCol($"toks").as("score_milli"),
+        TextOps.rawFingerprint64($"text").as("fp"),
+        (regexp_count($"text", lit(EmailRe)) > 0).as("has_pii"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_exact_dups"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"),
+        sum($"score_milli").as("sum_quality_milli"),
+        sum(when($"has_pii", 1L).otherwise(0L)).as("n_pii_docs"))
+      .withColumn("avg_doc_tokens", expr("n_tokens div n_docs"))
+      .select($"source", $"n_docs", $"n_tokens", $"avg_doc_tokens",
+        $"n_exact_dups", $"n_en", $"sum_quality_milli", $"n_pii_docs")
+      .orderBy($"source")
+  }
+
+  private val corpusDatasheetOracle =
+    s"""WITH d AS (
+       |  SELECT source, lang, text, string_split(text, ' ') AS toks,
+       |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+       |  FROM documents),
+       |p AS (
+       |  SELECT source, lang, fp,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    ${LmPipeline.classifierScoreSql("toks")} AS score_milli,
+       |    regexp_matches(text, '$EmailRe') AS has_pii
+       |  FROM d)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_toks) AS BIGINT) // count(*) AS avg_doc_tokens,
+       |  count(*) - count(DISTINCT fp) AS n_exact_dups,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(sum(score_milli) AS BIGINT) AS sum_quality_milli,
+       |  CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+       |FROM p
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ----------------------------------------------- exact substring dedup
 
   /** Minimum shared run length (tokens) to report. 12 is inside the
@@ -792,6 +857,7 @@ object CorpusPrep {
     Q("tfidf_keywords", tfidfKeywords, Some(tfidfOracle)),
     Q("unigram_quality", unigramQuality, Some(unigramOracle)),
     Q("pii_redact", piiRedact, Some(piiOracle)),
+    Q("corpus_datasheet", corpusDatasheet, Some(corpusDatasheetOracle)),
     Q("substring_dedup", substringDedup, Some(substringOracle)),
     Q("shared_passages_topn", sharedPassagesTopNQ, Some(topPassagesOracle)))
 }
