@@ -178,11 +178,14 @@ object Bench {
       if (ok.nonEmpty) ok.min else passes(name).map(_._1).min
     }
 
-    // a query is suspect when its best successful pass is >3× the
+    // a query is suspect when its best successful pass is >2× the
     // clean-host watermark (plus a 0.5s floor: sub-second queries jitter
-    // harmlessly)
+    // harmlessly). 2×, not 3×: a 2.9× CPU-steal pass used to commit
+    // silently, which is how seven floor-exceeders landed in r14 —
+    // at 2× such a run is retried in a later sweep and, if still hot,
+    // flagged "suspect" so the artifact reader knows
     def suspect(name: String): Boolean = watermarks.get(name) match {
-      case Some(w) => bestTime(name) > math.max(3.0 * w, w + 0.5)
+      case Some(w) => bestTime(name) > math.max(2.0 * w, w + 0.5)
       case None    => false
     }
 

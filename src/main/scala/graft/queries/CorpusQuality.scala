@@ -241,10 +241,14 @@ object CorpusQuality {
     wc.withColumn("cw", sum($"c").over(byWord))
       .join(srcTot, Seq("source"))
       .withColumn("n", lit(nTot))
-      // integer products first (exact), ONE double division, ln, then
-      // micro-round to BIGINT — identical op order in the oracle
+      // products in DOUBLE, not BIGINT: at lake scale c*n and ns*cw
+      // exceed Long range, where Spark (non-ANSI) silently wraps while
+      // DuckDB errors — double products stay finite to 1e308 and both
+      // engines round the bigint→double cast and the multiply
+      // identically (IEEE 754), so the micro-rounded result still
+      // hash-matches. Identical op order in the oracle.
       .withColumn("t_micro",
-        $"c" * round(log(($"c" * $"n").cast("double") / ($"ns" * $"cw")) * 1e6)
+        $"c" * round(log(($"c".cast("double") * $"n") / ($"ns".cast("double") * $"cw")) * 1e6)
           .cast("bigint"))
       .groupBy($"source")
       .agg(
@@ -271,7 +275,7 @@ object CorpusQuality {
       |SELECT source,
       |  CAST(sum(c) AS BIGINT) AS n_tokens,
       |  count(*) AS n_words,
-      |  round(CAST(sum(c * CAST(round(ln(CAST(c * n AS DOUBLE) / (ns * cw)) * 1e6)
+      |  round(CAST(sum(c * CAST(round(ln((CAST(c AS DOUBLE) * n) / (CAST(ns AS DOUBLE) * cw)) * 1e6)
       |      AS BIGINT)) AS DOUBLE) / sum(c) / 1e6, 4) AS kl_nats
       |FROM x
       |GROUP BY source

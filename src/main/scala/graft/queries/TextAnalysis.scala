@@ -1297,10 +1297,21 @@ object TextAnalysis {
         concat(acc, array(bestC))
       },
       acc => element_at(acc, -1).getField("path"))
+    // two-stage agg, NOT sum+countDistinct in one agg(): the distinct
+    // forces an Expand that doubles the exploded piece stream before
+    // the first partial aggregation. Grouping by (word, piece) first
+    // collapses repeats map-side — and count(*) over that frame is NOT
+    // a valid shortcut on the raw explode, because a best path can
+    // repeat a piece within one word ("abab" → "ab|ab"), where
+    // n_words must still count the word once.
     val uses = words
       .select($"word", $"n", explode(split(bestPath, sep)).as("piece"))
+      .groupBy($"word", $"piece")
+      // n is constant per word, so sum(n) = n × occurrences: exactly
+      // the word's contribution to n_uses for this piece
+      .agg(sum($"n").as("n_word_uses"))
       .groupBy($"piece")
-      .agg(sum($"n").as("n_uses"), countDistinct($"word").as("n_words"))
+      .agg(sum($"n_word_uses").as("n_uses"), count(lit(1)).as("n_words"))
     // ≤ |alphabet|+V rows: a scalar window, not a shuffle risk
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     uses

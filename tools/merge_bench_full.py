@@ -13,9 +13,12 @@ import sys
 
 runs = [json.load(open(p)) for p in sys.argv[1:]]
 assert runs, "pass at least one run file"
-names = list(runs[0]["queries"])
+# set comparison, and a sorted iteration order: two runs covering the
+# identical query set in a different insertion order are the SAME run
+# shape — the old list equality rejected them with a misleading message
+names = sorted(runs[0]["queries"])
 for r in runs[1:]:
-    assert list(r["queries"]) == names, "runs cover different query sets"
+    assert set(r["queries"]) == set(names), "runs cover different query sets"
 
 queries = {q: min(r["queries"][q] for r in runs) for q in names}
 passes = {q: sum((r["passes"][q] for r in runs), []) for q in names}

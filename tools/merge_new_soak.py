@@ -52,7 +52,14 @@ def main():
             ent = {"sf0.1_sec": round(floors[q], 3), "soak_sec": round(sec, 3)}
             if floors[q] > 0:
                 ent["ratio"] = round(sec / floors[q], 2)
-            block["queries"][q] = ent
+            # bench-method stamp: 2 = toRdd.count() cold (r14 honesty
+            # fix); rows measured under the pre-fix count() wrapper
+            # carry 1 (or no stamp) and are known-stale
+            ent["bench"] = 2
+            # update in place, don't replace: a committed entry may
+            # carry annotation keys (adjudication notes, stamps) that a
+            # re-merge must not silently drop
+            block["queries"].setdefault(q, {}).update(ent)
         qs = block["queries"]
         block["n_queries"] = len(qs)
         block["total_sec"] = round(sum(e["soak_sec"] for e in qs.values()), 1)
