@@ -290,6 +290,86 @@ object DedupOps {
     p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Resolve a keeper ASSIGNMENT (id → p, one row per id, p ≤ id, every
+    * p present as an id) to its fixed point: survivor(id) = p∘p∘…(id),
+    * the element the replaced-by chain terminates at. This is pointer
+    * jumping on a functional forest — NOT connected components: in the
+    * keeper graph two docs that share a bucket may chain to different
+    * roots (keeper is the min over EACH doc's own buckets), and the
+    * per-doc chain, not the component minimum of the pair graph, is
+    * what "which document actually survives" means.
+    *
+    * Scale shape mirrors [[connectedComponents]]:
+    *  - size-gated: an assignment that fits on the driver (row count ≤
+    *    localThreshold) resolves via a path-compressed chase — one
+    *    collect, zero shuffles;
+    *  - above the gate, distributed pointer DOUBLING: each round joins
+    *    the frame to itself (p ← p(p)), halving every chain's depth —
+    *    log₂(max chain) keyed shuffles on the id column, never O(chain)
+    *    rounds and never all-pairs;
+    *  - convergence witness is the same monotone sum trick: pointers
+    *    only ever decrease (p ≤ id inductively), so an unchanged
+    *    decimal(38,0) sum of p across a round ⟺ fixed point;
+    *  - eager localCheckpoint truncates the self-join lineage per
+    *    round; all working caches released before return.
+    *
+    * Returns (id, survivor). An unconverged run is a hard error.
+    */
+  def resolveSurvivors(assignIn: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 1000000L): DataFrame = {
+    var f = assignIn.toDF("id", "p").persist()
+    val n = f.count()
+    if (n <= localThreshold) {
+      val out = localResolve(f)
+      f.unpersist()
+      return out
+    }
+    def pSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("p").cast("decimal(38,0)"))).first().getDecimal(0)
+      require(s != null, "resolveSurvivors: pointer-sum overflowed decimal(38,0)")
+      s
+    }
+    var prevSum = pSum(f)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // p ← p(p): a's pointer jumps to its pointer's pointer. Every p
+      // exists as an id (precondition), so the inner join loses no rows.
+      val jumped = f.as("a")
+        .join(f.select(col("id").as("pid"), col("p").as("pp")),
+          col("a.p") === col("pid"))
+        .select(col("a.id").as("id"), col("pp").as("p"))
+        .localCheckpoint()
+      val newSum = pSum(jumped)
+      f.unpersist()
+      f = jumped
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      iter += 1
+    }
+    require(converged, s"pointer jumping did not converge in $maxIter rounds")
+    f.select(col("id"), col("p").as("survivor"))
+  }
+
+  /** Driver-side chase for an assignment already known to fit: path
+    * compression makes repeated lookups near-O(1); re-parallelizes
+    * through the session's default parallelism.
+    */
+  private def localResolve(assign: DataFrame): DataFrame = {
+    import assign.sparkSession.implicits._
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    assign.select(col("id").cast("long"), col("p").cast("long"))
+      .collect().foreach(r => parent(r.getLong(0)) = r.getLong(1))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    parent.keys.toSeq.map(v => (v, find(v))).toDF("id", "survivor")
+  }
+
   /** One portable hash per whitespace token (the expensive md5 step of
     * SimHash, done exactly once per token).
     */

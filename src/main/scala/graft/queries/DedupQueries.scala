@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{DedupOps, Tables, TextOps, VectorOps}
@@ -183,10 +184,12 @@ object DedupQueries {
     * doc 3's keeper reads 2. The kept/dropped PARTITION is still exact
     * (kept ⟺ keeper == doc_id — a doc whose keeper is dropped is
     * itself transitively dropped, correctly). When the replaced-by
-    * chain must resolve to final survivors, compose with the
-    * fixed-point machinery that already exists for exactly this:
-    * `dedup_clusters` ([[DedupOps]] min-label propagation) maps every
-    * doc to its component representative.
+    * chain must resolve to final survivors, use [[lshSurvivor]]
+    * (`dedup_lsh_survivor`): pointer jumping on this keeper forest to
+    * the fixed point. (`dedup_clusters` answers the DIFFERENT question
+    * of component representatives over the candidate-pair graph — two
+    * band-mates can chain to different survivors here while sharing a
+    * component there.)
     */
   def lshKeeper(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -321,6 +324,77 @@ object DedupQueries {
        |FROM bs JOIN bb USING (band, key)
        |GROUP BY bs.doc_id, bs.score_milli
        |ORDER BY bs.doc_id""".stripMargin
+  }
+
+  // --------------- final-survivor resolution (keeper fixed point)
+
+  /** [[lshKeeper]] resolved to FINAL survivors: `survivor` is the fixed
+    * point of the keeper chain (keeper∘keeper∘…), so it always names a
+    * document that is itself kept — the answer "which document replaces
+    * mine" that the one-step `keeper` column deliberately does not give
+    * (chain 3→2→1: lshKeeper reports keeper(3)=2 even though 2 is
+    * dropped; here survivor(3)=1). This is pointer jumping on the
+    * keeper forest, NOT connected components of the candidate-pair
+    * graph: two band-mates can legitimately chain to different
+    * survivors when their own bucket sets differ, and the per-doc
+    * chain is the replaced-by semantics curation pipelines record in
+    * provenance logs.
+    *
+    * Scale shape: the keeper assignment is O(n·bands) pair-free work
+    * (see [[lshKeeper]]); resolution is [[DedupOps.resolveSurvivors]] —
+    * size-gated driver chase below 1M docs, log₂(chain-depth) pointer-
+    * doubling self-joins above. The kept/dropped partition is identical
+    * to lshKeeper's (kept ⟺ survivor == doc_id — min-chains preserve
+    * the fixed-point set); what changes is that `survivor` is now
+    * referentially valid.
+    */
+  def lshSurvivor(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val k = lshKeeper(docs).select($"doc_id", $"keeper")
+    DedupOps.resolveSurvivors(k.toDF("id", "p"))
+      .select($"id".as("doc_id"), $"survivor",
+        ($"survivor" === $"id").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  private def dedupLshSurvivor(s: SparkSession, dir: String): DataFrame =
+    lshSurvivor(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val dedupLshSurvivorOracle = {
+    val sigExprs = (0 until NumHashes).map(sigComponentSql).mkString("[", ",\n    ", "]")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    // the chase CTE only appends STRICTLY-decreasing steps, so the
+    // recursion terminates at each chain's root and min(cur) over the
+    // visited prefix IS the fixed point (pointers only decrease)
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |hsv AS (
+       |  SELECT doc_id, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig FROM hsv),
+       |b AS (
+       |  $bandRows),
+       |m AS (SELECT band, key, min(doc_id) AS m FROM b GROUP BY band, key),
+       |k AS (
+       |  SELECT b.doc_id, min(m.m) AS keeper
+       |  FROM b JOIN m USING (band, key)
+       |  GROUP BY b.doc_id),
+       |chase AS (
+       |  SELECT doc_id, keeper AS cur FROM k
+       |  UNION ALL
+       |  SELECT c.doc_id, k2.keeper
+       |  FROM chase c JOIN k k2 ON k2.doc_id = c.cur AND k2.keeper < c.cur)
+       |SELECT doc_id, min(cur) AS survivor, min(cur) = doc_id AS kept
+       |FROM chase
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------- LSH index health (bucket occupancy)
@@ -897,9 +971,11 @@ object DedupQueries {
     *
     * Scale: the exact check is a semi-join on the 60-bit fingerprint;
     * the near check reuses AllPairs prefix filtering CROSS-SET at
-    * t = 0.5 (prefix = len − ⌈len/2⌉ + 1, plus the 2·min ≥ max length
-    * bound) — lossless for J ≥ t, so the shuffle carries O(batch·prefix)
-    * rows and never batch × corpus. best_jaccard is clamped to 0 below
+    * t = 0.5 (prefix = len − ⌈len/2⌉ + 1 under the ASCENDING-GLOBAL-DF
+    * token order — each doc's rarest shingles — plus the 2·min ≥ max
+    * length bound) — lossless for J ≥ t, so the shuffle carries
+    * O(batch·prefix) rows and never batch × corpus, and no hot
+    * boilerplate shingle ever generates candidates. best_jaccard is clamped to 0 below
     * the bar because sub-threshold pairs are exactly what the pruning is
     * allowed to skip (the DuckDB oracle runs the UNPRUNED all-pairs
     * check and clamps identically — every green run is a proof the
@@ -913,19 +989,48 @@ object DedupQueries {
     val batch = d.filter($"source" === NewSource).select($"doc_id", $"fp64", $"hs")
     val corpus = d.filter($"source" =!= NewSource)
       .select($"doc_id".as("c_id"), $"fp64".as("c_fp"), $"hs".as("c_hs"))
-    // t = 0.5: ceil(len/2) = (len+1) div 2 in exact integer math
-    val bp = batch.filter($"hs".isNotNull).withColumn("len", size($"hs"))
-      .withColumn("pl", expr("len - ((len+1) div 2) + 1"))
-      .select($"doc_id", $"hs", $"len",
-        explode(slice($"hs", lit(1), $"pl")).as("tok"))
-    val cp = corpus.filter($"c_hs".isNotNull).withColumn("clen", size($"c_hs"))
-      .withColumn("cpl", expr("clen - ((clen+1) div 2) + 1"))
-      .select($"c_id", $"c_hs", $"clen",
-        explode(slice($"c_hs", lit(1), $"cpl")).as("tok"))
-    val bestJ = bp.join(cp,
-        bp("tok") === cp("tok")
+    // Two lessons the first HONEST 100x soak taught this query, both
+    // inherited from dedupJaccardBlocked's r14 fixes but needing their
+    // sharper forms here because t = 0.5 prefixes are ~half of every
+    // set (vs 20% at t = 0.8):
+    //  1. payload discipline — candidates carry ids + lengths ONLY;
+    //     hs/c_hs re-attach after the distinct by id-equi-joins
+    //     (carrying both sets per candidate OOMed a 48g heap);
+    //  2. PREFIX ORDER IS A CHOICE, and numeric-hash order is the
+    //     wrong one: it puts hot boilerplate shingles into prefixes,
+    //     whose cross-set fan-out is O(df_batch x df_corpus) PER TOKEN
+    //     (the spill that filled an 80 GB disk). This is AllPairs/
+    //     PPJoin's actual trick: rank tokens by ASCENDING GLOBAL
+    //     DOCUMENT FREQUENCY so prefixes hold each doc's RAREST
+    //     shingles — the prefix-filter theorem holds for ANY fixed
+    //     total order, so the pruning stays LOSSLESS (the unpruned
+    //     oracle keeps proving it) while hot-token candidates vanish.
+    // t = 0.5: ceil(len/2) = (len+1) div 2 in exact integer math.
+    val tokDf = d.filter($"hs".isNotNull)
+      .select(explode($"hs").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val wB = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+    val wC = Window.partitionBy($"c_id").orderBy($"df", $"tok")
+    val bPref = batch.filter($"hs".isNotNull)
+      .select($"doc_id", size($"hs").as("len"), explode($"hs").as("tok"))
+      .join(tokDf, Seq("tok"))
+      .withColumn("rn", row_number().over(wB))
+      .filter($"rn" <= expr("len - ((len+1) div 2) + 1"))
+      .select($"doc_id", $"len", $"tok")
+    val cPref = corpus.filter($"c_hs".isNotNull)
+      .select($"c_id", size($"c_hs").as("clen"), explode($"c_hs").as("tok"))
+      .join(tokDf, Seq("tok"))
+      .withColumn("rn", row_number().over(wC))
+      .filter($"rn" <= expr("clen - ((clen+1) div 2) + 1"))
+      .select($"c_id", $"clen", $"tok")
+    val cand = bPref.join(cPref,
+        bPref("tok") === cPref("tok")
           && lit(2) * least($"len", $"clen") >= greatest($"len", $"clen"))
+      .select($"doc_id", $"c_id")
       .dropDuplicates("doc_id", "c_id")
+    val bestJ = cand
+      .join(batch.select($"doc_id", $"hs"), Seq("doc_id"))
+      .join(corpus.select($"c_id", $"c_hs"), Seq("c_id"))
       .select($"doc_id", round(DedupOps.jaccardSorted($"hs", $"c_hs"), 4).as("j"))
       .groupBy($"doc_id").agg(max($"j").as("bj"))
     val exact = batch.join(corpus, $"fp64" === $"c_fp", "left_semi")
@@ -1257,6 +1362,7 @@ object DedupQueries {
     Q("dedup_minhash_strict", dedupMinhashStrict, Some(dedupMinhashStrictOracle)),
     Q("dedup_lsh_keeper", dedupLshKeeper, Some(dedupLshKeeperOracle)),
     Q("dedup_keeper_quality", dedupKeeperQuality, Some(dedupKeeperQualityOracle)),
+    Q("dedup_lsh_survivor", dedupLshSurvivor, Some(dedupLshSurvivorOracle)),
     Q("lsh_bucket_stats", lshBucketStats, Some(lshBucketStatsOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentOracle)),

@@ -216,9 +216,74 @@ object LakeOps {
       |GROUP BY ROLLUP (source)
       |ORDER BY coalesce(source, '__ROOT__')""".stripMargin
 
+  // -------------------- snapshot commit protocol (time travel)
+
+  /** End-to-end gate for [[graft.ops.SnapshotTable]] — the atomic
+    * overwrite/snapshot-read/time-travel layout that connects the lake
+    * ops into a table story. The query runs a two-commit lifecycle on
+    * a REAL on-disk table, then answers entirely from time-travel
+    * reads, so the oracle (recomputing both version states straight
+    * from `orders`) gates the whole protocol: v1 must still read its
+    * ORIGINAL contents after v2's commit (snapshot isolation), and v2
+    * must be exactly upsert(v1, delta).
+    *
+    * Lifecycle: commit v1 = orders with key%3 < 2; delta = key%3 ≥ 1
+    * at doubled price; v2 = delta ∪ (v1 ∖ delta-keys) — the merge
+    * reads v1 back THROUGH the snapshot layer, and the upsert itself
+    * is one anti-join + union (the merge_upsert_orders algebra: state
+    * touched once, O(|table|+|delta|)).
+    */
+  private def snapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val base = s"/tmp/graft_lake/${tag(dir)}/snap"
+    // fresh table per run: deterministic version numbers v1/v2
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        Exact.micro("o_totalprice").as("price_micro"))
+    SnapshotTable.commit(orders.filter(pmod($"o_orderkey", lit(3)) < 2), base)
+    val delta = orders.filter(pmod($"o_orderkey", lit(3)) >= 1)
+      .withColumn("price_micro", $"price_micro" * 2)
+    val merged = SnapshotTable.read(s, base)
+      .join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(delta)
+    SnapshotTable.commit(merged, base)
+    Seq(1L, 2L).map { v =>
+      SnapshotTable.readAt(s, base, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+        .select(lit(v).as("version"), $"n_rows",
+          Exact.microSumTo4dp("s_micro").as("sum_price"))
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  private val snapshotOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH v1 AS (
+       |  SELECT count(*) AS n_rows,
+       |    CAST(sum($p) AS BIGINT) AS s
+       |  FROM orders WHERE o_orderkey % 3 < 2),
+       |v2 AS (
+       |  SELECT count(*) AS n_rows,
+       |    CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN $p ELSE 2 * $p END)
+       |      AS BIGINT) AS s
+       |  FROM orders)
+       |SELECT CAST(1 AS BIGINT) AS version, n_rows,
+       |  ${Exact.microSumTo4dpSql("s", Exact.DuckDiv)} AS sum_price FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS version, n_rows,
+       |  ${Exact.microSumTo4dpSql("s", Exact.DuckDiv)} AS sum_price FROM v2
+       |ORDER BY version""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
     Q("lake_integrity_hash", lakeIntegrityHash, Some(lakeIntegrityOracle)),
-    Q("file_provenance", fileProvenance, Some(fileProvenanceOracle)))
+    Q("file_provenance", fileProvenance, Some(fileProvenanceOracle)),
+    Q("snapshot_time_travel", snapshotTimeTravel, Some(snapshotOracle)))
 }

@@ -116,6 +116,226 @@ object TextAnalysis {
        |ORDER BY lang_labeled, lang_pred""".stripMargin
   }
 
+  // ---------------- char-n-gram language ID (trained Naive Bayes)
+
+  /** The five labeled languages in the corpus, alphabetical; first
+    * listed wins score ties (mirrored by the oracle's CASE order).
+    */
+  private val CgLangs = Seq("de", "en", "es", "fr", "zh")
+  private val CgSeed = 31
+  private val CgBuckets = 2048
+  /** Chars of prefix read per document — real lang-ID reads a prefix,
+    * not the document (CLD/fastText practice); keeps feature work
+    * O(docs), independent of document length.
+    */
+  private val CgPrefix = 160
+
+  /** Char-trigram Naive Bayes language ID, TRAINED in-engine — the
+    * production upgrade over [[langIdQuery]]'s stopword profiles (which
+    * are a word-list heuristic that structurally cannot see zh: no
+    * spaces, no profile). fastText/CLD-style: hashed char-trigram
+    * features over a fixed document prefix, multinomial NB fit on a 90%
+    * split (closed-form — ONE aggregation, no gradient loop), held-out
+    * confusion + per-doc agreement with the stopword model reported.
+    *
+    * Scale shape (the [[LmPipeline]] classifier-train pattern):
+    *  - features are pure map work: ≤ `CgPrefix−2` substrings + one md5
+    *    each per doc, exploded to (doc, bucket) rows;
+    *  - the model (per-bucket per-class counts) attaches as window sums
+    *    over `partitionBy(b)` — one keyed shuffle on the fixed
+    *    `CgBuckets` key space, no join, no broadcast;
+    *  - class totals/priors are a ≤5-row scalar bridge off doc-level
+    *    counts, never the exploded frame;
+    *  - per-trigram class log-probs are rounded to integer micro-nats,
+    *    so every cross-row sum is BIGINT — order-free and bit-identical
+    *    in DuckDB (ULP-washing pattern used by every trained model in
+    *    the registry).
+    *
+    * Docs whose prefix is shorter than 3 chars have no features and
+    * drop out (both engines identically); the synthetic corpus has
+    * none. An unseen bucket degrades to the Laplace prior with no
+    * special case.
+    */
+  private def langIdChargram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.barrier(Tables.fanOut(Tables.documents(s, dir))
+        .select($"doc_id", $"lang", $"text"))
+      .select($"doc_id", $"lang".as("lang_labeled"),
+        TextOps.tokens($"text").as("toks"),
+        substring($"text", 1, CgPrefix).as("p"))
+    val withStop = docs
+      .select(($"doc_id" +: $"lang_labeled" +: $"p" +:
+        langProfiles.map { case (l, m) =>
+          TextOps.stopwordHits($"toks", m).as(s"s_$l")
+        }): _*)
+      .withColumn("stop_pred", TextOps.langIdFromScores(
+        langProfiles.map { case (l, _) => l -> col(s"s_$l") }))
+      .select($"doc_id", $"lang_labeled", $"stop_pred", $"p",
+        (pmod($"doc_id", lit(10)) =!= 0).as("is_train"))
+    // class totals: ≤5 rows of (trigram count, doc count) per labeled
+    // language from doc-level lengths — the scalar driver bridge
+    val totRows = withStop.filter($"is_train")
+      .groupBy($"lang_labeled")
+      .agg(sum(greatest(length($"p") - 2, lit(0)).cast("long")).as("tot"),
+        count(lit(1)).as("nd"))
+      .collect()
+    val tot = totRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val nd = totRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+      .withDefaultValue(0L)
+    val nTrain = nd.values.sum
+    val prior = CgLangs.map(c => c -> math.round(1e6 *
+      math.log((nd(c) + 1).toDouble / (nTrain + CgLangs.length)))).toMap
+    val tri = withStop
+      .select($"doc_id", $"lang_labeled", $"stop_pred", $"is_train",
+        explode(when(length($"p") >= 3,
+          transform(sequence(lit(1), length($"p") - 2),
+            i => $"p".substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("tri"))
+      .select($"doc_id", $"lang_labeled", $"stop_pred", $"is_train",
+        pmod(TextOps.portableHash64($"tri", CgSeed), lit(CgBuckets)).as("b"))
+    // the MODEL is only CgBuckets × |CgLangs| values — aggregate the
+    // training counts map-side to a ≤CgBuckets-row frame and bridge it
+    // to the driver (the codebook-collect pattern: bounded by a FIXED
+    // constant, never by the corpus), instead of a partitionBy(b)
+    // window over every exploded trigram row. The window form shuffles
+    // the whole O(docs × prefix) feature stream by bucket to compute a
+    // 2048-row table; here that table costs one partial-agg pass and
+    // the scoring pass attaches weights as an ARRAY LITERAL indexed by
+    // b — zero joins, zero extra shuffles, and the one remaining
+    // corpus-sized shuffle is the per-doc aggregation itself. The
+    // shape that survives 100 TB.
+    val cnts = tri.filter($"is_train")
+      .groupBy($"b")
+      .agg(sum(when($"lang_labeled" === CgLangs.head, 1L).otherwise(0L))
+          .as(s"cnt_${CgLangs.head}"),
+        CgLangs.tail.map(c =>
+          sum(when($"lang_labeled" === c, 1L).otherwise(0L)).as(s"cnt_$c")): _*)
+      .collect()
+    // per-class bucket weights, integer micro-nats; a bucket unseen in
+    // training holds the Laplace floor — the same arithmetic at cnt = 0
+    val wArr: Map[String, Seq[Long]] = CgLangs.zipWithIndex.map {
+      case (c, i) =>
+        val arr = Array.fill(CgBuckets)(math.round(1e6 *
+          math.log(1.0 / (tot(c) + CgBuckets))))
+        cnts.foreach { r =>
+          arr(r.getLong(0).toInt) = math.round(1e6 * math.log(
+            (r.getLong(i + 1) + 1).toDouble / (tot(c) + CgBuckets)))
+        }
+        c -> arr.toSeq
+    }.toMap
+    val perDoc = tri
+      .select(($"doc_id" +: $"lang_labeled" +: $"stop_pred" +:
+        $"is_train" +: CgLangs.map(c =>
+          element_at(typedlit(wArr(c)), ($"b" + 1).cast("int"))
+            .as(s"w_$c"))): _*)
+      .groupBy($"doc_id", $"lang_labeled", $"stop_pred", $"is_train")
+      .agg(sum(col(s"w_${CgLangs.head}")).as(s"sc_${CgLangs.head}"),
+        CgLangs.tail.map(c => sum(col(s"w_$c")).as(s"sc_$c")): _*)
+    val scoreCols = CgLangs.map(c => (col(s"sc_$c") + lit(prior(c)))
+      .as(s"score_$c"))
+    val scored0 = perDoc.select(
+      ($"lang_labeled" +: $"stop_pred" +: $"is_train" +: scoreCols): _*)
+    val best = CgLangs.map(c => col(s"score_$c")).reduce(greatest(_, _))
+    val pred = CgLangs.init.foldRight(lit(CgLangs.last): Column) {
+      case (c, acc) => when(col(s"score_$c") === best, lit(c)).otherwise(acc)
+    }
+    scored0
+      .select($"lang_labeled", $"stop_pred", $"is_train",
+        pred.as("lang_pred"), best.as("best_score"))
+      .groupBy($"is_train", $"lang_labeled", $"lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"stop_pred" === $"lang_pred", 1L).otherwise(0L))
+          .as("n_agree_stop"),
+        sum($"best_score").as("sum_score"))
+      .select(
+        when($"is_train", lit("train")).otherwise(lit("test")).as("split"),
+        $"lang_labeled", $"lang_pred", $"n_docs", $"n_agree_stop",
+        $"sum_score")
+      .orderBy($"split", $"lang_labeled", $"lang_pred")
+  }
+
+  private val langIdChargramOracle = {
+    val profiles = langProfiles.map { case (l, m) => l -> profileSql(m) }
+    val stopBest = profiles.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val stopCase = profiles.foldRight("'unknown'") { case ((l, sc), acc) =>
+      s"CASE WHEN $sc = __sb AND $sc > 0 THEN '$l' ELSE $acc END"
+    }
+    val K = CgLangs.length
+    val cnt = CgLangs.map(c =>
+      s"""CAST(sum(CASE WHEN is_train AND lang_labeled = '$c' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY b) AS BIGINT) AS c_$c""".stripMargin)
+      .mkString(",\n    ")
+    val wexp = CgLangs.map(c =>
+      s"""CAST(sum(CAST(round(1e6 * ln(CAST(c_$c + 1 AS DOUBLE)
+         |      / CAST(tot_$c + $CgBuckets AS DOUBLE))) AS BIGINT)) AS BIGINT)
+         |      AS sc_$c""".stripMargin)
+      .mkString(",\n    ")
+    val tots = CgLangs.map(c =>
+      s"""CAST(sum(CASE WHEN lang_labeled = '$c'
+         |      THEN greatest(length(p) - 2, 0) ELSE 0 END) AS BIGINT) AS tot_$c,
+         |    CAST(sum(CASE WHEN lang_labeled = '$c' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nd_$c""".stripMargin)
+      .mkString(",\n    ")
+    val scoreExp = CgLangs.map(c =>
+      s"""sc_$c + CAST(round(1e6 * ln(CAST(nd_$c + 1 AS DOUBLE)
+         |      / CAST(ntrain + $K AS DOUBLE))) AS BIGINT) AS score_$c""".stripMargin)
+      .mkString(",\n    ")
+    val bestExp = CgLangs.map(c => s"score_$c")
+      .reduceRight((a, b) => s"greatest($a, $b)")
+    val predCase = CgLangs.init.foldRight(s"'${CgLangs.last}'") {
+      case (c, acc) => s"CASE WHEN score_$c = __best THEN '$c' ELSE $acc END"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, lang AS lang_labeled,
+       |    substr(text, 1, $CgPrefix) AS p,
+       |    $stopBest AS __sb,
+       |    $stopCase AS stop_pred,
+       |    doc_id % 10 <> 0 AS is_train
+       |  FROM documents),
+       |tots AS (
+       |  SELECT
+       |    $tots,
+       |    CAST(count(*) AS BIGINT) AS ntrain
+       |  FROM d WHERE is_train),
+       |tri AS (
+       |  SELECT doc_id, lang_labeled, stop_pred, is_train,
+       |    ('0x' || substr(md5('$CgSeed|' ||
+       |      unnest(CASE WHEN length(p) >= 3
+       |        THEN list_transform(generate_series(1, length(p) - 2),
+       |             i -> substr(p, i, 3))
+       |        ELSE [] END)), 1, 15))::BIGINT % $CgBuckets AS b
+       |  FROM d),
+       |wtok AS (
+       |  SELECT doc_id, lang_labeled, stop_pred, is_train,
+       |    $cnt
+       |  FROM tri),
+       |perdoc AS (
+       |  SELECT doc_id, lang_labeled, stop_pred, is_train,
+       |    $wexp
+       |  FROM wtok, tots
+       |  GROUP BY doc_id, lang_labeled, stop_pred, is_train),
+       |sc AS (
+       |  SELECT lang_labeled, stop_pred, is_train,
+       |    $scoreExp
+       |  FROM perdoc, tots),
+       |pr AS (
+       |  SELECT lang_labeled, stop_pred, is_train,
+       |    $bestExp AS __best,
+       |    $predCase AS lang_pred
+       |  FROM sc)
+       |SELECT
+       |  CASE WHEN is_train THEN 'train' ELSE 'test' END AS split,
+       |  lang_labeled, lang_pred,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN stop_pred = lang_pred THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree_stop,
+       |  CAST(sum(__best) AS BIGINT) AS sum_score
+       |FROM pr
+       |GROUP BY is_train, lang_labeled, lang_pred
+       |ORDER BY split, lang_labeled, lang_pred""".stripMargin
+  }
+
   private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.barrier(Tables.documents(s, dir)
@@ -674,14 +894,18 @@ object TextAnalysis {
       .where(length($"tok") >= 2)
       .groupBy($"tok").agg(count(lit(1)).as("n"))
       .select($"tok".as("rep"), $"n")
-      .persist()
-    requireSentinelSafe(vocab0, "rep")
+    // scoped persist: every action on the cached vocabulary (the N
+    // TakeOrdered collects) completes inside, and the return value is
+    // driver-side rows -- release is guaranteed even if an iteration
+    // throws (the bare unpersist this replaces leaked on that path)
+    Tables.withPersisted(vocab0) { v0 =>
+    requireSentinelSafe(v0, "rep")
     def pairsOf(rep: Column): Column =
       when(length(rep) >= 2,
         transform(sequence(lit(1), length(rep) - 1),
           i => rep.substr(i, lit(2))))
         .otherwise(array().cast("array<string>"))
-    var cur = vocab0
+    var cur = v0
     var expansion = Map.empty[Char, String]
     val merges = Seq.newBuilder[(String, String, Long)]
     var it = 1
@@ -708,10 +932,8 @@ object TextAnalysis {
           it += 1
       }
     }
-    // safe eager unpersist: the return value is driver-side rows, no
-    // surviving plan references the cached vocabulary
-    vocab0.unpersist(blocking = false)
     merges.result()
+    }
   }
 
   def bpeTrainMerges(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
@@ -1358,6 +1580,7 @@ object TextAnalysis {
     Q("text_nfc_normalize", nfcNormalize, Some(nfcOracle)),
     Q("text_stats", textStats, Some(textStatsOracle)),
     Q("lang_id", langIdQuery, Some(langIdOracle)),
+    Q("lang_id_chargram", langIdChargram, Some(langIdChargramOracle)),
     Q("token_budget", tokenBudget, Some(tokenBudgetOracle)),
     Q("corpus_quality_rules", corpusQualityRules, Some(qualityRulesOracle)),
     Q("filter_funnel", filterFunnel, Some(filterFunnelOracle)),

@@ -261,7 +261,11 @@ object Streaming {
     * The new state lands in a fresh `v<epoch>` subdirectory and the
     * `current` pointer file flips afterwards (parquet can't
     * read-and-overwrite the same path in one job; versioned dirs give
-    * atomic swap + time travel, the mini table-format pattern).
+    * atomic swap + time travel, the mini table-format pattern —
+    * generalized as [[graft.ops.SnapshotTable]], gated by
+    * `snapshot_time_travel`; this writer keeps epoch-named versions
+    * because the streaming checkpoint, not a version counter, is its
+    * source of truth for what has been applied).
     */
   def foreachBatchUpsert(events: DataFrame, stateDir: String): DataFrame = {
     def currentPath: Option[String] = {

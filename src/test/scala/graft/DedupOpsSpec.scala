@@ -308,4 +308,24 @@ class DedupOpsSpec extends SparkSpec {
       assert(want(id) == ((keeper, kScore)), s"doc $id")
     }
   }
+
+  test("resolveSurvivors: chain fixed point, local and distributed agree") {
+    // keeper forest: 5→4→2→1→1 (chain), 3→3 (root), 9→8→8, plus a
+    // merge: 7→2 joins the 1-rooted tree mid-chain
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (4L, 2L), (5L, 4L), (7L, 2L),
+      (3L, 3L), (8L, 8L), (9L, 8L)).toDF("id", "p")
+    val want = Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L, 7L -> 1L,
+      3L -> 3L, 8L -> 8L, 9L -> 8L)
+    val local = DedupOps.resolveSurvivors(assign)
+      .as[(Long, Long)].collect().toMap
+    assert(local == want)
+    // localThreshold=0 forces the pointer-doubling path — must agree
+    val dist = DedupOps.resolveSurvivors(assign, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == want)
+    // every survivor is itself a root: referential validity, the
+    // property the one-step keeper column lacks
+    assert(want.values.toSet.forall(s => want(s) == s))
+  }
 }
