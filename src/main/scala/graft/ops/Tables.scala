@@ -57,6 +57,25 @@ object Tables {
     if (narrowerThanCores(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else df
 
+  /** Scoped persist: cache `df` for the duration of `f` and GUARANTEE
+    * release afterwards, exceptions included. Use when every action
+    * that touches the cache completes inside `f` (iterative training
+    * loops, multi-collect driver bridges). It is WRONG when the
+    * RETURNED plan still references the cached frame — unpersisting
+    * would unmark the cache before the caller's action and the "saved"
+    * scan re-runs at action time; those sites persist unscoped with a
+    * documented "no eager unpersist" comment and rely on the Bench
+    * protocol (clearCache between passes) plus LRU for release.
+    */
+  def withPersisted[A](df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (f: DataFrame => A): A = {
+    df.persist(level)
+    try f(df)
+    finally { df.unpersist(blocking = false); () }
+  }
+
   /** Materialization barrier for expensive derived columns — tokenized
     * arrays feeding interpreted HOFs, which get neither codegen nor
     * common-subexpression elimination, so without a physical boundary

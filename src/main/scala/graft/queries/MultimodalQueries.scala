@@ -12,6 +12,17 @@ import graft.ops.{Multimodal, Tables}
   */
 object MultimodalQueries {
 
+  /** Image corpus root. Env-overridable so the scale soak can point the
+    * image queries at a GENERATED N× PNG corpus
+    * (tools/make_soak_images.py — per-clone pseudo-random pixels keep
+    * every hash distinct, so banded joins see realistic bucket
+    * sparsity, not a copies-sized clique). Correctness always runs at
+    * the committed fixtures (the driver sets no override), where the
+    * oracles' pinned literal values hold.
+    */
+  private val ImgDir =
+    sys.env.getOrElse("SPARK_GRAFT_IMG_DIR", "/root/repo/fixtures/img")
+
   /** Per-source feature rollup over "decoded" media: byte volume and
     * distinct-content counts. Map-side feature extraction, one small
     * shuffle for the rollup.
@@ -112,7 +123,7 @@ object MultimodalQueries {
     */
   private def imageDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val files = s.read.format("binaryFile").load("/root/repo/fixtures/img/*.png")
+    val files = s.read.format("binaryFile").load(s"$ImgDir/*.png")
       .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
     Multimodal.decodeImages(files, "file_name", "content")
       .select($"media_key".as("file_name"), $"width", $"height",
@@ -147,7 +158,7 @@ object MultimodalQueries {
   private def imageResizeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val files = s.read.format("binaryFile")
-      .load("/root/repo/fixtures/img/solid_*.png")
+      .load(s"$ImgDir/solid_*.png")
       .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
     val resized = Multimodal.resizeImages(files, "file_name", "content", 4, 3)
     Multimodal.decodeImages(resized, "media_key", "png")
@@ -240,7 +251,7 @@ object MultimodalQueries {
   private def imageAhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val files = s.read.format("binaryFile")
-      .load("/root/repo/fixtures/img/ahash_*.png")
+      .load(s"$ImgDir/ahash_*.png")
       .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
     val hashed = Multimodal.averageHash(files, "file_name", "content")
       .filter($"ahash".isNotNull)
@@ -285,7 +296,7 @@ object MultimodalQueries {
   private def imageHashFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val files = s.read.format("binaryFile")
-      .load("/root/repo/fixtures/img/*.png")
+      .load(s"$ImgDir/*.png")
       .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
     Multimodal.perceptualHashes(files, "file_name", "content")
       .withColumnRenamed("media_key", "file_name")
@@ -323,7 +334,7 @@ object MultimodalQueries {
   private def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val files = s.read.format("binaryFile")
-      .load("/root/repo/fixtures/img/phash_*.png")
+      .load(s"$ImgDir/phash_*.png")
       .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
     val hashed = Multimodal.perceptualHashes(files, "file_name", "content")
       .filter($"phash".isNotNull)

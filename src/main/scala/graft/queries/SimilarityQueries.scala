@@ -394,16 +394,18 @@ object SimilarityQueries {
     val cached = Option(trainedCodebooks.get(s)).getOrElse(Map.empty)
     cached.getOrElse(dir, {
       // persisted only across the two training actions (init collect +
-      // Lloyd-step collect); unpersisted before returning
-      val emb = Tables.fanOut(Tables.embeddings(s, dir))
-        .select(col("vec_id"), col("embedding")).persist()
-      val init = initCents(emb, KmK)
-      require(init.nonEmpty && init.map(_._1).contains(QueryVecId),
-        s"query vector vec_id=$QueryVecId must be among the init centroids")
-      val qVec = init.find(_._1 == QueryVecId).get._2
-      val cents = lloydStep(emb, init)
-      emb.unpersist()
-      val entry = (qVec, cents)
+      // Lloyd-step collect); withPersisted guarantees release even if
+      // the require below throws (the bare unpersist it replaces
+      // leaked on that path)
+      val entry = Tables.withPersisted(
+        Tables.fanOut(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding"))) { emb =>
+        val init = initCents(emb, KmK)
+        require(init.nonEmpty && init.map(_._1).contains(QueryVecId),
+          s"query vector vec_id=$QueryVecId must be among the init centroids")
+        val qVec = init.find(_._1 == QueryVecId).get._2
+        (qVec, lloydStep(emb, init))
+      }
       // atomic merge (SynchronizedMap implements merge under its lock):
       // two concurrent first-trainers for DIFFERENT dirs must both land
       // their entries — a plain get-then-put would drop one

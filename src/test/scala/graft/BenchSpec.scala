@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * many queries register. Round 4 shipped an unparseable artifact
   * because the full per-query map crossed the window.
   */
-class BenchSpec extends AnyFunSuite {
+class BenchSpec extends SparkSpec {
 
   private def fakeResults(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => f"some_quite_long_query_name_$i%03d" -> (i * 0.37))
@@ -46,6 +46,22 @@ class BenchSpec extends AnyFunSuite {
     // every query failed -> succeeded-total is zero, not the sum of
     // crash durations
     assert(line.contains("\"value\":0.00"))
+  }
+
+  test("cache hygiene: no cached entries survive a Bench-protocol pass") {
+    // the heaviest persisting queries in the registry — the unscoped
+    // "no eager unpersist" sites (ccnet/bm25) plus a withPersisted
+    // site (bpe_train_merges). The Bench protocol is action +
+    // clearCache; after it, the CacheManager must be EMPTY, or
+    // MEMORY_AND_DISK entries accumulate across a 214-query pass
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("ccnet_perplexity_buckets", "bm25_rank",
+        "bpe_train_merges")) {
+      SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
+      spark.catalog.clearCache()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cached plans survive the clearCache protocol")
   }
 
   test("decimal formatting is locale-independent") {

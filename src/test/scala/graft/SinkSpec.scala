@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.Sink
+import graft.ops.{Canon, Sink}
 
 class SinkSpec extends SparkSpec {
   import spark.implicits._
@@ -108,5 +108,49 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/dst").count() == 1000)
     assert(spark.read.parquet(s"$tmp/dst").agg(sum($"id")).head.getLong(0)
       == 1000L * 1001 / 2)
+  }
+
+  test("dialect matrix: generated DDL/INSERT shapes per JDBC dialect") {
+    // No MySQL server exists in this sandbox (the Derby round-trip above
+    // covers the live wire protocol), but the DIALECT surface — what
+    // SQL Spark would emit against MySQL — is pure driver-side string
+    // generation, testable exactly. This pins the production target's
+    // contract: identifier quoting, the DECIMAL(20,2) money DDL
+    // (financial_statement.sql:4-9), and the batched-INSERT shape.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    val schema = Sink.laporanKeuanganSchema
+
+    val mysql = JdbcDialects.get("jdbc:mysql://host/db")
+    // MySQL quotes with backticks — a reserved-word column must survive
+    assert(mysql.quoteIdentifier("LaporanKeuangan") == "`LaporanKeuangan`")
+    val myDdl = JdbcUtils.schemaString(mysql, schema, true, None)
+    assert(myDdl.contains("`CurrentYearInstant` DECIMAL(20,2)"), myDdl)
+    assert(myDdl.contains("`PriorYearInstant` DECIMAL(20,2)"), myDdl)
+    assert(myDdl.contains("`ID` INTEGER NOT NULL"), myDdl)
+    // strings map to a TEXT type on MySQL (no silent VARCHAR(n) cap)
+    assert(myDdl.toUpperCase.contains("TEXT"), myDdl)
+
+    val insert = JdbcUtils.getInsertStatement(
+      "laporan_keuangan", schema, None, true, mysql)
+    assert(insert.startsWith("INSERT INTO laporan_keuangan ("), insert)
+    assert(insert.count(_ == '?') == schema.length, insert)
+    assert(insert.contains("`emitent`"), insert)
+
+    // Postgres + Derby quote with double quotes; money DDL unchanged
+    for (url <- Seq("jdbc:postgresql://h/db", "jdbc:derby:memory:x")) {
+      val d = JdbcDialects.get(url)
+      assert(d.quoteIdentifier("ID") == "\"ID\"", url)
+      val ddl = JdbcUtils.schemaString(d, schema, true, None)
+      assert(ddl.contains("20,2"), s"$url: $ddl")
+    }
+
+    // P7's reason to exist: MySQL's 64-char identifier cap — conformTo
+    // composed with truncateNames keeps every emitted identifier legal
+    val longName = "x" * 80
+    val truncated = Canon.truncateNames(
+      Seq((1, "v")).toDF("id", longName))
+    assert(truncated.columns.forall(_.length <= 64))
+    assert(truncated.columns.contains("x" * 64))
   }
 }
