@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the scale-soak artifact against measurement rot — the r14
+  * lesson: a benchmark-methodology fix (toRdd vs count()) silently
+  * invalidated 35 committed soak rows because nothing tied a soak row's
+  * sf0.1 base to the living watermark. This spec fails when:
+  *  - a soak row's base drifts more than 2x from the committed
+  *    clean-host floor in either direction (stale base, or a floor
+  *    re-measured under different methodology), or
+  *  - a soak row is missing its bench-method stamp (`"bench": 2` =
+  *    cold toRdd.count(); unstamped rows predate the honesty fix).
+  * Fixture-bound queries named in the artifact's own exclusion note are
+  * exempt from coverage, not from drift.
+  */
+class SoakDriftSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def readTree(path: String) =
+    mapper.readTree(new java.io.File(path))
+
+  test("every soak row's sf0.1 base is within 2x of the committed floor") {
+    val soak = readTree("BENCH_SOAK.json")
+    val wm = readTree("BENCH_WATERMARKS.json")
+    val bad = Seq.newBuilder[String]
+    for (scale <- Seq("soak10x", "soak100x")) {
+      val qs = soak.get(scale).get("queries")
+      qs.fieldNames().forEachRemaining { q =>
+        val base = qs.get(q).get("sf0.1_sec").asDouble()
+        val w = Option(wm.get(q)).map(_.asDouble())
+        w.foreach { floor =>
+          // 0.15s absolute slack: sub-0.1s rows jitter across hosts
+          // without any methodology change
+          val drift = base > 2 * floor + 0.15 || floor > 2 * base + 0.15
+          if (drift) bad += f"$scale/$q: base=$base%.3f floor=$floor%.3f"
+        }
+      }
+    }
+    val msgs = bad.result()
+    assert(msgs.isEmpty,
+      "stale soak bases (re-soak under tools/run.sh graft.Bench + " +
+        s"merge_new_soak.py):\n${msgs.mkString("\n")}")
+  }
+
+  test("every soak row carries the current bench-method stamp") {
+    val soak = readTree("BENCH_SOAK.json")
+    val unstamped = Seq.newBuilder[String]
+    for (scale <- Seq("soak10x", "soak100x")) {
+      val qs = soak.get(scale).get("queries")
+      qs.fieldNames().forEachRemaining { q =>
+        val b = Option(qs.get(q).get("bench")).map(_.asInt()).getOrElse(0)
+        if (b < 2) unstamped += s"$scale/$q"
+      }
+    }
+    val msgs = unstamped.result()
+    assert(msgs.isEmpty,
+      s"soak rows without the bench=2 (cold toRdd) stamp:\n${msgs.mkString("\n")}")
+  }
+}
