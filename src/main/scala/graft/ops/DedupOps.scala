@@ -351,6 +351,46 @@ object DedupOps {
     f.select(col("id"), col("p").as("survivor"))
   }
 
+  /** [[resolveSurvivors]] for an assignment whose pointers are NOT
+    * id-decreasing — e.g. the quality keeper, whose chains strictly
+    * ASCEND (score, −id). The functional graph must still be acyclic
+    * with self-loop roots (any strictly-monotone keeper rule gives
+    * that); what changes is the machinery:
+    *  - the id-sum fixpoint witness is unavailable (pointer values are
+    *    not monotone in id), so each round applies the ORIGINAL keeper
+    *    map once (p ← k(p)) and counts changed rows explicitly — one
+    *    keyed join + one count action per round;
+    *  - rounds = max chain depth (not log₂ of it). Keeper chains are
+    *    bucket-local and a handful deep regardless of corpus size, so
+    *    linear stepping is the simpler correct choice at scale; the
+    *    size gate still sends anything that fits to the driver chase.
+    */
+  def resolveSurvivorsGeneric(assignIn: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val k = assignIn.toDF("id", "p").persist()
+    val n = k.count()
+    if (n <= localThreshold) {
+      val out = localResolve(k)
+      k.unpersist()
+      return out
+    }
+    val kmap = k.select(col("id").as("kid"), col("p").as("kp"))
+    var f = k
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val stepped = f.join(kmap, col("p") === col("kid"))
+        .select(col("id"), col("p").as("p0"), col("kp").as("p"))
+        .localCheckpoint()
+      converged = stepped.filter(col("p") =!= col("p0")).isEmpty
+      f = stepped.select(col("id"), col("p"))
+      iter += 1
+    }
+    k.unpersist()
+    require(converged, s"keeper-map stepping did not converge in $maxIter rounds")
+    f.select(col("id"), col("p").as("survivor"))
+  }
+
   /** Driver-side chase for an assignment already known to fit: path
     * compression makes repeated lookups near-O(1); re-parallelizes
     * through the session's default parallelism.

@@ -93,4 +93,27 @@ object SnapshotTable {
   /** Time travel: read an exact retained version. */
   def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/v$version")
+
+  /** Retention: delete all but the newest `keepLast` snapshot
+    * directories. The version `current` names is never deleted
+    * regardless of `keepLast` — expiring the live snapshot would turn
+    * every reader into a crash. Returns the versions removed. Like
+    * every table format's VACUUM, this is the one operation that can
+    * break an in-flight time-travel reader of an EXPIRED version;
+    * callers pick a retention window longer than their longest job.
+    */
+  def expire(dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val live = currentVersion(dir)
+    val all = versions(dir)
+    val drop = all.dropRight(keepLast).filterNot(live.contains)
+    drop.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$dir/v$v"))
+    }
+    drop
+  }
 }

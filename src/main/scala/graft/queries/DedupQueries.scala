@@ -326,6 +326,79 @@ object DedupQueries {
        |ORDER BY bs.doc_id""".stripMargin
   }
 
+  // --------- quality-keeper final survivors (ascending fixed point)
+
+  /** [[lshKeeperQuality]] resolved to FINAL survivors — the
+    * quality-aware companion of [[lshSurvivor]]: `survivor` is the
+    * fixed point of the best-scoring-keeper chain, so it names a
+    * document that is itself kept (in a chain worst→better→best where
+    * the middle doc is itself replaced, the worst doc's survivor is
+    * the BEST, not the middle). Chains strictly ascend (score, −id),
+    * so the keeper graph is acyclic with self-loop roots and
+    * [[DedupOps.resolveSurvivorsGeneric]] applies: size-gated driver
+    * chase, or per-round keeper-map stepping above the gate (chain
+    * depth is bucket-local, independent of corpus size).
+    */
+  def lshSurvivorQuality(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val kq = lshKeeperQuality(docs).select($"doc_id", $"keeper")
+    DedupOps.resolveSurvivorsGeneric(kq.toDF("id", "p"))
+      .select($"id".as("doc_id"), $"survivor",
+        ($"survivor" === $"id").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  private def dedupSurvivorQuality(s: SparkSession, dir: String): DataFrame =
+    lshSurvivorQuality(Tables.fanOut(Tables.documents(s, dir)))
+
+  private val dedupSurvivorQualityOracle = {
+    val sigExprs = (0 until NumHashes).map(sigComponentSql).mkString("[", ",\n    ", "]")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    // the chase appends only strictly-ascending (score, -id) steps, so
+    // it terminates at each chain's root; the survivor is the chain
+    // element whose own keeper is itself
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |hsv AS (
+       |  SELECT doc_id, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig FROM hsv),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ${LmPipeline.classifierScoreSql("string_split(text, ' ')")}
+       |      AS score_milli
+       |  FROM documents),
+       |b AS (
+       |  $bandRows),
+       |bs AS (
+       |  SELECT b.doc_id, b.band, b.key, sc.score_milli
+       |  FROM b JOIN sc USING (doc_id)),
+       |bb AS (
+       |  SELECT band, key,
+       |    max({'s': score_milli, 'nid': -doc_id}) AS best
+       |  FROM bs GROUP BY band, key),
+       |k AS (
+       |  SELECT bs.doc_id, -(max(bb.best)).nid AS keeper
+       |  FROM bs JOIN bb USING (band, key)
+       |  GROUP BY bs.doc_id),
+       |chase AS (
+       |  SELECT doc_id, keeper AS cur FROM k
+       |  UNION ALL
+       |  SELECT c.doc_id, k2.keeper
+       |  FROM chase c JOIN k k2 ON k2.doc_id = c.cur AND k2.keeper <> c.cur)
+       |SELECT c.doc_id, c.cur AS survivor, c.cur = c.doc_id AS kept
+       |FROM chase c JOIN k r ON r.doc_id = c.cur
+       |WHERE r.keeper = c.cur
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   // --------------- final-survivor resolution (keeper fixed point)
 
   /** [[lshKeeper]] resolved to FINAL survivors: `survivor` is the fixed
@@ -1070,6 +1143,88 @@ object DedupQueries {
        |FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN bj USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ----------- incremental LSH index maintenance (snapshot-published)
+
+  /** Incremental MAINTENANCE of the LSH band index — the other half of
+    * [[dedupIncremental]] (which PROBES a corpus index, this REFRESHES
+    * it when the batch is admitted): merge the new batch's band
+    * buckets into the persisted index with one keyed aggregation
+    * (min doc-id and occupancy are both mergeable), and publish the
+    * result as an atomic [[graft.ops.SnapshotTable]] commit so probes
+    * running against the old snapshot stay consistent mid-refresh.
+    * At 100 TB this is the only sane shape: the index NEVER rebuilds —
+    * each batch costs O(batch · bands), and the bucket-key shuffle
+    * touches index-sized, not corpus-sized, rows.
+    *
+    * The gate is the strongest invariant the op has: the oracle
+    * rebuilds the index FROM SCRATCH over the full corpus, so a green
+    * run proves incremental-merge ≡ full-rebuild (per band: bucket
+    * count, entry count, max occupancy, and the sum of per-bucket min
+    * doc-ids — the last pins every min-merge individually).
+    */
+  private def lshIndexRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base =
+      s"/tmp/graft_lake/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/lsh_index"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"source",
+        DedupOps.minhashSigNative($"text", ShingleK, NumHashes).as("sig"))
+      .filter($"sig".isNotNull)
+    def indexOf(docs: DataFrame): DataFrame = docs
+      .select($"doc_id",
+        explode(DedupOps.lshBands($"sig", NumBands, RowsPerBand)).as("b"))
+      .groupBy($"b.band".as("band"), $"b.key".as("key"))
+      .agg(min($"doc_id").as("m"), count(lit(1)).as("occ"))
+    graft.ops.SnapshotTable.commit(indexOf(d.filter($"source" =!= NewSource)), base)
+    val merged = graft.ops.SnapshotTable.read(s, base)
+      .unionByName(indexOf(d.filter($"source" === NewSource)))
+      .groupBy($"band", $"key")
+      .agg(min($"m").as("m"), sum($"occ").as("occ"))
+    graft.ops.SnapshotTable.commit(merged, base)
+    graft.ops.SnapshotTable.readAt(s, base, 2)
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"occ").as("n_entries"),
+        max($"occ").as("max_occ"),
+        sum($"m").as("sum_min_doc"))
+      .orderBy($"band")
+  }
+
+  private val lshIndexRefreshOracle = {
+    val sigExprs = (0 until NumHashes).map(sigComponentSql).mkString("[", ",\n    ", "]")
+    val bandRows = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |hsv AS (
+       |  SELECT doc_id, $shingleHashesSql AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, $sigExprs AS sig FROM hsv),
+       |b AS (
+       |  $bandRows),
+       |g AS (
+       |  SELECT band, key, min(doc_id) AS m, count(*) AS occ
+       |  FROM b GROUP BY band, key)
+       |SELECT band,
+       |  count(*) AS n_buckets,
+       |  CAST(sum(occ) AS BIGINT) AS n_entries,
+       |  CAST(max(occ) AS BIGINT) AS max_occ,
+       |  CAST(sum(m) AS BIGINT) AS sum_min_doc
+       |FROM g
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
+  }
+
   // ------------------- incremental admission via LSH band index
 
   /** The SCALE path for incremental admission — the approximate sibling
@@ -1363,6 +1518,8 @@ object DedupQueries {
     Q("dedup_lsh_keeper", dedupLshKeeper, Some(dedupLshKeeperOracle)),
     Q("dedup_keeper_quality", dedupKeeperQuality, Some(dedupKeeperQualityOracle)),
     Q("dedup_lsh_survivor", dedupLshSurvivor, Some(dedupLshSurvivorOracle)),
+    Q("dedup_survivor_quality", dedupSurvivorQuality,
+      Some(dedupSurvivorQualityOracle)),
     Q("lsh_bucket_stats", lshBucketStats, Some(lshBucketStatsOracle)),
     Q("dedup_jaccard_blocked", dedupJaccardBlocked, Some(dedupJaccardOracle)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentOracle)),
@@ -1371,5 +1528,6 @@ object DedupQueries {
     Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Q("corpus_select", corpusSelect, Some(corpusSelectOracle)),
     Q("incremental_ingest", incrementalIngest, Some(incrementalOracle)),
-    Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)))
+    Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
+    Q("lsh_index_refresh", lshIndexRefresh, Some(lshIndexRefreshOracle)))
 }

@@ -328,4 +328,18 @@ class DedupOpsSpec extends SparkSpec {
     // property the one-step keeper column lacks
     assert(want.values.toSet.forall(s => want(s) == s))
   }
+
+  test("resolveSurvivorsGeneric handles ASCENDING (quality-style) chains") {
+    // pointers may point at HIGHER ids (better score wins, not min id):
+    // 1→5→9→9 (ascending chain), 2→9, 3→3, 7→5
+    val assign = Seq(
+      (1L, 5L), (5L, 9L), (9L, 9L), (2L, 9L), (3L, 3L), (7L, 5L))
+      .toDF("id", "p")
+    val want = Map(1L -> 9L, 5L -> 9L, 9L -> 9L, 2L -> 9L, 3L -> 3L,
+      7L -> 9L)
+    assert(DedupOps.resolveSurvivorsGeneric(assign)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(DedupOps.resolveSurvivorsGeneric(assign, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap == want)
+  }
 }

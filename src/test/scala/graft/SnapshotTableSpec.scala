@@ -53,6 +53,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(dir) == Seq(1L, 2L, 3L))
   }
 
+  test("expire keeps the newest versions and never the live one") {
+    val dir = freshDir()
+    for (n <- Seq(2, 4, 6, 8)) SnapshotTable.commit(
+      spark.range(n).toDF("id"), dir)
+    assert(SnapshotTable.expire(dir, keepLast = 2) == Seq(1L, 2L))
+    assert(SnapshotTable.versions(dir) == Seq(3L, 4L))
+    assert(SnapshotTable.read(spark, dir).count() == 8)
+    assert(SnapshotTable.readAt(spark, dir, 3).count() == 6)
+    // live version survives even a keepLast that would drop it: roll
+    // the pointer back to v3 (simulating an operator pin), expire hard
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "current"), "v3")
+    assert(SnapshotTable.expire(dir, keepLast = 1) == Seq.empty)
+    assert(SnapshotTable.versions(dir) == Seq(3L, 4L))
+  }
+
   test("the pointer flip is atomic: no torn state ever visible") {
     val dir = freshDir()
     SnapshotTable.commit(spark.range(1).toDF("id"), dir)

@@ -44,6 +44,23 @@ class SoakDriftSpec extends AnyFunSuite {
         s"merge_new_soak.py):\n${msgs.mkString("\n")}")
   }
 
+  test("every registry query has a committed floor and a 10x soak row") {
+    // formalizes the per-query artifact loop: registering a query
+    // without benching its floor and soaking it at 10x is a red build,
+    // not a silent coverage gap. (100x may lawfully lag — adjudicated
+    // tails like incremental_ingest — so only 10x is universal.)
+    val names = graft.queries.Registry.all.map(_.name).toSet
+    val wm = readTree("BENCH_WATERMARKS.json")
+    val missingFloor = names.filter(q => wm.get(q) == null)
+    assert(missingFloor.isEmpty,
+      s"queries with no clean-host floor in BENCH_WATERMARKS.json: " +
+        missingFloor.toSeq.sorted.mkString(", "))
+    val q10 = readTree("BENCH_SOAK.json").get("soak10x").get("queries")
+    val missingSoak = names.filter(q => q10.get(q) == null)
+    assert(missingSoak.isEmpty,
+      s"queries with no 10x soak row: ${missingSoak.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every soak row carries the current bench-method stamp") {
     val soak = readTree("BENCH_SOAK.json")
     val unstamped = Seq.newBuilder[String]
