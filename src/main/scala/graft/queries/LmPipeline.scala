@@ -678,7 +678,14 @@ object LmPipeline {
     * row counts approach 1e5 docs per (split) times that, which a
     * per-split DECIMAL(38) sum would lift.
     */
-  private def qualityClassifierTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The trained-NB per-doc score frame shared by
+    * [[qualityClassifierTrain]] and [[classifierCalibration]]:
+    * (y, is_train, score) per document, where score is the
+    * integer-micro-nat log-odds (see qualityClassifierTrain's scaladoc
+    * for the scale shape — window-summed bucket counts, scalar-bridge
+    * class totals).
+    */
+  private def nbScoredDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.barrier(Tables.fanOut(Tables.documents(s, dir))
         .select($"doc_id", TextOps.tokens($"text").as("toks")))
@@ -715,6 +722,11 @@ object LmPipeline {
       .groupBy($"doc_id", $"y", $"is_train")
       .agg(sum($"w").as("sum_w"))
       .select($"y", $"is_train", ($"sum_w" + prior).as("score"))
+  }
+
+  private def qualityClassifierTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nbScoredDocs(s, dir)
       .withColumn("pred", when($"score" >= 0, 1L).otherwise(0L))
       .groupBy($"is_train")
       .agg(count(lit(1)).as("n_docs"),
@@ -728,9 +740,12 @@ object LmPipeline {
       .orderBy($"split")
   }
 
-  private val classifierTrainOracle = {
+  /** Shared oracle prefix: the `scored` CTE chain mirroring
+    * [[nbScoredDocs]] exactly.
+    */
+  private val nbScoredCtes = {
     val stops = NbStops.map(w => s"'$w'").mkString(", ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |docs AS (
        |  SELECT doc_id, toks,
@@ -769,7 +784,11 @@ object LmPipeline {
        |        CAST((neg + 1) * (ptot + $NbBuckets) AS DOUBLE))) AS BIGINT))
        |      + any_value(prior) AS BIGINT) AS score
        |  FROM wtok, tots, consts
-       |  GROUP BY doc_id, y, is_train)
+       |  GROUP BY doc_id, y, is_train)""".stripMargin
+  }
+
+  private val classifierTrainOracle =
+    s"""WITH $nbScoredCtes
        |SELECT
        |  CASE WHEN is_train THEN 'train' ELSE 'test' END AS split,
        |  count(*) AS n_docs,
@@ -781,7 +800,56 @@ object LmPipeline {
        |FROM scored
        |GROUP BY is_train
        |ORDER BY split""".stripMargin
+
+  /** Reliability audit of the trained classifier — the step ML-ops
+    * runs after [[qualityClassifierTrain]] before trusting scores as
+    * sampling weights: documents bucketed into ten fixed-width
+    * probability bins by the sigmoid of the NB log-odds, with the
+    * predicted-probability mass and the EMPIRICAL positive count per
+    * (split, bin). Per-bin |avg p − pos rate| weighted by n_docs is
+    * exactly the expected calibration error, and the per-bin rows pin
+    * it while staying integer-exact: p is micro-rounded BEFORE binning
+    * and summing, so both engines aggregate identical integers (the
+    * sigmoid's 1-ULP wiggle is washed by the same micro-round every
+    * trained model in the registry uses).
+    *
+    * Scale shape: one extra map + combinable agg over the scored-docs
+    * frame — ≤ 20 output rows; everything corpus-sized is inherited
+    * from [[nbScoredDocs]].
+    */
+  private def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nbScoredDocs(s, dir)
+      .select($"y", $"is_train",
+        round(lit(1e6) / (lit(1.0) + exp(-($"score".cast("double")) / lit(1e6))))
+          .cast("bigint").as("p_micro"))
+      .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+      .groupBy($"is_train", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"p_micro").as("sum_p_micro"),
+        sum($"y").as("n_pos"))
+      .select(
+        when($"is_train", lit("train")).otherwise(lit("test")).as("split"),
+        $"bin", $"n_docs", $"sum_p_micro", $"n_pos")
+      .orderBy($"split", $"bin")
   }
+
+  private val classifierCalibrationOracle =
+    s"""WITH $nbScoredCtes,
+       |pb AS (
+       |  SELECT y, is_train,
+       |    CAST(round(1e6 / (1 + exp(-CAST(score AS DOUBLE) / 1e6))) AS BIGINT)
+       |      AS p_micro
+       |  FROM scored)
+       |SELECT
+       |  CASE WHEN is_train THEN 'train' ELSE 'test' END AS split,
+       |  CAST(least(p_micro // 100000, 9) AS BIGINT) AS bin,
+       |  count(*) AS n_docs,
+       |  CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+       |  CAST(sum(y) AS BIGINT) AS n_pos
+       |FROM pb
+       |GROUP BY 1, 2
+       |ORDER BY split, bin""".stripMargin
 
   // --------------------------------- RAG sliding-window chunking
 
@@ -1017,6 +1085,8 @@ object LmPipeline {
     Q("dsir_importance_weights", dsirImportanceWeights, Some(dsirOracle)),
     Q("quality_classifier_score", qualityClassifierDocs,
       Some(qualityClassifierOracle)),
+    Q("classifier_calibration", classifierCalibration,
+      Some(classifierCalibrationOracle)),
     Q("quality_classifier_train", qualityClassifierTrain,
       Some(classifierTrainOracle)),
     Q("rag_chunk_overlap", ragChunkDocs, Some(ragChunkOracle)),
