@@ -107,13 +107,28 @@ object SnapshotTable {
     val live = currentVersion(dir)
     val all = versions(dir)
     val drop = all.dropRight(keepLast).filterNot(live.contains)
-    drop.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"$dir/v$v"))
-    }
+    drop.foreach(v => deleteTree(s"$dir/v$v"))
     drop
+  }
+
+  /** Recursive delete that FAILS LOUDLY when the tree survives — a
+    * half-deleted snapshot directory is exactly the state that makes a
+    * later reader or version-numbering decision silently wrong (a
+    * leftover v2 shifts the next commit to v3 while a caller that
+    * assumed fresh numbering reads stale data). Null-safe against
+    * listFiles' I/O-error null. Deleting a path that does not exist is
+    * a no-op, not an error.
+    */
+  def deleteTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val children = f.listFiles()
+        require(children != null, s"deleteTree: cannot list $f")
+        children.foreach(rm)
+      }
+      require(f.delete(), s"deleteTree: failed to delete $f")
+    }
+    val f = new java.io.File(path)
+    if (f.exists()) rm(f)
   }
 }

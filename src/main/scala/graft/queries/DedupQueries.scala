@@ -1164,13 +1164,11 @@ object DedupQueries {
     */
   private def lshIndexRefresh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base =
-      s"/tmp/graft_lake/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/lsh_index"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    val base = s"/tmp/graft_lake/${LakeOps.tag(dir)}/lsh_index"
+    // fresh table per run; deleteTree fails loudly on a survivor —
+    // leftover v-dirs would shift the commit numbering and a hardcoded
+    // read would silently serve a PREVIOUS run's index
+    graft.ops.SnapshotTable.deleteTree(base)
     val d = Tables.fanOut(Tables.documents(s, dir))
       .select($"doc_id", $"source",
         DedupOps.minhashSigNative($"text", ShingleK, NumHashes).as("sig"))
@@ -1185,8 +1183,8 @@ object DedupQueries {
       .unionByName(indexOf(d.filter($"source" === NewSource)))
       .groupBy($"band", $"key")
       .agg(min($"m").as("m"), sum($"occ").as("occ"))
-    graft.ops.SnapshotTable.commit(merged, base)
-    graft.ops.SnapshotTable.readAt(s, base, 2)
+    val v2 = graft.ops.SnapshotTable.commit(merged, base)
+    graft.ops.SnapshotTable.readAt(s, base, v2)
       .groupBy($"band")
       .agg(count(lit(1)).as("n_buckets"),
         sum($"occ").as("n_entries"),

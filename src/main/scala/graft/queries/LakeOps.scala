@@ -14,7 +14,7 @@ import graft.ops.{Exact, Tables}
   */
 object LakeOps {
 
-  private def tag(dir: String) = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  private[queries] def tag(dir: String) = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Schema evolution: two parquet generations of the orders feed — an
     * OLD layout without `o_orderpriority` and a NEW layout with it —
@@ -237,23 +237,23 @@ object LakeOps {
     import s.implicits._
     import graft.ops.SnapshotTable
     val base = s"/tmp/graft_lake/${tag(dir)}/snap"
-    // fresh table per run: deterministic version numbers v1/v2
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    // fresh table per run (deleteTree fails loudly on a survivor — a
+    // half-deleted table would silently shift version numbers)
+    SnapshotTable.deleteTree(base)
     val orders = Tables.orders(s, dir)
       .select($"o_orderkey", $"o_custkey",
         Exact.micro("o_totalprice").as("price_micro"))
-    SnapshotTable.commit(orders.filter(pmod($"o_orderkey", lit(3)) < 2), base)
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(3)) < 2), base)
     val delta = orders.filter(pmod($"o_orderkey", lit(3)) >= 1)
       .withColumn("price_micro", $"price_micro" * 2)
     val merged = SnapshotTable.read(s, base)
       .join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
       .unionByName(delta)
-    SnapshotTable.commit(merged, base)
-    Seq(1L, 2L).map { v =>
+    val v2 = SnapshotTable.commit(merged, base)
+    require(v1 == 1 && v2 == 2,
+      s"snapshot_time_travel expected a fresh table, got v$v1/v$v2")
+    Seq(v1, v2).map { v =>
       SnapshotTable.readAt(s, base, v)
         .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
         .select(lit(v).as("version"), $"n_rows",

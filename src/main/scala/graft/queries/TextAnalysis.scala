@@ -144,8 +144,12 @@ object TextAnalysis {
     *  - the model (per-bucket per-class counts) attaches as window sums
     *    over `partitionBy(b)` — one keyed shuffle on the fixed
     *    `CgBuckets` key space, no join, no broadcast;
-    *  - class totals/priors are a ≤5-row scalar bridge off doc-level
-    *    counts, never the exploded frame;
+    *  - the prior is a ≤5-row doc-count bridge; per-class trigram
+    *    totals come free from the bucket counts (each train trigram
+    *    lands in exactly one bucket), so training is ONE pass over the
+    *    train split's feature stream and scoring one pass over the
+    *    full stream — two map passes total, which beats shuffling the
+    *    whole stream by bucket (the window formulation this replaced);
     *  - per-trigram class log-probs are rounded to integer micro-nats,
     *    so every cross-row sum is BIGINT — order-free and bit-identical
     *    in DuckDB (ULP-washing pattern used by every trained model in
@@ -163,6 +167,13 @@ object TextAnalysis {
       .select($"doc_id", $"lang".as("lang_labeled"),
         TextOps.tokens($"text").as("toks"),
         substring($"text", 1, CgPrefix).as("p"))
+    // doc-level frame (id, label, stop_pred, 160-char prefix): tiny —
+    // O(docs × ~200 B) — and consumed by THREE jobs (doc-count bridge,
+    // model-count bridge, scoring), so persist it once; tokenization +
+    // stopword scans then run once, not three times. No eager
+    // unpersist: the returned plan still references the cache (the
+    // ccnet/docBigramCounts convention); Bench clears the cache
+    // between passes, so watermarks price this cold.
     val withStop = docs
       .select(($"doc_id" +: $"lang_labeled" +: $"p" +:
         langProfiles.map { case (l, m) =>
@@ -172,16 +183,12 @@ object TextAnalysis {
         langProfiles.map { case (l, _) => l -> col(s"s_$l") }))
       .select($"doc_id", $"lang_labeled", $"stop_pred", $"p",
         (pmod($"doc_id", lit(10)) =!= 0).as("is_train"))
-    // class totals: ≤5 rows of (trigram count, doc count) per labeled
-    // language from doc-level lengths — the scalar driver bridge
-    val totRows = withStop.filter($"is_train")
-      .groupBy($"lang_labeled")
-      .agg(sum(greatest(length($"p") - 2, lit(0)).cast("long")).as("tot"),
-        count(lit(1)).as("nd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // class doc counts for the prior: ≤5-row scalar bridge
+    val ndRows = withStop.filter($"is_train")
+      .groupBy($"lang_labeled").agg(count(lit(1)).as("nd"))
       .collect()
-    val tot = totRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-      .withDefaultValue(0L)
-    val nd = totRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val nd = ndRows.map(r => r.getString(0) -> r.getLong(1)).toMap
       .withDefaultValue(0L)
     val nTrain = nd.values.sum
     val prior = CgLangs.map(c => c -> math.round(1e6 *
@@ -212,6 +219,12 @@ object TextAnalysis {
         CgLangs.tail.map(c =>
           sum(when($"lang_labeled" === c, 1L).otherwise(0L)).as(s"cnt_$c")): _*)
       .collect()
+    // per-class trigram totals come FREE from the bucket counts (every
+    // train trigram lands in exactly one bucket) — no separate
+    // corpus-length pass
+    val tot = CgLangs.zipWithIndex.map { case (c, i) =>
+      c -> cnts.map(_.getLong(i + 1)).sum
+    }.toMap
     // per-class bucket weights, integer micro-nats; a bucket unseen in
     // training holds the Laplace floor — the same arithmetic at cnt = 0
     val wArr: Map[String, Seq[Long]] = CgLangs.zipWithIndex.map {

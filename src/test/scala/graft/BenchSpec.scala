@@ -53,10 +53,10 @@ class BenchSpec extends SparkSpec {
     // "no eager unpersist" sites (ccnet/bm25) plus a withPersisted
     // site (bpe_train_merges). The Bench protocol is action +
     // clearCache; after it, the CacheManager must be EMPTY, or
-    // MEMORY_AND_DISK entries accumulate across a 214-query pass
+    // MEMORY_AND_DISK entries accumulate across a full-registry pass
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("ccnet_perplexity_buckets", "bm25_rank",
-        "bpe_train_merges")) {
+        "lang_id_chargram", "bpe_train_merges")) {
       SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
       spark.catalog.clearCache()
     }

@@ -11,8 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    re-measured under different methodology), or
   *  - a soak row is missing its bench-method stamp (`"bench": 2` =
   *    cold toRdd.count(); unstamped rows predate the honesty fix).
-  * Fixture-bound queries named in the artifact's own exclusion note are
-  * exempt from coverage, not from drift.
+  * Coverage is universal: every registry query must have a committed
+  * floor and a 10x soak row (generated corpora cover the
+  * fixture-bound image queries — tools/make_soak_images.py); only the
+  * 100x point may lawfully lag, for note-adjudicated quadratic tails.
   */
 class SoakDriftSpec extends AnyFunSuite {
 

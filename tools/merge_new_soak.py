@@ -58,8 +58,15 @@ def main():
             ent["bench"] = 2
             # update in place, don't replace: a committed entry may
             # carry annotation keys (adjudication notes, stamps) that a
-            # re-merge must not silently drop
-            block["queries"].setdefault(q, {}).update(ent)
+            # re-merge must not silently drop. The one key that must
+            # NOT survive an update that omits it is "ratio": a stale
+            # ratio computed against a previous floor would contradict
+            # the freshly merged sf0.1_sec/soak_sec and poison
+            # max_ratio below.
+            entry = block["queries"].setdefault(q, {})
+            if "ratio" not in ent:
+                entry.pop("ratio", None)
+            entry.update(ent)
         qs = block["queries"]
         block["n_queries"] = len(qs)
         block["total_sec"] = round(sum(e["soak_sec"] for e in qs.values()), 1)
