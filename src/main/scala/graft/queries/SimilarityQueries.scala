@@ -95,6 +95,59 @@ object SimilarityQueries {
        |LIMIT $TopK""".stripMargin
   }
 
+  /** Incremental MAINTENANCE of a top-k result as new vectors arrive —
+    * the continuously-adaptive-search shape (and the ANN companion of
+    * `lsh_index_refresh`): the previous top-k is a persisted k-row
+    * artifact; a batch refresh scores ONLY the batch against the query
+    * and re-ranks batch ∪ old-top-k, never rescanning the corpus. The
+    * merge is lossless by the top-k monotonicity argument: any member
+    * of the union's true top-k is either in the batch or was already
+    * in the corpus top-k. Both states publish as atomic
+    * [[graft.ops.SnapshotTable]] commits (probes against the old
+    * snapshot stay consistent mid-refresh), and the gate is the
+    * from-scratch invariant — the oracle recomputes the top-k over ALL
+    * vectors, so a green run proves incremental-refresh ≡ full
+    * recompute. At 100 TB the refresh costs O(batch + k); the corpus
+    * pass happens once at v1, not per batch.
+    */
+  private def annTopkRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"/tmp/graft_lake/${LakeOps.tag(dir)}/ann_topk"
+    graft.ops.SnapshotTable.deleteTree(base)
+    val qv = queryVecLit(s, dir)
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+    def scored(df: DataFrame): DataFrame = df
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", qv))
+      .select($"vec_id", $"label", $"cos_raw")
+    graft.ops.SnapshotTable.commit(
+      scored(emb.filter(pmod($"vec_id", lit(20)) =!= 19))
+        .orderBy($"cos_raw".desc, $"vec_id").limit(TopK), base)
+    val refreshed = graft.ops.SnapshotTable.read(s, base)
+      .unionByName(scored(emb.filter(pmod($"vec_id", lit(20)) === 19)))
+      .orderBy($"cos_raw".desc, $"vec_id").limit(TopK)
+    val v2 = graft.ops.SnapshotTable.commit(refreshed, base)
+    graft.ops.SnapshotTable.readAt(s, base, v2)
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+  }
+
+  private val annTopkRefreshOracle =
+    // inner LIMIT selects by the RAW cosine (the same order the Spark
+    // side's TakeOrdered uses); the outer ORDER BY pins presentation
+    // on the rounded value, matching the returned frame exactly
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |topk AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos_raw
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> $QueryVecId
+       |  ORDER BY cos_raw DESC, e.vec_id
+       |  LIMIT $TopK)
+       |SELECT vec_id, label, round(cos_raw, 4) AS cos
+       |FROM topk
+       |ORDER BY cos DESC, vec_id""".stripMargin
+
   /** Recall@k of the int8 ranking against the exact float top-k — the
     * same accountability gate the IVF/PQ paths carry: a quantization
     * regression surfaces as a correctness diff, not a silent quality
@@ -1220,6 +1273,7 @@ object SimilarityQueries {
     Q("contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle)),
     Q("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
+    Q("ann_topk_refresh", annTopkRefresh, Some(annTopkRefreshOracle)),
     Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
     Q("ann_int8_recall", annInt8Recall, Some(annInt8RecallOracle)),
