@@ -173,7 +173,11 @@ object TextAnalysis {
     // stopword scans then run once, not three times. No eager
     // unpersist: the returned plan still references the cache (the
     // ccnet/docBigramCounts convention); Bench clears the cache
-    // between passes, so watermarks price this cold.
+    // between passes, so watermarks price this cold. Measured: the
+    // persist is a clear win at sf0.1 (2.4 s → 1.6 s) and 10x, and
+    // roughly a wash at the 100x soak (cache traffic ≈ the saved
+    // rescans once the scan is wide) — the ratios in BENCH_SOAK.json
+    // price the persisted form at every point.
     val withStop = docs
       .select(($"doc_id" +: $"lang_labeled" +: $"p" +:
         langProfiles.map { case (l, m) =>
