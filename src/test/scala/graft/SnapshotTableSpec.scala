@@ -69,6 +69,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(dir) == Seq(3L, 4L))
   }
 
+  test("deleteTree: removes a tree, no-ops on a missing path") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(3).toDF("id"), dir)
+    assert(new java.io.File(dir).exists())
+    SnapshotTable.deleteTree(dir)
+    assert(!new java.io.File(dir).exists())
+    SnapshotTable.deleteTree(dir) // second delete: no-op, not an error
+  }
+
+  test("withPersisted releases the cache even when the body throws") {
+    import graft.ops.Tables
+    val df = spark.range(5).toDF("id")
+    intercept[IllegalStateException] {
+      Tables.withPersisted(df) { d =>
+        d.count() // materialize the cache
+        throw new IllegalStateException("boom")
+      }
+    }
+    // the failed scope must not leave a pinned cache behind
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "withPersisted leaked its cache on the exception path")
+  }
+
   test("the pointer flip is atomic: no torn state ever visible") {
     val dir = freshDir()
     SnapshotTable.commit(spark.range(1).toDF("id"), dir)
