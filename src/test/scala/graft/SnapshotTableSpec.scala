@@ -92,6 +92,117 @@ class SnapshotTableSpec extends SparkSpec {
       "withPersisted leaked its cache on the exception path")
   }
 
+  test("conditional commit: the CAS detects a lost update, loudly") {
+    val dir = freshDir()
+    // both writers read the table at v1 ...
+    SnapshotTable.commit(spark.range(10).toDF("id"), dir)
+    val readByA = SnapshotTable.currentVersion(dir).get
+    val readByB = SnapshotTable.currentVersion(dir).get
+    // ... writer A wins the race
+    val v2 = SnapshotTable.commit(spark.range(20).toDF("id"), dir,
+      expectedVersion = Some(readByA))
+    assert(v2 == 2)
+    // ... and writer B's stale commit FAILS instead of silently
+    // clobbering A's update (the lost-update anomaly the plain
+    // last-wins protocol allowed)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commit(spark.range(99).toDF("id"), dir,
+        expectedVersion = Some(readByB))
+    }
+    // no torn state: the table still reads A's complete snapshot
+    assert(SnapshotTable.currentVersion(dir).contains(2L))
+    assert(SnapshotTable.read(spark, dir).count() == 20)
+    // B can now re-read and retry on top of v2 — the standard loop
+    val v3 = SnapshotTable.commit(spark.range(99).toDF("id"), dir,
+      expectedVersion = SnapshotTable.currentVersion(dir))
+    assert(v3 >= 3 && SnapshotTable.read(spark, dir).count() == 99)
+  }
+
+  test("conditional first commit: ExpectEmpty fails on a non-empty table") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(spark.range(1).toDF("id"), dir,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    assert(v1 == 1)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commit(spark.range(2).toDF("id"), dir,
+        expectedVersion = SnapshotTable.ExpectEmpty)
+    }
+  }
+
+  test("two threads racing conditional commits: exactly one wins") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(5).toDF("id"), dir)
+    val base = SnapshotTable.currentVersion(dir).get
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(30L, 40L).map { n =>
+      Future(
+        try Right(SnapshotTable.commit(
+          spark.range(n).toDF("id"), dir, expectedVersion = Some(base)))
+        catch { case e: Exception => Left(e) })
+    }
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    val wins = results.collect { case Right(v) => v }
+    val losses = results.collect { case Left(e) => e }
+    assert(wins.size == 1 && losses.size == 1, s"got $results")
+    // loser failed on the CAS (or on colliding with the winner's data
+    // directory — both are loud); the table is the winner's snapshot
+    assert(SnapshotTable.currentVersion(dir).contains(wins.head))
+    assert(Set(30L, 40L).contains(SnapshotTable.read(spark, dir).count()))
+  }
+
+  test("a corrupt pointer file raises IllegalStateException, not NFE") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(2).toDF("id"), dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "current"), "vfoo")
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.currentVersion(dir)
+    }
+    assert(e.getMessage.contains("vfoo"))
+  }
+
+  test("a stale commit lock fails loudly with removal instructions") {
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, ".commit.lock"))
+    System.setProperty("graft.snapshot.lockTimeoutMs", "100")
+    try {
+      val e = intercept[IllegalStateException] {
+        SnapshotTable.commit(spark.range(1).toDF("id"), dir)
+      }
+      assert(e.getMessage.contains("remove the lock file"))
+    } finally System.clearProperty("graft.snapshot.lockTimeoutMs")
+  }
+
+  test("readAtConformed presents old versions under the live schema") {
+    val dir = freshDir()
+    // v1: narrow generation; v2: widened (new column) + retyped k
+    SnapshotTable.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    SnapshotTable.commit(
+      Seq((3L, "c", 9.5)).toDF("k", "v", "score"), dir)
+    val v1c = SnapshotTable.readAtConformed(spark, dir, 1)
+    assert(v1c.schema.map(f => (f.name, f.dataType.simpleString))
+      == Seq(("k", "bigint"), ("v", "string"), ("score", "double")))
+    val all = v1c.unionByName(SnapshotTable.readAtConformed(spark, dir, 2))
+    assert(all.count() == 3)
+    assert(all.filter($"score".isNull).count() == 2) // v1 rows conform as NULL
+    assert(all.filter($"k" === 3L && $"score" === 9.5).count() == 1)
+  }
+
+  test("commit with partition columns keeps a hive layout inside v<N>") {
+    val dir = freshDir()
+    val v = SnapshotTable.commit(
+      Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "part"), dir,
+      partitionCols = Seq("part"))
+    val sub = new java.io.File(s"$dir/v$v").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(sub.toSeq == Seq("part=x", "part=y"))
+    assert(SnapshotTable.read(spark, dir).count() == 3)
+  }
+
   test("the pointer flip is atomic: no torn state ever visible") {
     val dir = freshDir()
     SnapshotTable.commit(spark.range(1).toDF("id"), dir)
