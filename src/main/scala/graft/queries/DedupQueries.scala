@@ -1164,7 +1164,7 @@ object DedupQueries {
     */
   private def lshIndexRefresh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = s"/tmp/graft_lake/${LakeOps.tag(dir)}/lsh_index"
+    val base = LakeOps.lakeBase(dir, "lsh_index")
     // fresh table per run; deleteTree fails loudly on a survivor —
     // leftover v-dirs would shift the commit numbering and a hardcoded
     // read would silently serve a PREVIOUS run's index

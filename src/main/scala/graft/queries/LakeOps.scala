@@ -3,39 +3,65 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Exact, Tables}
+import graft.ops.{Exact, SnapshotTable, Tables}
 
 /** Lake-maintenance operators: the operational half of running a
   * 100 TB corpus — schemas drift across ingestion generations, and
   * streaming/incremental writers leave small-file debris that must be
-  * compacted without changing a byte of content. Both gates write real
-  * files (under /tmp, keyed by the sf dir) and re-read them, so the
-  * write path is inside the oracle gate, not just the read path.
+  * compacted without changing a byte of content. The gates write real
+  * files (under [[graft.ops.SnapshotTable.lakeRoot]], keyed by the sf
+  * dir) and re-read them, so the write path is inside the oracle gate,
+  * not just the read path — and every table here publishes through
+  * [[graft.ops.SnapshotTable]] commits: one convention, atomic
+  * pointer-flip publishes, version-pinned reads.
   */
 object LakeOps {
 
   private[queries] def tag(dir: String) = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
-  /** Schema evolution: two parquet generations of the orders feed — an
-    * OLD layout without `o_orderpriority` and a NEW layout with it —
-    * unioned by a mergeSchema read. Old-generation rows surface the
-    * missing column as NULL (never a positional mis-bind); the
-    * aggregate pins row counts, null accounting, and the exact money
-    * total across both generations against DuckDB reading the
-    * original table.
+  /** Table path for a lake-op query: one convention for every
+    * on-disk table this engine writes — under
+    * [[graft.ops.SnapshotTable.lakeRoot]] (env-overridable via
+    * `SPARK_GRAFT_LAKE_DIR`), keyed by the sf dir so different scales
+    * never collide. Single process per root (the queries
+    * deleteTree-then-recreate their tables); concurrent runs isolate
+    * by setting distinct roots.
+    */
+  private[graft] def lakeBase(dir: String, sub: String): String =
+    s"${SnapshotTable.lakeRoot}/${tag(dir)}/$sub"
+
+  /** Schema EVOLUTION through the snapshot spine: commit v1 with the
+    * OLD layout (no `o_orderpriority`), then a WIDENED v2 that adds
+    * the column — immutable versions, so v1 stays narrow on disk
+    * forever — and answer from [[SnapshotTable.readAtConformed]]
+    * reads of BOTH versions unioned by name. Old-generation rows
+    * surface the missing column as NULL (conformance is by NAME and
+    * type, never a positional mis-bind); the aggregate pins row
+    * counts, null accounting, and the exact money total across both
+    * generations against DuckDB reading the original table. This is
+    * the one table-format behavior the spine's other gates don't
+    * exercise: a reader that presents every retained version under
+    * the live schema, exactly what a multi-generation 100 TB table
+    * needs (the ad-hoc alternative — a mergeSchema read over raw
+    * generation dirs — has no atomic publish and no version pinning).
     */
   private def schemaDriftUnion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = s"/tmp/graft_lake/${tag(dir)}/drift"
+    val base = lakeBase(dir, "drift")
+    SnapshotTable.deleteTree(base)
     val orders = Tables.orders(s, dir)
       .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
         Exact.micro("o_totalprice").as("price_micro"))
-    orders.filter(pmod($"o_orderkey", lit(2)) === 0)
-      .drop("o_orderpriority")
-      .write.mode("overwrite").parquet(s"$base/gen=old")
-    orders.filter(pmod($"o_orderkey", lit(2)) === 1)
-      .write.mode("overwrite").parquet(s"$base/gen=new")
-    s.read.option("mergeSchema", "true").parquet(base)
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+        .drop("o_orderpriority").withColumn("gen", lit("old")),
+      base, expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 1)
+        .withColumn("gen", lit("new")),
+      base, expectedVersion = Some(v1))
+    SnapshotTable.readAtConformed(s, base, v1)
+      .unionByName(SnapshotTable.readAtConformed(s, base, v2))
       .groupBy($"gen")
       .agg(
         count(lit(1)).as("n"),
@@ -70,18 +96,26 @@ object LakeOps {
     */
   private def compactSmallFiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = s"/tmp/graft_lake/${tag(dir)}/compact"
+    val base = lakeBase(dir, "compact")
+    SnapshotTable.deleteTree(base)
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-    docs.repartition(16)
-      .write.mode("overwrite").parquet(s"$base/small")
+    // Both states publish through the spine: v1 = the small-file
+    // debris, v2 = the compacted rewrite — and v2's commit is
+    // CONDITIONAL on v1, because compaction is the canonical
+    // read-modify-write: it rewrites exactly what it read, so an
+    // interleaved ingest commit must fail the compactor (which then
+    // re-reads and re-compacts) rather than be silently thrown away.
+    val v1 = SnapshotTable.commit(docs.repartition(16), base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
     val countFiles = (p: String) =>
       new java.io.File(p).listFiles().count(f =>
         f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    val nSmall = countFiles(s"$base/small")
-    s.read.parquet(s"$base/small").coalesce(1)
-      .write.mode("overwrite").parquet(s"$base/compacted")
-    val nCompacted = countFiles(s"$base/compacted")
-    s.read.parquet(s"$base/compacted")
+    val nSmall = countFiles(s"$base/v$v1")
+    val v2 = SnapshotTable.commit(
+      SnapshotTable.readAt(s, base, v1).coalesce(1), base,
+      expectedVersion = Some(v1))
+    val nCompacted = countFiles(s"$base/v$v2")
+    SnapshotTable.readAt(s, base, v2)
       .agg(
         count(lit(1)).as("n_rows"),
         // RAW md5, not TextOps.fingerprint64 (which normalizes
@@ -131,12 +165,18 @@ object LakeOps {
     */
   private def fileProvenance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = s"/tmp/graft_lake/${tag(dir)}/prov"
-    Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
-      .withColumn("bkt", pmod($"o_custkey", lit(8)).cast("int"))
-      .repartition($"bkt") // all rows of a bucket in ONE task → 1 file/dir
-      .write.mode("overwrite").partitionBy("bkt").parquet(base)
-    s.read.parquet(base)
+    val base = lakeBase(dir, "prov")
+    SnapshotTable.deleteTree(base)
+    // published through the spine (atomic pointer flip, so a
+    // provenance audit never sees a half-written backfill) with a
+    // hive partition layout INSIDE the version directory
+    val v1 = SnapshotTable.commit(
+      Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+        .withColumn("bkt", pmod($"o_custkey", lit(8)).cast("int"))
+        .repartition($"bkt"), // all rows of a bucket in ONE task → 1 file/dir
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      partitionCols = Seq("bkt"))
+    SnapshotTable.readAt(s, base, v1)
       .withColumn("fpath", input_file_name())
       .withColumn("file_bkt",
         regexp_extract($"fpath", "bkt=(\\d+)", 1).cast("int"))
@@ -236,7 +276,7 @@ object LakeOps {
   private def snapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.SnapshotTable
-    val base = s"/tmp/graft_lake/${tag(dir)}/snap"
+    val base = lakeBase(dir, "snap")
     // fresh table per run (deleteTree fails loudly on a survivor — a
     // half-deleted table would silently shift version numbers)
     SnapshotTable.deleteTree(base)

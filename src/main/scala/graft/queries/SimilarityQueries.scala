@@ -112,7 +112,7 @@ object SimilarityQueries {
     */
   private def annTopkRefresh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = s"/tmp/graft_lake/${LakeOps.tag(dir)}/ann_topk"
+    val base = LakeOps.lakeBase(dir, "ann_topk")
     graft.ops.SnapshotTable.deleteTree(base)
     val qv = queryVecLit(s, dir)
     val emb = Tables.fanOut(Tables.embeddings(s, dir))

@@ -203,6 +203,17 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 3)
   }
 
+  test("every lake table path routes through the env-overridable root") {
+    // one accessor: lakeBase = lakeRoot / tag(sfDir) / table. lakeRoot
+    // honors SPARK_GRAFT_LAKE_DIR (concurrent-run isolation); default
+    // is /tmp/graft_lake. Queries must never hardcode the root.
+    val expectedRoot =
+      sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR", "/tmp/graft_lake")
+    assert(SnapshotTable.lakeRoot == expectedRoot)
+    assert(graft.queries.LakeOps.lakeBase("/root/testdata/sf0.01", "snap")
+      == s"$expectedRoot/_root_testdata_sf0_01/snap")
+  }
+
   test("the pointer flip is atomic: no torn state ever visible") {
     val dir = freshDir()
     SnapshotTable.commit(spark.range(1).toDF("id"), dir)
