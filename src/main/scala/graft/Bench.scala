@@ -179,14 +179,20 @@ object Bench {
     }
 
     // a query is suspect when its best successful pass is >2× the
-    // clean-host watermark (plus a 0.5s floor: sub-second queries jitter
-    // harmlessly). 2×, not 3×: a 2.9× CPU-steal pass used to commit
-    // silently, which is how seven floor-exceeders landed in r14 —
-    // at 2× such a run is retried in a later sweep and, if still hot,
-    // flagged "suspect" so the artifact reader knows
+    // clean-host watermark plus a jitter floor. 2×, not 3×: a 2.9×
+    // CPU-steal pass used to commit silently, which is how seven
+    // floor-exceeders landed in r14 — at 2× such a run is retried in a
+    // later sweep and, if still hot, flagged "suspect" so the artifact
+    // reader knows. The jitter floor is TIERED (r15 lesson:
+    // ann_ivf_topk drifted 1.61× under the flat +0.5 s floor without
+    // tripping anything): +0.25 s for sub-half-second watermarks —
+    // still above scheduler jitter, but a sub-second query can no
+    // longer double indefinitely unflagged — and +0.5 s above.
     def suspect(name: String): Boolean = watermarks.get(name) match {
-      case Some(w) => bestTime(name) > math.max(2.0 * w, w + 0.5)
-      case None    => false
+      case Some(w) =>
+        val jitter = if (w < 0.5) 0.25 else 0.5
+        bestTime(name) > math.max(2.0 * w, w + jitter)
+      case None => false
     }
 
     // optional positional args restrict the run to named queries (dev

@@ -176,8 +176,14 @@ object DedupOps {
     *    checkpointing every round adds no extra materialization);
     *  - intermediate cached frames are unpersisted as soon as the next
     *    round materializes;
-    *  - the returned frame is checkpointed and all working caches are
-    *    dropped — callers hold no hidden pinned storage.
+    *  - the returned frame is checkpointed and every CacheManager entry
+    *    is released before return. Note the caveat: unpersist() on a
+    *    localCheckpoint()-ed frame releases its cache ENTRY but not the
+    *    checkpoint RDD's blocks — those are reclaimed asynchronously by
+    *    the ContextCleaner once the frame is GC'd, so a very long
+    *    doubling run holds a bounded tail of prior-round blocks until
+    *    the cleaner catches up (never unbounded: each round's unpersist
+    *    drops the reference immediately).
     *
     * An unconverged run is a hard error (wrong labels must never be
     * silently emitted).
@@ -230,7 +236,10 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // <= maxIter, not <: convergence is WITNESSED by an extra no-change
+    // round, so a graph needing exactly maxIter productive rounds gets
+    // its confirming round instead of a spurious non-convergence error
+    while (!converged && iter <= maxIter) {
       val viaNeighbors = edges.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
       val merged = labels.unionByName(viaNeighbors)
@@ -248,8 +257,9 @@ object DedupOps {
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIter rounds")
-    // hand back a lineage-free frame and drop the last working cache —
-    // no storage stays pinned after the call
+    // hand back a lineage-free frame and release the last CacheManager
+    // entry (checkpoint blocks of dropped rounds are ContextCleaner/GC
+    // reclaimed — see the scaladoc caveat)
     val out = labels.localCheckpoint()
     labels.unpersist()
     out
@@ -311,7 +321,11 @@ object DedupOps {
     *    only ever decrease (p ≤ id inductively), so an unchanged
     *    decimal(38,0) sum of p across a round ⟺ fixed point;
     *  - eager localCheckpoint truncates the self-join lineage per
-    *    round; all working caches released before return.
+    *    round; every CacheManager entry is released before return
+    *    (checkpoint blocks of dropped rounds are reclaimed by the
+    *    ContextCleaner once GC'd — the [[connectedComponents]] caveat;
+    *    in [[resolveSurvivorsGeneric]] the intermediate stepped frames
+    *    are likewise GC-reclaimed, not eagerly freed).
     *
     * Returns (id, survivor). An unconverged run is a hard error.
     */
@@ -332,7 +346,10 @@ object DedupOps {
     var prevSum = pSum(f)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // <= maxIter: the fixed point needs one extra witnessing round (an
+    // assignment whose chains take exactly maxIter productive jumps
+    // must not fail the convergence require)
+    while (!converged && iter <= maxIter) {
       // p ← p(p): a's pointer jumps to its pointer's pointer. Every p
       // exists as an id (precondition), so the inner join loses no rows.
       val jumped = f.as("a")
@@ -378,7 +395,10 @@ object DedupOps {
     var f = k
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // <= maxIter: same witnessed-convergence off-by-one as above — the
+    // no-change round that PROVES the fixed point must not count
+    // against the productive-round budget
+    while (!converged && iter <= maxIter) {
       val stepped = f.join(kmap, col("p") === col("kid"))
         .select(col("id"), col("p").as("p0"), col("kp").as("p"))
         .localCheckpoint()

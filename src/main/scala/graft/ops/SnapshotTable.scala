@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions.{col, lit}
   * }}}
   *
   * Guarantees:
-  *  - '''Atomic commit''': data lands fully in a fresh `v<N>` directory
-  *    BEFORE the pointer flips, and the flip is a same-directory atomic
-  *    rename of a temp file — a reader sees the old complete snapshot
-  *    or the new complete snapshot, never a torn mix. A writer crash
-  *    before the flip leaves an orphan directory that is never read and
-  *    is skipped (not reused) by the next writer.
+  *  - '''Atomic commit''': data lands fully in a writer-unique staging
+  *    directory, is atomically RENAMED to its `v<N>` name (so a
+  *    numbered directory is complete and single-writer by
+  *    construction, even under concurrent commits), and only then does
+  *    the pointer flip — itself a same-directory atomic rename of a
+  *    temp file. A reader sees the old complete snapshot or the new
+  *    complete snapshot, never a torn mix. A writer crash leaves only
+  *    `.staged-*` junk or an un-pointed version directory, both never
+  *    read and skipped (not reused) by the next writer.
   *  - '''Snapshot isolation''': version directories are immutable, so a
   *    reader that resolved `current` keeps a consistent view for the
   *    whole job even while writers commit — exactly the property a
@@ -99,11 +102,14 @@ object SnapshotTable {
     }
   }
 
-  /** Commit `df` as the next snapshot: write `v<N>` fully, then flip
-    * the pointer atomically. Returns the committed version. N skips
-    * past any orphan directory from a crashed writer (max on disk + 1,
-    * not pointer + 1) so an orphan is never silently overwritten while
-    * a historical reader might still list it.
+  /** Commit `df` as the next snapshot: write the data fully into a
+    * writer-unique staging directory, CLAIM the next version number by
+    * atomically renaming it to `v<N>` (the filesystem arbitrates
+    * concurrent claims — see the inline note), then flip the pointer
+    * atomically. Returns the committed version. N skips past any
+    * orphan directory from a crashed writer (max on disk + 1, not
+    * pointer + 1) so an orphan is never silently overwritten while a
+    * historical reader might still list it.
     *
     * `expectedVersion` makes the commit CONDITIONAL (optimistic CAS):
     * pass `Some(v)` where `v` came from the [[currentVersion]] read
@@ -128,10 +134,42 @@ object SnapshotTable {
     // fast-fail BEFORE the expensive write when the table has already
     // moved — the conflict is certain, no need to burn the I/O
     checkExpected(dir, expectedVersion, detail = "")
-    val next = (versions(dir) :+ 0L).max + 1
+    // Stage-then-rename version allocation. Writing straight to
+    // v<max+1> is a RACE: two writers can both list the same max,
+    // both pass Spark's errorifexists pre-check, and their part files
+    // silently MERGE inside one version directory (observed in the
+    // two-writer spec: a 30-row and a 40-row commit producing a 70-row
+    // snapshot). Instead the data lands fully in a writer-unique
+    // .staged-* directory, and the claim on a version NUMBER is an
+    // atomic directory rename — the filesystem arbitrates: the loser's
+    // rename fails on the non-empty target and retries the next
+    // number. A numbered directory is therefore always COMPLETE and
+    // single-writer; a crashed writer leaves only .staged-* junk or an
+    // un-pointed (skipped) version, never a mergeable target.
+    val staged = java.nio.file.Paths.get(dir,
+      s".staged-${java.util.UUID.randomUUID().toString.take(12)}")
     val w = df.write.mode("errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(s"$dir/v$next")
+      .parquet(staged.toString)
+    var next = (versions(dir) :+ 0L).max + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.move(staged,
+          java.nio.file.Paths.get(dir, s"v$next"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+        case _: java.nio.file.DirectoryNotEmptyException => next += 1
+        case e: java.nio.file.FileSystemException
+            // raw rename(2) reports a non-empty target as ENOTEMPTY,
+            // which surfaces as a generic FileSystemException on some
+            // JDK/filesystem combinations
+            if e.getMessage != null && e.getMessage.contains("not empty") =>
+          next += 1
+      }
+    }
     val tmp = java.nio.file.Paths.get(dir, s".current.tmp$next")
     java.nio.file.Files.writeString(tmp, s"v$next")
     withPointerLock(dir) {

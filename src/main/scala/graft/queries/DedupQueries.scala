@@ -1143,6 +1143,152 @@ object DedupQueries {
        |FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN bj USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-token candidate ceiling for [[incrementalIngestBounded]]. */
+  private val PrefixCap = 4
+
+  /** BOUNDED exact-Jaccard admission audit — [[incrementalIngest]]
+    * with a disclosed per-token candidate ceiling, so the audit has a
+    * measurable cost at ANY clone multiplicity. The lossless variant
+    * is the right tool when near-dup cliques are small (its AllPairs
+    * prefix mass tracks true overlap), but its candidate count is
+    * provably quadratic in the clone factor on clone-heavy corpora
+    * (measured: 3.8M candidates at 10× → 381M at 100×, which is un-
+    * runnable in one 48 g JVM) — so this variant caps the CORPUS-side
+    * prefix entries per token at [[PrefixCap]] (lowest `c_id` first —
+    * a fixed, engine-reproducible preference, the same DF-capped
+    * hot-shingle pattern as `dedup_containment`) and DISCLOSES the
+    * truncation as `n_capped_tokens` on every output row, so a reader
+    * always knows whether the audit was exhaustive (0) or bounded.
+    * Candidate mass becomes O(batch-prefix-entries · cap) — linear in
+    * the batch at any corpus size, the shape that survives 100 TB.
+    * The oracle replicates the cap EXACTLY (same prefix order, same
+    * per-token ranking, same tie-breaks), so a green run pins the
+    * bounded semantics, not just the happy path: a capped-away
+    * near-dup downgrades to `novel` identically in both engines.
+    */
+  private def incrementalIngestBounded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"source", TextOps.fingerprint64($"text").as("fp64"),
+        DedupOps.shingleHashSetNative($"text", ShingleK).as("hs"))
+    val batch = d.filter($"source" === NewSource).select($"doc_id", $"fp64", $"hs")
+    val corpus = d.filter($"source" =!= NewSource)
+      .select($"doc_id".as("c_id"), $"fp64".as("c_fp"), $"hs".as("c_hs"))
+    val tokDf = d.filter($"hs".isNotNull)
+      .select(explode($"hs").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val wB = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+    val wC = Window.partitionBy($"c_id").orderBy($"df", $"tok")
+    val bPref = batch.filter($"hs".isNotNull)
+      .select($"doc_id", size($"hs").as("len"), explode($"hs").as("tok"))
+      .join(tokDf, Seq("tok"))
+      .withColumn("rn", row_number().over(wB))
+      .filter($"rn" <= expr("len - ((len+1) div 2) + 1"))
+      .select($"doc_id", $"len", $"tok")
+    // the cap: rank each token's corpus prefix entries by c_id and keep
+    // the first PrefixCap; rank PrefixCap+1 existing is the per-token
+    // truncation witness (row_number makes the count exact)
+    val wTok = Window.partitionBy($"tok").orderBy($"c_id")
+    val cPrefRanked = corpus.filter($"c_hs".isNotNull)
+      .select($"c_id", size($"c_hs").as("clen"), explode($"c_hs").as("tok"))
+      .join(tokDf, Seq("tok"))
+      .withColumn("rn", row_number().over(wC))
+      .filter($"rn" <= expr("clen - ((clen+1) div 2) + 1"))
+      .select($"c_id", $"clen", $"tok")
+      .withColumn("rnk", row_number().over(wTok))
+      .persist()
+    // bounded driver bridge: ONE scalar (the disclosed truncation
+    // count), attached as a literal — no join, no extra shuffle
+    val nCappedTokens = cPrefRanked.filter($"rnk" === PrefixCap + 1).count()
+    val cPref = cPrefRanked.filter($"rnk" <= PrefixCap)
+      .select($"c_id", $"clen", $"tok")
+    val cand = bPref.join(cPref,
+        bPref("tok") === cPref("tok")
+          && lit(2) * least($"len", $"clen") >= greatest($"len", $"clen"))
+      .select($"doc_id", $"c_id")
+      .dropDuplicates("doc_id", "c_id")
+    val bestJ = cand
+      .join(batch.select($"doc_id", $"hs"), Seq("doc_id"))
+      .join(corpus.select($"c_id", $"c_hs"), Seq("c_id"))
+      .select($"doc_id", round(DedupOps.jaccardSorted($"hs", $"c_hs"), 4).as("j"))
+      .groupBy($"doc_id").agg(max($"j").as("bj"))
+    val exact = batch.join(corpus, $"fp64" === $"c_fp", "left_semi")
+      .select($"doc_id", lit(true).as("is_exact"))
+    batch.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(bestJ, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        when($"is_exact", lit("exact_dup"))
+          .when($"bj" >= NearJ, lit("near_dup"))
+          .otherwise(lit("novel")).as("category"),
+        when($"bj" >= NearJ, $"bj").otherwise(lit(0.0)).as("best_jaccard"),
+        lit(nCappedTokens).as("n_capped_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val incrementalBoundedOracle =
+    s"""WITH sh AS (SELECT doc_id, source, text, $shinglesSql AS shingles FROM documents),
+       |d AS (SELECT doc_id, source,
+       |        ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64,
+       |        CASE WHEN len(shingles) > 0 THEN list_sort($shingleHashesSql) ELSE NULL END AS hs
+       |      FROM sh),
+       |b AS (SELECT doc_id, fp64, hs FROM d WHERE source = '$NewSource'),
+       |c AS (SELECT doc_id AS c_id, fp64 AS c_fp, hs AS c_hs FROM d
+       |      WHERE source <> '$NewSource'),
+       |tokdf AS (
+       |  SELECT tok, count(*) AS df
+       |  FROM (SELECT unnest(hs) AS tok FROM d WHERE hs IS NOT NULL)
+       |  GROUP BY tok),
+       |bexp AS (
+       |  SELECT doc_id, len(hs) AS len, unnest(hs) AS tok FROM b
+       |  WHERE hs IS NOT NULL),
+       |bpref AS (
+       |  SELECT doc_id, len, tok FROM (
+       |    SELECT bexp.doc_id, bexp.len, bexp.tok,
+       |      row_number() OVER (PARTITION BY bexp.doc_id
+       |                         ORDER BY tokdf.df, bexp.tok) AS rn
+       |    FROM bexp JOIN tokdf USING (tok))
+       |  WHERE rn <= len - ((len + 1) // 2) + 1),
+       |cexp AS (
+       |  SELECT c_id, len(c_hs) AS clen, unnest(c_hs) AS tok FROM c
+       |  WHERE c_hs IS NOT NULL),
+       |cpref AS (
+       |  SELECT c_id, clen, tok FROM (
+       |    SELECT cexp.c_id, cexp.clen, cexp.tok,
+       |      row_number() OVER (PARTITION BY cexp.c_id
+       |                         ORDER BY tokdf.df, cexp.tok) AS rn
+       |    FROM cexp JOIN tokdf USING (tok))
+       |  WHERE rn <= clen - ((clen + 1) // 2) + 1),
+       |cranked AS (
+       |  SELECT c_id, clen, tok,
+       |    row_number() OVER (PARTITION BY tok ORDER BY c_id) AS rnk
+       |  FROM cpref),
+       |ncap AS (
+       |  SELECT count(*) AS n FROM cranked WHERE rnk = $PrefixCap + 1),
+       |ccapped AS (
+       |  SELECT c_id, clen, tok FROM cranked WHERE rnk <= $PrefixCap),
+       |cand AS (
+       |  SELECT DISTINCT bpref.doc_id, ccapped.c_id
+       |  FROM bpref JOIN ccapped ON bpref.tok = ccapped.tok
+       |    AND 2 * least(bpref.len, ccapped.clen)
+       |        >= greatest(bpref.len, ccapped.clen)),
+       |jp AS (
+       |  SELECT cand.doc_id,
+       |    round(CAST(len(list_intersect(b.hs, c.c_hs)) AS DOUBLE)
+       |      / (len(b.hs) + len(c.c_hs) - len(list_intersect(b.hs, c.c_hs))), 4) AS j
+       |  FROM cand JOIN b USING (doc_id) JOIN c USING (c_id)),
+       |bj AS (SELECT doc_id, max(j) AS bj FROM jp GROUP BY doc_id),
+       |ex AS (SELECT DISTINCT doc_id FROM b JOIN c ON b.fp64 = c.c_fp)
+       |SELECT b.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN bj.bj >= $NearJ THEN 'near_dup'
+       |       ELSE 'novel' END AS category,
+       |  CASE WHEN bj.bj >= $NearJ THEN bj.bj ELSE 0.0 END AS best_jaccard,
+       |  (SELECT n FROM ncap) AS n_capped_tokens
+       |FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN bj USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ----------- incremental LSH index maintenance (snapshot-published)
 
   /** Incremental MAINTENANCE of the LSH band index — the other half of
@@ -1526,6 +1672,8 @@ object DedupQueries {
     Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Q("corpus_select", corpusSelect, Some(corpusSelectOracle)),
     Q("incremental_ingest", incrementalIngest, Some(incrementalOracle)),
+    Q("incremental_ingest_bounded", incrementalIngestBounded,
+      Some(incrementalBoundedOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("lsh_index_refresh", lshIndexRefresh, Some(lshIndexRefreshOracle)))
 }

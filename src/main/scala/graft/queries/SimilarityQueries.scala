@@ -148,6 +148,103 @@ object SimilarityQueries {
        |FROM topk
        |ORDER BY cos DESC, vec_id""".stripMargin
 
+  /** Deletion-aware top-k maintenance — the case that BREAKS
+    * [[annTopkRefresh]]'s monotonicity argument: inserts can only
+    * push scores INTO a top-k, so batch ∪ old-top-k is lossless, but a
+    * DELETED member of the stored top-k opens a slot that only a
+    * corpus vector outside both the batch and the old top-k can fill —
+    * no incremental state can answer that. So the refresh branches:
+    *  - '''fast path''' (tombstones ∩ stored top-k = ∅): deleting a
+    *    vector that never ranked cannot change the answer — drop any
+    *    tombstoned rows from the k stored (an O(k) anti-join) and
+    *    republish. The corpus is NOT rescanned.
+    *  - '''rescan fallback''' (a tombstone sits in the stored top-k):
+    *    recompute over the live corpus (∖ all tombstones). This is the
+    *    honest price of a ranked delete; real systems amortize it by
+    *    batching tombstones, which is exactly what the branch enables —
+    *    the k-row overlap probe that decides the branch is O(k), so a
+    *    10 000-delete day costs one rescan, not 10 000.
+    * Both states publish as conditional [[graft.ops.SnapshotTable]]
+    * commits (a concurrent refresher fails loudly instead of silently
+    * losing a delete — the lost-update case that matters for GDPR-style
+    * erasure). The gate runs one fast-path round (tombstone = the
+    * corpus argmin, provably unranked) then one fallback round
+    * (tombstone = the stored top-1, provably ranked), and the oracle
+    * recomputes the final top-k from scratch over the corpus minus both
+    * tombstones — a green run proves the branch logic end to end.
+    */
+  private def annTopkDeleteRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val base = LakeOps.lakeBase(dir, "ann_topk_del")
+    SnapshotTable.deleteTree(base)
+    val qv = queryVecLit(s, dir)
+    val scoredAll = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", qv))
+      .select($"vec_id", $"label", $"cos_raw")
+    val v1 = SnapshotTable.commit(
+      scoredAll.orderBy($"cos_raw".desc, $"vec_id").limit(TopK),
+      base, expectedVersion = SnapshotTable.ExpectEmpty)
+    // tombstone 1: the corpus ARGMIN — by construction outside the
+    // stored top-k, so this delete must take the fast path
+    val t1 = scoredAll.orderBy($"cos_raw".asc, $"vec_id").limit(1)
+      .select($"vec_id")
+    val v2 = refreshWithDeletes(s, base, v1, t1,
+      live = scoredAll.join(t1, Seq("vec_id"), "left_anti"))
+    // tombstone 2: the stored top-1 — inside the stored top-k, so this
+    // delete must take the rescan fallback (the recomputed answer
+    // admits the new k-th member, which no incremental state holds)
+    val t2 = SnapshotTable.readAt(s, base, v2)
+      .orderBy($"cos_raw".desc, $"vec_id").limit(1).select($"vec_id")
+    val v3 = refreshWithDeletes(s, base, v2, t2,
+      live = scoredAll.join(t1.unionByName(t2), Seq("vec_id"), "left_anti"))
+    SnapshotTable.readAt(s, base, v3)
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+  }
+
+  /** One tombstone-aware refresh round over the snapshot table at
+    * `prevV`: O(k) overlap probe decides fast-drop vs rescan of `live`
+    * (the caller's already-tombstone-filtered corpus frame); the new
+    * state publishes as a commit CONDITIONAL on `prevV`.
+    */
+  private[graft] def refreshWithDeletes(s: SparkSession, base: String, prevV: Long,
+      tombstones: DataFrame, live: DataFrame, k: Int = TopK): Long = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val stored = SnapshotTable.readAt(s, base, prevV)
+    val rankedDeleted =
+      !stored.join(tombstones, Seq("vec_id"), "left_semi").isEmpty
+    val next =
+      if (rankedDeleted) live.orderBy($"cos_raw".desc, $"vec_id").limit(k)
+      else stored.join(tombstones, Seq("vec_id"), "left_anti")
+        .orderBy($"cos_raw".desc, $"vec_id").limit(k)
+    SnapshotTable.commit(next, base, expectedVersion = Some(prevV))
+  }
+
+  private val annTopkDeleteOracle =
+    // from-scratch truth: top-k over the corpus minus both tombstones
+    // (the argmin delete is invisible to a CORRECT top-k — only the
+    // ranked delete reshapes the answer by admitting a new k-th member)
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos_raw
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> $QueryVecId),
+       |t1 AS (SELECT vec_id FROM scored ORDER BY cos_raw ASC, vec_id LIMIT 1),
+       |t2 AS (SELECT vec_id FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 1),
+       |final AS (
+       |  SELECT * FROM scored
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM t1)
+       |    AND vec_id NOT IN (SELECT vec_id FROM t2)
+       |  ORDER BY cos_raw DESC, vec_id
+       |  LIMIT $TopK)
+       |SELECT vec_id, label, round(cos_raw, 4) AS cos
+       |FROM final
+       |ORDER BY cos DESC, vec_id""".stripMargin
+
   /** Recall@k of the int8 ranking against the exact float top-k — the
     * same accountability gate the IVF/PQ paths carry: a quantization
     * regression surfaces as a correctness diff, not a silent quality
@@ -1274,6 +1371,7 @@ object SimilarityQueries {
     Q("embedding_outliers", embeddingOutliers, Some(embeddingOutliersOracle)),
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
     Q("ann_topk_refresh", annTopkRefresh, Some(annTopkRefreshOracle)),
+    Q("ann_topk_delete_refresh", annTopkDeleteRefresh, Some(annTopkDeleteOracle)),
     Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
     Q("ann_int8_recall", annInt8Recall, Some(annInt8RecallOracle)),

@@ -152,6 +152,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(Set(30L, 40L).contains(SnapshotTable.read(spark, dir).count()))
   }
 
+  test("concurrent unconditional commits never merge into one version") {
+    // the allocation race the stage-then-rename protocol closes: two
+    // writers that list the same max version must NOT both land part
+    // files inside one v<N> (observed pre-fix: a 30-row and a 40-row
+    // commit yielding a 70-row snapshot). With atomic rename claims,
+    // both succeed under DISTINCT versions and each version holds
+    // exactly one writer's rows.
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(5).toDF("id"), dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vs = Await.result(Future.sequence(Seq(30L, 40L).map(n =>
+      Future(SnapshotTable.commit(spark.range(n).toDF("id"), dir)))),
+      120.seconds)
+    assert(vs.toSet.size == 2, s"versions must be distinct: $vs")
+    val counts = vs.map(v => SnapshotTable.readAt(spark, dir, v).count())
+    assert(counts.toSet == Set(30L, 40L),
+      s"a version directory merged two writers' data: $counts")
+    // no staging junk left behind once both commits completed
+    assert(new java.io.File(dir).listFiles()
+      .forall(!_.getName.startsWith(".staged-")))
+  }
+
   test("a corrupt pointer file raises IllegalStateException, not NFE") {
     val dir = freshDir()
     SnapshotTable.commit(spark.range(2).toDF("id"), dir)

@@ -63,6 +63,36 @@ class SoakDriftSpec extends AnyFunSuite {
       s"queries with no 10x soak row: ${missingSoak.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every query has a 100x soak row OR a machine-readable adjudication") {
+    // the r15 lesson, one level up from the bench stamp: an honestly-
+    // absent 100x row used to be recorded only in BENCH_SOAK's free-text
+    // note, which made it indistinguishable from a forgotten soak. Now
+    // absence must be ADJUDICATED on the query's own 10x row (an
+    // "adjudicated": "<reason>" key) or the build is red — rot
+    // self-detects instead of hiding in prose.
+    val names = graft.queries.Registry.all.map(_.name).toSet
+    val soak = readTree("BENCH_SOAK.json")
+    val q100 = soak.get("soak100x").get("queries")
+    val q10 = soak.get("soak10x").get("queries")
+    val unaccounted = names.filter { q =>
+      q100.get(q) == null && {
+        val adj = Option(q10.get(q)).flatMap(r => Option(r.get("adjudicated")))
+        adj.forall(a => !a.isTextual || a.asText().trim.isEmpty)
+      }
+    }
+    assert(unaccounted.isEmpty,
+      "queries with neither a 100x soak row nor an 'adjudicated' key on " +
+        s"their 10x row: ${unaccounted.toSeq.sorted.mkString(", ")}")
+    // and the converse discipline: an adjudication on a query that HAS
+    // a 100x row is stale annotation — remove it when the row lands
+    val stale = names.filter { q =>
+      q100.get(q) != null &&
+        Option(q10.get(q)).exists(_.get("adjudicated") != null)
+    }
+    assert(stale.isEmpty,
+      s"stale adjudications (100x row exists): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every soak row carries the current bench-method stamp") {
     val soak = readTree("BENCH_SOAK.json")
     val unstamped = Seq.newBuilder[String]

@@ -8,6 +8,15 @@ SoakDriftSpec enforces) — those rows were measured under the honest
 method or are indistinguishable from it. Inconsistent rows are left
 unstamped so the spec keeps failing until they are genuinely re-soaked
 (tools/merge_new_soak.py stamps everything it merges).
+
+Audit caveat (disclosed by design): an INFERRED stamp asserts only
+"indistinguishable from the honest method", not "measured under it" —
+a pre-fix number that coincidentally lands inside the slack gets
+blessed. This migration already ran (r15) and every row it touched has
+since been superseded by dedicated re-soaks or survives the drift gate
+each build; if it is ever re-run for a future methodology bump, stamp
+inferred rows with a DISTINCT value (e.g. bench=-<N> inferred vs
+bench=<N> measured) so the two classes stay auditable.
 """
 import json
 
