@@ -320,10 +320,63 @@ object LakeOps {
        |ORDER BY version""".stripMargin
   }
 
+  /** Retention (VACUUM) gate for [[SnapshotTable.expire]] — the
+    * lifecycle every real table format runs daily: four commits, then
+    * `expire(keepLast = 2)` drops the two oldest snapshot directories
+    * from DISK (verified by a loud in-query require on the surviving
+    * version list — a half-applied retention would silently shift
+    * later version numbering), while the kept versions remain exactly
+    * readable. The answer is computed from time-travel reads of the
+    * SURVIVORS, so the oracle — recomputing both retained states
+    * straight from `orders` — gates that retention deleted the right
+    * directories and nothing it kept lost a byte. `n_expired` rides
+    * along from expire's return value.
+    */
+  private def snapshotRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "retain")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    var expected = SnapshotTable.ExpectEmpty.get
+    for (i <- 1 to 4) {
+      expected = SnapshotTable.commit(
+        orders.filter(pmod($"o_orderkey", lit(4)) < i), base,
+        expectedVersion = Some(expected))
+    }
+    val expired = SnapshotTable.expire(base, keepLast = 2)
+    require(expired == Seq(1L, 2L) && SnapshotTable.versions(base) == Seq(3L, 4L),
+      s"retention must drop exactly v1,v2 and keep v3,v4 — " +
+        s"expired $expired, kept ${SnapshotTable.versions(base)}")
+    Seq(3L, 4L).map { v =>
+      SnapshotTable.readAt(s, base, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+        .select(lit(v).as("version"), $"n_rows",
+          Exact.microSumTo4dp("s_micro").as("sum_price"),
+          lit(expired.size.toLong).as("n_expired"))
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  private val snapshotRetentionOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH st AS (
+       |  SELECT v, count(*) AS n_rows,
+       |    CAST(sum($p) AS BIGINT) AS s
+       |  FROM orders, (SELECT unnest([3, 4]) AS v)
+       |  WHERE o_orderkey % 4 < v
+       |  GROUP BY v)
+       |SELECT CAST(v AS BIGINT) AS version, n_rows,
+       |  ${Exact.microSumTo4dpSql("s", Exact.DuckDiv)} AS sum_price,
+       |  CAST(2 AS BIGINT) AS n_expired
+       |FROM st
+       |ORDER BY version""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
     Q("lake_integrity_hash", lakeIntegrityHash, Some(lakeIntegrityOracle)),
     Q("file_provenance", fileProvenance, Some(fileProvenanceOracle)),
-    Q("snapshot_time_travel", snapshotTimeTravel, Some(snapshotOracle)))
+    Q("snapshot_time_travel", snapshotTimeTravel, Some(snapshotOracle)),
+    Q("snapshot_retention", snapshotRetention, Some(snapshotRetentionOracle)))
 }
