@@ -372,11 +372,76 @@ object LakeOps {
        |ORDER BY version""".stripMargin
   }
 
+  /** Change-data capture BETWEEN retained versions — the table_changes
+    * / CDF read every downstream incremental consumer wants: given two
+    * immutable snapshots, emit what changed (insert / update / delete)
+    * without any writer-side change tracking. Computed as one
+    * full-outer key join of the two time-travel reads — a single
+    * keyed shuffle; at cluster scale both sides hash-partition on the
+    * key and co-locate, and the unchanged majority is dropped
+    * map-side-after-join, so the output is change-proportional, which
+    * is the entire point of CDC at 100 TB (consumers re-read deltas,
+    * not tables). Lifecycle: v1 = keys ≡ 0,1 (mod 3); v2 = keys ≡ 1,2
+    * with the ≡1 prices doubled — so ≡0 is a delete, ≡2 an insert,
+    * ≡1 an update, and the unchanged case is proven absent by the
+    * oracle, which recomputes the per-type row counts and exact money
+    * deltas straight from `orders`.
+    */
+  private def snapshotChangelog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "cdc")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(3)) < 2), base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(3)) > 0)
+        .withColumn("price_micro",
+          when(pmod($"o_orderkey", lit(3)) === 1, $"price_micro" * 2)
+            .otherwise($"price_micro")), base,
+      expectedVersion = Some(v1))
+    val old = SnapshotTable.readAt(s, base, v1)
+      .select($"o_orderkey", $"price_micro".as("p_old"))
+    val neu = SnapshotTable.readAt(s, base, v2)
+      .select($"o_orderkey", $"price_micro".as("p_new"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when($"p_new".isNull, lit("delete"))
+          .when($"p_old".isNull, lit("insert"))
+          .when($"p_old" =!= $"p_new", lit("update")))
+      .filter($"change".isNotNull)
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce($"p_new", $"p_old")).as("s_micro"))
+      .select($"change", $"n_rows",
+        Exact.microSumTo4dp("s_micro").as("sum_price"))
+      .orderBy($"change")
+  }
+
+  private val snapshotChangelogOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH ch AS (
+       |  SELECT CASE o_orderkey % 3
+       |           WHEN 0 THEN 'delete' WHEN 1 THEN 'update'
+       |           ELSE 'insert' END AS change,
+       |    CASE o_orderkey % 3 WHEN 1 THEN 2 * $p ELSE $p END AS pm
+       |  FROM orders)
+       |SELECT change, count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql("CAST(sum(pm) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price
+       |FROM ch
+       |GROUP BY change
+       |ORDER BY change""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
     Q("lake_integrity_hash", lakeIntegrityHash, Some(lakeIntegrityOracle)),
     Q("file_provenance", fileProvenance, Some(fileProvenanceOracle)),
     Q("snapshot_time_travel", snapshotTimeTravel, Some(snapshotOracle)),
-    Q("snapshot_retention", snapshotRetention, Some(snapshotRetentionOracle)))
+    Q("snapshot_retention", snapshotRetention, Some(snapshotRetentionOracle)),
+    Q("snapshot_changelog", snapshotChangelog, Some(snapshotChangelogOracle)))
 }
