@@ -258,22 +258,22 @@ object Streaming {
     * algebra: state size is O(distinct keys), independent of stream
     * length, and each batch touches state once.
     *
-    * The new state lands in a fresh `v<epoch>` subdirectory and the
-    * `current` pointer file flips afterwards (parquet can't
-    * read-and-overwrite the same path in one job; versioned dirs give
-    * atomic swap + time travel, the mini table-format pattern —
-    * generalized as [[graft.ops.SnapshotTable]], gated by
-    * `snapshot_time_travel`; this writer keeps epoch-named versions
-    * because the streaming checkpoint, not a version counter, is its
-    * source of truth for what has been applied).
+    * Each batch's new state publishes through
+    * [[graft.ops.SnapshotTable.commit]] — the same spine every other
+    * on-disk table in the engine uses (atomic staged-rename data,
+    * atomic pointer flip, CAS against the version this batch's merge
+    * read, so a misconfigured second writer on one state dir fails
+    * loudly instead of silently losing updates). Exactly-once
+    * durability is layered: the streaming CHECKPOINT decides which
+    * source files have been applied, and the max-ts-wins merge is
+    * idempotent, so a batch retried after a crash between commit and
+    * checkpoint re-merges onto the already-merged state and commits an
+    * equal successor version — converged state, never lost or doubled
+    * updates (the foreachBatch at-least-once contract, absorbed by
+    * merge idempotence).
     */
   def foreachBatchUpsert(events: DataFrame, stateDir: String): DataFrame = {
-    def currentPath: Option[String] = {
-      val p = java.nio.file.Paths.get(stateDir, "current")
-      if (java.nio.file.Files.exists(p))
-        Some(java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
-      else None
-    }
+    import graft.ops.SnapshotTable
     events.writeStream
       .outputMode("update")
       // the checkpoint makes successive invocations INCREMENTAL: a
@@ -288,10 +288,11 @@ object Streaming {
           .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
           .select(col("user_id"), col("event_id").as("last_event_id"),
             col("event_type").as("last_type"), col("ts").as("last_ts"))
-        val merged = currentPath match {
+        val readVersion = SnapshotTable.currentVersion(stateDir)
+        val merged = readVersion match {
           case None => latest
           case Some(v) =>
-            val state = spark.read.parquet(s"$stateDir/$v")
+            val state = SnapshotTable.readAt(spark, stateDir, v)
             // max-ts-wins for real: a late-arriving batch whose maximum
             // ts is OLDER than the stored state must not regress it —
             // compare batch vs state, don't blindly prefer the batch
@@ -312,17 +313,19 @@ object Streaming {
                 when(takeBatch, col("b.last_ts"))
                   .otherwise(col("s.last_ts")).as("last_ts"))
         }
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$epoch")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(stateDir, "current"), s"v$epoch")
+        // CAS on the version this merge READ: the single-stream case
+        // always passes; a second writer racing this state dir fails
+        // loudly here instead of silently losing the other's updates
+        SnapshotTable.commit(merged, stateDir,
+          expectedVersion = Some(readVersion.getOrElse(0L)))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
-    // zero batches processed (empty source, nothing new) → no pointer
-    // file was ever written; hand back an empty state frame, not a .get
-    currentPath match {
-      case Some(v) => events.sparkSession.read.parquet(s"$stateDir/$v")
+    // zero batches processed (empty source, nothing new) → no commit
+    // ever happened; hand back an empty state frame, not a .get
+    SnapshotTable.currentVersion(stateDir) match {
+      case Some(_) => SnapshotTable.read(events.sparkSession, stateDir)
       case None =>
         val sch = events.schema
         val stateSchema = org.apache.spark.sql.types.StructType(Seq(
