@@ -214,6 +214,13 @@ class SnapshotTableSpec extends SparkSpec {
     assert(all.count() == 3)
     assert(all.filter($"score".isNull).count() == 2) // v1 rows conform as NULL
     assert(all.filter($"k" === 3L && $"score" === 9.5).count() == 1)
+    // v3 DROPS column v: older versions conformed to the live schema
+    // must omit it (and still expose their own data under the new shape)
+    SnapshotTable.commit(Seq((4L, 1.0)).toDF("k", "score"), dir)
+    val v2c = SnapshotTable.readAtConformed(spark, dir, 2)
+    assert(v2c.columns.toSeq == Seq("k", "score"))
+    assert(v2c.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((3L, 9.5)))
   }
 
   test("commit with partition columns keeps a hive layout inside v<N>") {
