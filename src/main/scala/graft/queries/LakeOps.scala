@@ -436,6 +436,51 @@ object LakeOps {
        |ORDER BY change""".stripMargin
   }
 
+  /** Partition PRUNING through the snapshot spine — the read-side
+    * payoff of [[SnapshotTable.commit]]'s `partitionCols`: a
+    * predicate on the partition column must be answered by LISTING
+    * (planning-time directory pruning), not by scanning — at 100 TB a
+    * one-bucket query reads one bucket's files, full stop. The gate
+    * pins the observable consequences: `n_files` comes out of
+    * `input_file_name()` and must be exactly 1 (one hash-clustered
+    * file per bucket directory, so a scan that touched other buckets
+    * would raise it), and the per-bucket row count and exact money
+    * total match DuckDB recomputing the bucket from the source table.
+    * The planning-time evidence lives in PLANS.md: this query's scan
+    * carries a non-empty `PartitionFilters: [(bkt = 3)]`.
+    */
+  private def snapshotPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "prune")
+    SnapshotTable.deleteTree(base)
+    val v1 = SnapshotTable.commit(
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey",
+          Exact.micro("o_totalprice").as("price_micro"))
+        .withColumn("bkt", pmod($"o_custkey", lit(8)).cast("int"))
+        .repartition($"bkt"), // one task per bucket → one file per dir
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      partitionCols = Seq("bkt"))
+    SnapshotTable.readAt(s, base, v1)
+      .filter($"bkt" === 3)
+      .withColumn("fpath", input_file_name())
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"price_micro").as("s_micro"),
+        countDistinct($"fpath").as("n_files"))
+      .select(lit(3).as("bkt"), $"n_rows",
+        Exact.microSumTo4dp("s_micro").as("sum_price"), $"n_files")
+  }
+
+  private val snapshotPartitionPruneOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT 3 AS bkt, count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  CAST(1 AS BIGINT) AS n_files
+       |FROM orders
+       |WHERE o_custkey % 8 = 3""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
@@ -443,5 +488,7 @@ object LakeOps {
     Q("file_provenance", fileProvenance, Some(fileProvenanceOracle)),
     Q("snapshot_time_travel", snapshotTimeTravel, Some(snapshotOracle)),
     Q("snapshot_retention", snapshotRetention, Some(snapshotRetentionOracle)),
-    Q("snapshot_changelog", snapshotChangelog, Some(snapshotChangelogOracle)))
+    Q("snapshot_changelog", snapshotChangelog, Some(snapshotChangelogOracle)),
+    Q("snapshot_partition_prune", snapshotPartitionPrune,
+      Some(snapshotPartitionPruneOracle)))
 }

@@ -32,6 +32,10 @@ for (q <- names) {
     sb ++= s"- ShuffleExchanges: ${n("Exchange (hash|range|Single)")}, BroadcastExchanges: ${n("BroadcastExchange")}, TakeOrderedAndProject: ${n("TakeOrderedAndProject")}\n"
     val pf = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toList.distinct.take(3)
     if (pf.nonEmpty) sb ++= pf.map(f => s"- ${f.take(200)}").mkString("", "\n", "\n")
+    // non-empty partition filters only: every non-hive scan carries a
+    // noisy "PartitionFilters: []"
+    val ptf = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toList.distinct.take(3)
+    if (ptf.nonEmpty) sb ++= ptf.map(f => s"- ${f.take(200)}").mkString("", "\n", "\n")
     val rs = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList.distinct.take(3)
     if (rs.nonEmpty) sb ++= rs.map(r => s"- ${r.take(180)}").mkString("", "\n", "\n")
     val bk = "SelectedBucketsCount: [^,\\n]*".r.findAllIn(plan).toList.distinct
