@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Aggregators, Tables, TextOps}
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Aggregators, Exact, Tables, TextOps}
 
 /** Approximate aggregates done engine-portably. Spark's built-in
   * sketches (HLL++, t-digest) have engine-private layouts that can never
@@ -230,7 +232,92 @@ object Sketches {
        |GROUP BY 1, 2
        |ORDER BY exact_cnt DESC, user_key""".stripMargin
 
+  // ------------- mergeable log-histogram quantile sketch (HDR-style)
+
+  /** The sub-bucket fragment: top-4-bits of `v` given its bit length
+    * `bl` — pure integer arithmetic (pow(2, k) is IEEE-exact and the
+    * cast is exact far beyond this data's 40-bit range), so both
+    * engines compute the identical bucket for every value.
+    */
+  private def qsSubSql(intDiv: String) =
+    s"CASE WHEN bl <= 4 THEN v ELSE v $intDiv CAST(pow(2, bl - 4) AS BIGINT) END"
+
+  /** Reconstruct a bucket key's LOWER BOUND in micro units. */
+  private def qsLowerSql(k: String, intDiv: String) =
+    s"(($k) % 16) * CAST(pow(2, greatest(($k) $intDiv 16 - 4, 0)) AS BIGINT)"
+
+  /** Mergeable quantile sketch over order prices — the HDR-histogram
+    * pattern: bucket = (bit length, top 4 bits) of the exact micro-unit
+    * price, i.e. a log₂ histogram with 8 sub-buckets per octave. Unlike
+    * percentile_approx / t-digest (engine-private layouts, unmergeable
+    * across engines), this sketch is a plain keyed COUNT: map-side
+    * combinable, mergeable across any partitioning by addition, bounded
+    * at ≤16·64 buckets regardless of input size — the shape that turns
+    * a 100 TB quantile query into one tiny shuffled histogram — and
+    * every step (bin(), integer shifts, integer-ceil thresholds, the
+    * lower-bound readout) is exact integer math both engines reproduce
+    * bit for bit. The estimate is the bucket lower bound, so it
+    * UNDERSTATES the true quantile by construction, by less than one
+    * part in eight (sub-bucket width / bucket base = 1/8); the spec
+    * asserts that sandwich against the exact percentiles.
+    */
+  private def quantileSketchPrices(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.fanOut(Tables.orders(s, dir))
+      .select(Exact.micro("o_totalprice").as("v"))
+      .withColumn("bl", length(expr("bin(v)")))
+      .withColumn("k", $"bl" * 16 + expr(qsSubSql(Exact.SparkDiv)))
+      .groupBy($"k").agg(count(lit(1)).as("cnt"))
+    // the windows run over the BOUNDED histogram (≤ ~600 rows), never
+    // the data — a single-partition window here is a driver-scale fold
+    val wCum = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = Exact.SparkDiv
+    val picked = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("total", sum($"cnt").over(wAll))
+      .agg(
+        max($"total").as("n"),
+        count(lit(1)).as("n_buckets"),
+        min(when($"cum" >= expr(s"(total + 1) $d 2"), $"k")).as("k50"),
+        min(when($"cum" >= expr(s"(9 * total + 9) $d 10"), $"k")).as("k90"),
+        min(when($"cum" >= expr(s"(99 * total + 99) $d 100"), $"k")).as("k99"))
+    picked.select($"n", $"n_buckets",
+      Exact.microSumTo4dp(qsLowerSql("k50", d)).as("p50_est"),
+      Exact.microSumTo4dp(qsLowerSql("k90", d)).as("p90_est"),
+      Exact.microSumTo4dp(qsLowerSql("k99", d)).as("p99_est"))
+  }
+
+  private val quantileSketchOracle = {
+    val d = Exact.DuckDiv
+    s"""WITH b AS (
+       |  SELECT v, length(bin(v)) AS bl
+       |  FROM (SELECT ${Exact.microSql("o_totalprice")} AS v FROM orders)),
+       |h AS (
+       |  SELECT bl * 16 + ${qsSubSql(d)} AS k, count(*) AS cnt
+       |  FROM b GROUP BY 1),
+       |c AS (
+       |  SELECT k, sum(cnt) OVER (ORDER BY k) AS cum,
+       |    sum(cnt) OVER () AS total
+       |  FROM h),
+       |q AS (
+       |  SELECT CAST(max(total) AS BIGINT) AS n,
+       |    count(*) AS n_buckets,
+       |    min(CASE WHEN cum >= (total + 1) $d 2 THEN k END) AS k50,
+       |    min(CASE WHEN cum >= (9 * total + 9) $d 10 THEN k END) AS k90,
+       |    min(CASE WHEN cum >= (99 * total + 99) $d 100 THEN k END) AS k99
+       |  FROM c)
+       |SELECT n, n_buckets,
+       |  ${Exact.microSumTo4dpSql(qsLowerSql("k50", d), d)} AS p50_est,
+       |  ${Exact.microSumTo4dpSql(qsLowerSql("k90", d), d)} AS p90_est,
+       |  ${Exact.microSumTo4dpSql(qsLowerSql("k99", d), d)} AS p99_est
+       |FROM q""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("quantile_sketch_prices", quantileSketchPrices, Some(quantileSketchOracle)),
     Q("kmv_distinct_parts", kmvDistinctParts, Some(kmvOracle)),
     Q("heavy_hitters_events", heavyHittersEvents, Some(heavyHittersOracle)),
     Q("hll_distinct_users", hllDistinctUsers, Some(hllOracle)),

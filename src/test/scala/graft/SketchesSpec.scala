@@ -69,6 +69,32 @@ class SketchesSpec extends SparkSpec {
       "registers differ across partial-aggregation widths")
   }
 
+  test("quantile_sketch_prices: estimates sandwich the exact percentiles") {
+    val dir = Files.createTempDirectory("graft_qs").toString
+    // log-spread prices across many octaves (the sketch's hard case),
+    // deterministic; exact percentiles computed in-test by sorting
+    val rnd = new scala.util.Random(7)
+    val prices = (1 to 5000).map(_ =>
+      math.round(math.exp(rnd.nextDouble() * 9 + 2) * 100.0) / 100.0)
+    prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+
+    val row = Registry.queries("quantile_sketch_prices")(spark, dir).first()
+    assert(row.getLong(0) == 5000L)
+    val sorted = prices.sorted
+    def exactAtCeil(q: Double): Double = sorted((q * 5000).ceil.toInt - 1)
+    for ((est, q) <- Seq(row.getDouble(2) -> 0.5,
+        row.getDouble(3) -> 0.9, row.getDouble(4) -> 0.99)) {
+      val exact = exactAtCeil(q)
+      // lower-bound readout: never above the true quantile, and within
+      // one part in eight below it (sub-bucket width / bucket base)
+      assert(est <= exact + 1e-9, s"p$q overshot: est $est > exact $exact")
+      assert(exact < est * 1.125 + 1e-9,
+        s"p$q under by more than 1/8: est $est, exact $exact")
+    }
+  }
+
   test("cm_user_frequencies: one-sided error under forced collisions") {
     val dir = Files.createTempDirectory("graft_cm").toString
     // 2300 distinct users over a 512-column sketch: collisions certain,
