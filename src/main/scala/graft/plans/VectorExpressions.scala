@@ -192,6 +192,43 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bit length of a BIGINT — semantically identical to
+  * `length(bin(v))` for EVERY long (positive: position of the highest
+  * set bit; zero: 1, matching bin(0) = "0"; negative: 64, matching the
+  * two's-complement string) but computed as a single
+  * `numberOfLeadingZeros` instruction instead of materializing a
+  * binary STRING per row. Used by the HDR-style quantile sketch's
+  * octave bucketing, where the string form was the only per-row
+  * allocation on an otherwise primitive scan.
+  */
+case class BitLength64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "bit_length64"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a bigint argument")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Long]
+    if (x == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"($v == 0L ? 1 : 64 - java.lang.Long.numberOfLeadingZeros($v))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def vecDot(a: Column, b: Column): Column =
     SqlBridge.column(DotProduct(SqlBridge.expression(a), SqlBridge.expression(b)))
@@ -199,4 +236,6 @@ object VectorExpressions {
     SqlBridge.column(CosineSimilarity(SqlBridge.expression(a), SqlBridge.expression(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     SqlBridge.column(SortedIntersectCount(SqlBridge.expression(a), SqlBridge.expression(b)))
+  def bitLength64(v: Column): Column =
+    SqlBridge.column(BitLength64(SqlBridge.expression(v)))
 }

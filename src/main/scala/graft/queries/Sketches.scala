@@ -265,7 +265,10 @@ object Sketches {
     import s.implicits._
     val hist = Tables.fanOut(Tables.orders(s, dir))
       .select(Exact.micro("o_totalprice").as("v"))
-      .withColumn("bl", length(expr("bin(v)")))
+      // codegen'd nlz instruction; length(bin(v)) semantics without the
+      // per-row binary-string allocation (the oracle keeps the string
+      // form — same VALUES, proven equal for all longs in PropertySpec)
+      .withColumn("bl", graft.plans.VectorExpressions.bitLength64($"v"))
       .withColumn("k", $"bl" * 16 + expr(qsSubSql(Exact.SparkDiv)))
       .groupBy($"k").agg(count(lit(1)).as("cnt"))
     // the windows run over the BOUNDED histogram (≤ ~600 rows), never

@@ -111,6 +111,22 @@ class PropertySpec extends SparkSpec {
     }, minTests = 10)
   }
 
+  test("bit_length64 == length(bin(v)) for every long, codegen and eval") {
+    // the quantile sketch's octave bucketing relies on this identity:
+    // the native nlz expression must agree with the string form the
+    // DuckDB oracle uses, across the full long domain incl. 0,
+    // negatives, and both extremes
+    val edge = Seq(0L, 1L, -1L, 7L, 8L, Long.MaxValue, Long.MinValue)
+    val rnd = new scala.util.Random(17)
+    val vals = edge ++ Seq.fill(500)(rnd.nextLong()) ++
+      (0 until 63).map(1L << _)
+    val diff = vals.toDF("v")
+      .select(graft.plans.VectorExpressions.bitLength64($"v").as("fast"),
+        length(expr("bin(v)")).as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diff.isEmpty, diff.collect().take(5).mkString(","))
+  }
+
   test("fingerprint64 invariant to case and whitespace runs") {
     check(Prop.forAll(asciiGen) { s =>
       val variants = Seq(s, s.toUpperCase, "  " + s.replace(" ", "   ") + " ")
