@@ -217,9 +217,39 @@ object MultimodalQueries {
   private val videoProbeOracle =
     """SELECT * FROM (VALUES
       |  ('clip_av.mp4', 'isom', CAST(1000 AS BIGINT), CAST(2500 AS BIGINT), 2),
-      |  ('clip_v.mp4',  'mp42', CAST(600  AS BIGINT), CAST(2000 AS BIGINT), 1)
+      |  ('clip_v.mp4',  'mp42', CAST(600  AS BIGINT), CAST(2000 AS BIGINT), 1),
+      |  ('mjpeg_clip.mp4', 'isom', CAST(1000 AS BIGINT), CAST(1500 AS BIGINT), 1)
       |) AS t(file_name, brand, timescale, duration_ms, n_tracks)
       |ORDER BY file_name""".stripMargin
+
+  /** REAL frame decode for intra-frame video
+    * ([[Multimodal.decodeVideoFrames]]): the MJPEG fixture's three
+    * samples come out of the stsc/stsz/stco sample-table walk and
+    * through the JDK's own JPEG decoder — width, height, and the
+    * integer-exact mean luma per frame, pinned as literals. The glob
+    * deliberately includes the two probe-only fixtures (no samples /
+    * no MJPEG track): they must contribute ZERO rows, so the oracle's
+    * row count is also the isolation proof. Inter-frame codecs stay
+    * behind the documented stub — the boundary is now "needs a real
+    * codec", not "video".
+    */
+  private def videoFramesMjpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = s.read.format("binaryFile").load("/root/repo/fixtures/video/*.mp4")
+      .select(element_at(split($"path", "/"), -1).as("file_name"), $"content")
+    Multimodal.decodeVideoFrames(files, "file_name", "content")
+      .select($"media_key".as("file_name"), $"frame_idx",
+        $"width", $"height", $"avg_luma")
+      .orderBy($"file_name", $"frame_idx")
+  }
+
+  private val videoFramesOracle =
+    """SELECT * FROM (VALUES
+      |  ('mjpeg_clip.mp4', 0, 16, 16, CAST(84.6667 AS DOUBLE)),
+      |  ('mjpeg_clip.mp4', 1, 16, 16, CAST(127.5 AS DOUBLE)),
+      |  ('mjpeg_clip.mp4', 2, 16, 16, CAST(84.6667 AS DOUBLE))
+      |) AS t(file_name, frame_idx, width, height, avg_luma)
+      |ORDER BY file_name, frame_idx""".stripMargin
 
   // --------------------------------------------- image near-dup dedup
 
@@ -376,5 +406,6 @@ object MultimodalQueries {
     Q("image_resize_roundtrip", imageResizeRoundtrip, Some(imageResizeOracle)),
     Q("audio_decode_features", audioDecodeFeatures, Some(audioDecodeOracle)),
     Q("video_probe_features", videoProbeFeatures, Some(videoProbeOracle)),
+    Q("video_frames_mjpeg", videoFramesMjpeg, Some(videoFramesOracle)),
     Q("binary_ingest", binaryIngest, Some(binaryIngestOracle)))
 }

@@ -219,4 +219,41 @@ class MultimodalSpec extends SparkSpec {
       && rows("a16").isNullAt(5))
     assert((1 to 5).forall(rows("bad").isNullAt))
   }
+
+  test("mjpegSamples: sample-table walk recovers the embedded JPEGs") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/video/mjpeg_clip.mp4"))
+    val samples = Multimodal.mjpegSamples(bytes)
+    assert(samples.size == 3)
+    // every sample is a standalone JPEG: SOI marker first, EOI last
+    samples.foreach { s =>
+      assert((s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xD8, "missing SOI")
+      assert((s(s.length - 2) & 0xFF) == 0xFF && (s.last & 0xFF) == 0xD9,
+        "missing EOI")
+    }
+    // probe-only fixtures (no samples / no MJPEG track) must isolate
+    for (f <- Seq("clip_av.mp4", "clip_v.mp4")) {
+      val b2 = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"fixtures/video/$f"))
+      assert(Multimodal.mjpegSamples(b2).isEmpty, s"$f should have no samples")
+    }
+  }
+
+  test("decodeVideoFrames: real per-frame decode of the MJPEG fixture") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/video/mjpeg_clip.mp4"))
+    val df = Seq(("mjpeg_clip.mp4", bytes)).toDF("f", "content")
+    val rows = Multimodal.decodeVideoFrames(df, "f", "content")
+      .orderBy($"frame_idx").collect()
+    info("frames: " + rows.mkString(" | "))
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getInt(2) == 16 && r.getInt(3) == 16))
+    // frame 0 = solid red, frame 2 = solid blue: mean of (r+g+b)/3 for a
+    // single saturated channel decodes near 255/3 = 85; frame 1 is a
+    // gray gradient near 127. JPEG is lossy, so bound, don't pin, here -
+    // the oracle gate pins the exact post-codec values.
+    assert(math.abs(rows(0).getDouble(4) - 85) < 10, rows(0).toString)
+    assert(math.abs(rows(1).getDouble(4) - 127) < 10, rows(1).toString)
+    assert(math.abs(rows(2).getDouble(4) - 85) < 10, rows(2).toString)
+  }
 }
