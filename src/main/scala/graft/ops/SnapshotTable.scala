@@ -208,6 +208,39 @@ object SnapshotTable {
     */
   val ExpectEmpty: Option[Long] = Some(0L)
 
+  /** Optimistic single-table TRANSACTION: read the current snapshot,
+    * apply `mutate`, commit conditionally on the version that was
+    * read; on conflict, re-read and re-apply — the standard
+    * conflict-retry loop every optimistic table format wraps around
+    * its CAS (Delta's commitWithRetries, Iceberg's Tasks.retry). This
+    * is what upgrades lost-update DETECTION into lost-update
+    * PREVENTION: N concurrent transactors each re-derive their change
+    * from the state that actually won, so every update lands exactly
+    * once (the two-writer increment spec pins it). `mutate` receives
+    * None on an uncommitted table and MUST be a pure function of its
+    * input — it re-executes on retry. Returns the committed version.
+    * Exhausting `maxRetries` under sustained contention fails loudly
+    * with the last conflict attached.
+    */
+  def transact(spark: SparkSession, dir: String, maxRetries: Int = 10)(
+      mutate: Option[DataFrame] => DataFrame): Long = {
+    var attempt = 0
+    var lastConflict: Throwable = null
+    while (attempt <= maxRetries) {
+      val base = currentVersion(dir)
+      val next = mutate(base.map(v => readAt(spark, dir, v)))
+      try return commit(next, dir, expectedVersion = Some(base.getOrElse(0L)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          lastConflict = e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"transact on $dir: still conflicting after $maxRetries retries",
+      lastConflict)
+  }
+
   /** Serialize the pointer check-and-flip across processes via atomic
     * lock-file creation. Held for microseconds (no data I/O inside).
     * Bounded spin; a stale lock (writer crashed mid-flip) fails loudly

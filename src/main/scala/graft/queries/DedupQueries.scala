@@ -1325,11 +1325,16 @@ object DedupQueries {
       .groupBy($"b.band".as("band"), $"b.key".as("key"))
       .agg(min($"doc_id").as("m"), count(lit(1)).as("occ"))
     graft.ops.SnapshotTable.commit(indexOf(d.filter($"source" =!= NewSource)), base)
-    val merged = graft.ops.SnapshotTable.read(s, base)
-      .unionByName(indexOf(d.filter($"source" === NewSource)))
-      .groupBy($"band", $"key")
-      .agg(min($"m").as("m"), sum($"occ").as("occ"))
-    val v2 = graft.ops.SnapshotTable.commit(merged, base)
+    // the refresh is a read-modify-write, so it runs as an optimistic
+    // TRANSACTION: merge against whatever index version is current at
+    // commit time — a concurrent refresher makes this retry from its
+    // result instead of silently losing one batch's buckets
+    val v2 = graft.ops.SnapshotTable.transact(s, base) { cur =>
+      cur.get
+        .unionByName(indexOf(d.filter($"source" === NewSource)))
+        .groupBy($"band", $"key")
+        .agg(min($"m").as("m"), sum($"occ").as("occ"))
+    }
     graft.ops.SnapshotTable.readAt(s, base, v2)
       .groupBy($"band")
       .agg(count(lit(1)).as("n_buckets"),

@@ -123,10 +123,14 @@ object SimilarityQueries {
     graft.ops.SnapshotTable.commit(
       scored(emb.filter(pmod($"vec_id", lit(20)) =!= 19))
         .orderBy($"cos_raw".desc, $"vec_id").limit(TopK), base)
-    val refreshed = graft.ops.SnapshotTable.read(s, base)
-      .unionByName(scored(emb.filter(pmod($"vec_id", lit(20)) === 19)))
-      .orderBy($"cos_raw".desc, $"vec_id").limit(TopK)
-    val v2 = graft.ops.SnapshotTable.commit(refreshed, base)
+    // read-modify-write as an optimistic transaction: re-rank against
+    // whatever top-k version is current at commit time (a concurrent
+    // refresher triggers a retry, never a lost batch)
+    val v2 = graft.ops.SnapshotTable.transact(s, base) { cur =>
+      cur.get
+        .unionByName(scored(emb.filter(pmod($"vec_id", lit(20)) === 19)))
+        .orderBy($"cos_raw".desc, $"vec_id").limit(TopK)
+    }
     graft.ops.SnapshotTable.readAt(s, base, v2)
       .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
       .orderBy($"cos".desc, $"vec_id")

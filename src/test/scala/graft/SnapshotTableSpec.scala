@@ -176,6 +176,36 @@ class SnapshotTableSpec extends SparkSpec {
       .forall(!_.getName.startsWith(".staged-")))
   }
 
+  test("transact: concurrent increments both land (no lost update)") {
+    // the anomaly the retry loop prevents: two transactors read n,
+    // both write n+delta — under last-wins one delta vanishes; under
+    // transact the loser re-reads the winner's state and re-applies,
+    // so the final counter reflects BOTH
+    val dir = freshDir()
+    SnapshotTable.commit(Seq(("counter", 100L)).toDF("k", "n"), dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val incs = Seq(7L, 30L).map { delta =>
+      Future(SnapshotTable.transact(spark, dir) { base =>
+        base.get.withColumn("n", col("n") + delta)
+      })
+    }
+    Await.result(Future.sequence(incs), 120.seconds)
+    val n = SnapshotTable.read(spark, dir)
+      .filter($"k" === "counter").select($"n").as[Long].head()
+    assert(n == 137L, s"an increment was lost: counter = $n")
+  }
+
+  test("transact: seeds an empty table through the None branch") {
+    val dir = freshDir()
+    val v = SnapshotTable.transact(spark, dir) {
+      case None => Seq(("counter", 0L)).toDF("k", "n")
+      case Some(df) => df
+    }
+    assert(v == 1 && SnapshotTable.read(spark, dir).count() == 1)
+  }
+
   test("a corrupt pointer file raises IllegalStateException, not NFE") {
     val dir = freshDir()
     SnapshotTable.commit(spark.range(2).toDF("id"), dir)
