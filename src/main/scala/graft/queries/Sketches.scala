@@ -319,8 +319,77 @@ object Sketches {
        |FROM q""".stripMargin
   }
 
+  /** The GROUPED form of [[quantileSketchPrices]] — per-key quantiles
+    * are where the mergeable histogram actually earns its keep at
+    * scale: one `groupBy(group, bucket)` count (map-side combinable,
+    * state = groups × ≤1024 buckets), then cum/total windows
+    * PARTITIONED by group — every window shuffles only histogram rows
+    * and parallelizes across groups, so the whole per-group quantile
+    * pass costs one scan + one tiny keyed shuffle at any corpus size.
+    * Same integer-exact bucket/threshold/readout math as the global
+    * sketch, same ≤1-part-in-8 underestimate bound per group.
+    */
+  private def quantileSketchByPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.fanOut(Tables.orders(s, dir))
+      .select($"o_orderpriority".as("grp"),
+        Exact.micro("o_totalprice").as("v"))
+      .withColumn("bl", graft.plans.VectorExpressions.bitLength64($"v"))
+      .withColumn("k", $"bl" * 16 + expr(qsSubSql(Exact.SparkDiv)))
+      .groupBy($"grp", $"k").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"grp").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"grp").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = Exact.SparkDiv
+    hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("total", sum($"cnt").over(wAll))
+      .groupBy($"grp")
+      .agg(
+        max($"total").as("n"),
+        min(when($"cum" >= expr(s"(total + 1) $d 2"), $"k")).as("k50"),
+        min(when($"cum" >= expr(s"(9 * total + 9) $d 10"), $"k")).as("k90"),
+        min(when($"cum" >= expr(s"(99 * total + 99) $d 100"), $"k")).as("k99"))
+      .select($"grp", $"n",
+        Exact.microSumTo4dp(qsLowerSql("k50", d)).as("p50_est"),
+        Exact.microSumTo4dp(qsLowerSql("k90", d)).as("p90_est"),
+        Exact.microSumTo4dp(qsLowerSql("k99", d)).as("p99_est"))
+      .orderBy($"grp")
+  }
+
+  private val quantileSketchGroupedOracle = {
+    val d = Exact.DuckDiv
+    s"""WITH b AS (
+       |  SELECT grp, v, length(bin(v)) AS bl
+       |  FROM (SELECT o_orderpriority AS grp,
+       |          ${Exact.microSql("o_totalprice")} AS v FROM orders)),
+       |h AS (
+       |  SELECT grp, bl * 16 + ${qsSubSql(d)} AS k, count(*) AS cnt
+       |  FROM b GROUP BY 1, 2),
+       |c AS (
+       |  SELECT grp, k,
+       |    sum(cnt) OVER (PARTITION BY grp ORDER BY k) AS cum,
+       |    sum(cnt) OVER (PARTITION BY grp) AS total
+       |  FROM h),
+       |q AS (
+       |  SELECT grp, CAST(max(total) AS BIGINT) AS n,
+       |    min(CASE WHEN cum >= (total + 1) $d 2 THEN k END) AS k50,
+       |    min(CASE WHEN cum >= (9 * total + 9) $d 10 THEN k END) AS k90,
+       |    min(CASE WHEN cum >= (99 * total + 99) $d 100 THEN k END) AS k99
+       |  FROM c GROUP BY grp)
+       |SELECT grp, n,
+       |  ${Exact.microSumTo4dpSql(qsLowerSql("k50", d), d)} AS p50_est,
+       |  ${Exact.microSumTo4dpSql(qsLowerSql("k90", d), d)} AS p90_est,
+       |  ${Exact.microSumTo4dpSql(qsLowerSql("k99", d), d)} AS p99_est
+       |FROM q
+       |ORDER BY grp""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("quantile_sketch_prices", quantileSketchPrices, Some(quantileSketchOracle)),
+    Q("quantile_sketch_by_priority", quantileSketchByPriority,
+      Some(quantileSketchGroupedOracle)),
     Q("kmv_distinct_parts", kmvDistinctParts, Some(kmvOracle)),
     Q("heavy_hitters_events", heavyHittersEvents, Some(heavyHittersOracle)),
     Q("hll_distinct_users", hllDistinctUsers, Some(hllOracle)),
