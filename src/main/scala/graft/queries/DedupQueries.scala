@@ -1196,6 +1196,11 @@ object DedupQueries {
       .filter($"rn" <= expr("clen - ((clen+1) div 2) + 1"))
       .select($"c_id", $"clen", $"tok")
       .withColumn("rnk", row_number().over(wTok))
+      // persisted because TWO consumers share it (the truncation-count
+      // action below and the candidate join in the returned plan); no
+      // eager unpersist — the returned plan still references the cache
+      // (the lang_id/ccnet convention; Bench clears between passes, so
+      // the committed floor prices this cold)
       .persist()
     // bounded driver bridge: ONE scalar (the disclosed truncation
     // count), attached as a literal — no join, no extra shuffle
