@@ -635,14 +635,26 @@ object Multimodal {
           var off = chunkStart(chunk - 1)
           var inChunk = 0
           val per = samplesInChunk(chunk)
-          while (sample < nSamples && inChunk < per) {
+          var chunkOk = true
+          while (chunkOk && sample < nSamples && inChunk < per) {
             val sz = sampleSize(sample)
-            if (off >= 0 && sz > 0 && off + sz <= bytes.length)
+            // a failed size read (u32 -> -1) or an out-of-range slice is
+            // TERMINAL for the chunk: advancing off by a bogus size
+            // would desynchronize every later sample offset in it,
+            // silently garbling frames that are individually intact.
+            // Later chunks restart from their own stco offset and are
+            // unaffected — partial corruption stays partial.
+            if (off < 0 || sz <= 0 || off + sz > bytes.length) chunkOk = false
+            else {
               slices += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
-            off += sz
-            inChunk += 1
-            sample += 1
+              off += sz
+              inChunk += 1
+              sample += 1
+            }
           }
+          // skip past the rest of a corrupt chunk's samples so the next
+          // chunk's first sample index stays aligned with stsc
+          if (!chunkOk) sample += per - inChunk
           chunk += 1
         }
         slices.result()

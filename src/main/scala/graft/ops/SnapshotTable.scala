@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum}
 
 /** Minimal snapshot/commit protocol for parquet tables — the spine that
   * turns the lake ops ([[graft.queries.LakeOps]] compaction/integrity,
@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions.{col, lit}
   * shares — Iceberg/Delta reduce to this plus metadata):
   * {{{
   *   <dir>/v1/ ... v2/ ...   immutable parquet snapshot directories
+  *   <dir>/v2/_stats.tsv     optional per-file column min/max sidecar
+  *   <dir>/v3/_base          merge-on-read DELETE commit: no data files,
+  *   <dir>/v3/_deletes/      a base-version pointer plus tombstone keys
   *   <dir>/current           pointer file, contents "v<N>"
   * }}}
   *
@@ -43,14 +46,36 @@ import org.apache.spark.sql.functions.{col, lit}
   *    format (Delta's commit-version check, Iceberg's metadata CAS; on
   *    S3 it becomes a conditional PUT). Unconditional commits remain
   *    last-wins by design — blind overwrite jobs that don't read first
-  *    have nothing to lose.
+  *    have nothing to lose — but the pointer itself is MONOTONIC: a
+  *    slow blind writer that claimed a lower number than the version a
+  *    faster writer already published keeps its directory as a
+  *    readable orphan and skips the flip, so readers never observe the
+  *    table move backwards.
+  *  - '''Merge-on-read deletes''': [[commitDeletes]] commits a
+  *    tombstone sidecar AGAINST an existing version without rewriting
+  *    a byte of data — the deletion-vector pattern that makes a
+  *    GDPR-erasure on a 100 TB table a kilobyte write instead of a
+  *    table rewrite. [[readAt]] applies the tombstones (an anti-join
+  *    on the tombstone's key columns — the tombstone side is tiny, so
+  *    the join broadcasts); a later [[transact]] that rewrites the
+  *    table materializes them away (compaction).
+  *  - '''File skipping''': [[commit]] with `statsCols` writes a
+  *    per-file column min/max/nullCount sidecar (`_stats.tsv`,
+  *    underscore-prefixed so data readers never see it — the Delta
+  *    add-file-stats / Iceberg manifest-metrics pattern), and
+  *    [[readWhere]] prunes files whose [min,max] cannot satisfy a
+  *    range predicate BEFORE the scan: the biggest single scan win an
+  *    unpartitioned predicate read gets at 100 TB.
   *
   * Writer concurrency: the pointer flip itself is serialized through a
   * short-lived `.commit.lock` file (atomic create; held only across the
-  * check-and-flip, never across the data write). A writer crash inside
-  * that microsecond window leaves a stale lock that fails later commits
-  * LOUDLY with removal instructions — the bounded, operator-visible
-  * failure mode, as opposed to silent lost updates.
+  * check-and-flip, never across the data write). The lock carries its
+  * owner's pid/timestamp, and a lock older than the staleness threshold
+  * (`graft.snapshot.staleLockMs`, default 60 s — the flip itself is
+  * microseconds, so age is proof of a crashed owner) is RECLAIMED by
+  * the next writer; only a FRESH contended lock fails loudly after the
+  * acquisition timeout, with removal instructions — the bounded,
+  * operator-visible failure mode, as opposed to silent lost updates.
   */
 object SnapshotTable {
 
@@ -126,50 +151,87 @@ object SnapshotTable {
     * `partitionCols` (optional) hive-partitions the snapshot data by
     * those columns — provenance/pruning layouts keep working through
     * the spine.
+    *
+    * `statsCols` (optional) gathers per-file min/max/nullCount for the
+    * named DATA columns into the version's `_stats.tsv` sidecar — the
+    * file-skipping manifest [[readWhere]] prunes with. The stats scan
+    * reads only the named columns of the freshly staged files (column-
+    * pruned parquet footers+pages, one extra pass over what was just
+    * written — the same bookkeeping cost every stats-writing format
+    * pays), and the sidecar is one line per (file, column): driver-
+    * bounded the way a Delta log / Iceberg manifest is.
     */
   def commit(df: DataFrame, dir: String,
       expectedVersion: Option[Long] = None,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // fast-fail BEFORE the expensive write when the table has already
     // moved — the conflict is certain, no need to burn the I/O
     checkExpected(dir, expectedVersion, detail = "")
-    // Stage-then-rename version allocation. Writing straight to
-    // v<max+1> is a RACE: two writers can both list the same max,
-    // both pass Spark's errorifexists pre-check, and their part files
-    // silently MERGE inside one version directory (observed in the
-    // two-writer spec: a 30-row and a 40-row commit producing a 70-row
-    // snapshot). Instead the data lands fully in a writer-unique
-    // .staged-* directory, and the claim on a version NUMBER is an
-    // atomic directory rename — the filesystem arbitrates: the loser's
-    // rename fails on the non-empty target and retries the next
-    // number. A numbered directory is therefore always COMPLETE and
-    // single-writer; a crashed writer leaves only .staged-* junk or an
-    // un-pointed (skipped) version, never a mergeable target.
-    val staged = java.nio.file.Paths.get(dir,
-      s".staged-${java.util.UUID.randomUUID().toString.take(12)}")
+    val staged = stagedPath(dir)
     val w = df.write.mode("errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staged.toString)
+    if (statsCols.nonEmpty)
+      writeStatsSidecar(df.sparkSession, staged, statsCols)
+    publishStaged(dir, staged, expectedVersion)
+  }
+
+  private def stagedPath(dir: String) = java.nio.file.Paths.get(dir,
+    s".staged-${java.util.UUID.randomUUID().toString.take(12)}")
+
+  /** Claim a version number for a fully-written staging directory and
+    * flip the pointer. Stage-then-rename version allocation: writing
+    * straight to v<max+1> is a RACE — two writers can both list the
+    * same max, both pass Spark's errorifexists pre-check, and their
+    * part files silently MERGE inside one version directory (observed
+    * in the two-writer spec: a 30-row and a 40-row commit producing a
+    * 70-row snapshot). Instead the data lands fully in a writer-unique
+    * .staged-* directory, and the claim on a version NUMBER is an
+    * atomic directory rename — the filesystem arbitrates: the loser's
+    * rename fails on the non-empty target and retries the next number.
+    * A numbered directory is therefore always COMPLETE and
+    * single-writer; a crashed writer leaves only .staged-* junk or an
+    * un-pointed (skipped) version, never a mergeable target.
+    */
+  private def publishStaged(dir: String, staged: java.nio.file.Path,
+      expectedVersion: Option[Long]): Long = {
     var next = (versions(dir) :+ 0L).max + 1
     var claimed = false
     while (!claimed) {
+      val target = java.nio.file.Paths.get(dir, s"v$next")
       try {
-        java.nio.file.Files.move(staged,
-          java.nio.file.Paths.get(dir, s"v$next"),
+        java.nio.file.Files.move(staged, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         claimed = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => next += 1
         case _: java.nio.file.DirectoryNotEmptyException => next += 1
-        case e: java.nio.file.FileSystemException
-            // raw rename(2) reports a non-empty target as ENOTEMPTY,
-            // which surfaces as a generic FileSystemException on some
-            // JDK/filesystem combinations
-            if e.getMessage != null && e.getMessage.contains("not empty") =>
-          next += 1
+        case e: java.nio.file.FileSystemException =>
+          // raw rename(2) reports a non-empty target as ENOTEMPTY,
+          // which surfaces as a generic FileSystemException on some
+          // JDK/filesystem combinations — and its getMessage text is
+          // locale/JDK-dependent, so don't match it: re-check the
+          // TARGET. If the target exists the rename lost a benign
+          // claim race (retry the next number); if it doesn't, this
+          // is a real I/O failure and must propagate.
+          if (java.nio.file.Files.exists(target)) next += 1 else throw e
       }
     }
+    flipPointer(dir, next, expectedVersion)
+    next
+  }
+
+  /** The locked pointer check-and-flip. Returns false when the flip was
+    * SKIPPED for monotonicity: a slow unconditional writer that claimed
+    * v5 while a faster one already published v6 must not flip the
+    * pointer BACKWARDS (readers would observe v6 then v5 — version
+    * order every table format preserves even for blind writers). Its
+    * v5 stays a complete, time-travel-readable orphan.
+    */
+  private[graft] def flipPointer(dir: String, next: Long,
+      expectedVersion: Option[Long] = None): Boolean = {
     val tmp = java.nio.file.Paths.get(dir, s".current.tmp$next")
     java.nio.file.Files.writeString(tmp, s"v$next")
     withPointerLock(dir) {
@@ -179,11 +241,15 @@ object SnapshotTable {
         detail = s" (v$next left as an orphan; re-read and retry)")
       catch { case e: Throwable =>
         java.nio.file.Files.deleteIfExists(tmp); throw e }
-      java.nio.file.Files.move(tmp, pointer(dir),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (currentVersion(dir).exists(_ >= next)) {
+        java.nio.file.Files.deleteIfExists(tmp); false
+      } else {
+        java.nio.file.Files.move(tmp, pointer(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        true
+      }
     }
-    next
   }
 
   /** The CAS predicate: the table must sit exactly at `expected`
@@ -221,6 +287,11 @@ object SnapshotTable {
     * input — it re-executes on retry. Returns the committed version.
     * Exhausting `maxRetries` under sustained contention fails loudly
     * with the last conflict attached.
+    *
+    * Because `mutate` reads through the tombstone-aware [[readAt]], a
+    * plain identity transact (`cur => cur.get`) over a table with
+    * merge-on-read deletes is COMPACTION: it materializes the deletes
+    * into a full rewrite and the new version carries no `_base` chain.
     */
   def transact(spark: SparkSession, dir: String, maxRetries: Int = 10)(
       mutate: Option[DataFrame] => DataFrame): Long = {
@@ -241,33 +312,69 @@ object SnapshotTable {
       lastConflict)
   }
 
-  /** Serialize the pointer check-and-flip across processes via atomic
-    * lock-file creation. Held for microseconds (no data I/O inside).
-    * Bounded spin; a stale lock (writer crashed mid-flip) fails loudly
-    * with removal instructions rather than deadlocking or silently
-    * proceeding into a lost update.
+  // ------------------------------------------------ merge-on-read deletes
+
+  private def basePtr(dir: String, version: Long) =
+    java.nio.file.Paths.get(dir, s"v$version", "_base")
+
+  /** The base version a merge-on-read delete commit applies to, if
+    * `version` is one (data commits have no `_base`).
     */
-  private def withPointerLock[A](dir: String)(body: => A): A = {
-    val lock = java.nio.file.Paths.get(dir, ".commit.lock")
-    // property-tunable so the stale-lock spec doesn't stall the build
-    val timeoutMs = java.lang.Long.getLong("graft.snapshot.lockTimeoutMs", 10000L)
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    var acquired = false
-    while (!acquired) {
-      try { java.nio.file.Files.createFile(lock); acquired = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          if (System.nanoTime() > deadline)
-            throw new IllegalStateException(
-              s"could not acquire $lock within ${timeoutMs}ms — a writer " +
-                "crashed mid-flip or is wedged; verify no writer is live, " +
-                "then remove the lock file")
-          Thread.sleep(5)
-      }
+  def baseOf(dir: String, version: Long): Option[Long] = {
+    val p = basePtr(dir, version)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val raw = java.nio.file.Files.readString(p).trim
+      if (raw.matches("v\\d+")) Some(raw.drop(1).toLong)
+      else throw new IllegalStateException(
+        s"corrupt base pointer $p: expected v<N>, got '$raw'")
     }
-    try body
-    finally java.nio.file.Files.deleteIfExists(lock)
   }
+
+  /** Merge-on-read DELETE commit: publish a new version that is the
+    * base version MINUS the `tombstones` keys, without rewriting any
+    * data — the version directory holds only a `_base` pointer and a
+    * `_deletes/` parquet of the tombstone keys (both underscore-
+    * prefixed: invisible to any direct parquet read). [[readAt]]
+    * resolves the chain; a later full-rewrite commit (e.g. an identity
+    * [[transact]]) is compaction and cuts it.
+    *
+    * `expectedVersion` is MANDATORY (not optional as on [[commit]]):
+    * a deletion is always a read-modify-write against the state the
+    * caller inspected — GDPR-erasure semantics admit no last-wins
+    * blind variant, because losing the race could silently resurrect
+    * rows a concurrent rewrite re-inserted. On conflict the usual
+    * ConcurrentModificationException fires; retry via [[transact]]-
+    * style re-read.
+    *
+    * The tombstone frame's COLUMNS are the delete key: rows of the
+    * base version matching a tombstone on all of them are gone from
+    * the new version. Keys must exist in the base schema (checked
+    * loudly here, not at first read). Tombstones are collected-free —
+    * written as parquet, applied as an anti-join that Spark broadcasts
+    * (the tombstone side is delete-proportional, not table-
+    * proportional).
+    */
+  def commitDeletes(tombstones: DataFrame, dir: String,
+      expectedVersion: Long): Long = {
+    require(expectedVersion >= 1,
+      s"commitDeletes needs a committed base version, got v$expectedVersion")
+    val baseSchema = readAt(tombstones.sparkSession, dir, expectedVersion)
+      .schema.fieldNames.toSet
+    val missing = tombstones.columns.filterNot(baseSchema)
+    require(missing.isEmpty,
+      s"tombstone key column(s) ${missing.mkString(", ")} not in base " +
+        s"schema of $dir v$expectedVersion")
+    checkExpected(dir, Some(expectedVersion), detail = "")
+    val staged = stagedPath(dir)
+    tombstones.write.mode("errorifexists")
+      .parquet(staged.resolve("_deletes").toString)
+    java.nio.file.Files.writeString(staged.resolve("_base"),
+      s"v$expectedVersion")
+    publishStaged(dir, staged, Some(expectedVersion))
+  }
+
+  // ------------------------------------------------------------- reads
 
   /** Read the current snapshot (the version `current` named at call
     * time — later commits do not move this frame's data underneath it).
@@ -278,9 +385,19 @@ object SnapshotTable {
     readAt(spark, dir, v)
   }
 
-  /** Time travel: read an exact retained version. */
+  /** Time travel: read an exact retained version. A merge-on-read
+    * delete version resolves its `_base` chain (data of the base,
+    * anti-joined with every accumulated tombstone set along the way);
+    * chains stay short in practice because any full-rewrite commit
+    * (compaction) cuts them.
+    */
   def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
-    spark.read.parquet(s"$dir/v$version")
+    baseOf(dir, version) match {
+      case None => spark.read.parquet(s"$dir/v$version")
+      case Some(b) =>
+        val dels = spark.read.parquet(s"$dir/v$version/_deletes")
+        readAt(spark, dir, b).join(dels, dels.columns.toSeq, "left_anti")
+    }
 
   /** Time travel CONFORMED to the live schema — the reader half of
     * schema evolution. Versions are immutable, so a commit that widens
@@ -288,36 +405,286 @@ object SnapshotTable {
     * presents any retained version under the CURRENT version's schema:
     * columns the old version lacks surface as NULL (by NAME, never a
     * positional bind — the schema_drift_union discipline), columns are
-    * cast to the current type, and columns the current schema dropped
+    * UPCAST to the current type, and columns the current schema dropped
     * are omitted. With this, `readAtConformed(v) unionByName
     * readAtConformed(w)` is well-typed for any two retained versions —
     * the exact contract a multi-generation 100 TB table needs.
+    *
+    * Only LOSSLESS widenings conform (Catalyst's `Cast.canUpCast`:
+    * int→long, float→double, int→decimal(wide), …). An incompatible
+    * evolution — string→double, long→int — throws loudly here instead
+    * of silently nulling unparseable values, which would present data
+    * LOSS as conformance; that case needs an explicit migration
+    * rewrite, exactly as reference table formats require.
     */
   def readAtConformed(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val target = read(spark, dir).schema
     val df = readAt(spark, dir, version)
-    val have = df.columns.toSet
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(target.fields.toSeq.map { f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(from) =>
+          if (from != f.dataType &&
+              !org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(from, f.dataType))
+            throw new IllegalStateException(
+              s"lossy schema evolution on '${f.name}': v$version has " +
+                s"${from.simpleString}, live schema wants " +
+                s"${f.dataType.simpleString} — not an upcast; rewrite " +
+                "the old generation explicitly instead of nulling data")
+          col(f.name).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 
+  // ------------------------------------------- per-file stats / skipping
+
+  /** One (file, column) stats line from a version's `_stats.tsv`:
+    * everything [[readWhere]] needs to decide whether a file can
+    * contain a row matching a range predicate. `min`/`max` are None
+    * for an all-null file. Values are kept in their exact string form
+    * and compared under `typ` ("long" | "double" | "decimal" |
+    * "string"; dates ride as ISO strings, whose lexicographic order is
+    * chronological).
+    */
+  final case class ColStats(file: String, rowCount: Long, col: String,
+      typ: String, min: Option[String], max: Option[String], nulls: Long)
+
+  private def statsTag(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case FloatType | DoubleType => "double"
+      case _: DecimalType => "decimal"
+      case StringType => "string"
+      case DateType => "string" // ISO yyyy-MM-dd: lexicographic = chronological
+      case other => throw new IllegalArgumentException(
+        s"statsCols: unsupported type ${other.simpleString} — supported: " +
+          "integral, float/double, decimal, string, date")
+    }
+  }
+
+  private def cmpStat(typ: String, a: String, b: String): Int = typ match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "decimal" => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
+
+  /** Gather per-file min/max/nullCount for `statsCols` over the staged
+    * write and persist them as `_stats.tsv` inside it (so the sidecar
+    * is covered by the same atomic claim-rename as the data). One
+    * grouped scan keyed by `input_file_name()`, reading ONLY the stats
+    * columns; the collect is one row per data file — the same driver-
+    * bounded manifest scale as any table format's file list.
+    */
+  private def writeStatsSidecar(spark: SparkSession,
+      staged: java.nio.file.Path, statsCols: Seq[String]): Unit = {
+    val sdf = spark.read.parquet(staged.toString)
+    val types = sdf.schema.fields.map(f => f.name -> f.dataType).toMap
+    statsCols.foreach(c => require(types.contains(c),
+      s"statsCols: no column '$c' in committed schema " +
+        s"(${sdf.columns.mkString(", ")})"))
+    val tags = statsCols.map(c => c -> statsTag(types(c))).toMap
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"),
+        sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+    }
+    val rows = sdf
+      .groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("_rc"), aggs: _*)
+      .collect()
+    val marker = staged.getFileName.toString + "/"
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val lines = rows.flatMap { r =>
+      val full = r.getString(r.fieldIndex("_f"))
+      val i = full.indexOf(marker)
+      require(i >= 0, s"stats scan returned a file outside the staging dir: $full")
+      val rel = full.substring(i + marker.length)
+      val rc = r.getLong(r.fieldIndex("_rc"))
+      statsCols.map { c =>
+        val mn = Option(r.getString(r.fieldIndex(s"min_$c"))).map(enc)
+        val mx = Option(r.getString(r.fieldIndex(s"max_$c"))).map(enc)
+        val nn = r.getLong(r.fieldIndex(s"nulls_$c"))
+        Seq(enc(rel), rc.toString, enc(c), tags(c),
+          mn.getOrElse(""), mx.getOrElse(""), nn.toString).mkString("\t")
+      }
+    }
+    java.nio.file.Files.writeString(staged.resolve("_stats.tsv"),
+      lines.sorted.mkString("", "\n", "\n"))
+  }
+
+  /** Parse a version's `_stats.tsv` (empty when the commit didn't ask
+    * for stats).
+    */
+  def readStats(dir: String, version: Long): Seq[ColStats] = {
+    val p = java.nio.file.Paths.get(dir, s"v$version", "_stats.tsv")
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val dec = (s: String) =>
+        java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.readAllLines(p).toArray(Array.empty[String])
+        .toSeq.filter(_.nonEmpty).map { line =>
+          val f = line.split("\t", -1)
+          require(f.length == 7, s"corrupt _stats.tsv line in $p: '$line'")
+          ColStats(dec(f(0)), f(1).toLong, dec(f(2)), f(3),
+            Option(f(4)).filter(_.nonEmpty).map(dec),
+            Option(f(5)).filter(_.nonEmpty).map(dec), f(6).toLong)
+        }
+    }
+  }
+
+  /** File-skipping decision for `column BETWEEN lo AND hi` on a stats-
+    * carrying version: returns (surviving file paths, total file
+    * count). A file survives iff its [min,max] interval overlaps
+    * [lo,hi]; an all-null file (no min/max) cannot match a range
+    * predicate and is pruned. Absent or column-less stats are a LOUD
+    * error, not a silent full scan — a caller relying on skipping must
+    * know when the manifest it priced its query on is missing.
+    */
+  def pruneFiles(dir: String, version: Long, column: String,
+      lo: Any, hi: Any): (Seq[String], Int) = {
+    require(baseOf(dir, version).isEmpty,
+      s"pruneFiles targets data versions; v$version of $dir is a " +
+        "merge-on-read delete commit — compact first or prune its base")
+    val stats = readStats(dir, version).filter(_.col == column)
+    require(stats.nonEmpty,
+      s"no per-file stats for column '$column' on $dir v$version — " +
+        "commit with statsCols to enable file skipping")
+    val loS = String.valueOf(lo)
+    val hiS = String.valueOf(hi)
+    val kept = stats.filter { st =>
+      (st.min, st.max) match {
+        case (Some(mn), Some(mx)) =>
+          cmpStat(st.typ, mn, hiS) <= 0 && cmpStat(st.typ, mx, loS) >= 0
+        case _ => false // all-null file: no row can satisfy a range
+      }
+    }
+    (kept.map(st => s"$dir/v$version/${st.file}"), stats.size)
+  }
+
+  /** Stats-pruned range read: `readAt(version).filter(column between
+    * lo and hi)` that opens ONLY the files whose min/max admit a
+    * match. The row-level filter still applies (file stats are a
+    * superset bound), so the answer is byte-identical to the full
+    * scan — the pruning is pure I/O savings, which is the entire game
+    * on an unpartitioned 100 TB predicate read. `basePath` keeps
+    * hive-partition columns resolving when the commit was partitioned.
+    */
+  def readWhere(spark: SparkSession, dir: String, version: Long,
+      column: String, lo: Any, hi: Any): DataFrame = {
+    val (files, _) = pruneFiles(dir, version, column, lo, hi)
+    val vdir = s"$dir/v$version"
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(vdir).schema)
+      else spark.read.option("basePath", vdir).parquet(files: _*)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  // -------------------------------------------------------- maintenance
+
   /** Retention: delete all but the newest `keepLast` snapshot
     * directories. The version `current` names is never deleted
-    * regardless of `keepLast` — expiring the live snapshot would turn
-    * every reader into a crash. Returns the versions removed. Like
-    * every table format's VACUUM, this is the one operation that can
-    * break an in-flight time-travel reader of an EXPIRED version;
-    * callers pick a retention window longer than their longest job.
+    * regardless of `keepLast`, and neither is any version REACHABLE
+    * from a kept version through a merge-on-read `_base` chain —
+    * expiring a delete commit's base would turn its readers into
+    * crashes (compaction, not retention, is how chains end). Also
+    * garbage-collects crashed writers' `.staged-*` directories and
+    * orphaned `.current.tmp*` pointer temps older than the staged-GC
+    * threshold (`graft.snapshot.stagedGcMs`, default 24 h — generous
+    * because a LIVE writer's staging directory legitimately ages for
+    * the whole duration of a large write; only expire reclaims these,
+    * never the commit path, so routine commits cannot race a slow
+    * writer's staging I/O). Returns the versions removed. Like every
+    * table format's VACUUM, this is the one operation that can break
+    * an in-flight time-travel reader of an EXPIRED version; callers
+    * pick a retention window longer than their longest job.
     */
   def expire(dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val live = currentVersion(dir)
     val all = versions(dir)
-    val drop = all.dropRight(keepLast).filterNot(live.contains)
+    val keep = scala.collection.mutable.Set.empty[Long]
+    def reach(v: Long): Unit =
+      if (keep.add(v)) baseOf(dir, v).foreach(reach)
+    (all.takeRight(keepLast) ++ live).foreach(reach)
+    val drop = all.filterNot(keep)
     drop.foreach(v => deleteTree(s"$dir/v$v"))
+    gcStaged(dir)
     drop
+  }
+
+  /** Sweep crash debris: `.staged-*` data directories and `.current.
+    * tmp*` pointer temps whose mtime is older than the threshold. A
+    * directory's mtime does not advance while a single large file is
+    * being written inside it, hence the conservative default — this
+    * reclaims writers that died DAYS ago, not writers that are slow.
+    */
+  private def gcStaged(dir: String): Unit = {
+    val ttlMs = java.lang.Long.getLong("graft.snapshot.stagedGcMs",
+      24L * 3600 * 1000)
+    val now = System.currentTimeMillis()
+    val children = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    children.foreach { f =>
+      val n = f.getName
+      if ((n.startsWith(".staged-") || n.startsWith(".current.tmp")) &&
+          now - f.lastModified() > ttlMs)
+        deleteTree(f.getPath)
+    }
+  }
+
+  /** Serialize the pointer check-and-flip across processes via atomic
+    * lock-file creation. Held for microseconds (no data I/O inside),
+    * which makes AGE proof of a crashed owner: a lock older than
+    * `graft.snapshot.staleLockMs` (default 60 s) is reclaimed in place
+    * — the crash debris of a writer that died between createFile and
+    * its finally never wedges the table. The lock file carries the
+    * owner's pid/timestamp for diagnostics. A FRESH contended lock
+    * still fails loudly after the bounded acquisition spin, with
+    * removal instructions, rather than deadlocking or silently
+    * proceeding into a lost update.
+    */
+  private def withPointerLock[A](dir: String)(body: => A): A = {
+    val lock = java.nio.file.Paths.get(dir, ".commit.lock")
+    // property-tunable so the stale-lock spec doesn't stall the build
+    val timeoutMs = java.lang.Long.getLong("graft.snapshot.lockTimeoutMs", 10000L)
+    val staleMs = java.lang.Long.getLong("graft.snapshot.staleLockMs", 60000L)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        java.nio.file.Files.createFile(lock)
+        // diagnostic only — the atomic createFile above IS the claim
+        try java.nio.file.Files.writeString(lock,
+          s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}")
+        catch { case scala.util.control.NonFatal(_) => () }
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.nio.file.NoSuchFileException => 0L }
+          if (age > staleMs) {
+            // crashed owner (the flip is microseconds; minutes of age
+            // is not "slow"): reclaim. deleteIfExists + the create
+            // race above arbitrate multiple reclaimers — one wins.
+            java.nio.file.Files.deleteIfExists(lock)
+          } else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire $lock within ${timeoutMs}ms — a writer " +
+                "crashed mid-flip or is wedged; verify no writer is live, " +
+                "then remove the lock file")
+          else Thread.sleep(5)
+      }
+    }
+    try body
+    finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   /** Recursive delete that FAILS LOUDLY when the tree survives — a

@@ -237,6 +237,23 @@ class MultimodalSpec extends SparkSpec {
         java.nio.file.Paths.get(s"fixtures/video/$f"))
       assert(Multimodal.mjpegSamples(b2).isEmpty, s"$f should have no samples")
     }
+    // CORRUPT size table: a bogus per-sample size must be TERMINAL for
+    // its chunk, not silently advanced past — advancing by a wrong
+    // size desynchronizes every later offset in the chunk and yields
+    // mis-sliced garbage "frames". Zero sample 1's stsz entry (all 3
+    // samples share one chunk here, per stsc): only sample 0 may
+    // survive, and it must still be an intact JPEG.
+    val corrupt = bytes.clone()
+    val stszEntry1 = {
+      val i = corrupt.indexOfSlice("stsz".getBytes) // tag index
+      i + 4 /*ver/flags*/ + 4 /*sample_size*/ + 4 /*count*/ + 4 /*entry 0*/ + 4
+    }
+    java.util.Arrays.fill(corrupt, stszEntry1, stszEntry1 + 4, 0.toByte)
+    val survivors = Multimodal.mjpegSamples(corrupt)
+    assert(survivors.size == 1, s"expected 1 survivor, got ${survivors.size}")
+    assert((survivors.head(0) & 0xFF) == 0xFF &&
+      (survivors.head(1) & 0xFF) == 0xD8 &&
+      (survivors.head.last & 0xFF) == 0xD9, "survivor frame intact")
   }
 
   test("decodeVideoFrames: real per-frame decode of the MJPEG fixture") {

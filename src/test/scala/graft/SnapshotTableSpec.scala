@@ -283,4 +283,177 @@ class SnapshotTableSpec extends SparkSpec {
       .filter(_.getName.startsWith(".current.tmp"))
     assert(leftovers.isEmpty)
   }
+
+  test("the pointer never moves backwards (blind-writer monotonicity)") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(1).toDF("id"), dir)
+    SnapshotTable.commit(spark.range(2).toDF("id"), dir)
+    assert(SnapshotTable.currentVersion(dir).contains(2L))
+    // the race's final step in isolation: writer A claimed v1 but a
+    // faster writer already published v2 — A's flip must be SKIPPED
+    assert(!SnapshotTable.flipPointer(dir, 1L))
+    assert(SnapshotTable.currentVersion(dir).contains(2L))
+    // forward flips still land
+    spark.range(3).toDF("id").write.parquet(s"$dir/v3")
+    assert(SnapshotTable.flipPointer(dir, 3L))
+    assert(SnapshotTable.currentVersion(dir).contains(3L))
+    // and the skipped flip left no temp-pointer debris
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.startsWith(".current.tmp")))
+  }
+
+  test("a STALE commit lock is reclaimed; a fresh one still fails loudly") {
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val lock = java.nio.file.Paths.get(dir, ".commit.lock")
+    java.nio.file.Files.createFile(lock)
+    // age the lock past the staleness threshold: a crashed writer's
+    // debris (the flip is microseconds — minutes of age is a corpse)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
+    val v = SnapshotTable.commit(spark.range(4).toDF("id"), dir)
+    assert(v == 1 && SnapshotTable.read(spark, dir).count() == 4)
+    assert(!java.nio.file.Files.exists(lock), "reclaimed lock released")
+  }
+
+  test("merge-on-read deletes: tombstones apply without a data rewrite") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(
+      (1 to 10).map(i => (i.toLong, s"row$i")).toDF("k", "v"), dir,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commitDeletes(
+      Seq(2L, 4L).toDF("k"), dir, expectedVersion = v1)
+    // the delete version holds NO data files — only the sidecar
+    val top = new java.io.File(s"$dir/v$v2").listFiles().map(_.getName).toSet
+    assert(top == Set("_base", "_deletes"),
+      s"delete commit must not rewrite data, found $top")
+    assert(SnapshotTable.baseOf(dir, v2).contains(v1))
+    assert(SnapshotTable.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L))
+    // time travel to the base is untouched by the delete
+    assert(SnapshotTable.readAt(spark, dir, v1).count() == 10)
+    // chains compose: a second delete commit stacks on the first
+    val v3 = SnapshotTable.commitDeletes(
+      Seq(10L).toDF("k"), dir, expectedVersion = v2)
+    assert(SnapshotTable.read(spark, dir).count() == 7)
+    // compaction: an identity transact materializes the tombstones away
+    val v4 = SnapshotTable.transact(spark, dir)(cur => cur.get)
+    assert(SnapshotTable.baseOf(dir, v4).isEmpty, "compaction cuts the chain")
+    assert(SnapshotTable.readAt(spark, dir, v4).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 5L, 6L, 7L, 8L, 9L))
+    assert(new java.io.File(s"$dir/v$v4").listFiles()
+      .exists(_.getName.endsWith(".parquet")), "compaction rewrites data")
+  }
+
+  test("commitDeletes: CAS race and bad key columns fail loudly") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    // concurrent writer moves the table ...
+    val v2 = SnapshotTable.commit(Seq((3L, "c")).toDF("k", "v"), dir)
+    // ... so a delete based on the stale read must NOT silently apply
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitDeletes(Seq(1L).toDF("k"), dir, expectedVersion = v1)
+    }
+    assert(SnapshotTable.currentVersion(dir).contains(v2))
+    // a tombstone keyed on a column the base lacks is a loud error
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitDeletes(Seq(1L).toDF("nope"), dir, expectedVersion = v2)
+    }
+  }
+
+  test("expire never drops a version reachable through a _base chain") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(
+      (1 to 6).map(i => (i.toLong, i.toString)).toDF("k", "v"), dir)
+    val v2 = SnapshotTable.commitDeletes(Seq(1L).toDF("k"), dir, v1)
+    val v3 = SnapshotTable.commitDeletes(Seq(2L).toDF("k"), dir, v2)
+    // keepLast=1 keeps v3 — but v3 reads THROUGH v2 and v1, so both
+    // must survive retention or every read of the live table crashes
+    assert(SnapshotTable.expire(dir, keepLast = 1) == Seq.empty)
+    assert(SnapshotTable.versions(dir) == Seq(1L, 2L, 3L))
+    assert(SnapshotTable.read(spark, dir).count() == 4)
+    // after compaction the chain is cut and retention can drop the tail
+    SnapshotTable.transact(spark, dir)(cur => cur.get)
+    assert(SnapshotTable.expire(dir, keepLast = 1) == Seq(1L, 2L, 3L))
+    assert(SnapshotTable.read(spark, dir).count() == 4)
+  }
+
+  test("expire garbage-collects aged .staged-* debris, not fresh ones") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(3).toDF("id"), dir)
+    val dead = java.nio.file.Paths.get(dir, ".staged-deadbeef0000")
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    val fresh = java.nio.file.Paths.get(dir, ".staged-cafebabe0000")
+    java.nio.file.Files.createDirectories(fresh)
+    SnapshotTable.expire(dir, keepLast = 1)
+    assert(!java.nio.file.Files.exists(dead), "aged staging dir reclaimed")
+    assert(java.nio.file.Files.exists(fresh),
+      "a fresh staging dir may belong to a LIVE slow writer — kept")
+  }
+
+  test("readAtConformed refuses lossy schema evolution instead of nulling") {
+    val dir = freshDir()
+    SnapshotTable.commit(Seq((1L, "12.5")).toDF("k", "score"), dir)
+    // live schema retypes score string -> double: NOT an upcast; a
+    // conformed read of v1 would have to null-or-mangle real data
+    SnapshotTable.commit(Seq((2L, 9.5)).toDF("k", "score"), dir)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.readAtConformed(spark, dir, 1).collect()
+    }
+    assert(e.getMessage.contains("lossy schema evolution"))
+    assert(e.getMessage.contains("score"))
+  }
+
+  test("per-file stats skipping: readWhere opens only admitting files") {
+    val dir = freshDir()
+    // range-cluster by k so each of the 4 files owns a disjoint span —
+    // the layout (zorder/sort-on-write) that makes min/max stats bite
+    val df = (1 to 400).map(i => (i.toLong, i % 7)).toDF("k", "m")
+      .repartitionByRange(4, $"k")
+    val v = SnapshotTable.commit(df, dir, statsCols = Seq("k"))
+    val stats = SnapshotTable.readStats(dir, v)
+    assert(stats.map(_.file).distinct.size == 4)
+    assert(stats.forall(s => s.col == "k" && s.typ == "long" && s.nulls == 0))
+    assert(stats.map(_.rowCount).sum == 400)
+    val (kept, total) = SnapshotTable.pruneFiles(dir, v, "k", 10L, 20L)
+    assert(total == 4 && kept.size == 1,
+      s"a one-span predicate must open one file, kept ${kept.size}/$total")
+    val got = SnapshotTable.readWhere(spark, dir, v, "k", 10L, 20L)
+    assert(got.inputFiles.length == 1, "the scan itself is file-pruned")
+    assert(got.select("k").as[Long].collect().sorted.toSeq == (10L to 20L))
+    // answer ≡ the unpruned read (stats are a superset bound)
+    assert(SnapshotTable.readAt(spark, dir, v)
+      .filter($"k".between(10, 20)).count() == 11)
+    // an empty-range predicate prunes everything and returns 0 rows
+    assert(SnapshotTable.readWhere(spark, dir, v, "k", 1000L, 2000L).count() == 0)
+    // a column without stats is a LOUD error, not a silent full scan
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFiles(dir, v, "m", 1, 2)
+    }
+  }
+
+  test("stats sidecar: string typing, null accounting, hive partitions") {
+    val dir = freshDir()
+    val df = Seq(
+      ("alpha", Some(1.5), "x"), ("beta", None, "x"),
+      ("gamma", Some(2.5), "y"), ("delta", Some(0.5), "y"))
+      .toDF("name", "score", "part")
+    val v = SnapshotTable.commit(df, dir, partitionCols = Seq("part"),
+      statsCols = Seq("name", "score"))
+    val stats = SnapshotTable.readStats(dir, v)
+    // files live under part=x/ and part=y/ — relative paths keep dirs
+    assert(stats.forall(s => s.file.startsWith("part=")))
+    val nameStats = stats.filter(_.col == "name")
+    assert(nameStats.forall(_.typ == "string"))
+    assert(stats.filter(_.col == "score").map(_.nulls).sum == 1)
+    // string range prune + partition columns still resolve via basePath
+    val got = SnapshotTable.readWhere(spark, dir, v, "name", "a", "b")
+    assert(got.columns.contains("part"))
+    assert(got.select("name").as[String].collect().toSet == Set("alpha"))
+  }
 }
