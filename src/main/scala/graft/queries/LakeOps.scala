@@ -481,6 +481,128 @@ object LakeOps {
        |WHERE o_custkey % 8 = 3""".stripMargin
   }
 
+  /** File-level STATS skipping through the snapshot spine — the
+    * generalization of [[snapshotPartitionPrune]] from partition
+    * granularity to FILE granularity, and the biggest single scan win
+    * an UNPARTITIONED predicate read gets at 100 TB (Delta file stats /
+    * Iceberg manifest metrics): the commit writes a per-file
+    * min/max/nullCount sidecar for `o_orderkey`, the data is
+    * range-clustered on that key (sort-on-write — the layout that
+    * makes min/max bite), and [[SnapshotTable.readWhere]] prunes files
+    * whose [min,max] cannot admit the predicate BEFORE the scan. The
+    * gate is three-layered: (a) a loud in-query require that strictly
+    * fewer files survive pruning than the version contains AND that
+    * the scan's actual input-file list equals the pruned list — a
+    * regression to a full scan fails the query, not a doc line;
+    * (b) the row count and exact money total over the pruned read
+    * match DuckDB recomputing the same predicate over the whole
+    * table — file skipping is pure I/O savings, never an answer
+    * change; (c) PlanAuditSpec re-asserts the file-count inequality
+    * independently. The predicate bound (max key ÷ 8) is derived by a
+    * 1-row scalar aggregate on both sides, so the gate is
+    * scale-portable.
+    */
+  private def snapshotStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "statsprune")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(
+      orders.repartitionByRange(8, $"o_orderkey"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey"))
+    // the probe bound: first ~octile of the keyspace — a 1-row scalar
+    // (bounded driver bridge), recomputed identically by the oracle
+    val hi = orders.agg(max($"o_orderkey")).head.getLong(0) / 8
+    val (kept, total) = SnapshotTable.pruneFiles(base, v1, "o_orderkey", 1L, hi)
+    require(kept.nonEmpty && kept.size < total,
+      s"stats skipping must prune strictly (kept ${kept.size} of $total " +
+        s"files for o_orderkey <= $hi) — min/max sidecar regressed")
+    val pruned = SnapshotTable.readWhere(s, base, v1, "o_orderkey", 1L, hi)
+    require(pruned.inputFiles.length == kept.size,
+      s"the scan must read EXACTLY the pruned file list: " +
+        s"${pruned.inputFiles.length} opened vs ${kept.size} pruned-to")
+    pruned
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows",
+        Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("pruned_strictly"))
+  }
+
+  private val snapshotStatsPruneOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS pruned_strictly
+       |FROM orders
+       |WHERE o_orderkey BETWEEN 1
+       |  AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)""".stripMargin
+  }
+
+  /** Merge-on-read DELETE through the snapshot spine — the GDPR-erasure
+    * story at table granularity (the ANN layer's
+    * `ann_topk_delete_refresh` solved it one level up): v1 commits the
+    * base data; v2 is [[SnapshotTable.commitDeletes]] — a tombstone
+    * sidecar PLUS a base pointer, no data rewrite, verified by a loud
+    * in-query require that the v2 directory holds zero data files (a
+    * 100 TB erasure must cost a kilobyte, not a table rewrite); v3 is
+    * compaction (an identity [[SnapshotTable.transact]]) that
+    * materializes the tombstones away and cuts the chain. The answer
+    * reads all three versions back through the tombstone-aware
+    * [[SnapshotTable.readAt]]: v1 proves time travel BELOW a delete is
+    * untouched, v2 proves the merge-on-read path, v3 proves
+    * compaction changed nothing — and the oracle recomputes every row
+    * straight from `orders`, so a green run pins read ≡ base ∖
+    * tombstones end to end.
+    */
+  private def snapshotMorDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "mor")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(orders, base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commitDeletes(
+      orders.filter(pmod($"o_orderkey", lit(5)) === 0).select($"o_orderkey"),
+      base, expectedVersion = v1)
+    val v2Top = new java.io.File(s"$base/v$v2").listFiles().map(_.getName).toSet
+    require(v2Top == Set("_base", "_deletes"),
+      s"merge-on-read delete must not rewrite data; v$v2 contains $v2Top")
+    val v3 = SnapshotTable.transact(s, base)(cur => cur.get) // compaction
+    require(SnapshotTable.baseOf(base, v3).isEmpty &&
+      new java.io.File(s"$base/v$v3").listFiles()
+        .exists(_.getName.endsWith(".parquet")),
+      s"compaction must materialize tombstones into a full rewrite at v$v3")
+    Seq(v1, v2, v3).map { v =>
+      SnapshotTable.readAt(s, base, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+        .select(lit(v).as("version"), $"n_rows",
+          Exact.microSumTo4dp("s_micro").as("sum_price"))
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  private val snapshotMorDeleteOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH full_t AS (
+       |  SELECT count(*) AS n_rows, CAST(sum($p) AS BIGINT) AS s
+       |  FROM orders),
+       |kept AS (
+       |  SELECT count(*) AS n_rows, CAST(sum($p) AS BIGINT) AS s
+       |  FROM orders WHERE o_orderkey % 5 <> 0)
+       |SELECT CAST(1 AS BIGINT) AS version, n_rows,
+       |  ${Exact.microSumTo4dpSql("s", Exact.DuckDiv)} AS sum_price FROM full_t
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS version, n_rows,
+       |  ${Exact.microSumTo4dpSql("s", Exact.DuckDiv)} AS sum_price FROM kept
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT) AS version, n_rows,
+       |  ${Exact.microSumTo4dpSql("s", Exact.DuckDiv)} AS sum_price FROM kept
+       |ORDER BY version""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
@@ -490,5 +612,7 @@ object LakeOps {
     Q("snapshot_retention", snapshotRetention, Some(snapshotRetentionOracle)),
     Q("snapshot_changelog", snapshotChangelog, Some(snapshotChangelogOracle)),
     Q("snapshot_partition_prune", snapshotPartitionPrune,
-      Some(snapshotPartitionPruneOracle)))
+      Some(snapshotPartitionPruneOracle)),
+    Q("snapshot_stats_prune", snapshotStatsPrune, Some(snapshotStatsPruneOracle)),
+    Q("snapshot_mor_delete", snapshotMorDelete, Some(snapshotMorDeleteOracle)))
 }

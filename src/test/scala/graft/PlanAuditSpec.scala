@@ -100,6 +100,36 @@ class PlanAuditSpec extends SparkSpec {
       "detector wrongly flagged a 1-row scalar-aggregate broadcast")
   }
 
+  test("snapshot_partition_prune plans a non-empty PartitionFilters on bkt") {
+    // the pruning evidence used to live only in a PLANS.md line — a
+    // regression to a full-version scan would edit a doc and still
+    // answer correctly. Pin it here: the scan must carry a partition
+    // filter naming the bucket column (planning-time directory
+    // pruning, not a row-level Filter after a full scan).
+    val q = Registry.all.find(_.name == "snapshot_partition_prune").get
+    val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(fail(s"no PartitionFilters in plan:\n$plan"))
+    assert(pf.contains("bkt") && pf.exists(_.isLetter),
+      s"partition filter lost its bkt predicate: '$pf'")
+  }
+
+  test("snapshot_stats_prune's scan opens strictly fewer files than v1 holds") {
+    // same discipline for FILE-level stats skipping: the executed
+    // scan's input-file list must be a strict subset of the version's
+    // data files — if the sidecar or pruneFiles regresses to a full
+    // scan, this fails the build (the query's own require fires first
+    // in most cases; this pins the plan even if the require is edited).
+    val q = Registry.all.find(_.name == "snapshot_stats_prune").get
+    val df = q.fn(spark, dir)
+    val vdir = new java.io.File(
+      graft.queries.LakeOps.lakeBase(dir, "statsprune") + "/v1")
+    val total = vdir.listFiles().count(_.getName.endsWith(".parquet"))
+    val opened = df.inputFiles.length
+    assert(opened > 0 && opened < total,
+      s"stats skipping regressed: scan opens $opened of $total files")
+  }
+
   test("no registered query broadcasts an unbounded fact-derived subtree") {
     val offenders = Registry.all.flatMap { q =>
       val plan =
