@@ -261,36 +261,53 @@ object Sketches {
     * part in eight (sub-bucket width / bucket base = 1/8); the spec
     * asserts that sandwich against the exact percentiles.
     */
-  private def quantileSketchPrices(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hist = Tables.fanOut(Tables.orders(s, dir))
-      .select(Exact.micro("o_totalprice").as("v"))
-      // codegen'd nlz instruction; length(bin(v)) semantics without the
-      // per-row binary-string allocation (the oracle keeps the string
-      // form — same VALUES, proven equal for all longs in PropertySpec)
-      .withColumn("bl", graft.plans.VectorExpressions.bitLength64($"v"))
-      .withColumn("k", $"bl" * 16 + expr(qsSubSql(Exact.SparkDiv)))
-      .groupBy($"k").agg(count(lit(1)).as("cnt"))
-    // the windows run over the BOUNDED histogram (≤ ~600 rows), never
-    // the data — a single-partition window here is a driver-scale fold
-    val wCum = Window.orderBy($"k")
+  /** Bucket micro-unit values into the (bit length, top-4-bits) log₂
+    * histogram: the map-side-combinable keyed COUNT both quantile
+    * sketches and the cross-version merge share. Codegen'd nlz
+    * instruction; length(bin(v)) semantics without the per-row
+    * binary-string allocation (the oracle keeps the string form —
+    * same VALUES, proven equal for all longs in PropertySpec).
+    */
+  private def qsHistogram(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df
+      .withColumn("bl", graft.plans.VectorExpressions.bitLength64(col("v")))
+      .withColumn("k", col("bl") * 16 + expr(qsSubSql(Exact.SparkDiv)))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile READOUT over a bounded (k, cnt) histogram: cumulative /
+    * total windows and the integer-ceil threshold picks. The windows
+    * run over the BOUNDED histogram (≤ ~600 rows), never the data — a
+    * single-partition window here is a driver-scale fold.
+    */
+  private def qsReadout(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val wCum = Window.orderBy(col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy($"k")
+    val wAll = Window.orderBy(col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val d = Exact.SparkDiv
     val picked = hist
-      .withColumn("cum", sum($"cnt").over(wCum))
-      .withColumn("total", sum($"cnt").over(wAll))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
       .agg(
-        max($"total").as("n"),
+        max(col("total")).as("n"),
         count(lit(1)).as("n_buckets"),
-        min(when($"cum" >= expr(s"(total + 1) $d 2"), $"k")).as("k50"),
-        min(when($"cum" >= expr(s"(9 * total + 9) $d 10"), $"k")).as("k90"),
-        min(when($"cum" >= expr(s"(99 * total + 99) $d 100"), $"k")).as("k99"))
-    picked.select($"n", $"n_buckets",
+        min(when(col("cum") >= expr(s"(total + 1) $d 2"), col("k"))).as("k50"),
+        min(when(col("cum") >= expr(s"(9 * total + 9) $d 10"), col("k"))).as("k90"),
+        min(when(col("cum") >= expr(s"(99 * total + 99) $d 100"), col("k"))).as("k99"))
+    picked.select(col("n"), col("n_buckets"),
       Exact.microSumTo4dp(qsLowerSql("k50", d)).as("p50_est"),
       Exact.microSumTo4dp(qsLowerSql("k90", d)).as("p90_est"),
       Exact.microSumTo4dp(qsLowerSql("k99", d)).as("p99_est"))
+  }
+
+  private def quantileSketchPrices(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qsReadout(qsHistogram(
+      Tables.fanOut(Tables.orders(s, dir))
+        .select(Exact.micro("o_totalprice").as("v"))))
   }
 
   private val quantileSketchOracle = {
@@ -386,8 +403,47 @@ object Sketches {
        |ORDER BY grp""".stripMargin
   }
 
+  /** Cross-VERSION mergeability of the quantile sketch — the claim the
+    * per-partition merge leaves untested: commit generation 1's
+    * histogram to a [[graft.ops.SnapshotTable]], and when generation 2
+    * arrives answer quantiles over the UNION of generations by reading
+    * the v1 HISTOGRAM back and adding the delta's bucket counts —
+    * generation 1's rows are NEVER rescanned (the code has no
+    * reference to them after v1 commits). This is the sketch's 100 TB
+    * contract across table generations: each ingest ships its ≤1024-row
+    * histogram; any window of generations answers quantiles by bucket
+    * addition, zero rescans of old data. Both states publish as
+    * conditional snapshot commits; the oracle computes the same
+    * integer-exact sketch over ALL orders in one pass, so a green run
+    * proves merged-across-versions ≡ single-pass, bucket for bucket
+    * (n_buckets included).
+    */
+  private def quantileSketchVersions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = LakeOps.lakeBase(dir, "qsketch")
+    graft.ops.SnapshotTable.deleteTree(base)
+    val orders = Tables.fanOut(Tables.orders(s, dir))
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("v"))
+    // generation 1 (even keys): its histogram is snapshot v1
+    val v1 = graft.ops.SnapshotTable.commit(
+      qsHistogram(orders.filter(pmod($"o_orderkey", lit(2)) === 0)),
+      base, expectedVersion = graft.ops.SnapshotTable.ExpectEmpty)
+    // generation 2 (odd keys) arrives: merge = the COMMITTED v1
+    // histogram + the delta's histogram, added by bucket key — the only
+    // scan is over the delta
+    val merged = graft.ops.SnapshotTable.readAt(s, base, v1)
+      .unionByName(qsHistogram(orders.filter(pmod($"o_orderkey", lit(2)) === 1)))
+      .groupBy($"k").agg(sum($"cnt").as("cnt"))
+    val v2 = graft.ops.SnapshotTable.commit(merged, base,
+      expectedVersion = Some(v1))
+    qsReadout(graft.ops.SnapshotTable.readAt(s, base, v2))
+  }
+
   val queries: Seq[Q] = Seq(
     Q("quantile_sketch_prices", quantileSketchPrices, Some(quantileSketchOracle)),
+    // merged-across-versions must equal the single-pass sketch exactly,
+    // so the oracle is the SAME whole-table computation
+    Q("quantile_sketch_versions", quantileSketchVersions, Some(quantileSketchOracle)),
     Q("quantile_sketch_by_priority", quantileSketchByPriority,
       Some(quantileSketchGroupedOracle)),
     Q("kmv_distinct_parts", kmvDistinctParts, Some(kmvOracle)),
