@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Aggregators, Exact}
+import graft.ops.{Aggregators, Exact, Tables}
 import graft.streaming.Streaming
 
 /** The streaming surface under the DuckDB correctness gate: each query
@@ -584,7 +584,107 @@ object StreamingGates {
        |  GROUP BY user_id)
        |ORDER BY user_id""".stripMargin
 
+  /** CDC feed → STREAMING consumer — the loop between the snapshot
+    * spine and the streaming layer, closed: the table lifecycle
+    * commits v1, a rewrite v2, and a merge-on-read DELETE v3
+    * ([[graft.ops.SnapshotTable.commitDeletes]] — deletions surface in
+    * the change feed, not just rewrites); each transition's diff (the
+    * `snapshot_changelog` full-outer-key shape, change-proportional
+    * rows) is APPENDED to a feed directory — exactly what a commit
+    * hook would publish; and the consumer is a real Structured
+    * Streaming query: file source over the feed (one batch dir per
+    * transition, globbed), running change-type aggregation drained
+    * complete-mode to a memory sink. State is bounded by |change
+    * types| (3 rows) at any corpus size, and the consumer reads
+    * deltas, never table versions — the entire point of CDC at 100 TB.
+    * The oracle recomputes both transitions' per-type row counts and
+    * exact money sums straight from `orders`, so a green run pins
+    * producer (diff), transport (feed files), and consumer (streaming
+    * agg) end to end.
+    */
+  private def streamingChangelog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val base = LakeOps.lakeBase(dir, "cdcstream")
+    val feed = LakeOps.lakeBase(dir, "cdcfeed")
+    SnapshotTable.deleteTree(base)
+    SnapshotTable.deleteTree(feed)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    // lifecycle: v1 = keys ≡ 0,1 (mod 3); v2 = keys ≡ 1,2 with the ≡1
+    // prices doubled (≡0 delete, ≡1 update, ≡2 insert); v3 = the ≡2
+    // rows erased as a merge-on-read tombstone commit (pure deletes)
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(3)) < 2), base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(3)) > 0)
+        .withColumn("price_micro",
+          when(pmod($"o_orderkey", lit(3)) === 1, $"price_micro" * 2)
+            .otherwise($"price_micro")), base,
+      expectedVersion = Some(v1))
+    val v3 = SnapshotTable.commitDeletes(
+      orders.filter(pmod($"o_orderkey", lit(3)) === 2).select($"o_orderkey"),
+      base, expectedVersion = v2)
+    // producer: one change-proportional diff batch per transition
+    def diff(a: Long, b: Long): DataFrame = {
+      val old = SnapshotTable.readAt(s, base, a)
+        .select($"o_orderkey", $"price_micro".as("p_old"))
+      val neu = SnapshotTable.readAt(s, base, b)
+        .select($"o_orderkey", $"price_micro".as("p_new"))
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .withColumn("change",
+          when($"p_new".isNull, lit("delete"))
+            .when($"p_old".isNull, lit("insert"))
+            .when($"p_old" =!= $"p_new", lit("update")))
+        .filter($"change".isNotNull)
+        .select($"o_orderkey", $"change",
+          coalesce($"p_new", $"p_old").as("price_micro"))
+    }
+    diff(v1, v2).write.parquet(s"$feed/b$v2")
+    diff(v2, v3).write.parquet(s"$feed/b$v3")
+    // consumer: a real streaming query tails the feed
+    val feedSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("change", StringType),
+      StructField("price_micro", LongType)))
+    val stream = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$feed/b*")
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+    val name = s"graft_gate_cdc_${gateId.incrementAndGet()}"
+    val sunk = withStreamShuffle(s, 4) {
+      Streaming.runToMemory(stream, name, "complete")
+    }
+    sunk
+      .select($"change", $"n_rows",
+        Exact.microSumTo4dp("s_micro").as("sum_price"))
+      .orderBy($"change")
+  }
+
+  private val streamingChangelogOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH ch AS (
+       |  SELECT CASE o_orderkey % 3
+       |           WHEN 0 THEN 'delete' WHEN 1 THEN 'update'
+       |           ELSE 'insert' END AS change,
+       |    CASE o_orderkey % 3 WHEN 1 THEN 2 * $p ELSE $p END AS pm
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'delete' AS change, $p AS pm
+       |  FROM orders WHERE o_orderkey % 3 = 2)
+       |SELECT change, count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql("CAST(sum(pm) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price
+       |FROM ch
+       |GROUP BY change
+       |ORDER BY change""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("streaming_changelog", streamingChangelog,
+      Some(streamingChangelogOracle)),
     Q("streaming_tws_user_stats", streamingTwsUserStats,
       Some(streamingTwsOracle)),
     Q("streaming_quality_filter", streamingQualityFilter,
