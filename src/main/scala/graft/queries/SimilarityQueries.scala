@@ -211,7 +211,11 @@ object SimilarityQueries {
   /** One tombstone-aware refresh round over the snapshot table at
     * `prevV`: O(k) overlap probe decides fast-drop vs rescan of `live`
     * (the caller's already-tombstone-filtered corpus frame); the new
-    * state publishes as a commit CONDITIONAL on `prevV`.
+    * state publishes as a commit CONDITIONAL on `prevV`. The `live`
+    * frame here is the flat corpus scan — correct and honestly priced;
+    * when an IVF index snapshot exists, route the rescan through it
+    * instead ([[annTopkDeleteIvf]]: probe NProbe cells of a
+    * cell-partitioned index — the 100 TB fallback).
     */
   private[graft] def refreshWithDeletes(s: SparkSession, base: String, prevV: Long,
       tombstones: DataFrame, live: DataFrame, k: Int = TopK): Long = {
@@ -247,6 +251,133 @@ object SimilarityQueries {
        |  LIMIT $TopK)
        |SELECT vec_id, label, round(cos_raw, 4) AS cos
        |FROM final
+       |ORDER BY cos DESC, vec_id""".stripMargin
+
+  /** [[annTopkDeleteRefresh]]'s rescan fallback, ROUTED THROUGH AN IVF
+    * INDEX — the 100 TB shape of a ranked delete: when a tombstone
+    * lands inside the stored top-k, the flat-scan rescan (honest but
+    * corpus-proportional) is replaced by a probe of the query's
+    * `NProbe` nearest cells of a PERSISTED index snapshot. The index
+    * commits once (cell-assigned corpus, hive-partitioned BY CELL
+    * through the spine), so the rescan reads NProbe/NumCells of the
+    * data by planning-time partition pruning — verified in-query by a
+    * loud require that the probe opened strictly fewer files than the
+    * index holds. Both the initial top-k and the post-delete state
+    * publish as conditional snapshot commits; the gate forces the
+    * ranked-delete branch (tombstone = the stored top-1), asserts the
+    * IVF answer's recall against the exact flat rescan at the same 0.6
+    * floor the trained-IVF gate carries, and the oracle recomputes the
+    * IVF-routed semantics (cell assignment, probe, tombstone
+    * exclusion) from scratch — the answer is pinned as index-routed,
+    * not merely plausible.
+    */
+  private def annTopkDeleteIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val idxBase = LakeOps.lakeBase(dir, "ann_ivf_idx")
+    val stateBase = LakeOps.lakeBase(dir, "ann_topk_ivfdel")
+    SnapshotTable.deleteTree(idxBase)
+    SnapshotTable.deleteTree(stateBase)
+    val cents = untrainedCentroids(s, dir)
+    require(QueryVecId < NumCells, "query vector must be among the centroids")
+    val qVec = cents(QueryVecId)._2
+    val probe = probeCellsFor(cents, qVec)
+    // the INDEX: cell-assigned corpus, one hive partition per cell —
+    // built once, reused by every probe/rescan until the next refresh
+    val vIdx = SnapshotTable.commit(
+      Tables.fanOut(Tables.embeddings(s, dir))
+        .filter($"vec_id" =!= QueryVecId)
+        .withColumn("cell", cellOfCol(cents)($"embedding")),
+      idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
+      partitionCols = Seq("cell"))
+    // index-routed top-k: probe the NProbe nearest cells only
+    def ivfTopk(tombstones: Option[DataFrame]): DataFrame = {
+      val probed = SnapshotTable.readAt(s, idxBase, vIdx)
+        .filter($"cell".isin(probe: _*))
+      val live = tombstones.fold(probed)(t =>
+        probed.join(t, Seq("vec_id"), "left_anti"))
+      live
+        .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVec)))
+        .select($"vec_id", $"label", $"cos_raw")
+        .orderBy($"cos_raw".desc, $"vec_id")
+        .limit(IvfTopK)
+    }
+    // partition pruning must BITE: the probe opens NProbe cells' files,
+    // strictly fewer than the index directory holds
+    val openedFiles = SnapshotTable.readAt(s, idxBase, vIdx)
+      .filter($"cell".isin(probe: _*))
+      .select(input_file_name().as("f")).distinct().count()
+    val idxFiles = SnapshotTable.readAt(s, idxBase, vIdx)
+      .select(input_file_name().as("f")).distinct().count()
+    require(openedFiles > 0 && openedFiles < idxFiles,
+      s"index probe must be partition-pruned: opened $openedFiles of " +
+        s"$idxFiles files for cells ${probe.mkString(",")}")
+    val v1 = SnapshotTable.commit(ivfTopk(None), stateBase,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    // tombstone = the stored top-1: provably ranked, so the O(k)
+    // overlap probe MUST choose the rescan branch
+    val t = SnapshotTable.readAt(s, stateBase, v1)
+      .orderBy($"cos_raw".desc, $"vec_id").limit(1).select($"vec_id")
+    val rankedDeleted = !SnapshotTable.readAt(s, stateBase, v1)
+      .join(t, Seq("vec_id"), "left_semi").isEmpty
+    require(rankedDeleted, "gate must exercise the ranked-delete rescan")
+    val rescanned = ivfTopk(Some(t))
+    val v2 = SnapshotTable.commit(rescanned, stateBase,
+      expectedVersion = Some(v1))
+    // accountability: the index-routed rescan's recall vs the exact
+    // flat rescan (corpus minus tombstone) at the trained-IVF floor
+    val exact = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .join(t, Seq("vec_id"), "left_anti")
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVec)))
+      .orderBy($"cos_raw".desc, $"vec_id").limit(IvfTopK)
+      .select($"vec_id")
+    val hits = SnapshotTable.readAt(s, stateBase, v2)
+      .join(exact, Seq("vec_id"), "left_semi").count()
+    val recall = hits.toDouble / IvfTopK
+    require(recall >= 0.6,
+      f"IVF-routed rescan recall@$IvfTopK = $recall%.2f — below the 0.6 floor")
+    SnapshotTable.readAt(s, stateBase, v2)
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+  }
+
+  // lazy: declared above the NumCells/NProbe/IvfTopK vals it
+  // interpolates — eager init would capture their pre-init zeros
+  private lazy val annTopkDeleteIvfOracle =
+    // from-scratch recompute of the INDEX-ROUTED semantics: cell
+    // assignment, the query's NProbe cells, tombstone = the IVF top-1,
+    // then the IVF top-k over the probed cells minus the tombstone
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $NumCells),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT vec_id, label, embedding, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS rn
+       |    FROM cent c, q) WHERE rn <= $NProbe),
+       |ivf AS (
+       |  SELECT a.vec_id, a.label,
+       |    list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos_raw
+       |  FROM assigned a JOIN qcells p ON a.cid = p.cid, q
+       |  WHERE a.vec_id <> $QueryVecId),
+       |t AS (SELECT vec_id FROM ivf ORDER BY cos_raw DESC, vec_id LIMIT 1),
+       |fin AS (
+       |  SELECT vec_id, label, cos_raw FROM ivf
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM t)
+       |  ORDER BY cos_raw DESC, vec_id
+       |  LIMIT $IvfTopK)
+       |SELECT vec_id, label, round(cos_raw, 4) AS cos
+       |FROM fin
        |ORDER BY cos DESC, vec_id""".stripMargin
 
   /** Recall@k of the int8 ranking against the exact float top-k — the
@@ -346,35 +477,55 @@ object SimilarityQueries {
     * vectors as centroids (deterministic; a real deployment trains
     * k-means offline — the IVF *structure* is what's exercised here).
     */
-  private def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The first-`NumCells`-vectors-as-centroids codebook (deterministic
+    * stand-in for offline training — the IVF *structure* is what the
+    * gates exercise). Centroid ids are 0..NumCells-1 in order, so an
+    * argmax INDEX over the score array is the cell id.
+    */
+  private def untrainedCentroids(s: SparkSession, dir: String): Array[(Int, Array[Float])] = {
     import s.implicits._
-    val cents: Array[(Int, Array[Float])] = Tables.embeddings(s, dir)
+    val cents = Tables.embeddings(s, dir)
       .filter($"vec_id" < NumCells).orderBy($"vec_id")
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .collect().map { case (id, v) => (id.toInt, v) }
-    // centroid ids are 0..NumCells-1 in order, so the argmax INDEX is the
-    // cell id; array_position finds the FIRST maximum — lowest cid wins
-    // ties, matching the oracle's row_number ORDER BY score DESC, cid.
-    // One linear array pass per row instead of a CASE chain that embeds
-    // the full 8-cosine tree in every branch.
     require(cents.map(_._1).toSeq == cents.indices.toSeq,
       "centroid ids must be 0..n-1")
-    def cellOf(v: org.apache.spark.sql.Column) = {
-      val scores = array(cents.map { case (_, c) =>
-        VectorOps.cosine(v, typedlit(c)) }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
+    cents
+  }
+
+  /** Map-side cell assignment against broadcast centroid literals.
+    * array_position finds the FIRST maximum — lowest cid wins ties,
+    * matching the oracle's row_number ORDER BY score DESC, cid. One
+    * linear array pass per row instead of a CASE chain that embeds the
+    * full 8-cosine tree in every branch.
+    */
+  private def cellOfCol(cents: Array[(Int, Array[Float])])(
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scores = array(cents.map { case (_, c) =>
+      VectorOps.cosine(v, typedlit(c)) }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** The query's `NProbe` nearest cells, scored driver-side with cosF32
+    * — the SAME loop CosineSimilarity.nullSafeEval executes (identical
+    * operation order → bit-identical IEEE doubles), avoiding two extra
+    * Spark jobs over an 8-row problem.
+    */
+  private def probeCellsFor(cents: Array[(Int, Array[Float])],
+      qVec: Array[Float]): Seq[Int] = cents
+    .map { case (cid, c) => (cid, cosF32(qVec, c)) }
+    .sortBy { case (cid, sc) => (-sc, cid) }
+    .take(NProbe).map(_._1).toSeq
+
+  private def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = untrainedCentroids(s, dir)
+    def cellOf(v: org.apache.spark.sql.Column) = cellOfCol(cents)(v)
     // the query vector IS centroid QueryVecId (< NumCells), so one
-    // collect serves both; probe scoring runs driver-side with cosF32 —
-    // the SAME loop CosineSimilarity.nullSafeEval executes (identical
-    // operation order → bit-identical IEEE doubles), avoiding two extra
-    // Spark jobs
+    // collect serves both
     require(QueryVecId < NumCells, "query vector must be among the centroids")
     val qVec = cents(QueryVecId)._2
-    val probe = cents
-      .map { case (cid, c) => (cid, cosF32(qVec, c)) }
-      .sortBy { case (cid, sc) => (-sc, cid) }
-      .take(NProbe).map(_._1).toSeq
+    val probe = probeCellsFor(cents, qVec)
     Tables.fanOut(Tables.embeddings(s, dir))
       .filter($"vec_id" =!= QueryVecId)
       .withColumn("cell", cellOf($"embedding"))
@@ -1376,6 +1527,7 @@ object SimilarityQueries {
     Q("ann_topk_cosine", annTopkCosine, Some(annTopkOracle)),
     Q("ann_topk_refresh", annTopkRefresh, Some(annTopkRefreshOracle)),
     Q("ann_topk_delete_refresh", annTopkDeleteRefresh, Some(annTopkDeleteOracle)),
+    Q("ann_topk_delete_ivf", annTopkDeleteIvf, Some(annTopkDeleteIvfOracle)),
     Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
     Q("ann_int8_recall", annInt8Recall, Some(annInt8RecallOracle)),
