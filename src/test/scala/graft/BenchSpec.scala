@@ -64,6 +64,14 @@ class BenchSpec extends SparkSpec {
       "cached plans survive the clearCache protocol")
   }
 
+  test("compact line carries the probe host factor") {
+    val line = Bench.compactLine(fakeResults(5), Nil, Nil, "sf", 1.84)
+    assert(line.contains("\"host\":1.84"), line)
+    // default (no probe floor) discloses unknown as 0.00, not absence
+    val bare = Bench.compactLine(fakeResults(5), Nil, Nil, "sf")
+    assert(bare.contains("\"host\":0.00"), bare)
+  }
+
   test("decimal formatting is locale-independent") {
     val prev = java.util.Locale.getDefault
     try {

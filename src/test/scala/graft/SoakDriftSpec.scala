@@ -31,7 +31,8 @@ class SoakDriftSpec extends AnyFunSuite {
       val qs = soak.get(scale).get("queries")
       qs.fieldNames().forEachRemaining { q =>
         val base = qs.get(q).get("sf0.1_sec").asDouble()
-        val w = Option(wm.get(q)).map(_.asDouble())
+        // r17: watermark rows are nested {"floor": sec, "host": factor}
+        val w = Option(wm.get(q)).map(_.get("floor").asDouble())
         w.foreach { floor =>
           // 0.15s absolute slack: sub-0.1s rows jitter across hosts
           // without any methodology change

@@ -56,7 +56,8 @@ def main():
     ap.add_argument("--watermarks", default="BENCH_WATERMARKS.json")
     ap.add_argument("--note", default="")
     args = ap.parse_args()
-    floors = json.load(open(args.watermarks))
+    floors = {q: (v["floor"] if isinstance(v, dict) else v)
+              for q, v in json.load(open(args.watermarks)).items()}
     out = {
         "metric": "scale_soak",
         "data": ("tools/make_soak_data.py: key-shifted copies of sf0.1 "

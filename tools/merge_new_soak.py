@@ -18,15 +18,16 @@ import json
 
 
 def per_query_min(paths, names):
-    best = {}
+    best, src = {}, {}
     for p in paths:
         d = json.load(open(p))
         for q, sec in d["queries"].items():
             if q in names and (q not in best or sec < best[q]):
                 best[q] = sec
+                src[q] = p
     missing = set(names) - set(best)
     assert not missing, f"no bench entry for: {sorted(missing)}"
-    return best
+    return best, src
 
 
 def main():
@@ -35,18 +36,51 @@ def main():
     ap.add_argument("--floors", nargs="+", required=True)
     ap.add_argument("--soak10", nargs="+", required=True)
     ap.add_argument("--soak100", nargs="+", required=True)
+    ap.add_argument("--host-note", default=None,
+                    help="adjudication note required when the floors runs' "
+                         "probe host_factor exceeds the disclosed 1.25 "
+                         "threshold (WatermarkProvenanceSpec)")
     args = ap.parse_args()
     names = set(args.queries)
 
-    floors = per_query_min(args.floors, names)
+    floors, floor_src = per_query_min(args.floors, names)
+    # provenance stamp (r17): every minted floor carries the probe-
+    # measured host factor of the RUN THAT SUPPLIED ITS MINIMUM (the
+    # committed number's actual provenance — min-merging across spaced
+    # runs on this bursty shared VM means different rows can come from
+    # differently-elevated windows). A floors file without host_factor
+    # predates the probe -- re-run graft.Bench rather than minting
+    # unstamped floors.
+    factor_of = {}
+    for p in args.floors:
+        d = json.load(open(p))
+        hf = d.get("host_factor")
+        assert hf is not None, (
+            f"{p} has no host_factor -- re-run graft.Bench (it measures "
+            "the probe first) before minting floors")
+        assert hf > 0, (
+            f"{p}: host_factor={hf} (probe floor unknown) -- cannot stamp "
+            "provenance; fix the probe's committed floor first")
+        factor_of[p] = hf
+    hot = {q: factor_of[floor_src[q]] for q in floors
+           if factor_of[floor_src[q]] > 1.25}
+    if hot and not args.host_note:
+        raise SystemExit(
+            f"floors minted at host_factor > 1.25: "
+            f"{ {q: round(h, 2) for q, h in sorted(hot.items())} } -- "
+            "re-mint on a clean host, or pass --host-note to adjudicate")
     wm = json.load(open("BENCH_WATERMARKS.json"))
-    wm.update({q: round(v, 3) for q, v in floors.items()})
+    for q, v in floors.items():
+        row = {"floor": round(v, 3), "host": round(factor_of[floor_src[q]], 3)}
+        if q in hot:
+            row["host_note"] = args.host_note
+        wm[q] = row
     with open("BENCH_WATERMARKS.json", "w") as f:
         json.dump(dict(sorted(wm.items())), f, indent=1)
 
     soak = json.load(open("BENCH_SOAK.json"))
     for key, paths in (("soak10x", args.soak10), ("soak100x", args.soak100)):
-        best = per_query_min(paths, names)
+        best, _ = per_query_min(paths, names)
         block = soak[key]
         for q, sec in best.items():
             ent = {"sf0.1_sec": round(floors[q], 3), "soak_sec": round(sec, 3)}

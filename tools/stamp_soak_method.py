@@ -28,6 +28,8 @@ for scale in ("soak10x", "soak100x"):
         if ent.get("bench", 0) >= 2:
             continue
         base, floor = ent["sf0.1_sec"], wm.get(q)
+        if isinstance(floor, dict):  # r17 nested {"floor":, "host":} rows
+            floor = floor["floor"]
         ok = floor is not None and not (
             base > 2 * floor + 0.15 or floor > 2 * base + 0.15)
         if ok:
