@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, mi
   * {{{
   *   <dir>/v1/ ... v2/ ...   immutable parquet snapshot directories
   *   <dir>/v2/_stats.tsv     optional per-file column min/max sidecar
+  *   <dir>/v2/_bloom.tsv     optional per-file column bloom sidecar
   *   <dir>/v3/_base          merge-on-read DELETE commit: no data files,
   *   <dir>/v3/_deletes/      a base-version pointer plus tombstone keys
   *   <dir>/current           pointer file, contents "v<N>"
@@ -164,7 +165,9 @@ object SnapshotTable {
   def commit(df: DataFrame, dir: String,
       expectedVersion: Option[Long] = None,
       partitionCols: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = DefaultBloomExpectedItems): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // fast-fail BEFORE the expensive write when the table has already
     // moved — the conflict is certain, no need to burn the I/O
@@ -175,6 +178,8 @@ object SnapshotTable {
       .parquet(staged.toString)
     if (statsCols.nonEmpty)
       writeStatsSidecar(df.sparkSession, staged, statsCols)
+    if (bloomCols.nonEmpty)
+      writeBloomSidecar(df.sparkSession, staged, bloomCols, bloomExpectedItems)
     publishStaged(dir, staged, expectedVersion)
   }
 
@@ -535,6 +540,168 @@ object SnapshotTable {
             Option(f(5)).filter(_.nonEmpty).map(dec), f(6).toLong)
         }
     }
+  }
+
+  // --------------------------------------- per-file bloom / point skip
+
+  /** Default per-file capacity a bloom sidecar is sized for. At 1% fpp
+    * this is ~150 KB of bits per (file, column) — the same order as
+    * Parquet's own column bloom filters, and the same contract: the
+    * CALLER sizes it to the write's rows-per-file (Parquet's
+    * `bloom_filter_expected_ndv`), because a filter sized far below
+    * the real distinct count saturates and silently stops pruning
+    * (correctness is unaffected — a saturated filter answers
+    * "might contain" for everything).
+    */
+  val DefaultBloomExpectedItems: Long = 1L << 17
+
+  /** Canonical bytes a value contributes to / is probed against a
+    * bloom sidecar: the value's Spark `CAST(v AS STRING)` form, UTF-8.
+    * One canonical form on both the build and probe side is what makes
+    * the filter's no-false-negative guarantee hold for every supported
+    * column type (integral, string, date — the same set the stats
+    * sidecar takes).
+    */
+  private def bloomKeyBytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Build per-file bloom filters for `bloomCols` over the staged write
+    * and persist them as `_bloom.tsv` (file TAB column TAB base64 bits,
+    * covered by the same atomic claim-rename as the data). One grouped
+    * aggregation keyed by `input_file_name()` with a typed Aggregator
+    * whose buffer is Spark's own mergeable
+    * [[org.apache.spark.util.sketch.BloomFilter]] — map-side partials
+    * OR together, so the pass is one column-pruned scan of the fresh
+    * files and the collect is one row per (file, column): the same
+    * driver-bounded manifest scale as `_stats.tsv`.
+    *
+    * Null handling matches the stats sidecar's spirit: nulls are NOT
+    * inserted, and the point-lookup reader ([[pruneFilesBloom]]) prunes
+    * on equality semantics where NULL never matches.
+    */
+  private def writeBloomSidecar(spark: SparkSession,
+      staged: java.nio.file.Path, bloomCols: Seq[String],
+      expectedItems: Long): Unit = {
+    require(expectedItems > 0, s"bloomExpectedItems must be > 0, got $expectedItems")
+    val sdf = spark.read.parquet(staged.toString)
+    bloomCols.foreach { c =>
+      require(sdf.columns.contains(c),
+        s"bloomCols: no column '$c' in committed schema (${sdf.columns.mkString(", ")})")
+      // reuse the stats type gate: same supported set, same loud error
+      statsTag(sdf.schema(c).dataType)
+    }
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+      def zero = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, 0.01)
+      def reduce(b: org.apache.spark.util.sketch.BloomFilter, v: String) = {
+        if (v != null) b.putBinary(bloomKeyBytes(v))
+        b
+      }
+      def merge(a: org.apache.spark.util.sketch.BloomFilter,
+          b: org.apache.spark.util.sketch.BloomFilter) = { a.mergeInPlace(b); a }
+      def finish(b: org.apache.spark.util.sketch.BloomFilter) = {
+        val out = new java.io.ByteArrayOutputStream()
+        b.writeTo(out)
+        out.toByteArray
+      }
+      def bufferEncoder =
+        org.apache.spark.sql.Encoders.kryo[org.apache.spark.util.sketch.BloomFilter]
+      def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+    }
+    val bloomUdaf = org.apache.spark.sql.functions.udaf(
+      agg, org.apache.spark.sql.Encoders.STRING)
+    val aggs = bloomCols.map(c => bloomUdaf(col(c).cast("string")).as(s"bf_$c"))
+    val rows = sdf
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val marker = staged.getFileName.toString + "/"
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val b64 = java.util.Base64.getEncoder
+    val lines = rows.flatMap { r =>
+      val full = r.getString(r.fieldIndex("_f"))
+      val i = full.indexOf(marker)
+      require(i >= 0, s"bloom scan returned a file outside the staging dir: $full")
+      val rel = full.substring(i + marker.length)
+      bloomCols.map { c =>
+        val bits = r.getAs[Array[Byte]](r.fieldIndex(s"bf_$c"))
+        Seq(enc(rel), enc(c), b64.encodeToString(bits)).mkString("\t")
+      }
+    }
+    java.nio.file.Files.writeString(staged.resolve("_bloom.tsv"),
+      lines.sorted.mkString("", "\n", "\n"))
+  }
+
+  /** Parse a version's `_bloom.tsv` into (file, column, filter) rows
+    * (empty when the commit didn't ask for blooms).
+    */
+  def readBloom(dir: String, version: Long):
+      Seq[(String, String, org.apache.spark.util.sketch.BloomFilter)] = {
+    val p = java.nio.file.Paths.get(dir, s"v$version", "_bloom.tsv")
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val dec = (s: String) =>
+        java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+      val b64 = java.util.Base64.getDecoder
+      java.nio.file.Files.readAllLines(p).toArray(Array.empty[String])
+        .toSeq.filter(_.nonEmpty).map { line =>
+          val f = line.split("\t", -1)
+          require(f.length == 3, s"corrupt _bloom.tsv line in $p: '$line'")
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(b64.decode(f(2))))
+          (dec(f(0)), dec(f(1)), bf)
+        }
+    }
+  }
+
+  /** File-skipping decision for `column IN (keys)` on a bloom-carrying
+    * version: a file survives iff its filter says ANY key might be
+    * present. This is the point-lookup complement to [[pruneFiles]] —
+    * min/max ranges are powerless when a high-cardinality key is
+    * scattered across every file (each file's [min,max] spans the whole
+    * keyspace), but a bloom answers "definitely not here" per file, so
+    * a needle query on an unpartitioned, unclustered 100 TB table opens
+    * ~the files that actually hold the needles (plus the disclosed 1%
+    * false-positive tail). No false negatives: correctness never
+    * depends on the filter, only I/O does. Keys are canonicalized
+    * through the same string form the build side inserted. Absent or
+    * column-less blooms are a LOUD error, same contract as
+    * [[pruneFiles]].
+    */
+  def pruneFilesBloom(dir: String, version: Long, column: String,
+      keys: Seq[Any]): (Seq[String], Int) = {
+    require(baseOf(dir, version).isEmpty,
+      s"pruneFilesBloom targets data versions; v$version of $dir is a " +
+        "merge-on-read delete commit — compact first or prune its base")
+    require(keys.nonEmpty, "pruneFilesBloom needs at least one key")
+    val blooms = readBloom(dir, version).filter(_._2 == column)
+    require(blooms.nonEmpty,
+      s"no per-file bloom for column '$column' on $dir v$version — " +
+        "commit with bloomCols to enable point-lookup file skipping")
+    val keyBytes = keys.map(k => bloomKeyBytes(String.valueOf(k)))
+    val kept = blooms.collect {
+      case (file, _, bf) if keyBytes.exists(bf.mightContainBinary) => file
+    }
+    (kept.map(f => s"$dir/v$version/$f"), blooms.size)
+  }
+
+  /** Bloom-pruned point-lookup read: `readAt(version).filter(column IN
+    * keys)` that opens ONLY the files whose bloom admits at least one
+    * key. The row-level IN filter still applies (a bloom keeps false
+    * positives), so the answer is byte-identical to the full scan —
+    * pure I/O savings, like [[readWhere]].
+    */
+  def readWhereIn(spark: SparkSession, dir: String, version: Long,
+      column: String, keys: Seq[Any]): DataFrame = {
+    val (files, _) = pruneFilesBloom(dir, version, column, keys)
+    val vdir = s"$dir/v$version"
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(vdir).schema)
+      else spark.read.option("basePath", vdir).parquet(files: _*)
+    base.filter(col(column).isin(keys: _*))
   }
 
   /** File-skipping decision for `column BETWEEN lo AND hi` on a stats-

@@ -541,6 +541,95 @@ object LakeOps {
        |  AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)""".stripMargin
   }
 
+  /** BLOOM file skipping through the snapshot spine — the point-lookup
+    * complement to [[snapshotStatsPrune]]: min/max stats only bite when
+    * the data is clustered on the predicate column; here the commit is
+    * deliberately clustered on a DIFFERENT key (files hash-bucketed by
+    * customer), so every file's o_orderkey [min,max] spans essentially
+    * the whole keyspace and range skipping keeps everything — which the
+    * gate PROVES with an in-query require (`pruneFiles` over the probe
+    * keys' span must keep all files). The per-file bloom sidecar
+    * ([[SnapshotTable.commit]] `bloomCols`) then answers "definitely
+    * not in this file" per key, and [[SnapshotTable.readWhereIn]] opens
+    * only the admitting files — the Iceberg/Parquet bloom story: a
+    * needle-in-100 TB lookup on an unclustered key costs ~the files
+    * holding the needles, not a full scan. Three-layered like the stats
+    * gate: (a) loud requires that bloom pruning is strict while range
+    * pruning is proven powerless, and that the scan's input-file list
+    * equals the bloom-pruned list; (b) the looked-up rows' count and
+    * exact money total match DuckDB running the same IN-subquery over
+    * the whole table (no false negatives, fp rows removed by the
+    * row-level filter); (c) PlanAuditSpec re-asserts the file-count
+    * inequality. The probe keys are the extreme orderkeys of two
+    * residue classes — four keys spanning the keyspace, derived by
+    * bounded scalar aggregates both engines compute identically.
+    */
+  private def snapshotBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "bloomprune")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", Exact.micro("o_totalprice").as("price_micro"))
+    // size the sidecar to the write, like Parquet's bloom_filter_
+    // expected_ndv: a filter sized far below rows-per-file saturates
+    // at soak scale and (correctly but uselessly) stops pruning
+    val nOrders = orders.count()
+    val v1 = SnapshotTable.commit(
+      orders.repartition(8, pmod($"o_custkey", lit(8))),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"),
+      bloomExpectedItems =
+        math.max(SnapshotTable.DefaultBloomExpectedItems, nOrders / 4))
+    // probe keys: min/max orderkey of residues 3 and 7 (mod 100) — a
+    // 1-row scalar per side (bounded driver bridge), spanning the
+    // keyspace so the range-skip powerlessness witness below is fair
+    val ext = orders.filter(pmod($"o_orderkey", lit(100)).isin(3, 7))
+      .agg(min($"o_orderkey"), max($"o_orderkey"),
+        min(when(pmod($"o_orderkey", lit(100)) === 7, $"o_orderkey")),
+        max(when(pmod($"o_orderkey", lit(100)) === 3, $"o_orderkey"))).head
+    val keys = (0 to 3).map(ext.getLong).distinct.sorted
+    val (bloomKept, total) = SnapshotTable.pruneFilesBloom(base, v1, "o_orderkey", keys)
+    require(bloomKept.size < total,
+      s"bloom skipping must prune strictly (kept ${bloomKept.size} of $total " +
+        s"files for ${keys.size} point keys) — bloom sidecar regressed")
+    // the contrast witness: the same lookup as a RANGE over the keys'
+    // span keeps every file, because the layout scatters the key
+    val (statsKept, statsTotal) =
+      SnapshotTable.pruneFiles(base, v1, "o_orderkey", keys.min, keys.max)
+    require(statsKept.size == statsTotal,
+      s"the powerlessness witness broke: range pruning kept ${statsKept.size} " +
+        s"of $statsTotal files — the layout is no longer key-scattered")
+    val looked = SnapshotTable.readWhereIn(s, base, v1, "o_orderkey", keys)
+    require(looked.inputFiles.length == bloomKept.size,
+      s"the scan must read EXACTLY the bloom-pruned file list: " +
+        s"${looked.inputFiles.length} opened vs ${bloomKept.size} pruned-to")
+    looked
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(keys.size).cast("long").as("n_keys"),
+        lit(true).as("bloom_pruned_strictly"))
+  }
+
+  private val snapshotBloomPruneOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH keys AS (
+       |  SELECT DISTINCT k FROM (
+       |    SELECT min(o_orderkey) AS k FROM orders WHERE o_orderkey % 100 IN (3, 7)
+       |    UNION ALL
+       |    SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 100 IN (3, 7)
+       |    UNION ALL
+       |    SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 100 = 7
+       |    UNION ALL
+       |    SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 100 = 3))
+       |SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  (SELECT count(*) FROM keys) AS n_keys,
+       |  true AS bloom_pruned_strictly
+       |FROM orders
+       |WHERE o_orderkey IN (SELECT k FROM keys)""".stripMargin
+  }
+
   /** Merge-on-read DELETE through the snapshot spine — the GDPR-erasure
     * story at table granularity (the ANN layer's
     * `ann_topk_delete_refresh` solved it one level up): v1 commits the
@@ -614,5 +703,6 @@ object LakeOps {
     Q("snapshot_partition_prune", snapshotPartitionPrune,
       Some(snapshotPartitionPruneOracle)),
     Q("snapshot_stats_prune", snapshotStatsPrune, Some(snapshotStatsPruneOracle)),
+    Q("snapshot_bloom_prune", snapshotBloomPrune, Some(snapshotBloomPruneOracle)),
     Q("snapshot_mor_delete", snapshotMorDelete, Some(snapshotMorDeleteOracle)))
 }

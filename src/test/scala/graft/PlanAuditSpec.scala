@@ -130,6 +130,20 @@ class PlanAuditSpec extends SparkSpec {
       s"stats skipping regressed: scan opens $opened of $total files")
   }
 
+  test("snapshot_bloom_prune's scan opens strictly fewer files than v1 holds") {
+    // the bloom-sidecar analogue of the stats-prune pin: the executed
+    // point-lookup's input-file list must be a strict subset of the
+    // version's data files, independently of the query's own requires
+    val q = Registry.all.find(_.name == "snapshot_bloom_prune").get
+    val df = q.fn(spark, dir)
+    val vdir = new java.io.File(
+      graft.queries.LakeOps.lakeBase(dir, "bloomprune") + "/v1")
+    val total = vdir.listFiles().count(_.getName.endsWith(".parquet"))
+    val opened = df.inputFiles.length
+    assert(opened > 0 && opened < total,
+      s"bloom skipping regressed: scan opens $opened of $total files")
+  }
+
   test("no registered query broadcasts an unbounded fact-derived subtree") {
     val offenders = Registry.all.flatMap { q =>
       val plan =

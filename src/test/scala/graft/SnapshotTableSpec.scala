@@ -456,4 +456,64 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got.columns.contains("part"))
     assert(got.select("name").as[String].collect().toSet == Set("alpha"))
   }
+
+  test("per-file bloom skipping: readWhereIn opens only admitting files") {
+    val dir = freshDir()
+    // HASH-cluster by a different column so every file's k range spans
+    // the whole keyspace — the layout where min/max stats are useless
+    // and the bloom is the only thing standing between a point lookup
+    // and a full scan
+    val df = (1 to 400).map(i => (i.toLong, i % 7)).toDF("k", "m")
+      .repartition(4, $"m")
+    val v = SnapshotTable.commit(df, dir, statsCols = Seq("k"),
+      bloomCols = Seq("k"), bloomExpectedItems = 1000)
+    // the contrast: range pruning keeps everything on this layout
+    // (total counts NON-EMPTY files — a hash bucket can come out empty)
+    val (rangeKept, total) = SnapshotTable.pruneFiles(dir, v, "k", 10L, 390L)
+    assert(total >= 3 && rangeKept.size == total,
+      s"hash layout should defeat min/max pruning, kept ${rangeKept.size}/$total")
+    // bloom pruning: each k lives in exactly one file (k -> m = k%7
+    // -> one hash bucket), so a single-key probe keeps ~1 file
+    val (kept, btotal) = SnapshotTable.pruneFilesBloom(dir, v, "k", Seq(10L))
+    assert(btotal == total && kept.nonEmpty && kept.size < btotal,
+      s"single-key bloom probe kept ${kept.size}/$btotal files")
+    // keys from ONE m-class (10, 17, 24 ≡ 3 mod 7) co-locate in one
+    // file, so a multi-key probe still prunes
+    val got = SnapshotTable.readWhereIn(spark, dir, v, "k", Seq(10L, 17L, 24L))
+    assert(got.inputFiles.length < btotal, "the scan itself is file-pruned")
+    assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(10L, 17L, 24L))
+    // no false negatives across every key, probed in one batch
+    val all = SnapshotTable.readWhereIn(spark, dir, v, "k", (1L to 400L))
+    assert(all.count() == 400, "a present key must never be pruned away")
+    // absent keys return zero rows (fp files are cleaned by the filter)
+    assert(SnapshotTable.readWhereIn(spark, dir, v, "k", Seq(4040L)).count() == 0)
+    // a column without a bloom is a LOUD error, not a silent full scan
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFilesBloom(dir, v, "m", Seq(1))
+    }
+    // and so is a bloom-less version
+    val dir2 = freshDir()
+    val v2 = SnapshotTable.commit(df, dir2)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFilesBloom(dir2, v2, "k", Seq(1L))
+    }
+  }
+
+  test("bloom sidecar: string keys, nulls skipped, MOR versions refused") {
+    val dir = freshDir()
+    val df = Seq(("alpha", 1L), (null: String, 2L), ("gamma", 3L), ("delta", 4L))
+      .toDF("name", "id").repartition(2, $"id")
+    val v = SnapshotTable.commit(df, dir, bloomCols = Seq("name"))
+    // string canonicalization round-trips build -> probe
+    val got = SnapshotTable.readWhereIn(spark, dir, v, "name", Seq("gamma"))
+    assert(got.select("id").as[Long].collect().toSeq == Seq(3L))
+    // a NULL never matches an IN probe; the row with null name is
+    // reachable by other predicates, unharmed by the sidecar
+    assert(SnapshotTable.readAt(spark, dir, v).filter($"name".isNull).count() == 1)
+    // merge-on-read delete commits are not bloom-prunable — loud error
+    val vd = SnapshotTable.commitDeletes(Seq(2L).toDF("id"), dir, expectedVersion = v)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFilesBloom(dir, vd, "name", Seq("alpha"))
+    }
+  }
 }
