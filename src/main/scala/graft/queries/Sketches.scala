@@ -310,11 +310,16 @@ object Sketches {
         .select(Exact.micro("o_totalprice").as("v"))))
   }
 
-  private val quantileSketchOracle = {
+  /** The single-pass sketch readout as SQL over any `... AS v` source —
+    * shared by the whole-table, cross-version, and CDC-maintained
+    * gates: each maintains the histogram a different way, and each must
+    * equal this one-pass computation bucket for bucket.
+    */
+  private def qsOracleOver(srcSql: String) = {
     val d = Exact.DuckDiv
     s"""WITH b AS (
        |  SELECT v, length(bin(v)) AS bl
-       |  FROM (SELECT ${Exact.microSql("o_totalprice")} AS v FROM orders)),
+       |  FROM ($srcSql)),
        |h AS (
        |  SELECT bl * 16 + ${qsSubSql(d)} AS k, count(*) AS cnt
        |  FROM b GROUP BY 1),
@@ -335,6 +340,9 @@ object Sketches {
        |  ${Exact.microSumTo4dpSql(qsLowerSql("k99", d), d)} AS p99_est
        |FROM q""".stripMargin
   }
+
+  private val quantileSketchOracle =
+    qsOracleOver(s"SELECT ${Exact.microSql("o_totalprice")} AS v FROM orders")
 
   /** The GROUPED form of [[quantileSketchPrices]] — per-key quantiles
     * are where the mergeable histogram actually earns its keep at
@@ -439,11 +447,81 @@ object Sketches {
     qsReadout(graft.ops.SnapshotTable.readAt(s, base, v2))
   }
 
+  /** CDC-MAINTAINED quantile sketch — the subtraction half of the
+    * histogram's mergeability contract, which [[quantileSketchVersions]]
+    * (pure addition across generations) leaves untested: maintain the
+    * committed sketch under a debezium-shaped change batch (op,
+    * before-image, after-image) by bucket arithmetic ALONE —
+    * +1 per insert/update after-value, −1 per delete/update
+    * before-value — with the base table NEVER rescanned (after v1's
+    * histogram commits, no code path touches v1's rows; the update
+    * reads the ≤1024-row committed histogram plus the change batch).
+    * This is how a 100 TB table's percentile dashboard survives a GDPR
+    * erasure or a repricing without a recompute: the CDC feed carries
+    * before-images, and a keyed count is the one sketch family where
+    * deletion is EXACT (t-digest/KLL cannot subtract). Buckets whose
+    * count reaches zero are dropped — the maintained histogram must be
+    * indistinguishable from a fresh single-pass build, and the oracle
+    * pins exactly that: the same readout over the final state computed
+    * from `orders` in one pass, `n_buckets` included, so a leftover
+    * zero bucket or a miscounted update fails the hash. Both sketch
+    * states publish as conditional snapshot commits (CAS), like every
+    * index artifact in the engine.
+    *
+    * Lifecycle (same mod-3 classes as `snapshot_changelog`): base =
+    * keys ≡ 0,1; batch deletes ≡ 0, updates ≡ 1 to doubled price,
+    * inserts ≡ 2. Final state = {≡1 doubled} ∪ {≡2}.
+    */
+  private def quantileSketchCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = LakeOps.lakeBase(dir, "qscdc")
+    graft.ops.SnapshotTable.deleteTree(base)
+    val orders = Tables.fanOut(Tables.orders(s, dir))
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("v"))
+    val residue = pmod($"o_orderkey", lit(3))
+    // v1: the base generation's histogram — the last time base rows
+    // are ever read
+    val v1 = graft.ops.SnapshotTable.commit(
+      qsHistogram(orders.filter(residue < 2).select($"v")),
+      base, expectedVersion = graft.ops.SnapshotTable.ExpectEmpty)
+    // the change batch, before/after images included (what a CDC feed
+    // ships; no engine-side diff, no base rescan)
+    val batch = orders.select($"o_orderkey", $"v", residue.as("r"))
+      .select(
+        when($"r" === 0, lit("delete"))
+          .when($"r" === 1, lit("update"))
+          .otherwise(lit("insert")).as("op"),
+        when($"r" < 2, $"v").as("before_v"),
+        when($"r" === 1, $"v" * 2).when($"r" === 2, $"v").as("after_v"))
+    // signed bucket deltas: after-images count +1, before-images −1
+    val plus = qsHistogram(batch.filter($"after_v".isNotNull)
+      .select($"after_v".as("v")))
+    val minus = qsHistogram(batch.filter($"op".isin("delete", "update"))
+      .select($"before_v".as("v")))
+      .withColumn("cnt", -$"cnt")
+    val maintained = graft.ops.SnapshotTable.readAt(s, base, v1)
+      .unionByName(plus).unionByName(minus)
+      .groupBy($"k").agg(sum($"cnt").as("cnt"))
+      .filter($"cnt" =!= 0) // emptied buckets must vanish exactly
+    val v2 = graft.ops.SnapshotTable.commit(maintained, base,
+      expectedVersion = Some(v1))
+    qsReadout(graft.ops.SnapshotTable.readAt(s, base, v2))
+  }
+
+  private val quantileSketchCdcOracle = qsOracleOver(
+    s"""SELECT CASE WHEN o_orderkey % 3 = 1
+       |         THEN 2 * ${Exact.microSql("o_totalprice")}
+       |         ELSE ${Exact.microSql("o_totalprice")} END AS v
+       |  FROM orders WHERE o_orderkey % 3 > 0""".stripMargin)
+
   val queries: Seq[Q] = Seq(
     Q("quantile_sketch_prices", quantileSketchPrices, Some(quantileSketchOracle)),
     // merged-across-versions must equal the single-pass sketch exactly,
     // so the oracle is the SAME whole-table computation
     Q("quantile_sketch_versions", quantileSketchVersions, Some(quantileSketchOracle)),
+    // maintained-under-CDC must equal a fresh single-pass sketch of the
+    // final state, bucket for bucket — the oracle IS that single pass
+    Q("quantile_sketch_cdc", quantileSketchCdc, Some(quantileSketchCdcOracle)),
     Q("quantile_sketch_by_priority", quantileSketchByPriority,
       Some(quantileSketchGroupedOracle)),
     Q("kmv_distinct_parts", kmvDistinctParts, Some(kmvOracle)),
