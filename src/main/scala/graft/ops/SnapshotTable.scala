@@ -297,15 +297,26 @@ object SnapshotTable {
     * plain identity transact (`cur => cur.get`) over a table with
     * merge-on-read deletes is COMPACTION: it materializes the deletes
     * into a full rewrite and the new version carries no `_base` chain.
+    *
+    * The layout params (`partitionCols`/`statsCols`/`bloomCols`) pass
+    * through to the conditional [[commit]], so a transact can also be
+    * an OPTIMIZE: an identity mutate plus `repartitionByRange` and
+    * `statsCols` rewrites an ingest-ordered table into a skip-friendly
+    * clustered layout in one CAS-protected step (the
+    * `snapshot_optimize_cluster` gate).
     */
-  def transact(spark: SparkSession, dir: String, maxRetries: Int = 10)(
+  def transact(spark: SparkSession, dir: String, maxRetries: Int = 10,
+      partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)(
       mutate: Option[DataFrame] => DataFrame): Long = {
     var attempt = 0
     var lastConflict: Throwable = null
     while (attempt <= maxRetries) {
       val base = currentVersion(dir)
       val next = mutate(base.map(v => readAt(spark, dir, v)))
-      try return commit(next, dir, expectedVersion = Some(base.getOrElse(0L)))
+      try return commit(next, dir, expectedVersion = Some(base.getOrElse(0L)),
+        partitionCols = partitionCols, statsCols = statsCols,
+        bloomCols = bloomCols)
       catch {
         case e: java.util.ConcurrentModificationException =>
           lastConflict = e

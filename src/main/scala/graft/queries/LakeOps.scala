@@ -541,6 +541,73 @@ object LakeOps {
        |  AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)""".stripMargin
   }
 
+  /** OPTIMIZE through the snapshot spine — the maintenance op (Delta
+    * OPTIMIZE ZORDER, Iceberg rewrite_data_files with a sort order)
+    * that turns an ingest-ordered table into a skip-friendly one: v1
+    * commits orders in ARRIVAL order (hash-scattered by customer, the
+    * shape a streaming ingest leaves behind) with a stats sidecar; the
+    * gate PROVES that layout defeats range skipping (pruneFiles over a
+    * key octile keeps every file — loud require). v2 is one
+    * CAS-protected [[SnapshotTable.transact]] whose mutate is identity
+    * but whose layout is `repartitionByRange` + fresh `statsCols`: a
+    * rewrite, priced honestly as one, after which the SAME predicate
+    * read opens strictly fewer files than v2 holds. The answer columns
+    * are read through the optimized [[SnapshotTable.readWhere]] and
+    * must match DuckDB computing the predicate over the whole table —
+    * clustering is pure I/O layout, never an answer change — and the
+    * before/after file counts ride in the output row so the oracle
+    * also pins "before kept ALL files" structurally. At 100 TB this is
+    * the nightly job that keeps needle queries from paying full-scan
+    * prices forever after a streaming week.
+    */
+  private def snapshotOptimizeCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "optimize")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", Exact.micro("o_totalprice").as("price_micro"))
+    // v1: arrival-order ingest — customer-hash files, orderkey scattered
+    val v1 = SnapshotTable.commit(
+      orders.repartition(8, pmod($"o_custkey", lit(8))),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey"))
+    val hi = orders.agg(max($"o_orderkey")).head().getLong(0) / 8
+    val (keptBefore, totalBefore) =
+      SnapshotTable.pruneFiles(base, v1, "o_orderkey", 1L, hi)
+    require(keptBefore.size == totalBefore,
+      s"the ingest layout must defeat range skipping (kept " +
+        s"${keptBefore.size} of $totalBefore) — fixture layout drifted")
+    // v2: OPTIMIZE — identity data, clustered layout, fresh stats
+    val v2 = SnapshotTable.transact(s, base, statsCols = Seq("o_orderkey"))(
+      cur => cur.get.repartitionByRange(8, $"o_orderkey"))
+    val (keptAfter, totalAfter) =
+      SnapshotTable.pruneFiles(base, v2, "o_orderkey", 1L, hi)
+    require(keptAfter.size < totalAfter,
+      s"OPTIMIZE must make range skipping strict (kept ${keptAfter.size} " +
+        s"of $totalAfter) — clustering or the fresh sidecar regressed")
+    val pruned = SnapshotTable.readWhere(s, base, v2, "o_orderkey", 1L, hi)
+    require(pruned.inputFiles.length == keptAfter.size,
+      s"the optimized scan must read EXACTLY the pruned list: " +
+        s"${pruned.inputFiles.length} vs ${keptAfter.size}")
+    pruned
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(keptBefore.size == totalBefore).as("before_kept_all"),
+        lit(true).as("after_pruned_strictly"))
+  }
+
+  private val snapshotOptimizeClusterOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS before_kept_all,
+       |  true AS after_pruned_strictly
+       |FROM orders
+       |WHERE o_orderkey BETWEEN 1
+       |  AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)""".stripMargin
+  }
+
   /** BLOOM file skipping through the snapshot spine — the point-lookup
     * complement to [[snapshotStatsPrune]]: min/max stats only bite when
     * the data is clustered on the predicate column; here the commit is
@@ -704,5 +771,7 @@ object LakeOps {
       Some(snapshotPartitionPruneOracle)),
     Q("snapshot_stats_prune", snapshotStatsPrune, Some(snapshotStatsPruneOracle)),
     Q("snapshot_bloom_prune", snapshotBloomPrune, Some(snapshotBloomPruneOracle)),
+    Q("snapshot_optimize_cluster", snapshotOptimizeCluster,
+      Some(snapshotOptimizeClusterOracle)),
     Q("snapshot_mor_delete", snapshotMorDelete, Some(snapshotMorDeleteOracle)))
 }

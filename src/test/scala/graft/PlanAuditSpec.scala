@@ -144,6 +144,20 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom skipping regressed: scan opens $opened of $total files")
   }
 
+  test("snapshot_optimize_cluster's post-OPTIMIZE scan is file-pruned") {
+    // after the clustering rewrite, the same range read must open a
+    // strict subset of v2's data files — pinned independently of the
+    // query's own requires, like the stats/bloom gates
+    val q = Registry.all.find(_.name == "snapshot_optimize_cluster").get
+    val df = q.fn(spark, dir)
+    val vdir = new java.io.File(
+      graft.queries.LakeOps.lakeBase(dir, "optimize") + "/v2")
+    val total = vdir.listFiles().count(_.getName.endsWith(".parquet"))
+    val opened = df.inputFiles.length
+    assert(opened > 0 && opened < total,
+      s"OPTIMIZE skipping regressed: scan opens $opened of $total files")
+  }
+
   test("no registered query broadcasts an unbounded fact-derived subtree") {
     val offenders = Registry.all.flatMap { q =>
       val plan =

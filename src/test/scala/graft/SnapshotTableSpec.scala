@@ -499,6 +499,25 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("transact with layout params is OPTIMIZE: same rows, strict skipping") {
+    val dir = freshDir()
+    // ingest layout: hash-scattered by m, so k min/max spans every file
+    val df = (1 to 400).map(i => (i.toLong, i % 7)).toDF("k", "m")
+      .repartition(4, $"m")
+    val v1 = SnapshotTable.commit(df, dir, statsCols = Seq("k"))
+    val (kept1, total1) = SnapshotTable.pruneFiles(dir, v1, "k", 10L, 20L)
+    assert(kept1.size == total1, "ingest layout should defeat range pruning")
+    val v2 = SnapshotTable.transact(spark, dir, statsCols = Seq("k"))(
+      cur => cur.get.repartitionByRange(4, $"k"))
+    val (kept2, total2) = SnapshotTable.pruneFiles(dir, v2, "k", 10L, 20L)
+    assert(kept2.size == 1 && total2 == 4,
+      s"optimized layout must skip: kept ${kept2.size}/$total2")
+    // identity mutate: the data is byte-for-byte the same multiset
+    assert(SnapshotTable.readAt(spark, dir, v2).collect().toSet
+      == SnapshotTable.readAt(spark, dir, v1).collect().toSet)
+    assert(SnapshotTable.readAt(spark, dir, v2).count() == 400)
+  }
+
   test("bloom sidecar: string keys, nulls skipped, MOR versions refused") {
     val dir = freshDir()
     val df = Seq(("alpha", 1L), (null: String, 2L), ("gamma", 3L), ("delta", 4L))
