@@ -64,7 +64,13 @@ def main():
                          "minting); off for 10x/100x soak runs")
     ap.add_argument("--scratch", default=None,
                     help="per-fork artifact/log dir (default: <out>.d)")
+    ap.add_argument("--env", action="append", default=[],
+                    help="extra KEY=VALUE for every fork (repeatable) — e.g. "
+                         "SPARK_GRAFT_IMG_DIR=<tools/make_soak_images.py output> "
+                         "so the image queries soak on a scale corpus, as the "
+                         "committed rows were measured")
     args = ap.parse_args()
+    extra_env = dict(kv.split("=", 1) for kv in args.env)
 
     queries = args.queries if args.queries else list_queries()
     scratch = args.scratch or (args.out + ".d")
@@ -79,7 +85,8 @@ def main():
                    SPARK_GRAFT_SF_DIR=args.sf_dir,
                    SPARK_GRAFT_BENCH_FULL=frag,
                    SPARK_GRAFT_CPUS=args.cpus,
-                   SPARK_DRIVER_MEM=args.mem)
+                   SPARK_DRIVER_MEM=args.mem,
+                   **extra_env)
         if not args.retry_watermarks:
             # missing file -> Bench's adaptive retry is inert (by design
             # at soak scale); the host probe still reads the repo floor
