@@ -702,17 +702,29 @@ object SnapshotTable {
     * key. The row-level IN filter still applies (a bloom keeps false
     * positives), so the answer is byte-identical to the full scan —
     * pure I/O savings, like [[readWhere]].
+    *
+    * Merge-on-read delete commits resolve like [[readAt]]: the pruning
+    * happens on the underlying DATA version's sidecar (a bloom cannot
+    * forget a key, so a deleted key only costs a false-positive file
+    * open) and every `_deletes` level in the chain anti-joins on top —
+    * a point lookup can never resurrect an erased key through the
+    * skipping path.
     */
   def readWhereIn(spark: SparkSession, dir: String, version: Long,
-      column: String, keys: Seq[Any]): DataFrame = {
-    val (files, _) = pruneFilesBloom(dir, version, column, keys)
-    val vdir = s"$dir/v$version"
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          spark.read.parquet(vdir).schema)
-      else spark.read.option("basePath", vdir).parquet(files: _*)
-    base.filter(col(column).isin(keys: _*))
+      column: String, keys: Seq[Any]): DataFrame = baseOf(dir, version) match {
+    case Some(b) =>
+      val dels = spark.read.parquet(s"$dir/v$version/_deletes")
+      readWhereIn(spark, dir, b, column, keys)
+        .join(dels, dels.columns.toSeq, "left_anti")
+    case None =>
+      val (files, _) = pruneFilesBloom(dir, version, column, keys)
+      val vdir = s"$dir/v$version"
+      val base =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            spark.read.parquet(vdir).schema)
+        else spark.read.option("basePath", vdir).parquet(files: _*)
+      base.filter(col(column).isin(keys: _*))
   }
 
   /** File-skipping decision for `column BETWEEN lo AND hi` on a stats-
@@ -751,17 +763,24 @@ object SnapshotTable {
     * scan — the pruning is pure I/O savings, which is the entire game
     * on an unpartitioned 100 TB predicate read. `basePath` keeps
     * hive-partition columns resolving when the commit was partitioned.
+    * Merge-on-read delete commits resolve like [[readAt]]: pruning on
+    * the data version's sidecar, `_deletes` anti-joined on top.
     */
   def readWhere(spark: SparkSession, dir: String, version: Long,
-      column: String, lo: Any, hi: Any): DataFrame = {
-    val (files, _) = pruneFiles(dir, version, column, lo, hi)
-    val vdir = s"$dir/v$version"
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          spark.read.parquet(vdir).schema)
-      else spark.read.option("basePath", vdir).parquet(files: _*)
-    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      column: String, lo: Any, hi: Any): DataFrame = baseOf(dir, version) match {
+    case Some(b) =>
+      val dels = spark.read.parquet(s"$dir/v$version/_deletes")
+      readWhere(spark, dir, b, column, lo, hi)
+        .join(dels, dels.columns.toSeq, "left_anti")
+    case None =>
+      val (files, _) = pruneFiles(dir, version, column, lo, hi)
+      val vdir = s"$dir/v$version"
+      val base =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            spark.read.parquet(vdir).schema)
+        else spark.read.option("basePath", vdir).parquet(files: _*)
+      base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   // -------------------------------------------------------- maintenance

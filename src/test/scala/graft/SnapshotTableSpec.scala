@@ -518,19 +518,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.readAt(spark, dir, v2).count() == 400)
   }
 
-  test("bloom sidecar: string keys, nulls skipped, MOR versions refused") {
+  test("bloom sidecar: string keys, nulls skipped, MOR chains resolved") {
     val dir = freshDir()
     val df = Seq(("alpha", 1L), (null: String, 2L), ("gamma", 3L), ("delta", 4L))
       .toDF("name", "id").repartition(2, $"id")
-    val v = SnapshotTable.commit(df, dir, bloomCols = Seq("name"))
+    val v = SnapshotTable.commit(df, dir, bloomCols = Seq("name"),
+      statsCols = Seq("id"))
     // string canonicalization round-trips build -> probe
     val got = SnapshotTable.readWhereIn(spark, dir, v, "name", Seq("gamma"))
     assert(got.select("id").as[Long].collect().toSeq == Seq(3L))
     // a NULL never matches an IN probe; the row with null name is
     // reachable by other predicates, unharmed by the sidecar
     assert(SnapshotTable.readAt(spark, dir, v).filter($"name".isNull).count() == 1)
-    // merge-on-read delete commits are not bloom-prunable — loud error
-    val vd = SnapshotTable.commitDeletes(Seq(2L).toDF("id"), dir, expectedVersion = v)
+    // a point lookup THROUGH a merge-on-read delete resolves the chain:
+    // pruning happens on the base data version's sidecar (a bloom
+    // cannot forget a key), tombstones anti-join on top — the erased
+    // key must NOT come back through the skipping path
+    val vd = SnapshotTable.commitDeletes(Seq(3L).toDF("id"), dir, expectedVersion = v)
+    assert(SnapshotTable.readWhereIn(spark, dir, vd, "name", Seq("gamma")).count() == 0,
+      "a deleted key resurfaced through the bloom path")
+    assert(SnapshotTable.readWhereIn(spark, dir, vd, "name", Seq("alpha"))
+      .select("id").as[Long].collect().toSeq == Seq(1L),
+      "surviving keys must still resolve through the chain")
+    // the stats-pruned range read resolves the same chain
+    assert(SnapshotTable.readWhere(spark, dir, vd, "id", 1L, 4L)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L),
+      "readWhere through a delete chain must drop exactly the tombstoned id")
+    // direct pruning on a MOR version stays a loud error (the manifest
+    // belongs to the data version)
     intercept[IllegalArgumentException] {
       SnapshotTable.pruneFilesBloom(dir, vd, "name", Seq("alpha"))
     }
