@@ -666,6 +666,40 @@ object SnapshotTable {
     }
   }
 
+  /** The version's stats sidecar as a queryable MANIFEST DataFrame —
+    * Iceberg's `table.files` / Delta's transaction-log stats, the
+    * metadata side of the table surfaced to SQL: one row per (file,
+    * column) with rowCount/min/max/nullCount, built from `_stats.tsv`
+    * alone. The point at 100 TB is METADATA-ONLY ANSWERING: count(*),
+    * per-column min/max, and null counts fold over this driver-bounded
+    * frame in milliseconds with ZERO data files opened — min/max come
+    * back typed through the sidecar's own type tags, so `min(mins)` is
+    * numeric where the column was numeric, not lexicographic. Loud
+    * error on a stats-less version (a caller answering from metadata
+    * must know when there is none) and on a merge-on-read delete
+    * commit (tombstones invalidate counts; compact first).
+    */
+  def manifest(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    require(baseOf(dir, version).isEmpty,
+      s"manifest targets data versions; v$version of $dir is a merge-on-" +
+        "read delete commit whose tombstones invalidate file stats — " +
+        "compact first or read its base")
+    val stats = readStats(dir, version)
+    require(stats.nonEmpty,
+      s"no per-file stats on $dir v$version — commit with statsCols to " +
+        "enable metadata-only answering")
+    import spark.implicits._
+    stats.map { s =>
+      val num = (v: Option[String]) => s.typ match {
+        case "long" | "double" | "decimal" => v.map(_.toDouble)
+        case _ => None
+      }
+      (s.file, s.rowCount, s.col, s.typ, s.min, s.max,
+        num(s.min), num(s.max), s.nulls)
+    }.toDF("file", "row_count", "column", "col_type", "min_str", "max_str",
+      "min_num", "max_num", "null_count")
+  }
+
   /** File-skipping decision for `column IN (keys)` on a bloom-carrying
     * version: a file survives iff its filter says ANY key might be
     * present. This is the point-lookup complement to [[pruneFiles]] —

@@ -541,6 +541,57 @@ object LakeOps {
        |  AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)""".stripMargin
   }
 
+  /** METADATA-ONLY answering through the snapshot spine — the manifest
+    * surfaced to SQL (Iceberg's `table.files`, Delta's log stats):
+    * count(*), per-column min/max, and null counts fold over
+    * [[SnapshotTable.manifest]] — one driver-bounded row per (file,
+    * column) parsed from `_stats.tsv` — with ZERO data files opened,
+    * which the gate proves with a loud require on the result plan's
+    * input-file list (empty: the whole answer is a fold over a local
+    * relation). This is the 100 TB dashboard trick every real table
+    * format ships: a row count or a freshness min/max answers in
+    * milliseconds from the log, not in a 15-minute scan. The oracle
+    * recomputes the same aggregates by actually scanning `orders` in
+    * DuckDB, pinning manifest-derived ≡ data-derived, money included
+    * (micro-exact min/max re-rendered to 4dp on both sides).
+    */
+  private def snapshotManifestStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "manifest")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(
+      orders.repartition(8, pmod($"o_orderkey", lit(8))),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey", "price_micro"))
+    val m = SnapshotTable.manifest(s, base, v1)
+    val answer = m.agg(
+        sum(when($"column" === "o_orderkey", $"row_count")).as("n_rows"),
+        min(when($"column" === "o_orderkey", $"min_num")).cast("long").as("min_key"),
+        max(when($"column" === "o_orderkey", $"max_num")).cast("long").as("max_key"),
+        sum(when($"column" === "o_orderkey", $"null_count")).as("null_keys"),
+        min(when($"column" === "price_micro", $"min_num")).cast("long").as("pmin"),
+        max(when($"column" === "price_micro", $"max_num")).cast("long").as("pmax"))
+      .select($"n_rows", $"min_key", $"max_key", $"null_keys",
+        Exact.microSumTo4dp("pmin").as("min_price"),
+        Exact.microSumTo4dp("pmax").as("max_price"))
+    require(answer.inputFiles.isEmpty,
+      s"metadata-only answering must not plan a single data-file scan; " +
+        s"the plan reads ${answer.inputFiles.length} files")
+    answer
+  }
+
+  private val snapshotManifestStatsOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  count(*) - count(o_orderkey) AS null_keys,
+       |  ${Exact.microSumTo4dpSql(s"min($p)", Exact.DuckDiv)} AS min_price,
+       |  ${Exact.microSumTo4dpSql(s"max($p)", Exact.DuckDiv)} AS max_price
+       |FROM orders""".stripMargin
+  }
+
   /** OPTIMIZE through the snapshot spine — the maintenance op (Delta
     * OPTIMIZE ZORDER, Iceberg rewrite_data_files with a sort order)
     * that turns an ingest-ordered table into a skip-friendly one: v1
@@ -773,5 +824,7 @@ object LakeOps {
     Q("snapshot_bloom_prune", snapshotBloomPrune, Some(snapshotBloomPruneOracle)),
     Q("snapshot_optimize_cluster", snapshotOptimizeCluster,
       Some(snapshotOptimizeClusterOracle)),
+    Q("snapshot_manifest_stats", snapshotManifestStats,
+      Some(snapshotManifestStatsOracle)),
     Q("snapshot_mor_delete", snapshotMorDelete, Some(snapshotMorDeleteOracle)))
 }

@@ -499,6 +499,28 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("manifest: metadata-only answering, typed mins, loud refusals") {
+    val dir = freshDir()
+    val df = (1 to 400).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+      .repartition(4, $"name")
+    val v = SnapshotTable.commit(df, dir, statsCols = Seq("k", "name"))
+    val m = SnapshotTable.manifest(spark, dir, v)
+    assert(m.inputFiles.isEmpty, "the manifest must be a local relation")
+    // count(*)/min/max fold from metadata and agree with the data
+    val row = m.filter($"column" === "k")
+      .agg(sum($"row_count"), min($"min_num"), max($"max_num")).head()
+    assert(row.getLong(0) == 400 && row.getDouble(1) == 1.0 && row.getDouble(2) == 400.0)
+    // 9 < 10 numerically, "9" > "10" lexicographically: min_num is typed
+    assert(m.filter($"column" === "name").head().getAs[Any]("min_num") == null,
+      "string columns carry no numeric min")
+    // stats-less version and MOR commit both refuse loudly
+    val dir2 = freshDir()
+    val v2 = SnapshotTable.commit(df, dir2)
+    intercept[IllegalArgumentException] { SnapshotTable.manifest(spark, dir2, v2) }
+    val vd = SnapshotTable.commitDeletes(Seq(1L).toDF("k"), dir, expectedVersion = v)
+    intercept[IllegalArgumentException] { SnapshotTable.manifest(spark, dir, vd) }
+  }
+
   test("transact with layout params is OPTIMIZE: same rows, strict skipping") {
     val dir = freshDir()
     // ingest layout: hash-scattered by m, so k min/max spans every file
