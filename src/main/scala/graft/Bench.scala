@@ -32,6 +32,12 @@ object Bench {
     * r17 ({"name": {"floor": sec, "host": factor}}) so each floor can
     * carry the host factor it was minted under; the flat legacy form
     * ({"name": sec}) still parses so ad-hoc dev files keep working.
+    * MIXED files merge BOTH forms (nested winning a name collision) —
+    * the previous nested-wins-all short-circuit silently dropped every
+    * flat row of a partially-migrated dev file, leaving those queries
+    * floorless with no error. Flat rows are extracted after excising
+    * the nested row objects, so a nested row's inner "floor"/"host"
+    * fields can never masquerade as query names.
     */
   def loadWatermarks(path: String): Map[String, Double] = {
     val f = new java.io.File(path)
@@ -42,11 +48,15 @@ object Bench {
         .findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .toMap
-      if (nested.nonEmpty) nested
-      else "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-        .findAllMatchIn(text)
+      // drop the one-level-deep row objects — only brace blocks in VALUE
+      // position (after a colon), so the outer object's own braces
+      // survive; what remains at top level are the flat-form rows
+      val topLevel = text.replaceAll(":\\s*\\{[^{}]*\\}", ": null")
+      val flat = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findAllMatchIn(topLevel)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .toMap
+      flat ++ nested
     }
   }
 
@@ -160,9 +170,14 @@ object Bench {
     // soak runs point SPARK_GRAFT_WATERMARKS at a missing file so the
     // sf0.1-floor suspect logic stays inert at 10x/100x — the probe
     // floor falls back to the committed repo file so host provenance
-    // still gets measured on those runs
+    // still gets measured on those runs. The fallback resolves against
+    // the working directory (tools/run.sh and sbt both run from the
+    // repo root), not a hardcoded checkout path.
+    val repoWatermarks =
+      new java.io.File(sys.props.getOrElse("user.dir", "."),
+        "BENCH_WATERMARKS.json").getPath
     val probeFloor = watermarks.get(ProbeQuery)
-      .orElse(loadWatermarks("/root/repo/BENCH_WATERMARKS.json").get(ProbeQuery))
+      .orElse(loadWatermarks(repoWatermarks).get(ProbeQuery))
     val hostFactor: Double = probeFloor match {
       case Some(floor) if floor > 0 && new java.io.File(probeDir).isDirectory =>
         val fn = SparkEntry.queries(ProbeQuery)

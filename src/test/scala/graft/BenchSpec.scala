@@ -80,4 +80,23 @@ class BenchSpec extends SparkSpec {
       assert(line.contains("\"q\":1.50"), line)
     } finally java.util.Locale.setDefault(prev)
   }
+
+  test("loadWatermarks merges mixed flat and nested rows, nested wins") {
+    val f = java.nio.file.Files.createTempFile("graft_wm", ".json")
+    // a partially-migrated dev file: one flat legacy row, one nested —
+    // nested-wins-all used to silently drop the flat floor entirely
+    java.nio.file.Files.writeString(f,
+      """{"q_flat": 1.5, "q_nested": {"floor": 2.25, "host": 1.01,
+        | "host_note": "x"}}""".stripMargin)
+    val wm = Bench.loadWatermarks(f.toString)
+    assert(wm == Map("q_flat" -> 1.5, "q_nested" -> 2.25), wm.toString)
+    // nested rows' inner fields never masquerade as query names
+    assert(!wm.contains("floor") && !wm.contains("host"))
+    // pure forms still parse
+    java.nio.file.Files.writeString(f, """{"a": 0.5, "b": 3.0}""")
+    assert(Bench.loadWatermarks(f.toString) == Map("a" -> 0.5, "b" -> 3.0))
+    java.nio.file.Files.writeString(f,
+      """{"a": {"floor": 0.5, "host": 1.0}}""")
+    assert(Bench.loadWatermarks(f.toString) == Map("a" -> 0.5))
+  }
 }

@@ -20,8 +20,17 @@ import sys
 scale = sys.argv[1]
 sweeps = [json.load(open(p)) for p in sys.argv[2:]]
 merged = {}
+skipped_failed = set()
 for s in sweeps:
+    # soak_sweep.py records a FAILED fork's crash/attempt duration under
+    # "queries" too — a fast crash must never min-merge in as a timing
+    # (it would pass the reproducibility gate as a bogus 'reproduced'
+    # row). Skip that sweep's failed names; report them separately.
+    failed = set(s.get("failed", []))
+    skipped_failed |= failed
     for q, sec in s["queries"].items():
+        if q in failed:
+            continue
         if q not in merged or sec < merged[q]:
             merged[q] = sec
 hosts = [s.get("host_factor") for s in sweeps]
@@ -38,6 +47,12 @@ for q, sec in sorted(merged.items()):
     rows.append(f"{q:32s} committed {c['soak_sec']:8.2f}s  "
                 f"regenerated {sec:8.2f}s  x{r:.2f}")
 print("\n".join(rows))
+if skipped_failed:
+    print(f"excluded from min-merge (failed in >=1 sweep): "
+          f"{sorted(skipped_failed)}")
+never_timed = skipped_failed - set(merged)
 print(f"worst regenerated/committed ratio: x{worst:.2f} "
       f"(sweep host_factors {hosts})")
-sys.exit(0 if worst <= 3.0 else 1)
+if never_timed:
+    print(f"FAIL: no successful timing in any sweep for {sorted(never_timed)}")
+sys.exit(0 if worst <= 3.0 and not never_timed else 1)

@@ -43,6 +43,24 @@ def main():
     args = ap.parse_args()
     names = set(args.queries)
 
+    # The probe's floor is EXEMPT from this tool: graft.Bench runs 5
+    # warmup-discarded probe passes BEFORE the bench loop, so in any
+    # floors run the probe query (and via Janino/JIT warmth, its early
+    # neighbors) measures WARMER than the protocol the pre-r17 floors
+    # were minted under. Re-minting q01 from such a run would lower its
+    # floor and silently ratchet host_factor (= probe best / committed
+    # q01 floor) upward on genuinely clean hosts. If the probe floor
+    # ever needs re-minting, do it from a run whose probe measurement
+    # is cold (a dedicated single-query run with the probe disabled)
+    # and edit BENCH_WATERMARKS.json by hand with a host_note.
+    probe = "q01_pricing_summary"
+    if probe in names:
+        raise SystemExit(
+            f"refusing to re-mint the host-probe floor '{probe}': floors "
+            "runs measure it warm (5 probe passes precede the bench loop), "
+            "and a warm-minted probe floor ratchets host_factor upward on "
+            "clean hosts. Mint it from a cold dedicated run by hand.")
+
     floors, floor_src = per_query_min(args.floors, names)
     # provenance stamp (r17): every minted floor carries the probe-
     # measured host factor of the RUN THAT SUPPLIED ITS MINIMUM (the
