@@ -333,6 +333,87 @@ object SnapshotTable {
   private def basePtr(dir: String, version: Long) =
     java.nio.file.Paths.get(dir, s"v$version", "_base")
 
+  private def appendPtr(dir: String, version: Long) =
+    java.nio.file.Paths.get(dir, s"v$version", "_append")
+
+  /** The base version an APPEND commit extends, if `version` is one
+    * (full-rewrite data commits and delete commits have no `_append`).
+    */
+  def appendBaseOf(dir: String, version: Long): Option[Long] = {
+    val p = appendPtr(dir, version)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val raw = java.nio.file.Files.readString(p).trim
+      if (raw.matches("v\\d+")) Some(raw.drop(1).toLong)
+      else throw new IllegalStateException(
+        s"corrupt append pointer $p: expected v<N>, got '$raw'")
+    }
+  }
+
+  /** APPEND commit: publish a new version whose content is the base
+    * version PLUS `delta`, writing ONLY the delta's files — the
+    * delta-generation pattern (Iceberg's append snapshot, Delta's
+    * add-only commit): a 100 TB table takes an ingest batch at the
+    * cost of the BATCH, never a rewrite. The version directory holds
+    * the delta's parquet plus an `_append` pointer to the base;
+    * [[readAt]] resolves the chain as base ∪ delta (by NAME — the
+    * schema_drift_union discipline), and a full-rewrite [[transact]]
+    * is compaction for append chains exactly as it is for delete
+    * chains.
+    *
+    * `expectedVersion` is MANDATORY: an append extends the state the
+    * caller inspected, and losing the race to a compaction or an
+    * erasure must conflict loudly, not resurrect or double rows.
+    *
+    * Each GENERATION carries its own layout: `partitionCols` here
+    * partitions only the delta's files, independent of how the base
+    * generation was laid out — partition-spec EVOLUTION (the Iceberg
+    * spec-evolution story): a reader's predicate prunes each
+    * generation by that generation's own directories
+    * (`snapshot_partition_evolve` pins it). Likewise `statsCols` /
+    * `bloomCols` sidecar only the delta's files; the base keeps its
+    * own sidecars, so skipping composes per generation. Note the
+    * skipping READS ([[readWhere]]/[[readWhereIn]]/[[manifest]])
+    * target single-generation versions and refuse an append version
+    * loudly — prune each generation against its own manifest, then
+    * union (what the gate does); a silent cross-generation answer
+    * from one generation's sidecar would be wrong.
+    *
+    * The delta must carry exactly the base read's column set (checked
+    * loudly). Hive-partition type round-trip is the caller's care as
+    * with [[commit]]: a partition column read back from directory
+    * names gets the inferred type, so cast before the write.
+    */
+  def commitAppend(delta: DataFrame, dir: String, expectedVersion: Long,
+      partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = DefaultBloomExpectedItems): Long = {
+    require(expectedVersion >= 1,
+      s"commitAppend needs a committed base version, got v$expectedVersion")
+    val baseCols = readAt(delta.sparkSession, dir, expectedVersion)
+      .schema.fieldNames.toSet
+    val deltaCols = delta.columns.toSet
+    require(deltaCols == baseCols,
+      s"append delta schema must match the base read: delta has " +
+        s"${(deltaCols -- baseCols).mkString(", ")} extra / " +
+        s"${(baseCols -- deltaCols).mkString(", ")} missing vs $dir " +
+        s"v$expectedVersion")
+    checkExpected(dir, Some(expectedVersion), detail = "")
+    val staged = stagedPath(dir)
+    val w = delta.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staged.toString)
+    if (statsCols.nonEmpty)
+      writeStatsSidecar(delta.sparkSession, staged, statsCols)
+    if (bloomCols.nonEmpty)
+      writeBloomSidecar(delta.sparkSession, staged, bloomCols, bloomExpectedItems)
+    // marker LAST: the sidecar builders re-read the staged dir and must
+    // see only the delta's data files
+    java.nio.file.Files.writeString(staged.resolve("_append"),
+      s"v$expectedVersion")
+    publishStaged(dir, staged, Some(expectedVersion))
+  }
+
   /** The base version a merge-on-read delete commit applies to, if
     * `version` is one (data commits have no `_base`).
     */
@@ -404,15 +485,24 @@ object SnapshotTable {
   /** Time travel: read an exact retained version. A merge-on-read
     * delete version resolves its `_base` chain (data of the base,
     * anti-joined with every accumulated tombstone set along the way);
-    * chains stay short in practice because any full-rewrite commit
-    * (compaction) cuts them.
+    * an append version resolves its `_append` chain (base generation ∪
+    * this version's own delta files, unioned BY NAME so each
+    * generation's hive layout is free to differ). Chains stay short in
+    * practice because any full-rewrite commit (compaction) cuts them.
+    * A filter over the chain read pushes into EVERY generation's scan
+    * branch, so partition pruning applies per generation's own layout.
     */
   def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
     baseOf(dir, version) match {
-      case None => spark.read.parquet(s"$dir/v$version")
       case Some(b) =>
         val dels = spark.read.parquet(s"$dir/v$version/_deletes")
         readAt(spark, dir, b).join(dels, dels.columns.toSeq, "left_anti")
+      case None => appendBaseOf(dir, version) match {
+        case None => spark.read.parquet(s"$dir/v$version")
+        case Some(b) =>
+          readAt(spark, dir, b)
+            .unionByName(spark.read.parquet(s"$dir/v$version"))
+      }
     }
 
   /** Time travel CONFORMED to the live schema — the reader half of
@@ -531,6 +621,33 @@ object SnapshotTable {
     }
     java.nio.file.Files.writeString(staged.resolve("_stats.tsv"),
       lines.sorted.mkString("", "\n", "\n"))
+    // the same stats AS A TABLE (`_manifest/`, parquet, covered by the
+    // atomic claim-rename like everything else in the staging dir): the
+    // metadata tree every real format keeps queryable (Iceberg's
+    // table.files, Delta's log). At 10^5 files a pruning decision is a
+    // DataFrame filter over this, not a driver readAllLines loop; the
+    // TSV stays as the human-readable compatibility sidecar.
+    import spark.implicits._
+    val manifestRows = rows.flatMap { r =>
+      val full = r.getString(r.fieldIndex("_f"))
+      val rel = full.substring(full.indexOf(marker) + marker.length)
+      val rc = r.getLong(r.fieldIndex("_rc"))
+      statsCols.map { c =>
+        val mn = Option(r.getString(r.fieldIndex(s"min_$c")))
+        val mx = Option(r.getString(r.fieldIndex(s"max_$c")))
+        val num = (v: Option[String]) => tags(c) match {
+          case "long" | "double" | "decimal" => v.map(_.toDouble)
+          case _ => None
+        }
+        (rel, rc, c, tags(c), mn, mx, num(mn), num(mx),
+          r.getLong(r.fieldIndex(s"nulls_$c")))
+      }
+    }.toSeq
+    manifestRows
+      .toDF("file", "row_count", "column", "col_type", "min_str", "max_str",
+        "min_num", "max_num", "null_count")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(staged.resolve("_manifest").toString)
   }
 
   /** Parse a version's `_stats.tsv` (empty when the commit didn't ask
@@ -570,11 +687,34 @@ object SnapshotTable {
     * bloom sidecar: the value's Spark `CAST(v AS STRING)` form, UTF-8.
     * One canonical form on both the build and probe side is what makes
     * the filter's no-false-negative guarantee hold for every supported
-    * column type (integral, string, date — the same set the stats
-    * sidecar takes).
+    * column type (integral, string, date).
     */
   private def bloomKeyBytes(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The bloom type gate: integral, string, date ONLY — strictly
+    * narrower than the stats gate. Fractional numerics are excluded
+    * because the build side inserts Spark's `CAST(col AS STRING)` form
+    * (double 5.0 → "5.0", decimal(10,2) 5 → "5.00") while a probe key
+    * canonicalizes through `String.valueOf` (5L → "5"); a form mismatch
+    * makes the filter answer "definitely not here" for present rows —
+    * SILENT FALSE NEGATIVES, the one failure a bloom must never have.
+    * For the admitted types the two forms coincide (Long/Int/String
+    * round-trip identically; DateType casts to ISO yyyy-MM-dd, the same
+    * form java.sql.Date/LocalDate.toString produce).
+    */
+  private def bloomTag(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+          DateType => statsTag(dt)
+      case other => throw new IllegalArgumentException(
+        s"bloomCols: unsupported type ${other.simpleString} — supported: " +
+          "integral, string, date (fractional numerics would canonicalize " +
+          "differently on the build and probe sides and silently produce " +
+          "false negatives)")
+    }
+  }
 
   /** Build per-file bloom filters for `bloomCols` over the staged write
     * and persist them as `_bloom.tsv` (file TAB column TAB base64 bits,
@@ -598,8 +738,10 @@ object SnapshotTable {
     bloomCols.foreach { c =>
       require(sdf.columns.contains(c),
         s"bloomCols: no column '$c' in committed schema (${sdf.columns.mkString(", ")})")
-      // reuse the stats type gate: same supported set, same loud error
-      statsTag(sdf.schema(c).dataType)
+      // the bloom gate is NARROWER than the stats gate: fractional
+      // numerics are rejected (build/probe canonical-form divergence
+      // would mean silent false negatives — see bloomTag)
+      bloomTag(sdf.schema(c).dataType)
     }
     val agg = new org.apache.spark.sql.expressions.Aggregator[
         String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
@@ -669,35 +811,52 @@ object SnapshotTable {
   /** The version's stats sidecar as a queryable MANIFEST DataFrame —
     * Iceberg's `table.files` / Delta's transaction-log stats, the
     * metadata side of the table surfaced to SQL: one row per (file,
-    * column) with rowCount/min/max/nullCount, built from `_stats.tsv`
-    * alone. The point at 100 TB is METADATA-ONLY ANSWERING: count(*),
-    * per-column min/max, and null counts fold over this driver-bounded
-    * frame in milliseconds with ZERO data files opened — min/max come
-    * back typed through the sidecar's own type tags, so `min(mins)` is
-    * numeric where the column was numeric, not lexicographic. Loud
-    * error on a stats-less version (a caller answering from metadata
-    * must know when there is none) and on a merge-on-read delete
-    * commit (tombstones invalidate counts; compact first).
+    * column) with rowCount/min/max/nullCount. The point at 100 TB is
+    * METADATA-ONLY ANSWERING: count(*), per-column min/max, and null
+    * counts fold over this file-count-bounded frame in milliseconds
+    * with ZERO data files opened — min/max come back typed through the
+    * sidecar's own type tags, so `min(mins)` is numeric where the
+    * column was numeric, not lexicographic.
+    *
+    * Since r18 the manifest is itself a parquet TABLE committed inside
+    * the version directory (`_manifest/`, written by the same staging
+    * pass as `_stats.tsv` and covered by the same atomic rename), so a
+    * 10⁵-file version's manifest is a distributed scan and a pruning
+    * decision is a DataFrame filter — no driver loop anywhere on the
+    * metadata path. Versions committed before the table existed fall
+    * back to parsing the TSV into a local relation (same schema).
+    * Loud error on a stats-less version (a caller answering from
+    * metadata must know when there is none), on a merge-on-read delete
+    * commit (tombstones invalidate counts; compact first), and on an
+    * append commit (this manifest covers ONE generation's files; read
+    * each generation's own manifest).
     */
   def manifest(spark: SparkSession, dir: String, version: Long): DataFrame = {
     require(baseOf(dir, version).isEmpty,
       s"manifest targets data versions; v$version of $dir is a merge-on-" +
         "read delete commit whose tombstones invalidate file stats — " +
         "compact first or read its base")
-    val stats = readStats(dir, version)
-    require(stats.nonEmpty,
-      s"no per-file stats on $dir v$version — commit with statsCols to " +
-        "enable metadata-only answering")
-    import spark.implicits._
-    stats.map { s =>
-      val num = (v: Option[String]) => s.typ match {
-        case "long" | "double" | "decimal" => v.map(_.toDouble)
-        case _ => None
-      }
-      (s.file, s.rowCount, s.col, s.typ, s.min, s.max,
-        num(s.min), num(s.max), s.nulls)
-    }.toDF("file", "row_count", "column", "col_type", "min_str", "max_str",
-      "min_num", "max_num", "null_count")
+    require(appendBaseOf(dir, version).isEmpty,
+      s"manifest covers one generation's files; v$version of $dir is an " +
+        "append commit — read each generation's own manifest and compose")
+    val mp = java.nio.file.Paths.get(dir, s"v$version", "_manifest")
+    if (java.nio.file.Files.exists(mp)) spark.read.parquet(mp.toString)
+    else {
+      val stats = readStats(dir, version)
+      require(stats.nonEmpty,
+        s"no per-file stats on $dir v$version — commit with statsCols to " +
+          "enable metadata-only answering")
+      import spark.implicits._
+      stats.map { s =>
+        val num = (v: Option[String]) => s.typ match {
+          case "long" | "double" | "decimal" => v.map(_.toDouble)
+          case _ => None
+        }
+        (s.file, s.rowCount, s.col, s.typ, s.min, s.max,
+          num(s.min), num(s.max), s.nulls)
+      }.toDF("file", "row_count", "column", "col_type", "min_str", "max_str",
+        "min_num", "max_num", "null_count")
+    }
   }
 
   /** File-skipping decision for `column IN (keys)` on a bloom-carrying
@@ -719,6 +878,9 @@ object SnapshotTable {
     require(baseOf(dir, version).isEmpty,
       s"pruneFilesBloom targets data versions; v$version of $dir is a " +
         "merge-on-read delete commit — compact first or prune its base")
+    require(appendBaseOf(dir, version).isEmpty,
+      s"pruneFilesBloom covers one generation; v$version of $dir is an " +
+        "append commit — prune each generation against its own sidecar")
     require(keys.nonEmpty, "pruneFilesBloom needs at least one key")
     val blooms = readBloom(dir, version).filter(_._2 == column)
     require(blooms.nonEmpty,
@@ -774,6 +936,9 @@ object SnapshotTable {
     require(baseOf(dir, version).isEmpty,
       s"pruneFiles targets data versions; v$version of $dir is a " +
         "merge-on-read delete commit — compact first or prune its base")
+    require(appendBaseOf(dir, version).isEmpty,
+      s"pruneFiles covers one generation; v$version of $dir is an " +
+        "append commit — prune each generation against its own sidecar")
     val stats = readStats(dir, version).filter(_.col == column)
     require(stats.nonEmpty,
       s"no per-file stats for column '$column' on $dir v$version — " +
@@ -817,6 +982,124 @@ object SnapshotTable {
       base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  // ------------------------------- conjunctive multi-column skipping
+
+  /** One term of a conjunctive file-skipping predicate. Real predicates
+    * are ANDs over several columns; a single-column prune leaves the
+    * other terms' skipping power on the table.
+    */
+  sealed trait PrunePredicate { def column: String }
+
+  /** `column BETWEEN lo AND hi` — decided against the stats manifest
+    * (per-file min/max overlap).
+    */
+  final case class RangePredicate(column: String, lo: Any, hi: Any)
+      extends PrunePredicate
+
+  /** `column IN (keys)` — decided against the per-file bloom sidecar
+    * (a file survives iff any key might be present).
+    */
+  final case class InPredicate(column: String, keys: Seq[Any])
+      extends PrunePredicate
+
+  /** Survivors of one range term, decided as a DataFrame FILTER over
+    * the [[manifest]] table (not a driver parse loop — at 10⁵ files
+    * the decision distributes; the collect is survivors-only, the same
+    * driver-bounded file list every format's planner holds). A file
+    * survives iff its [min,max] overlaps [lo,hi], compared numerically
+    * for numeric-tagged columns and lexicographically for
+    * string/date-tagged ones; an all-null file (null min/max) prunes.
+    * Loud error when the column carries no stats rows.
+    */
+  private def rangeSurvivors(m: DataFrame, dir: String, version: Long,
+      p: RangePredicate): Set[String] = {
+    val loS = String.valueOf(p.lo)
+    val hiS = String.valueOf(p.hi)
+    val numericBounds =
+      scala.util.Try { loS.toDouble; hiS.toDouble }.isSuccess
+    val strCond = col("min_str") <= lit(hiS) && col("max_str") >= lit(loS)
+    val cond =
+      if (numericBounds)
+        org.apache.spark.sql.functions.when(
+          col("col_type").isin("long", "double", "decimal"),
+          col("min_num") <= lit(hiS.toDouble) &&
+            col("max_num") >= lit(loS.toDouble))
+          .otherwise(strCond)
+      else strCond
+    val rows = m.filter(col("column") === p.column)
+      .select(col("file"),
+        org.apache.spark.sql.functions.coalesce(cond, lit(false)).as("keep"))
+      .collect()
+    require(rows.nonEmpty,
+      s"no per-file stats for column '${p.column}' on $dir v$version — " +
+        "commit with statsCols to enable file skipping")
+    rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+  }
+
+  /** File-skipping decision for a CONJUNCTION of predicates — the shape
+    * real queries have (`WHERE k BETWEEN … AND bucket IN (…)`): each
+    * term's survivor set comes from its own sidecar (ranges from the
+    * stats manifest, INs from the bloom), and the sets INTERSECT, so
+    * the conjunction prunes at least as hard as its strongest term and
+    * usually strictly harder — on a 2-D-clustered 100 TB layout that is
+    * the difference between "one stripe" and "one cell". Same contract
+    * as the single-term prunes: a term whose sidecar is missing is a
+    * LOUD error, never a silent no-op (a silently skipped term would
+    * still be correct here — survivors only shrink — but a caller who
+    * priced the query on that term's skipping must know).
+    */
+  def pruneFilesMulti(spark: SparkSession, dir: String, version: Long,
+      preds: Seq[PrunePredicate]): (Seq[String], Int) = {
+    require(preds.nonEmpty, "pruneFilesMulti needs at least one predicate")
+    require(baseOf(dir, version).isEmpty,
+      s"pruneFilesMulti targets data versions; v$version of $dir is a " +
+        "merge-on-read delete commit — compact first or prune its base")
+    require(appendBaseOf(dir, version).isEmpty,
+      s"pruneFilesMulti covers one generation; v$version of $dir is an " +
+        "append commit — prune each generation against its own sidecar")
+    lazy val m = manifest(spark, dir, version)
+    val survivorSets: Seq[Set[String]] = preds.map {
+      case r: RangePredicate => rangeSurvivors(m, dir, version, r)
+      case i: InPredicate =>
+        val (kept, _) = pruneFilesBloom(dir, version, i.column, i.keys)
+        kept.map(_.stripPrefix(s"$dir/v$version/")).toSet
+    }
+    val allFiles: Set[String] = {
+      val s = readStats(dir, version).map(_.file).toSet
+      if (s.nonEmpty) s else readBloom(dir, version).map(_._1).toSet
+    }
+    val kept = survivorSets.reduce(_ intersect _)
+    (kept.toSeq.sorted.map(f => s"$dir/v$version/$f"), allFiles.size)
+  }
+
+  /** Conjunction-pruned read: `readAt(version).filter(AND(preds))` that
+    * opens only the files every term's sidecar admits. Row-level
+    * filters for ALL terms still apply (stats are a superset bound,
+    * blooms keep false positives), so the answer is byte-identical to
+    * the full scan — pure I/O savings, like [[readWhere]]. Merge-on-
+    * read delete commits resolve like [[readAt]]: pruning on the data
+    * version's sidecars, `_deletes` anti-joined on top.
+    */
+  def readWhereMulti(spark: SparkSession, dir: String, version: Long,
+      preds: Seq[PrunePredicate]): DataFrame = baseOf(dir, version) match {
+    case Some(b) =>
+      val dels = spark.read.parquet(s"$dir/v$version/_deletes")
+      readWhereMulti(spark, dir, b, preds)
+        .join(dels, dels.columns.toSeq, "left_anti")
+    case None =>
+      val (files, _) = pruneFilesMulti(spark, dir, version, preds)
+      val vdir = s"$dir/v$version"
+      val base =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            spark.read.parquet(vdir).schema)
+        else spark.read.option("basePath", vdir).parquet(files: _*)
+      base.filter(preds.map {
+        case RangePredicate(c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi)
+        case InPredicate(c, keys) => col(c).isin(keys: _*)
+      }.reduce(_ && _))
+  }
+
   // -------------------------------------------------------- maintenance
 
   /** Retention: delete all but the newest `keepLast` snapshot
@@ -841,8 +1124,13 @@ object SnapshotTable {
     val live = currentVersion(dir)
     val all = versions(dir)
     val keep = scala.collection.mutable.Set.empty[Long]
+    // a kept version must keep everything it READS: delete commits
+    // reach through `_base`, append commits through `_append`
     def reach(v: Long): Unit =
-      if (keep.add(v)) baseOf(dir, v).foreach(reach)
+      if (keep.add(v)) {
+        baseOf(dir, v).foreach(reach)
+        appendBaseOf(dir, v).foreach(reach)
+      }
     (all.takeRight(keepLast) ++ live).foreach(reach)
     val drop = all.filterNot(keep)
     drop.foreach(v => deleteTree(s"$dir/v$v"))

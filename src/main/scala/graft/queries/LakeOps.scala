@@ -544,16 +544,19 @@ object LakeOps {
   /** METADATA-ONLY answering through the snapshot spine — the manifest
     * surfaced to SQL (Iceberg's `table.files`, Delta's log stats):
     * count(*), per-column min/max, and null counts fold over
-    * [[SnapshotTable.manifest]] — one driver-bounded row per (file,
-    * column) parsed from `_stats.tsv` — with ZERO data files opened,
-    * which the gate proves with a loud require on the result plan's
-    * input-file list (empty: the whole answer is a fold over a local
-    * relation). This is the 100 TB dashboard trick every real table
-    * format ships: a row count or a freshness min/max answers in
-    * milliseconds from the log, not in a 15-minute scan. The oracle
-    * recomputes the same aggregates by actually scanning `orders` in
-    * DuckDB, pinning manifest-derived ≡ data-derived, money included
-    * (micro-exact min/max re-rendered to 4dp on both sides).
+    * [[SnapshotTable.manifest]] — since r18 a parquet TABLE committed
+    * inside the version directory (`_manifest/`), so the metadata tree
+    * is itself a distributed scan: a 10⁵-file version's stats roll up
+    * as a DataFrame aggregation, not a driver readAllLines loop (the
+    * `_stats.tsv` stays as the compatibility sidecar). ZERO data files
+    * open, which the gate proves with a loud require that every file
+    * in the result plan's input list lives under `_manifest/`. This is
+    * the 100 TB dashboard trick every real table format ships: a row
+    * count or a freshness min/max answers in milliseconds from the
+    * log, not in a 15-minute scan. The oracle recomputes the same
+    * aggregates by actually scanning `orders` in DuckDB, pinning
+    * manifest-derived ≡ data-derived, money included (micro-exact
+    * min/max re-rendered to 4dp on both sides).
     */
   private def snapshotManifestStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -576,9 +579,10 @@ object LakeOps {
       .select($"n_rows", $"min_key", $"max_key", $"null_keys",
         Exact.microSumTo4dp("pmin").as("min_price"),
         Exact.microSumTo4dp("pmax").as("max_price"))
-    require(answer.inputFiles.isEmpty,
-      s"metadata-only answering must not plan a single data-file scan; " +
-        s"the plan reads ${answer.inputFiles.length} files")
+    require(answer.inputFiles.nonEmpty &&
+      answer.inputFiles.forall(_.contains("/_manifest/")),
+      s"metadata-only answering must read the manifest TABLE and not one " +
+        s"data file; the plan reads ${answer.inputFiles.mkString(", ")}")
     answer
   }
 
@@ -810,6 +814,227 @@ object LakeOps {
        |ORDER BY version""".stripMargin
   }
 
+  /** Conjunctive multi-column file skipping — real predicates are ANDs,
+    * and a single-column prune leaves the other terms' skipping power
+    * on the table. The layout is 2-D clustered (range-partitioned by
+    * customer parity first, order key second), so each term kills a
+    * different dimension: the key-range term keeps ~one okey stripe
+    * per parity half, the parity IN term (decided by the per-file
+    * bloom) keeps one half — and their INTERSECTION
+    * ([[SnapshotTable.pruneFilesMulti]], range terms decided as a
+    * DataFrame filter over the committed `_manifest` table) keeps
+    * strictly fewer files than the BEST single term alone, which the
+    * gate requires loudly. On a 100 TB table this is the difference
+    * between reading a stripe and reading a cell. The answer columns
+    * come through [[SnapshotTable.readWhereMulti]] (row filters for
+    * every term still apply) and must match DuckDB computing the
+    * compound WHERE over the whole table — skipping is pure I/O,
+    * never an answer change — and the scan's input-file list must
+    * equal the conjunction's survivor list exactly.
+    */
+  private def snapshotMultiPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import SnapshotTable.{InPredicate, RangePredicate}
+    val base = lakeBase(dir, "multiprune")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"),
+        pmod($"o_custkey", lit(2)).as("par"))
+    val v1 = SnapshotTable.commit(
+      orders.repartitionByRange(16, $"par", $"o_orderkey"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey", "par"), bloomCols = Seq("par"))
+    // probe bound: first ~octile of the keyspace — a 1-row scalar
+    // (bounded driver bridge), recomputed identically by the oracle
+    val hi = orders.agg(max($"o_orderkey")).head.getLong(0) / 8
+    val rangeTerm = RangePredicate("o_orderkey", 1L, hi)
+    val inTerm = InPredicate("par", Seq(1L))
+    val (rangeKept, total) =
+      SnapshotTable.pruneFilesMulti(s, base, v1, Seq(rangeTerm))
+    val (inKept, _) = SnapshotTable.pruneFilesMulti(s, base, v1, Seq(inTerm))
+    val (conjKept, _) =
+      SnapshotTable.pruneFilesMulti(s, base, v1, Seq(rangeTerm, inTerm))
+    require(conjKept.nonEmpty && conjKept.size < rangeKept.size &&
+      conjKept.size < inKept.size,
+      s"the conjunction must out-prune its best single term: conj " +
+        s"${conjKept.size}, range ${rangeKept.size}, in ${inKept.size} " +
+        s"of $total files — a term's sidecar regressed")
+    val pruned = SnapshotTable.readWhereMulti(s, base, v1, Seq(rangeTerm, inTerm))
+    require(pruned.inputFiles.length == conjKept.size,
+      s"the scan must read EXACTLY the conjunction's survivor list: " +
+        s"${pruned.inputFiles.length} opened vs ${conjKept.size} pruned-to")
+    pruned
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("conj_pruned_strictly"))
+  }
+
+  private val snapshotMultiPruneOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS conj_pruned_strictly
+       |FROM orders
+       |WHERE o_orderkey BETWEEN 1
+       |  AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)
+       |  AND o_custkey % 2 = 1""".stripMargin
+  }
+
+  /** Partition-spec EVOLUTION across generations — the Iceberg
+    * spec-evolution story, which schema evolution
+    * ([[schemaDriftUnion]]) does not cover: LAYOUT evolves. Gen1
+    * commits half the table hive-partitioned by customer bucket; gen2
+    * arrives as a [[SnapshotTable.commitAppend]] delta partitioned by
+    * order priority — old data keeps its old directories forever (no
+    * rewrite), and a cross-generation read must prune EACH generation
+    * by ITS OWN layout. The gate filters the chain read on both
+    * partition keys at once and inspects the plan's two scan branches:
+    * each must carry a partition filter on its own key and plan
+    * exactly one partition directory (loud requires — a regression to
+    * scanning a generation's other buckets fails the query). The
+    * unioned answer matches DuckDB computing the compound predicate
+    * over the whole table. At 100 TB this is what lets a table change
+    * its partitioning strategy mid-life without rewriting history.
+    */
+  private def snapshotPartitionEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "specevolve")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        Exact.micro("o_totalprice").as("price_micro"),
+        pmod($"o_custkey", lit(4)).cast("int").as("c_bkt"))
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0).repartition($"c_bkt"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      partitionCols = Seq("c_bkt"))
+    val v2 = SnapshotTable.commitAppend(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 1)
+        .repartition($"o_orderpriority"),
+      base, expectedVersion = v1, partitionCols = Seq("o_orderpriority"))
+    // the probed priority: a 1-row scalar both engines derive identically
+    val prio = orders.agg(min($"o_orderpriority")).head.getString(0)
+    val chain = SnapshotTable.readAt(s, base, v2)
+      .filter($"c_bkt" === 1 && $"o_orderpriority" === prio)
+    val scans = chain.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    require(scans.size == 2,
+      s"expected one scan branch per generation, got ${scans.size}")
+    def scanOf(v: Long) = scans.find(
+      _.relation.location.rootPaths.exists(_.toString.endsWith(s"/v$v")))
+      .getOrElse(throw new IllegalStateException(s"no scan branch for v$v"))
+    val g1 = scanOf(v1)
+    val g2 = scanOf(v2)
+    require(g1.partitionFilters.exists(_.toString.contains("c_bkt")) &&
+      g1.selectedPartitions.partitionCount == 1,
+      s"gen1 must prune by ITS layout (c_bkt): planned " +
+        s"${g1.selectedPartitions.partitionCount} of 4 dirs, " +
+        s"filters ${g1.partitionFilters}")
+    require(g2.partitionFilters.exists(_.toString.contains("o_orderpriority")) &&
+      g2.selectedPartitions.partitionCount == 1,
+      s"gen2 must prune by ITS layout (o_orderpriority): planned " +
+        s"${g2.selectedPartitions.partitionCount} dirs, " +
+        s"filters ${g2.partitionFilters}")
+    chain
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("gen1_pruned_own_layout"),
+        lit(true).as("gen2_pruned_own_layout"))
+  }
+
+  private val snapshotPartitionEvolveOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS gen1_pruned_own_layout,
+       |  true AS gen2_pruned_own_layout
+       |FROM orders
+       |WHERE o_custkey % 4 = 1
+       |  AND o_orderpriority = (SELECT min(o_orderpriority) FROM orders)""".stripMargin
+  }
+
+  /** Bloom skipping THROUGH a merge-on-read delete — the composition
+    * [[snapshotBloomPrune]] (skipping on a data version) and
+    * [[snapshotMorDelete]] (tombstones without rewrite) leave
+    * unexercised together: a point lookup on a MOR version must prune
+    * on the underlying DATA version's sidecar (a bloom cannot forget a
+    * key — the tombstoned key only costs a false-positive file open)
+    * while the `_deletes` anti-join guarantees the erased key can
+    * NEVER resurrect through the skipping path. The gate tombstones
+    * one of the probed keys, then requires (a) bloom pruning stayed
+    * strict, (b) the lookup's data-file list equals the bloom-pruned
+    * list exactly, and (c) zero rows for the tombstoned key survive —
+    * the GDPR property at the I/O layer: erasure costs a kilobyte AND
+    * the fast path cannot leak the erased row. The oracle recomputes
+    * the surviving lookup straight from `orders`.
+    */
+  private def snapshotMorPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "morprune")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        Exact.micro("o_totalprice").as("price_micro"))
+    val nOrders = orders.count()
+    val v1 = SnapshotTable.commit(
+      orders.repartition(8, pmod($"o_custkey", lit(8))),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      bloomCols = Seq("o_orderkey"),
+      bloomExpectedItems =
+        math.max(SnapshotTable.DefaultBloomExpectedItems, nOrders / 4))
+    // probe keys: extremes of two residue classes (the
+    // snapshot_bloom_prune derivation); tombstone = the smallest
+    val ext = orders.filter(pmod($"o_orderkey", lit(100)).isin(3, 7))
+      .agg(min($"o_orderkey"), max($"o_orderkey"),
+        min(when(pmod($"o_orderkey", lit(100)) === 7, $"o_orderkey")),
+        max(when(pmod($"o_orderkey", lit(100)) === 3, $"o_orderkey"))).head
+    val keys = (0 to 3).map(ext.getLong).distinct.sorted
+    val tomb = keys.min
+    val v2 = SnapshotTable.commitDeletes(Seq(tomb).toDF("o_orderkey"), base,
+      expectedVersion = v1)
+    val (bloomKept, total) =
+      SnapshotTable.pruneFilesBloom(base, v1, "o_orderkey", keys)
+    require(bloomKept.nonEmpty && bloomKept.size < total,
+      s"bloom skipping must stay strict under the chain (kept " +
+        s"${bloomKept.size} of $total files) — sidecar regressed")
+    val looked = SnapshotTable.readWhereIn(s, base, v2, "o_orderkey", keys)
+    val dataFiles = looked.inputFiles.filter(_.contains(s"/v$v1/"))
+    require(dataFiles.length == bloomKept.size,
+      s"the MOR lookup must read EXACTLY the bloom-pruned data files: " +
+        s"${dataFiles.length} opened vs ${bloomKept.size} pruned-to")
+    require(looked.filter($"o_orderkey" === tomb).count() == 0,
+      s"tombstoned key $tomb resurfaced through the skipping path")
+    looked
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(keys.size).cast("long").as("n_keys"),
+        lit(0L).as("n_tombstoned_rows"))
+  }
+
+  private val snapshotMorPruneOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH keys AS (
+       |  SELECT DISTINCT k FROM (
+       |    SELECT min(o_orderkey) AS k FROM orders WHERE o_orderkey % 100 IN (3, 7)
+       |    UNION ALL
+       |    SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 100 IN (3, 7)
+       |    UNION ALL
+       |    SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 100 = 7
+       |    UNION ALL
+       |    SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 100 = 3))
+       |SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  (SELECT count(*) FROM keys) AS n_keys,
+       |  CAST(0 AS BIGINT) AS n_tombstoned_rows
+       |FROM orders
+       |WHERE o_orderkey IN (SELECT k FROM keys)
+       |  AND o_orderkey <> (SELECT min(k) FROM keys)""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
@@ -826,5 +1051,9 @@ object LakeOps {
       Some(snapshotOptimizeClusterOracle)),
     Q("snapshot_manifest_stats", snapshotManifestStats,
       Some(snapshotManifestStatsOracle)),
-    Q("snapshot_mor_delete", snapshotMorDelete, Some(snapshotMorDeleteOracle)))
+    Q("snapshot_mor_delete", snapshotMorDelete, Some(snapshotMorDeleteOracle)),
+    Q("snapshot_multi_prune", snapshotMultiPrune, Some(snapshotMultiPruneOracle)),
+    Q("snapshot_partition_evolve", snapshotPartitionEvolve,
+      Some(snapshotPartitionEvolveOracle)),
+    Q("snapshot_mor_prune", snapshotMorPrune, Some(snapshotMorPruneOracle)))
 }

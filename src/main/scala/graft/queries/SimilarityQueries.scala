@@ -380,6 +380,127 @@ object SimilarityQueries {
        |FROM fin
        |ORDER BY cos DESC, vec_id""".stripMargin
 
+  /** Incremental IVF index MAINTENANCE under inserts — the write-path
+    * complement of [[annTopkDeleteIvf]] (which probes a persisted index
+    * built once per run): at 100 TB an ingest batch must APPEND its
+    * cell-assigned vectors to the standing index — new files in the
+    * existing cell partitions via one CAS-protected
+    * [[graft.ops.SnapshotTable.commitAppend]] — never trigger a
+    * rebuild. The gate commits the index over 90% of the corpus, lands
+    * the held-out 10% as an append delta generation (same `cell`
+    * partition spec), and proves, with loud in-query requires:
+    * (a) the append wrote ONLY delta rows (the new version directory's
+    * row count equals the batch's — a rebuild would carry the corpus)
+    * in at most one file per touched cell; (b) a probe through the
+    * two-generation chain is partition-pruned in BOTH generations
+    * (each scan branch plans a cell partition filter, and the probe
+    * opens strictly fewer files than the index holds); (c) the probe's
+    * answer EQUALS a from-scratch rebuild's over the unioned corpus —
+    * append-maintenance is invisible to queries. The oracle recomputes
+    * the IVF-routed semantics over all vectors, so a green run pins
+    * the whole maintenance story against an independent engine.
+    */
+  private def annIvfIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val idxBase = LakeOps.lakeBase(dir, "ann_ivf_appendidx")
+    SnapshotTable.deleteTree(idxBase)
+    val cents = untrainedCentroids(s, dir)
+    require(QueryVecId < NumCells, "query vector must be among the centroids")
+    val qVec = cents(QueryVecId)._2
+    val probe = probeCellsFor(cents, qVec)
+    def assigned = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cell", cellOfCol(cents)($"embedding"))
+    // the standing index: 90% of the corpus, one file per cell dir
+    val v1 = SnapshotTable.commit(
+      assigned.filter(pmod($"vec_id", lit(10)) =!= 9).repartition($"cell"),
+      idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
+      partitionCols = Seq("cell"))
+    // the ingest batch: cell-assigned, APPENDED under the same spec
+    val delta = assigned.filter(pmod($"vec_id", lit(10)) === 9)
+      .repartition($"cell")
+    val v2 = SnapshotTable.commitAppend(delta, idxBase, expectedVersion = v1,
+      partitionCols = Seq("cell"))
+    // (a) delta-proportional write: only the batch's rows, ≤1 file/cell
+    val deltaCount = delta.count()
+    val v2dir = s"$idxBase/v$v2"
+    val v2Rows = s.read.parquet(v2dir).count()
+    require(v2Rows == deltaCount,
+      s"append must write ONLY the delta ($deltaCount rows); v$v2 holds " +
+        s"$v2Rows — the commit rebuilt the index")
+    def parquetFiles(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val v2Files = parquetFiles(new java.io.File(v2dir))
+    require(v2Files <= NumCells,
+      s"append wrote $v2Files files for ≤$NumCells touched cells")
+    // (b) the probe is partition-pruned in BOTH generations
+    val probed = SnapshotTable.readAt(s, idxBase, v2)
+      .filter($"cell".isin(probe: _*))
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    require(scans.size == 2 && scans.forall(_.partitionFilters.nonEmpty),
+      s"both index generations must plan cell-partition pruning: " +
+        s"${scans.map(_.partitionFilters.mkString("[", ",", "]")).mkString(" | ")}")
+    val openedFiles = probed.select(input_file_name().as("f")).distinct().count()
+    val idxFiles = SnapshotTable.readAt(s, idxBase, v2)
+      .select(input_file_name().as("f")).distinct().count()
+    require(openedFiles > 0 && openedFiles < idxFiles,
+      s"index probe must be partition-pruned: opened $openedFiles of " +
+        s"$idxFiles files for cells ${probe.mkString(",")}")
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVec)))
+      .select($"vec_id", $"label", $"cos_raw")
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(IvfTopK)
+    // (c) maintenance is invisible: chain probe ≡ from-scratch rebuild
+    val viaIndex = topk(probed)
+    val viaRebuild = topk(assigned.filter($"cell".isin(probe: _*)))
+    val a = viaIndex.select($"vec_id").as[Long].collect().toSeq
+    val b = viaRebuild.select($"vec_id").as[Long].collect().toSeq
+    require(a == b,
+      s"append-maintained probe answer ($a) must equal a from-scratch " +
+        s"rebuild's ($b)")
+    viaIndex
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+  }
+
+  // lazy: interpolates NumCells/NProbe/IvfTopK declared below
+  private lazy val annIvfIndexAppendOracle =
+    // from-scratch recompute of the IVF-routed semantics over the FULL
+    // corpus (gen1 ∪ delta): cell assignment, the query's NProbe cells,
+    // top-k over the probed cells — maintenance must be invisible
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $NumCells),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS s
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT vec_id, label, embedding, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS rn
+       |    FROM cent c, q) WHERE rn <= $NProbe),
+       |fin AS (
+       |  SELECT a.vec_id, a.label,
+       |    list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos_raw
+       |  FROM assigned a JOIN qcells p ON a.cid = p.cid, q
+       |  WHERE a.vec_id <> $QueryVecId
+       |  ORDER BY cos_raw DESC, a.vec_id
+       |  LIMIT $IvfTopK)
+       |SELECT vec_id, label, round(cos_raw, 4) AS cos
+       |FROM fin
+       |ORDER BY cos DESC, vec_id""".stripMargin
+
   /** Recall@k of the int8 ranking against the exact float top-k — the
     * same accountability gate the IVF/PQ paths carry: a quantization
     * regression surfaces as a correctness diff, not a silent quality
@@ -1528,6 +1649,7 @@ object SimilarityQueries {
     Q("ann_topk_refresh", annTopkRefresh, Some(annTopkRefreshOracle)),
     Q("ann_topk_delete_refresh", annTopkDeleteRefresh, Some(annTopkDeleteOracle)),
     Q("ann_topk_delete_ivf", annTopkDeleteIvf, Some(annTopkDeleteIvfOracle)),
+    Q("ann_ivf_index_append", annIvfIndexAppend, Some(annIvfIndexAppendOracle)),
     Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
     Q("ann_int8_recall", annInt8Recall, Some(annInt8RecallOracle)),

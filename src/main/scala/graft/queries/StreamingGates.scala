@@ -682,7 +682,81 @@ object StreamingGates {
        |ORDER BY change""".stripMargin
   }
 
+  /** Exactly-once under KILL-AND-RESTART — the one streaming claim the
+    * other ten gates never exercise (each runs its query start-to-
+    * finish): a feed is drained with `maxFilesPerTrigger = 1` into the
+    * checkpointed [[Streaming.foreachBatchUpsert]] state table, and
+    * the query is KILLED deterministically in the worst window — after
+    * batch 0's state commit, BEFORE the checkpoint records the batch
+    * (`failAfterBatch`, a crash injected inside foreachBatch). A NEW
+    * query then starts from the same checkpoint over the full feed.
+    * The gate requires, loudly: (a) exactly one state version existed
+    * at the crash; (b) the restart RE-DELIVERS the uncheckpointed
+    * batch (its re-merge commits a version) and then the remaining
+    * files — five state versions for a four-file feed, pinning the
+    * at-least-once re-delivery actually happened; (c) the re-merge
+    * was IDEMPOTENT: the re-committed state equals the pre-crash state
+    * row-for-row (no loss, no double count — the claim the upsert's
+    * scaladoc makes about the commit-then-crash window, now executed).
+    * The final state must hash-match the batch latest-row-per-user
+    * oracle over the whole feed — exactly-once END STATE across a
+    * restart boundary, checked against an independent engine.
+    */
+  private def streamingRestartRecovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val feed = LakeOps.lakeBase(dir, "restartfeed")
+    val stateDir = LakeOps.lakeBase(dir, "restartstate")
+    SnapshotTable.deleteTree(feed)
+    SnapshotTable.deleteTree(stateDir)
+    // a 4-file feed so the restart boundary falls strictly mid-stream
+    Tables.events(s, dir).repartition(4).write.parquet(feed)
+    def stream() = s.readStream
+      .schema(eventsSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    // run 1: crash AFTER batch 0's state commit, BEFORE its checkpoint
+    withStreamShuffle(s, 4) {
+      Streaming.foreachBatchUpsert(stream(), stateDir, failAfterBatch = Some(0L))
+    }
+    require(SnapshotTable.currentVersion(stateDir).contains(1L),
+      "exactly one state commit must precede the crash, got " +
+        s"${SnapshotTable.currentVersion(stateDir)}")
+    // run 2: a NEW query, same checkpoint, over the full feed
+    val fin = withStreamShuffle(s, 4) {
+      Streaming.foreachBatchUpsert(stream(), stateDir)
+    }
+    val vs = SnapshotTable.versions(stateDir)
+    require(vs == Seq(1L, 2L, 3L, 4L, 5L),
+      "restart must re-deliver the uncheckpointed batch (one re-merge " +
+        s"commit) then the 3 remaining files: got versions $vs")
+    val v1df = SnapshotTable.readAt(s, stateDir, 1L)
+    val v2df = SnapshotTable.readAt(s, stateDir, 2L)
+    require(v2df.count() == v1df.count() && v2df.exceptAll(v1df).isEmpty,
+      "the re-merge of the re-delivered batch must be a no-op on state " +
+        "(idempotence absorbed the at-least-once window)")
+    fin
+      .select($"user_id", $"last_event_id", $"last_type",
+        unix_micros($"last_ts").as("last_us"),
+        lit(vs.size.toLong).as("n_state_versions"))
+      .orderBy($"user_id")
+  }
+
+  private val streamingRestartOracle =
+    """SELECT user_id, event_id AS last_event_id,
+      |  event_type AS last_type, epoch_us(ts) AS last_us,
+      |  CAST(5 AS BIGINT) AS n_state_versions
+      |FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("streaming_restart_recovery", streamingRestartRecovery,
+      Some(streamingRestartOracle)),
     Q("streaming_changelog", streamingChangelog,
       Some(streamingChangelogOracle)),
     Q("streaming_tws_user_stats", streamingTwsUserStats,

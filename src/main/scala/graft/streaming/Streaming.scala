@@ -272,9 +272,22 @@ object Streaming {
     * updates (the foreachBatch at-least-once contract, absorbed by
     * merge idempotence).
     */
-  def foreachBatchUpsert(events: DataFrame, stateDir: String): DataFrame = {
+  /** The injected failure [[foreachBatchUpsert]]'s `failAfterBatch`
+    * raises: thrown AFTER the state commit but BEFORE the streaming
+    * checkpoint records the batch — the exact crash window the
+    * exactly-once layering must absorb (the batch re-delivers on
+    * restart and the idempotent merge re-converges).
+    */
+  final class InjectedCrash(msg: String) extends RuntimeException(msg)
+
+  private def hasInjectedCrash(t: Throwable, depth: Int = 0): Boolean =
+    t != null && depth < 20 &&
+      (t.isInstanceOf[InjectedCrash] || hasInjectedCrash(t.getCause, depth + 1))
+
+  def foreachBatchUpsert(events: DataFrame, stateDir: String,
+      failAfterBatch: Option[Long] = None): DataFrame = {
     import graft.ops.SnapshotTable
-    events.writeStream
+    val q = events.writeStream
       .outputMode("update")
       // the checkpoint makes successive invocations INCREMENTAL: a
       // second run over the same source dir processes only new files,
@@ -318,10 +331,24 @@ object Streaming {
         // loudly here instead of silently losing the other's updates
         SnapshotTable.commit(merged, stateDir,
           expectedVersion = Some(readVersion.getOrElse(0L)))
+        // deterministic crash injection for the restart-recovery gate:
+        // die AFTER the state commit, BEFORE the checkpoint records
+        // this batch — the at-least-once window the idempotent merge
+        // must absorb on restart
+        if (failAfterBatch.contains(epoch))
+          throw new InjectedCrash(
+            s"injected crash after batch $epoch committed, before checkpoint")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination()
+      .start()
+    try q.awaitTermination()
+    catch {
+      // only the DELIBERATE crash is swallowed (the caller restarts
+      // from the checkpoint); every real failure still propagates
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if failAfterBatch.isDefined && hasInjectedCrash(e) => ()
+    }
     // zero batches processed (empty source, nothing new) → no commit
     // ever happened; hand back an empty state frame, not a .get
     SnapshotTable.currentVersion(stateDir) match {

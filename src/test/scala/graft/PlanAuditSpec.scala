@@ -158,6 +158,49 @@ class PlanAuditSpec extends SparkSpec {
       s"OPTIMIZE skipping regressed: scan opens $opened of $total files")
   }
 
+  test("snapshot_multi_prune's scan opens strictly fewer files than v1 holds") {
+    // the conjunctive pin: the executed scan's input-file list must be
+    // a strict subset of the version's data files AND strictly smaller
+    // than what either single term alone would keep — independently of
+    // the query's own requires
+    val q = Registry.all.find(_.name == "snapshot_multi_prune").get
+    val df = q.fn(spark, dir)
+    val vdir = new java.io.File(
+      graft.queries.LakeOps.lakeBase(dir, "multiprune") + "/v1")
+    val total = vdir.listFiles().count(_.getName.endsWith(".parquet"))
+    val opened = df.inputFiles.length
+    assert(opened > 0 && opened < total,
+      s"conjunctive skipping regressed: scan opens $opened of $total files")
+  }
+
+  test("snapshot_mor_prune's lookup opens strictly fewer data files than v1") {
+    // skipping THROUGH a delete commit: the data-file subset of the
+    // lookup's inputs (paths under /v1/) must stay a strict subset —
+    // the _deletes sidecar files under /v2/ ride along by design
+    val q = Registry.all.find(_.name == "snapshot_mor_prune").get
+    val df = q.fn(spark, dir)
+    val vdir = new java.io.File(
+      graft.queries.LakeOps.lakeBase(dir, "morprune") + "/v1")
+    val total = vdir.listFiles().count(_.getName.endsWith(".parquet"))
+    val opened = df.inputFiles.count(_.contains("/v1/"))
+    assert(opened > 0 && opened < total,
+      s"MOR-chain skipping regressed: lookup opens $opened of $total files")
+  }
+
+  test("snapshot_partition_evolve plans per-generation partition filters") {
+    // layout evolution: BOTH scan branches of the cross-generation read
+    // must carry a partition filter on their own generation's key
+    val q = Registry.all.find(_.name == "snapshot_partition_evolve").get
+    val scans = q.fn(spark, dir).queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.size == 2, s"expected 2 generation scans, got ${scans.size}")
+    val keys = scans.map(_.partitionFilters.mkString(" "))
+    assert(keys.exists(_.contains("c_bkt")) &&
+      keys.exists(_.contains("o_orderpriority")),
+      s"a generation lost its own partition filter: $keys")
+  }
+
   test("no registered query broadcasts an unbounded fact-derived subtree") {
     val offenders = Registry.all.flatMap { q =>
       val plan =

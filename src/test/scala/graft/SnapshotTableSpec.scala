@@ -505,7 +505,10 @@ class SnapshotTableSpec extends SparkSpec {
       .repartition(4, $"name")
     val v = SnapshotTable.commit(df, dir, statsCols = Seq("k", "name"))
     val m = SnapshotTable.manifest(spark, dir, v)
-    assert(m.inputFiles.isEmpty, "the manifest must be a local relation")
+    // the manifest is itself a committed parquet TABLE inside the
+    // version dir — a metadata read opens manifest files, never data
+    assert(m.inputFiles.nonEmpty && m.inputFiles.forall(_.contains("/_manifest/")),
+      s"the manifest must read only the metadata table: ${m.inputFiles.mkString(", ")}")
     // count(*)/min/max fold from metadata and agree with the data
     val row = m.filter($"column" === "k")
       .agg(sum($"row_count"), min($"min_num"), max($"max_num")).head()
@@ -519,6 +522,147 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotTable.manifest(spark, dir2, v2) }
     val vd = SnapshotTable.commitDeletes(Seq(1L).toDF("k"), dir, expectedVersion = v)
     intercept[IllegalArgumentException] { SnapshotTable.manifest(spark, dir, vd) }
+    // pre-_manifest versions (TSV only) fall back to the local relation
+    // with the same schema and rows
+    SnapshotTable.deleteTree(s"$dir/v$v/_manifest")
+    val legacy = SnapshotTable.manifest(spark, dir, v)
+    assert(legacy.inputFiles.isEmpty, "TSV fallback is a local relation")
+    assert(legacy.columns.toSeq == m.columns.toSeq)
+    assert(legacy.filter($"column" === "k")
+      .agg(sum($"row_count")).head().getLong(0) == 400)
+  }
+
+  test("commitAppend: delta-cost ingest, chain reads, CAS, loud guards") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(
+      (1 to 100).map(i => (i.toLong, i % 3)).toDF("k", "m"), dir,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commitAppend(
+      (101 to 130).map(i => (i.toLong, i % 3)).toDF("k", "m"), dir,
+      expectedVersion = v1)
+    // the chain read is base ∪ delta; the base version is untouched
+    assert(SnapshotTable.readAt(spark, dir, v2).count() == 130)
+    assert(SnapshotTable.readAt(spark, dir, v1).count() == 100)
+    assert(SnapshotTable.read(spark, dir).count() == 130)
+    // the append wrote ONLY the delta's rows into its version dir
+    assert(spark.read.parquet(s"$dir/v$v2").count() == 30,
+      "append must write delta files only, never a rebuild")
+    // CAS: appending against a stale version conflicts loudly
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitAppend(Seq((999L, 0)).toDF("k", "m"), dir,
+        expectedVersion = v1)
+    }
+    // schema drift in the delta is a loud error, not a silent union
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(Seq((999L, "x")).toDF("k", "extra"), dir,
+        expectedVersion = v2)
+    }
+    // deletes stack ON TOP of an append chain and resolve through it
+    val v3 = SnapshotTable.commitDeletes(Seq(5L, 105L).toDF("k"), dir,
+      expectedVersion = v2)
+    assert(SnapshotTable.readAt(spark, dir, v3).count() == 128)
+    // compaction (identity transact) cuts the chain
+    val v4 = SnapshotTable.transact(spark, dir)(cur => cur.get)
+    assert(SnapshotTable.baseOf(dir, v4).isEmpty &&
+      SnapshotTable.appendBaseOf(dir, v4).isEmpty)
+    assert(SnapshotTable.readAt(spark, dir, v4).count() == 128)
+    // expire never drops a version reachable through an _append chain
+    val keptAfter = {
+      SnapshotTable.expire(dir, keepLast = 3) // keeps v2,v3,v4 (+v1 via chains)
+      SnapshotTable.versions(dir)
+    }
+    assert(keptAfter.contains(v1),
+      s"v$v1 is reachable from v$v2 via _append and must survive: $keptAfter")
+    // single-generation skipping paths refuse an append version loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFiles(dir, v2, "k", 1L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.manifest(spark, dir, v2)
+    }
+  }
+
+  test("commitAppend: per-generation layouts prune independently") {
+    val dir = freshDir()
+    // gen1 hive-partitioned by m, gen2 by p — partition-spec evolution
+    val v1 = SnapshotTable.commit(
+      (1 to 90).map(i => (i.toLong, i % 3, i % 2)).toDF("k", "m", "p")
+        .repartition($"m"),
+      dir, expectedVersion = SnapshotTable.ExpectEmpty,
+      partitionCols = Seq("m"))
+    val v2 = SnapshotTable.commitAppend(
+      (91 to 150).map(i => (i.toLong, i % 3, i % 2)).toDF("k", "m", "p")
+        .repartition($"p"),
+      dir, expectedVersion = v1, partitionCols = Seq("p"))
+    val chain = SnapshotTable.readAt(spark, dir, v2)
+      .filter($"m" === 1 && $"p" === 0)
+    assert(chain.select("k").as[Long].collect().sorted.toSeq ==
+      (1 to 150).filter(i => i % 3 == 1 && i % 2 == 0).map(_.toLong))
+    // each generation's scan branch plans only ITS matching partition
+    // dirs: gen1 prunes by m (1 of 3), gen2 by p (1 of 2). The filter
+    // pushed through the union must become a PARTITION filter on each
+    // branch — .inputFiles would lie here (it lists the relation's
+    // whole listing, pruned or not), so inspect the scans themselves.
+    val scans = chain.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.size == 2, s"expected one scan per generation, got ${scans.size}")
+    def scanOf(v: Long) = scans.find(
+      _.relation.location.rootPaths.exists(_.toString.endsWith(s"/v$v"))).get
+    val (g1, g2) = (scanOf(v1), scanOf(v2))
+    assert(g1.partitionFilters.exists(_.toString.contains("m")) &&
+      g1.selectedPartitions.partitionCount == 1,
+      s"gen1 must prune by its own layout (m=1): planned " +
+        s"${g1.selectedPartitions.partitionCount} of 3 dirs, filters ${g1.partitionFilters}")
+    assert(g2.partitionFilters.exists(_.toString.contains("p")) &&
+      g2.selectedPartitions.partitionCount == 1,
+      s"gen2 must prune by its own layout (p=0): planned " +
+        s"${g2.selectedPartitions.partitionCount} of 2 dirs, filters ${g2.partitionFilters}")
+  }
+
+  test("pruneFilesMulti: conjunction intersects sidecars, loud misses") {
+    val dir = freshDir()
+    // 2-D layout: primary range-cluster by parity, secondary by k — so
+    // a parity term and a k-range term each kill a different dimension
+    val df = (1 to 400).map(i => (i.toLong, (i % 2).toLong)).toDF("k", "par")
+    val v = SnapshotTable.commit(df.repartitionByRange(8, $"par", $"k"),
+      dir, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("k", "par"), bloomCols = Seq("par"))
+    import SnapshotTable.{InPredicate, RangePredicate}
+    val (rangeKept, total) = SnapshotTable.pruneFilesMulti(spark, dir, v,
+      Seq(RangePredicate("k", 1L, 50L)))
+    val (inKept, _) = SnapshotTable.pruneFilesMulti(spark, dir, v,
+      Seq(InPredicate("par", Seq(1L))))
+    val (conjKept, _) = SnapshotTable.pruneFilesMulti(spark, dir, v,
+      Seq(RangePredicate("k", 1L, 50L), InPredicate("par", Seq(1L))))
+    assert(conjKept.nonEmpty && conjKept.size < rangeKept.size &&
+      conjKept.size < inKept.size,
+      s"conjunction must out-prune each term: conj ${conjKept.size}, " +
+        s"range ${rangeKept.size}, in ${inKept.size}, total $total")
+    // the pruned read answers exactly like the full scan
+    val got = SnapshotTable.readWhereMulti(spark, dir, v,
+      Seq(RangePredicate("k", 1L, 50L), InPredicate("par", Seq(1L))))
+    assert(got.inputFiles.length == conjKept.size)
+    assert(got.select("k").as[Long].collect().sorted.toSeq ==
+      (1 to 50).filter(_ % 2 == 1).map(_.toLong))
+    // a term with no sidecar fails loudly, never a silent no-op
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFilesMulti(spark, dir, v,
+        Seq(InPredicate("k", Seq(5L)))) // no bloom on k
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFilesMulti(spark, dir, v,
+        Seq(RangePredicate("nope", 1L, 2L)))
+    }
+    // string bounds compare lexicographically against string stats
+    val dirS = freshDir()
+    val vS = SnapshotTable.commit(
+      Seq(("alpha", 1L), ("beta", 2L), ("zeta", 3L)).toDF("name", "id")
+        .repartitionByRange(3, $"name"),
+      dirS, statsCols = Seq("name"))
+    val gotS = SnapshotTable.readWhereMulti(spark, dirS, vS,
+      Seq(RangePredicate("name", "a", "c")))
+    assert(gotS.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
   test("transact with layout params is OPTIMIZE: same rows, strict skipping") {
@@ -571,5 +715,32 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.pruneFilesBloom(dir, vd, "name", Seq("alpha"))
     }
+  }
+
+  test("bloom type gate: fractional numerics rejected; dates round-trip") {
+    val df = Seq((5L, 5.0), (7L, 7.25)).toDF("k", "d")
+      .withColumn("dec", $"d".cast("decimal(10,2)"))
+      .withColumn("day", date_add(lit("2024-01-01").cast("date"), $"k".cast("int")))
+    // double 5.0 inserts "5.0" but a Long probe key canonicalizes to
+    // "5" — a guaranteed silent false negative. The commit-time gate
+    // refuses instead of shipping an unsafe sidecar.
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(df, freshDir(), bloomCols = Seq("d"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(df, freshDir(), bloomCols = Seq("dec"))
+    }
+    // stats sidecars still take fractional columns (range compares are
+    // typed, no canonical-form hashing involved)
+    val dirS = freshDir()
+    val vs = SnapshotTable.commit(df, dirS, statsCols = Seq("d", "dec"))
+    assert(SnapshotTable.readStats(dirS, vs).nonEmpty)
+    // DateType stays admitted: CAST(date AS STRING) and
+    // java.sql.Date.toString both yield ISO yyyy-MM-dd
+    val dir = freshDir()
+    val v = SnapshotTable.commit(df, dir, bloomCols = Seq("day"))
+    val got = SnapshotTable.readWhereIn(spark, dir, v, "day",
+      Seq(java.sql.Date.valueOf("2024-01-06")))
+    assert(got.select("k").as[Long].collect().toSeq == Seq(5L))
   }
 }

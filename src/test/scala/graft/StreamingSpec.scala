@@ -118,6 +118,39 @@ class StreamingSpec extends SparkSpec {
     assert(s4.count() == 3)
   }
 
+  test("foreachBatchUpsert recovers exactly-once across a mid-feed kill") {
+    import graft.ops.SnapshotTable
+    val tmp = Files.createTempDirectory("graft_upsert_kill").toString
+    val in = s"$tmp/in"; val state = s"$tmp/state"
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 1.0, "{}")
+    // three single-row files -> three batches under maxFilesPerTrigger=1
+    Seq(ev(1, "2024-01-01 10:00:00", 7, "signup")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    Seq(ev(2, "2024-01-01 11:00:00", 7, "click")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    Seq(ev(3, "2024-01-01 10:30:00", 8, "view")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    def stream() = Streaming.readEventsStream(spark, in, maxFilesPerTrigger = 1)
+    // kill in the worst window: after batch 0's commit, before its
+    // checkpoint — the batch is durable in state but unacknowledged
+    Streaming.foreachBatchUpsert(stream(), state, failAfterBatch = Some(0L))
+    assert(SnapshotTable.currentVersion(state).contains(1L))
+    // a NEW query from the same checkpoint re-delivers batch 0 (its
+    // re-merge commits v2 == v1), then applies batches 1 and 2
+    val fin = Streaming.foreachBatchUpsert(stream(), state)
+    assert(SnapshotTable.versions(state) == Seq(1L, 2L, 3L, 4L))
+    val v1 = SnapshotTable.readAt(spark, state, 1L)
+    val v2 = SnapshotTable.readAt(spark, state, 2L)
+    assert(v2.count() == v1.count() && v2.exceptAll(v1).isEmpty,
+      "the re-merge must be idempotent: no loss, no double count")
+    assert(fin.select($"user_id", $"last_type").as[(Long, String)]
+      .collect().toSet == Set((7L, "click"), (8L, "view")))
+  }
+
   test("foreachBatchUpsert over an empty source returns an empty state frame") {
     val tmp = Files.createTempDirectory("graft_upsert_empty").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
