@@ -202,6 +202,15 @@ object SnapshotTable {
     */
   private def publishStaged(dir: String, staged: java.nio.file.Path,
       expectedVersion: Option[Long]): Long = {
+    val next = claimVersion(dir, staged)
+    flipPointer(dir, next, expectedVersion)
+    next
+  }
+
+  /** The claim loop shared by main commits and branch commits: rename
+    * the staged directory to the next free `v<N>` name and return N.
+    */
+  private def claimVersion(dir: String, staged: java.nio.file.Path): Long = {
     var next = (versions(dir) :+ 0L).max + 1
     var claimed = false
     while (!claimed) {
@@ -224,7 +233,6 @@ object SnapshotTable {
           if (java.nio.file.Files.exists(target)) next += 1 else throw e
       }
     }
-    flipPointer(dir, next, expectedVersion)
     next
   }
 
@@ -252,10 +260,84 @@ object SnapshotTable {
         java.nio.file.Files.move(tmp, pointer(dir),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        logPublish(dir, next, "current")
         true
       }
     }
   }
+
+  // ------------------------------------------------------- publish log
+
+  /** Append-only record of every version a ref (main pointer or branch)
+    * has EVER named — the table's transaction log, the provenance that
+    * lets [[gcOrphans]] tell real history (an old version a reader may
+    * still time-travel to) from CAS-loser debris (a claimed version no
+    * ref ever pointed at). One line per publish, `v<N>\t<refname>`
+    * (`current` for the main pointer), written under the pointer lock
+    * so lines never tear; duplicates are fine (the reader folds to a
+    * map). The hot-path cost is one appended line per commit — the
+    * same order as any format's log write.
+    */
+  private def publishLog(dir: String) =
+    java.nio.file.Paths.get(dir, "publishes.log")
+
+  private def logPublish(dir: String, version: Long, ref: String): Unit =
+    java.nio.file.Files.writeString(publishLog(dir),
+      s"v$version\t$ref\t${System.currentTimeMillis()}\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+
+  /** The raw publish history: (version, ref, epoch-ms) per event, in
+    * log order. Corrupt lines are a loud error, like the pointer's own
+    * parse.
+    */
+  def publishEvents(dir: String): Seq[(Long, String, Long)] = {
+    val p = publishLog(dir)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else java.nio.file.Files.readAllLines(p).toArray(Array.empty[String])
+      .toSeq.filter(_.nonEmpty).map { line =>
+        val f = line.split("\t", -1)
+        if (f.length == 3 && f(0).matches("v\\d+") && f(1).nonEmpty &&
+            f(2).matches("\\d+"))
+          (f(0).drop(1).toLong, f(1), f(2).toLong)
+        else throw new IllegalStateException(
+          s"corrupt publishes.log line in $p: '$line'")
+      }
+  }
+
+  /** version → the refs that have EVER named it (empty for a table
+    * that predates the log — [[gcOrphans]] then removes nothing, the
+    * conservative reading).
+    */
+  def publishedRefs(dir: String): Map[Long, Set[String]] =
+    publishEvents(dir).groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+
+  /** Every version any ref has ever published. */
+  def publishedVersions(dir: String): Set[Long] = publishedRefs(dir).keySet
+
+  /** Time travel BY TIMESTAMP (Delta's `TIMESTAMP AS OF`): the version
+    * MAIN showed at `tsMs` — the newest `current` publish at or before
+    * that instant (the pointer is monotonic, so "latest event ≤ ts"
+    * and "max version ≤ ts" coincide). Branch publishes don't count:
+    * a reader asking "the table as of Tuesday" means the table its
+    * production readers saw, not a WAP candidate. Loud when the table
+    * had no publish yet at `tsMs` and on pre-log tables (no
+    * provenance, no timestamp travel — pin a version instead).
+    */
+  def versionAsOf(dir: String, tsMs: Long): Long = {
+    val evs = publishEvents(dir).filter(e => e._2 == "current" && e._3 <= tsMs)
+    require(evs.nonEmpty,
+      s"no main publish at or before ts=$tsMs on $dir — the table did " +
+        "not exist yet, or predates the publish log (use readAt)")
+    evs.map(_._1).max
+  }
+
+  /** [[readAt]] of [[versionAsOf]] — reproducible "the table as the
+    * pipeline saw it that day" reads without bookkeeping version
+    * numbers, as long as retention keeps the version.
+    */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    readAt(spark, dir, versionAsOf(dir, tsMs))
 
   /** The CAS predicate: the table must sit exactly at `expected`
     * ([[ExpectEmpty]] = no pointer yet). Violation throws
@@ -326,6 +408,159 @@ object SnapshotTable {
     throw new IllegalStateException(
       s"transact on $dir: still conflicting after $maxRetries retries",
       lastConflict)
+  }
+
+  // ------------------------------------------------------- branch refs
+
+  /** Branch-name discipline: filesystem-safe, never the reserved main
+    * pointer's name. A ref is a pointer file `ref.<name>` beside
+    * `current`, flipped under the same table lock with the same
+    * CAS/monotonicity contract — the Iceberg refs / Delta branch
+    * pattern reduced to its essentials.
+    */
+  private def refPtr(dir: String, name: String) = {
+    require(name.matches("[A-Za-z0-9_-]{1,64}") && name != "current",
+      s"branch name must be [A-Za-z0-9_-]{1,64} and not 'current': '$name'")
+    java.nio.file.Paths.get(dir, s"ref.$name")
+  }
+
+  /** The version branch `name` points at, if the branch exists. Same
+    * loud corruption guard as [[currentVersion]].
+    */
+  def branchVersion(dir: String, name: String): Option[Long] = {
+    val p = refPtr(dir, name)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val raw = java.nio.file.Files.readString(p).trim
+      if (raw.matches("v\\d+")) Some(raw.drop(1).toLong)
+      else throw new IllegalStateException(
+        s"corrupt branch pointer $p: expected v<N>, got '$raw'")
+    }
+  }
+
+  /** All branch names with a ref file under `dir`. */
+  def branches(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Seq.empty
+    else {
+      val children = d.listFiles()
+      require(children != null, s"branches: cannot list $dir")
+      children.toSeq.filter(f => f.isFile && f.getName.startsWith("ref."))
+        .map(_.getName.stripPrefix("ref.")).sorted
+    }
+  }
+
+  /** The branch-pointer CAS predicate, mirroring [[checkExpected]]:
+    * the branch must sit exactly at `expected` ([[ExpectEmpty]] = no
+    * such branch yet).
+    */
+  private def checkExpectedRef(dir: String, name: String,
+      expected: Option[Long], detail: String): Unit =
+    expected.foreach { exp =>
+      val cur = branchVersion(dir, name)
+      if (!cur.contains(exp) && !(exp == 0L && cur.isEmpty))
+        throw new java.util.ConcurrentModificationException(
+          s"conditional commit on $dir branch '$name': expected v$exp, " +
+            s"branch is at ${cur.map("v" + _).getOrElse("<absent>")}$detail")
+    }
+
+  /** Commit `df` as a new version published to BRANCH `name` instead
+    * of main — the write half of write-audit-publish (WAP): the data
+    * lands as a full first-class version (same staging, claim-rename,
+    * sidecars and immutability as [[commit]]), but only the branch ref
+    * flips, so main readers never see it until [[publishBranch]].
+    * `expectedBranchVersion` is the branch's own CAS ([[ExpectEmpty]]
+    * for a new branch); the branch pointer is monotonic like main's.
+    * Returns the committed version.
+    */
+  def commitToBranch(df: DataFrame, dir: String, name: String,
+      expectedBranchVersion: Option[Long] = None,
+      partitionCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = DefaultBloomExpectedItems): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    refPtr(dir, name) // validate the name before any I/O
+    checkExpectedRef(dir, name, expectedBranchVersion, detail = "")
+    val staged = stagedPath(dir)
+    val w = df.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staged.toString)
+    if (statsCols.nonEmpty)
+      writeStatsSidecar(df.sparkSession, staged, statsCols)
+    if (bloomCols.nonEmpty)
+      writeBloomSidecar(df.sparkSession, staged, bloomCols, bloomExpectedItems)
+    // claim a version number exactly like a main commit (one shared
+    // number space — a branch version IS a version), then flip only
+    // the branch ref
+    val next = claimVersion(dir, staged)
+    val tmp = java.nio.file.Paths.get(dir, s".ref.tmp$next")
+    java.nio.file.Files.writeString(tmp, s"v$next")
+    withPointerLock(dir) {
+      try checkExpectedRef(dir, name, expectedBranchVersion,
+        detail = s" (v$next left as an orphan; re-read and retry)")
+      catch { case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(tmp); throw e }
+      if (branchVersion(dir, name).exists(_ >= next)) {
+        java.nio.file.Files.deleteIfExists(tmp)
+      } else {
+        java.nio.file.Files.move(tmp, refPtr(dir, name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        logPublish(dir, next, name)
+      }
+    }
+    next
+  }
+
+  /** The publish half of WAP: fast-forward MAIN to branch `name`'s
+    * head — METADATA-ONLY (one pointer flip under the table lock; not
+    * a byte of data moves, which is the entire point: the audited
+    * candidate becomes live atomically, however many terabytes it
+    * holds). `expectedVersion` is the usual main-pointer CAS; a
+    * publish is always a read-audit-publish, so passing the main
+    * version the audit ran against is how a racing writer fails this
+    * loudly instead of being silently overwritten. Fast-forward ONLY:
+    * publishing a branch whose head is not ahead of main throws
+    * (stale branch — re-branch from current and re-audit), never a
+    * silent skip, because the caller was promised their audited data
+    * went live. Returns the published version.
+    */
+  def publishBranch(dir: String, name: String,
+      expectedVersion: Option[Long] = None): Long = {
+    val head = branchVersion(dir, name).getOrElse(
+      throw new IllegalStateException(
+        s"publishBranch: no branch '$name' under $dir"))
+    val tmp = java.nio.file.Paths.get(dir, s".current.tmp$head")
+    java.nio.file.Files.writeString(tmp, s"v$head")
+    withPointerLock(dir) {
+      try {
+        checkExpected(dir, expectedVersion, detail =
+          s" (branch '$name' untouched; re-read, re-audit and retry)")
+        val cur = currentVersion(dir)
+        require(cur.forall(_ < head),
+          s"publishBranch: fast-forward only — main is at " +
+            s"${cur.map("v" + _).getOrElse("<uncommitted>")}, branch " +
+            s"'$name' head v$head is not ahead; re-branch and re-audit")
+      } catch { case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(tmp); throw e }
+      java.nio.file.Files.move(tmp, pointer(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      logPublish(dir, head, "current")
+    }
+    head
+  }
+
+  /** Delete branch `name`'s ref file (the versions it published stay
+    * on disk — [[gcOrphans]] reclaims the never-published ones, and
+    * [[expire]] ages out the rest). Loud on a missing branch: dropping
+    * a branch that does not exist is a caller bug, not a no-op.
+    */
+  def dropBranch(dir: String, name: String): Unit = {
+    val p = refPtr(dir, name)
+    if (!java.nio.file.Files.deleteIfExists(p))
+      throw new IllegalStateException(s"dropBranch: no branch '$name' under $dir")
   }
 
   // ------------------------------------------------ merge-on-read deletes
@@ -412,6 +647,100 @@ object SnapshotTable {
     java.nio.file.Files.writeString(staged.resolve("_append"),
       s"v$expectedVersion")
     publishStaged(dir, staged, Some(expectedVersion))
+  }
+
+  /** REBASE commit — the primitive under incremental OPTIMIZE: publish
+    * a new version whose `_append` pointer names `baseVersion` (an
+    * append-ancestor of the current tip) instead of the tip itself,
+    * with `delta` REPLACING every generation between them. The caller
+    * asserts (and [[optimizeDeltas]] guarantees) that `delta` holds
+    * exactly those generations' rows, re-shaped; the commit CAS-es on
+    * `expectedVersion` (the tip whose deltas are being folded), so a
+    * racing ingest conflicts loudly and retries on top of the new
+    * shape. The rebase window must be APPEND-ONLY: a merge-on-read
+    * delete commit between base and tip carries tombstones that apply
+    * to the BASE's rows too, and folding it away would resurrect them
+    * — that case is full compaction's job ([[transact]]), checked
+    * loudly here.
+    */
+  def commitRebase(delta: DataFrame, dir: String, expectedVersion: Long,
+      baseVersion: Long, partitionCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = DefaultBloomExpectedItems): Long = {
+    require(baseVersion >= 1 && expectedVersion > baseVersion,
+      s"commitRebase folds deltas ABOVE a base: base v$baseVersion, " +
+        s"tip v$expectedVersion")
+    var v = expectedVersion
+    while (v != baseVersion) {
+      require(baseOf(dir, v).isEmpty,
+        s"commitRebase: v$v in the rebase window of $dir is a merge-on-" +
+          "read delete commit — its tombstones apply to the base too; " +
+          "run a full compaction (transact) instead")
+      v = appendBaseOf(dir, v).getOrElse(throw new IllegalArgumentException(
+        s"v$baseVersion is not an append-ancestor of v$expectedVersion " +
+          s"in $dir (chain breaks at v$v)"))
+    }
+    val baseCols = readAt(delta.sparkSession, dir, baseVersion)
+      .schema.fieldNames.toSet
+    val deltaCols = delta.columns.toSet
+    require(deltaCols == baseCols,
+      s"rebase delta schema must match the base read: delta has " +
+        s"${(deltaCols -- baseCols).mkString(", ")} extra / " +
+        s"${(baseCols -- deltaCols).mkString(", ")} missing vs $dir " +
+        s"v$baseVersion")
+    checkExpected(dir, Some(expectedVersion), detail = "")
+    val staged = stagedPath(dir)
+    val w = delta.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staged.toString)
+    if (statsCols.nonEmpty)
+      writeStatsSidecar(delta.sparkSession, staged, statsCols)
+    if (bloomCols.nonEmpty)
+      writeBloomSidecar(delta.sparkSession, staged, bloomCols, bloomExpectedItems)
+    java.nio.file.Files.writeString(staged.resolve("_append"),
+      s"v$baseVersion")
+    publishStaged(dir, staged, Some(expectedVersion))
+  }
+
+  /** Incremental OPTIMIZE — compact ONLY the append deltas above
+    * `baseVersion`, leaving the base generation's files untouched: the
+    * Delta auto-compaction / Iceberg rewrite-data-files-with-filter
+    * pattern that keeps a streaming-ingested table skip-friendly
+    * WITHOUT paying a full rewrite. Reads the delta generations' own
+    * files (never the base), applies `reshape` (typically
+    * `repartitionByRange` onto the cluster key), and publishes one
+    * [[commitRebase]] whose cost is delta-proportional: after a week
+    * of small appends onto a 100 TB base, the nightly optimize touches
+    * the week, not the table. The chain shrinks to base + one
+    * clustered delta generation; `statsCols`/`bloomCols` re-sidecar
+    * the new generation so file skipping bites on it again.
+    */
+  def optimizeDeltas(spark: SparkSession, dir: String, baseVersion: Long,
+      partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)(
+      reshape: DataFrame => DataFrame): Long = {
+    val tip = currentVersion(dir).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot under $dir"))
+    require(tip != baseVersion,
+      s"nothing to optimize: $dir is at its base v$baseVersion")
+    val gens = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var v = tip
+    while (v != baseVersion) {
+      require(baseOf(dir, v).isEmpty,
+        s"optimizeDeltas: v$v of $dir is a merge-on-read delete commit " +
+          "— run a full compaction (transact) instead")
+      gens += v
+      v = appendBaseOf(dir, v).getOrElse(throw new IllegalArgumentException(
+        s"v$baseVersion is not an append-ancestor of the tip v$tip of $dir"))
+    }
+    // the deltas' OWN files only — the base is never read, which is
+    // the entire point (unionByName: each generation's layout is free
+    // to differ, the spec-evolution discipline)
+    val delta = gens.map(g => spark.read.parquet(s"$dir/v$g"))
+      .reduce(_ unionByName _)
+    commitRebase(reshape(delta), dir, expectedVersion = tip,
+      baseVersion = baseVersion, partitionCols = partitionCols,
+      statsCols = statsCols, bloomCols = bloomCols)
   }
 
   /** The base version a merge-on-read delete commit applies to, if
@@ -784,6 +1113,21 @@ object SnapshotTable {
     }
     java.nio.file.Files.writeString(staged.resolve("_bloom.tsv"),
       lines.sorted.mkString("", "\n", "\n"))
+    // the same filters AS A TABLE (`_bloomtab/`, parquet, covered by
+    // the atomic claim-rename): at 10^5 files × ~150 KB of bits each,
+    // a driver-side TSV parse of every filter is gigabytes of heap —
+    // the probe must DISTRIBUTE (each task deserializes its rows'
+    // filters, tests the keys, emits survivors only), which
+    // [[pruneFilesBloom]]'s spark overload does. The TSV stays as the
+    // human-readable compatibility sidecar.
+    import spark.implicits._
+    rows.flatMap { r =>
+      val full = r.getString(r.fieldIndex("_f"))
+      val rel = full.substring(full.indexOf(marker) + marker.length)
+      bloomCols.map(c => (rel, c, r.getAs[Array[Byte]](r.fieldIndex(s"bf_$c"))))
+    }.toSeq.toDF("file", "column", "bits")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(staged.resolve("_bloomtab").toString)
   }
 
   /** Parse a version's `_bloom.tsv` into (file, column, filter) rows
@@ -838,7 +1182,37 @@ object SnapshotTable {
         "compact first or read its base")
     require(appendBaseOf(dir, version).isEmpty,
       s"manifest covers one generation's files; v$version of $dir is an " +
-        "append commit — read each generation's own manifest and compose")
+        "append commit — use manifestChain to compose the generations")
+    manifestOwn(spark, dir, version)
+  }
+
+  /** The composed metadata tree of an APPEND CHAIN — every
+    * generation's own manifest, unioned with a `generation` column
+    * naming the version that committed each file: the cross-generation
+    * answer [[manifest]] refuses to fake from one generation's
+    * sidecar. With it, count(*)/min/max over a table that took a year
+    * of ingest batches is STILL a metadata-only fold (sum of per-file
+    * row counts across generations — appends never double-count by
+    * construction, a file belongs to exactly one generation). Loud on
+    * any merge-on-read delete commit in the chain (tombstones
+    * invalidate counts; compact first) and on any stats-less
+    * generation, same contract as [[manifest]].
+    */
+  def manifestChain(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    require(baseOf(dir, version).isEmpty,
+      s"manifestChain: v$version of $dir is a merge-on-read delete " +
+        "commit whose tombstones invalidate file stats — compact first")
+    val own = manifestOwn(spark, dir, version)
+      .withColumn("generation", lit(version))
+    appendBaseOf(dir, version) match {
+      case None => own
+      case Some(b) => manifestChain(spark, dir, b).unionByName(own)
+    }
+  }
+
+  /** One generation's manifest frame, chain checks already done. */
+  private def manifestOwn(spark: SparkSession, dir: String,
+      version: Long): DataFrame = {
     val mp = java.nio.file.Paths.get(dir, s"v$version", "_manifest")
     if (java.nio.file.Files.exists(mp)) spark.read.parquet(mp.toString)
     else {
@@ -893,6 +1267,51 @@ object SnapshotTable {
     (kept.map(f => s"$dir/v$version/$f"), blooms.size)
   }
 
+  /** The DISTRIBUTED bloom probe — same decision as the driver-side
+    * overload, computed as a scan of the committed `_bloomtab` parquet
+    * table: each task deserializes only its rows' filters and tests
+    * the keys, so at 10⁵ files × ~150 KB of bits the probe never
+    * materializes gigabytes of filters on the driver (the collect is
+    * SURVIVORS-ONLY, the same driver-bounded file list every planner
+    * holds). Falls back to the TSV sidecar for versions committed
+    * before the table existed. [[readWhereIn]]/[[readWhereMulti]]
+    * route through this.
+    */
+  def pruneFilesBloom(spark: SparkSession, dir: String, version: Long,
+      column: String, keys: Seq[Any]): (Seq[String], Int) = {
+    val bt = java.nio.file.Paths.get(dir, s"v$version", "_bloomtab")
+    if (!java.nio.file.Files.exists(bt))
+      return pruneFilesBloom(dir, version, column, keys)
+    require(baseOf(dir, version).isEmpty,
+      s"pruneFilesBloom targets data versions; v$version of $dir is a " +
+        "merge-on-read delete commit — compact first or prune its base")
+    require(appendBaseOf(dir, version).isEmpty,
+      s"pruneFilesBloom covers one generation; v$version of $dir is an " +
+        "append commit — prune each generation against its own sidecar")
+    require(keys.nonEmpty, "pruneFilesBloom needs at least one key")
+    import spark.implicits._
+    val tab = spark.read.parquet(bt.toString)
+      .filter(col("column") === column)
+      .select(col("file"), col("bits")).as[(String, Array[Byte])]
+    val keyBytes = keys.map(k => bloomKeyBytes(String.valueOf(k))).toArray
+    val decided = tab.mapPartitions { it =>
+      it.map { case (file, bits) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bits))
+        (file, keyBytes.exists(bf.mightContainBinary))
+      }
+    }
+    // one pass decides; total and survivors come back together (the
+    // frame is file-count-bounded metadata, and the survivors subset
+    // is what the planner needs on the driver anyway)
+    val rows = decided.collect()
+    require(rows.nonEmpty,
+      s"no per-file bloom for column '$column' on $dir v$version — " +
+        "commit with bloomCols to enable point-lookup file skipping")
+    val kept = rows.collect { case (f, true) => f }.toSeq.sorted
+    (kept.map(f => s"$dir/v$version/$f"), rows.length)
+  }
+
   /** Bloom-pruned point-lookup read: `readAt(version).filter(column IN
     * keys)` that opens ONLY the files whose bloom admits at least one
     * key. The row-level IN filter still applies (a bloom keeps false
@@ -913,7 +1332,7 @@ object SnapshotTable {
       readWhereIn(spark, dir, b, column, keys)
         .join(dels, dels.columns.toSeq, "left_anti")
     case None =>
-      val (files, _) = pruneFilesBloom(dir, version, column, keys)
+      val (files, _) = pruneFilesBloom(spark, dir, version, column, keys)
       val vdir = s"$dir/v$version"
       val base =
         if (files.isEmpty)
@@ -921,6 +1340,35 @@ object SnapshotTable {
             spark.read.parquet(vdir).schema)
         else spark.read.option("basePath", vdir).parquet(files: _*)
       base.filter(col(column).isin(keys: _*))
+  }
+
+  /** DYNAMIC file pruning — [[readWhereIn]] whose key set comes from a
+    * DIMENSION-SIDE frame at runtime instead of from literals: the
+    * semi-join shape every star-schema needle query has (`fact JOIN
+    * (small filtered dim)`), pruned at the MANIFEST level. The dim
+    * side's distinct keys are collected (the same driver-bounded
+    * broadcast Spark's own dynamic partition pruning performs on its
+    * dim side — `maxKeys` bounds it LOUDLY: a dim side too big to
+    * collect is too big to bloom-probe per key, and the caller should
+    * fall back to a plain shuffle join) and probed against the fact
+    * version's per-file blooms, so the fact side opens ~the files that
+    * hold matching keys. The row-level IN filter still applies — the
+    * answer is byte-identical to the full-scan semi-join.
+    */
+  def readWhereInFrom(spark: SparkSession, dir: String, version: Long,
+      column: String, keysDf: DataFrame, maxKeys: Int = 1 << 20): DataFrame = {
+    require(keysDf.columns.length == 1,
+      s"readWhereInFrom wants a single-column key frame, got " +
+        s"(${keysDf.columns.mkString(", ")}) — select the join key")
+    val keys = keysDf.distinct().limit(maxKeys + 1).collect()
+      .map(_.get(0)).toSeq
+    require(keys.size <= maxKeys,
+      s"readWhereInFrom: dim side exceeds maxKeys=$maxKeys distinct " +
+        "keys — too big for per-key bloom probing; use a shuffle join")
+    require(keys.nonEmpty,
+      "readWhereInFrom: the dim side produced no keys — the semi-join " +
+        "is empty, no fact read needed")
+    readWhereIn(spark, dir, version, column, keys)
   }
 
   /** File-skipping decision for `column BETWEEN lo AND hi` on a stats-
@@ -1061,7 +1509,7 @@ object SnapshotTable {
     val survivorSets: Seq[Set[String]] = preds.map {
       case r: RangePredicate => rangeSurvivors(m, dir, version, r)
       case i: InPredicate =>
-        val (kept, _) = pruneFilesBloom(dir, version, i.column, i.keys)
+        val (kept, _) = pruneFilesBloom(spark, dir, version, i.column, i.keys)
         kept.map(_.stripPrefix(s"$dir/v$version/")).toSet
     }
     val allFiles: Set[String] = {
@@ -1125,13 +1573,16 @@ object SnapshotTable {
     val all = versions(dir)
     val keep = scala.collection.mutable.Set.empty[Long]
     // a kept version must keep everything it READS: delete commits
-    // reach through `_base`, append commits through `_append`
+    // reach through `_base`, append commits through `_append`. Branch
+    // heads are roots too — an unpublished WAP candidate must survive
+    // retention until its branch is dropped or published.
     def reach(v: Long): Unit =
       if (keep.add(v)) {
         baseOf(dir, v).foreach(reach)
         appendBaseOf(dir, v).foreach(reach)
       }
-    (all.takeRight(keepLast) ++ live).foreach(reach)
+    (all.takeRight(keepLast) ++ live ++
+      branches(dir).flatMap(b => branchVersion(dir, b))).foreach(reach)
     val drop = all.filterNot(keep)
     drop.foreach(v => deleteTree(s"$dir/v$v"))
     gcStaged(dir)
@@ -1151,10 +1602,64 @@ object SnapshotTable {
     val children = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     children.foreach { f =>
       val n = f.getName
-      if ((n.startsWith(".staged-") || n.startsWith(".current.tmp")) &&
-          now - f.lastModified() > ttlMs)
+      if ((n.startsWith(".staged-") || n.startsWith(".current.tmp") ||
+          n.startsWith(".ref.tmp")) && now - f.lastModified() > ttlMs)
         deleteTree(f.getPath)
     }
+  }
+
+  /** Reclaim DEBRIS VERSIONS: directories that are (a) CAS losers no
+    * ref ever published (a conditional commit that lost its race, a
+    * monotonicity-skipped blind write — [[publishedRefs]] is the
+    * provenance), or (b) versions published ONLY to refs that have
+    * since been dropped (an abandoned write-audit-publish candidate
+    * after [[dropBranch]] — Iceberg's ref-reachability expiration),
+    * in both cases provided nothing live reads them through a
+    * `_base`/`_append` chain. This is the complement of [[expire]]:
+    * expire ages out real HISTORY by count, this removes versions that
+    * never became (or no longer have) history — at 100 TB a contended
+    * ingest's losers and failed-audit candidates are full-size data
+    * directories, and a format that never reclaims them leaks the
+    * table's own volume. Safety rails: the main pointer's chain, every
+    * branch head's chain, and every version a still-existing ref ever
+    * published (plus everything those read) are always kept; a version
+    * younger than `olderThanMs` is kept (a racing writer may be
+    * between its claim-rename and its flip RIGHT NOW — age is what
+    * proves abandonment, same reasoning as the stale-lock reclaim);
+    * and a table with no publish log keeps everything (no provenance,
+    * no GC — the conservative reading for pre-log tables). Returns the
+    * versions removed.
+    */
+  def gcOrphans(dir: String,
+      olderThanMs: Long = java.lang.Long.getLong(
+        "graft.snapshot.orphanGcMs", 24L * 3600 * 1000)): Seq[Long] = {
+    val pubs = publishedRefs(dir)
+    if (pubs.isEmpty) return Seq.empty
+    val liveRefs = branches(dir).toSet ++
+      (if (java.nio.file.Files.exists(pointer(dir))) Set("current")
+       else Set.empty[String])
+    val keep = scala.collection.mutable.Set.empty[Long]
+    def reach(v: Long): Unit =
+      if (keep.add(v)) {
+        baseOf(dir, v).foreach(reach)
+        appendBaseOf(dir, v).foreach(reach)
+      }
+    (currentVersion(dir).toSeq ++
+      branches(dir).flatMap(b => branchVersion(dir, b))).foreach(reach)
+    // a version a STILL-EXISTING ref ever published is HISTORY
+    // (expire's domain, not ours), and keeps everything it reads
+    pubs.foreach { case (v, refs) =>
+      if (refs.exists(liveRefs) &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"v$v")))
+        reach(v)
+    }
+    val now = System.currentTimeMillis()
+    val orphans = versions(dir).filter { v =>
+      !keep.contains(v) &&
+        now - new java.io.File(dir, s"v$v").lastModified() > olderThanMs
+    }
+    orphans.foreach(v => deleteTree(s"$dir/v$v"))
+    orphans
   }
 
   /** Serialize the pointer check-and-flip across processes via atomic

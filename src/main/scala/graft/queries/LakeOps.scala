@@ -1035,6 +1035,283 @@ object LakeOps {
        |  AND o_orderkey <> (SELECT min(k) FROM keys)""".stripMargin
   }
 
+  /** WRITE-AUDIT-PUBLISH through the snapshot spine — the Iceberg
+    * branch-refs / Delta-WAP pattern that keeps unaudited data out of
+    * production: a correction job commits its candidate to a BRANCH
+    * ([[SnapshotTable.commitToBranch]] — a full first-class version,
+    * but only the `ref.audit` pointer flips), the audit runs against
+    * the branch while MAIN readers still see the old version (loud
+    * requires: main pointer unchanged, main read byte-equal to v1's
+    * aggregates), and only then does [[SnapshotTable.publishBranch]]
+    * fast-forward main — METADATA-ONLY, one pointer flip, not a byte
+    * of data moved, which the gate proves by requiring the version
+    * list unchanged across the publish. A second candidate whose audit
+    * FAILS (it dropped rows) is dropped with its branch and never
+    * touches main. The answer reads main after the publish and must
+    * match DuckDB recomputing the correction from the source table —
+    * the full WAP lifecycle pinned end to end.
+    */
+  private def snapshotWapPublish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "wap")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(orders, base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val nBase = SnapshotTable.readAt(s, base, v1).count()
+    // the correction candidate: top-priority prices doubled (the
+    // probed priority is a 1-row scalar both engines derive)
+    val prio = orders.agg(min($"o_orderpriority")).head.getString(0)
+    val candidate = orders.withColumn("price_micro",
+      when($"o_orderpriority" === prio, $"price_micro" * 2)
+        .otherwise($"price_micro"))
+    val v2 = SnapshotTable.commitToBranch(candidate, base, "audit",
+      expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    // isolation: the branch commit moved NOTHING main readers see
+    require(SnapshotTable.currentVersion(base).contains(v1) &&
+      SnapshotTable.branchVersion(base, "audit").contains(v2),
+      s"branch commit must not touch main: main at " +
+        s"${SnapshotTable.currentVersion(base)}, audit at " +
+        s"${SnapshotTable.branchVersion(base, "audit")}")
+    require(SnapshotTable.read(s, base).count() == nBase,
+      "main readers saw the unpublished candidate")
+    // the audit, against the BRANCH: row-count preserved, no nulls
+    val audited = SnapshotTable.readAt(s, base, v2)
+    require(audited.count() == nBase &&
+      audited.filter($"price_micro".isNull).isEmpty,
+      "audit failed: the candidate lost rows or nulled prices")
+    // a FAILED audit: a candidate that drops rows never reaches main
+    val vBad = SnapshotTable.commitToBranch(
+      candidate.filter(pmod($"o_orderkey", lit(2)) === 0), base, "bad",
+      expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    val badOk = SnapshotTable.readAt(s, base, vBad).count() == nBase
+    require(!badOk, "the bad candidate was supposed to fail its audit")
+    SnapshotTable.dropBranch(base, "bad")
+    require(SnapshotTable.currentVersion(base).contains(v1),
+      "the failed candidate leaked to main")
+    // publish: metadata-only fast-forward, CAS'd on the audited main
+    val before = SnapshotTable.versions(base)
+    val pub = SnapshotTable.publishBranch(base, "audit",
+      expectedVersion = Some(v1))
+    require(pub == v2 && SnapshotTable.currentVersion(base).contains(v2),
+      s"publish must fast-forward main to the audited v$v2, got v$pub")
+    require(SnapshotTable.versions(base) == before,
+      "publish must be metadata-only: the version list changed")
+    SnapshotTable.read(s, base)
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("audited_before_publish"),
+        lit(true).as("publish_metadata_only"))
+  }
+
+  private val snapshotWapPublishOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(
+          s"CAST(sum(CASE WHEN o_orderpriority = " +
+            s"(SELECT min(o_orderpriority) FROM orders) THEN 2 * $p " +
+            s"ELSE $p END) AS BIGINT)", Exact.DuckDiv)} AS sum_price,
+       |  true AS audited_before_publish,
+       |  true AS publish_metadata_only
+       |FROM orders""".stripMargin
+  }
+
+  /** DYNAMIC file pruning for a star-schema semi-join — Spark's
+    * dynamic partition pruning / Delta's dynamic file pruning at the
+    * MANIFEST level: the fact side (lineitem, range-clustered on the
+    * join key with a per-file bloom sidecar) is pruned by the DIM
+    * side's runtime key set ([[SnapshotTable.readWhereInFrom]] — one
+    * customer's order keys, collected exactly like DPP's dim-side
+    * broadcast, loudly bounded), so the needle join opens ~the files
+    * holding that customer's lines instead of scanning the table. The
+    * gate requires strict pruning, requires the scan's input-file list
+    * to equal the bloom survivor list, and matches the answer against
+    * DuckDB running the same IN-subquery — at 100 TB this is the
+    * difference between a point query and a table scan on every
+    * "this entity's rows" lookup.
+    */
+  private def snapshotJoinPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "joinprune")
+    SnapshotTable.deleteTree(base)
+    val lines = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity",
+        Exact.micro("l_extendedprice").as("price_micro"))
+    val nLines = lines.count()
+    // the fact: range-clustered on the join key, bloom-sidecar'd and
+    // sized to the write (a saturated filter stops pruning at soak)
+    val v1 = SnapshotTable.commit(
+      lines.repartitionByRange(16, $"l_orderkey"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      bloomCols = Seq("l_orderkey"),
+      bloomExpectedItems =
+        math.max(SnapshotTable.DefaultBloomExpectedItems, nLines / 8))
+    // the dim side: one customer's orders (the needle entity — min
+    // custkey, a 1-row scalar both engines derive identically)
+    val cust = Tables.orders(s, dir).agg(min($"o_custkey")).head.getLong(0)
+    val dimKeys = Tables.orders(s, dir)
+      .filter($"o_custkey" === cust).select($"o_orderkey")
+    val keys = dimKeys.distinct().collect().map(_.getLong(0)).toSeq
+    val (kept, total) =
+      SnapshotTable.pruneFilesBloom(base, v1, "l_orderkey", keys)
+    require(kept.nonEmpty && kept.size < total,
+      s"dim-driven skipping must prune strictly (kept ${kept.size} of " +
+        s"$total files for ${keys.size} order keys) — sidecar regressed")
+    val fact = SnapshotTable.readWhereInFrom(s, base, v1, "l_orderkey", dimKeys)
+    require(fact.inputFiles.length == kept.size,
+      s"the fact scan must read EXACTLY the bloom survivor list: " +
+        s"${fact.inputFiles.length} opened vs ${kept.size} pruned-to")
+    fact
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        sum($"price_micro").as("s_micro"))
+      .select($"n_lines", $"sum_qty",
+        Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("dim_pruned_strictly"))
+  }
+
+  private val snapshotJoinPruneOracle = {
+    val p = Exact.microSql("l_extendedprice")
+    s"""SELECT count(*) AS n_lines,
+       |  round(sum(l_quantity), 2) AS sum_qty,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS dim_pruned_strictly
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey = (SELECT min(o_custkey) FROM orders))""".stripMargin
+  }
+
+  /** Orphan-version GARBAGE COLLECTION — the reclamation story
+    * [[snapshotRetention]] (count-based history expiry) does not
+    * cover: a dropped write-audit-publish branch leaves its candidate
+    * versions on disk as full-size debris, and at 100 TB a format
+    * that never reclaims failed candidates leaks the table's own
+    * volume. [[SnapshotTable.gcOrphans]] removes versions that no
+    * still-existing ref ever published and nothing live reads through
+    * a `_base`/`_append` chain (provenance = the table's append-only
+    * `publishes.log`, written under the commit lock), with an age
+    * guard so an in-flight writer between claim and flip is never
+    * swept. The gate builds real debris (an audited-and-dropped
+    * branch candidate), requires GC removes exactly it — not main's
+    * history, not a live branch's head, not a FRESH debris version
+    * under the default age guard — and matches the surviving table
+    * against DuckDB.
+    */
+  private def snapshotOrphanGc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "orphangc")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(orders, base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    // a LIVE branch candidate (must survive GC: its ref exists)
+    val vWip = SnapshotTable.commitToBranch(
+      orders.filter(pmod($"o_orderkey", lit(3)) === 0), base, "wip",
+      expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    // the debris: a candidate whose audit failed and whose branch was
+    // dropped — published once, but to a ref that no longer exists
+    val vDead = SnapshotTable.commitToBranch(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0), base, "dead",
+      expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    SnapshotTable.dropBranch(base, "dead")
+    // the age guard: under the default 24h threshold this fresh
+    // debris is NOT reclaimable (an in-flight writer's claim looks
+    // identical) — GC must remove nothing
+    require(SnapshotTable.gcOrphans(base).isEmpty,
+      "the age guard failed: a fresh debris version was swept")
+    // past the guard (olderThanMs = -1): exactly the dead candidate
+    // goes; main's history and the live branch head stay
+    val removed = SnapshotTable.gcOrphans(base, olderThanMs = -1L)
+    require(removed == Seq(vDead),
+      s"GC must remove exactly the dropped branch's v$vDead, got $removed")
+    require(SnapshotTable.versions(base) == Seq(v1, vWip),
+      s"GC must keep main's v$v1 and live-branch v$vWip: " +
+        s"${SnapshotTable.versions(base)}")
+    require(SnapshotTable.branchVersion(base, "wip").contains(vWip),
+      "the live branch lost its head")
+    SnapshotTable.read(s, base)
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(1L).as("n_reclaimed"),
+        lit(true).as("live_refs_survived"))
+  }
+
+  private val snapshotOrphanGcOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  CAST(1 AS BIGINT) AS n_reclaimed,
+       |  true AS live_refs_survived
+       |FROM orders""".stripMargin
+  }
+
+  /** Cross-generation METADATA-ONLY answering — what
+    * [[snapshotManifestStats]] proves for one generation,
+    * [[SnapshotTable.manifestChain]] extends to an APPEND CHAIN: each
+    * generation's committed `_manifest` parquet table unions with a
+    * `generation` column, so count(*)/min/max over a table built from
+    * a year of ingest batches is still a fold over file-count-bounded
+    * metadata — ZERO data files opened, which the gate proves with the
+    * same loud input-file require, plus a require that BOTH
+    * generations contributed manifest rows (a chain answer faked from
+    * one generation's sidecar is exactly what [[SnapshotTable.manifest]]
+    * refuses). The oracle recomputes the aggregates by scanning the
+    * source table in DuckDB — manifest-derived ≡ data-derived across
+    * the whole chain.
+    */
+  private def snapshotChainManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "chainmanifest")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+        .repartition(4, pmod($"o_orderkey", lit(4))),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey", "price_micro"))
+    val v2 = SnapshotTable.commitAppend(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 1)
+        .repartition(4, pmod($"o_orderkey", lit(4))),
+      base, expectedVersion = v1,
+      statsCols = Seq("o_orderkey", "price_micro"))
+    val m = SnapshotTable.manifestChain(s, base, v2)
+    val answer = m.agg(
+        sum(when($"column" === "o_orderkey", $"row_count")).as("n_rows"),
+        min(when($"column" === "o_orderkey", $"min_num")).cast("long").as("min_key"),
+        max(when($"column" === "o_orderkey", $"max_num")).cast("long").as("max_key"),
+        countDistinct($"generation").as("n_generations"),
+        min(when($"column" === "price_micro", $"min_num")).cast("long").as("pmin"),
+        max(when($"column" === "price_micro", $"max_num")).cast("long").as("pmax"))
+      .select($"n_rows", $"min_key", $"max_key", $"n_generations",
+        Exact.microSumTo4dp("pmin").as("min_price"),
+        Exact.microSumTo4dp("pmax").as("max_price"))
+    require(answer.inputFiles.nonEmpty &&
+      answer.inputFiles.forall(_.contains("/_manifest/")),
+      s"cross-generation metadata answering must read only manifest " +
+        s"tables; the plan reads ${answer.inputFiles.mkString(", ")}")
+    require(answer.inputFiles.exists(_.contains(s"/v$v1/")) &&
+      answer.inputFiles.exists(_.contains(s"/v$v2/")),
+      "both generations must contribute manifest rows")
+    answer
+  }
+
+  private val snapshotChainManifestOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  CAST(2 AS BIGINT) AS n_generations,
+       |  ${Exact.microSumTo4dpSql(s"min($p)", Exact.DuckDiv)} AS min_price,
+       |  ${Exact.microSumTo4dpSql(s"max($p)", Exact.DuckDiv)} AS max_price
+       |FROM orders""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
@@ -1055,5 +1332,10 @@ object LakeOps {
     Q("snapshot_multi_prune", snapshotMultiPrune, Some(snapshotMultiPruneOracle)),
     Q("snapshot_partition_evolve", snapshotPartitionEvolve,
       Some(snapshotPartitionEvolveOracle)),
-    Q("snapshot_mor_prune", snapshotMorPrune, Some(snapshotMorPruneOracle)))
+    Q("snapshot_mor_prune", snapshotMorPrune, Some(snapshotMorPruneOracle)),
+    Q("snapshot_wap_publish", snapshotWapPublish, Some(snapshotWapPublishOracle)),
+    Q("snapshot_join_prune", snapshotJoinPrune, Some(snapshotJoinPruneOracle)),
+    Q("snapshot_orphan_gc", snapshotOrphanGc, Some(snapshotOrphanGcOracle)),
+    Q("snapshot_chain_manifest", snapshotChainManifest,
+      Some(snapshotChainManifestOracle)))
 }

@@ -501,6 +501,197 @@ object SimilarityQueries {
        |FROM fin
        |ORDER BY cos DESC, vec_id""".stripMargin
 
+  /** IVF cell REBALANCE — the maintenance op [[annIvfIndexAppend]]
+    * (delta ingest) and [[annTopkDeleteIvf]] (tombstones) leave open:
+    * ingest skews cell occupancy, and a hot cell makes every probe
+    * that touches it pay that cell's full size, the quadratic creep
+    * that eats an IVF index at 100 TB. The rebalance SPLITS the
+    * hottest cell — sub-centroids = the cell's members nearest and
+    * farthest from its centroid (deterministic, ties by vec_id),
+    * members reassigned to the nearer sub-centroid — and lands as a
+    * hot-cell-proportional chain through the spine: one
+    * [[graft.ops.SnapshotTable.commitDeletes]] whose tombstone is a
+    * single `cell` row (zero data files, loud require), then one
+    * [[graft.ops.SnapshotTable.commitAppend]] carrying ONLY the
+    * reassigned members (row-count require) into ≤2 cell partitions.
+    * The cold cells' files are never rewritten. Loud requires pin the
+    * occupancy story (one more cell; both split pieces non-empty and
+    * strictly smaller than the hot cell was; the max share never
+    * rises) and the read story (a probe through the
+    * delete+append chain is partition-pruned, opening strictly fewer
+    * files than the index holds; recall vs the exact flat top-k holds
+    * the 0.6 floor). The oracle recomputes the full rebalanced
+    * semantics — assignment, hot-cell argmax, sub-centroid selection,
+    * reassignment, refined probe set, top-k — from scratch in DuckDB.
+    */
+  private def annIvfRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val idxBase = LakeOps.lakeBase(dir, "ann_ivf_rebal")
+    SnapshotTable.deleteTree(idxBase)
+    val cents = untrainedCentroids(s, dir)
+    require(QueryVecId < NumCells, "query vector must be among the centroids")
+    val qVec = cents(QueryVecId)._2
+    val assigned = Tables.fanOut(Tables.embeddings(s, dir))
+      .filter($"vec_id" =!= QueryVecId)
+      .withColumn("cell", cellOfCol(cents)($"embedding"))
+    val v1 = SnapshotTable.commit(assigned.repartition($"cell"),
+      idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
+      partitionCols = Seq("cell"))
+    // occupancy: a NumCells-row bounded bridge; hot = argmax, ties low
+    val occ = SnapshotTable.readAt(s, idxBase, v1)
+      .groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    val total = occ.values.sum
+    val (hot, hotN) = occ.toSeq.sortBy { case (c, n) => (-n, c) }.head
+    require(hotN >= 2, s"hot cell $hot must be splittable, has $hotN rows")
+    val maxShareBefore = hotN.toDouble / total
+    // sub-centroids from the hot cell's own members: nearest and
+    // farthest from the old centroid (two 1-row bounded bridges)
+    val hotCent = cents(hot)._2
+    val hotMembers = SnapshotTable.readAt(s, idxBase, v1)
+      .filter($"cell" === hot)
+      .withColumn("s", VectorOps.cosine($"embedding", typedlit(hotCent)))
+    val (nearId, sub1) = hotMembers.orderBy($"s".desc, $"vec_id")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].head()
+    val (farId, sub2) = hotMembers.orderBy($"s".asc, $"vec_id")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].head()
+    require(nearId != farId,
+      s"hot cell $hot needs two distinct members to split")
+    // the rebalance chain: a 1-row cell tombstone, then the reassigned
+    // members as a delta generation — hot-cell-proportional, never a
+    // rewrite of the cold cells
+    val vDel = SnapshotTable.commitDeletes(Seq(hot).toDF("cell"), idxBase,
+      expectedVersion = v1)
+    val delTop = new java.io.File(s"$idxBase/v$vDel").listFiles()
+      .map(_.getName).toSet
+    require(delTop == Set("_base", "_deletes"),
+      s"the cell tombstone must carry no data files; v$vDel has $delTop")
+    val reassigned = hotMembers.drop("s").withColumn("cell",
+      when(VectorOps.cosine($"embedding", typedlit(sub1)) >=
+        VectorOps.cosine($"embedding", typedlit(sub2)), lit(hot))
+        .otherwise(lit(NumCells)))
+    val vApp = SnapshotTable.commitAppend(reassigned.repartition($"cell"),
+      idxBase, expectedVersion = vDel, partitionCols = Seq("cell"))
+    val vAppRows = s.read.parquet(s"$idxBase/v$vApp").count()
+    require(vAppRows == hotN,
+      s"rebalance must append ONLY the hot cell's $hotN rows; v$vApp " +
+        s"holds $vAppRows — the commit rewrote the index")
+    // occupancy after: one more cell, both pieces non-empty and
+    // strictly smaller, the max share never rises
+    val occAfter = SnapshotTable.readAt(s, idxBase, vApp)
+      .groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    require(occAfter.size == occ.size + 1 &&
+      occAfter.getOrElse(hot, 0L) > 0 &&
+      occAfter.getOrElse(NumCells, 0L) > 0 &&
+      math.max(occAfter(hot), occAfter(NumCells)) < hotN,
+      s"the split must strictly shrink the hot cell: before $hotN, " +
+        s"after ${occAfter.get(hot)} + ${occAfter.get(NumCells)}")
+    require(occAfter.values.max.toDouble / total <= maxShareBefore,
+      "rebalance raised the max cell share")
+    // the refined probe: sub1 inherits the hot id, sub2 takes NumCells
+    val newCents = cents.map { case (cid, c) =>
+      if (cid == hot) (cid, sub1) else (cid, c)
+    } :+ (NumCells, sub2)
+    val probe = probeCellsFor(newCents, qVec)
+    val probed = SnapshotTable.readAt(s, idxBase, vApp)
+      .filter($"cell".isin(probe: _*))
+    // planning-time pruning evidence across the union of generations:
+    // input_file_name() cannot span a multi-source plan, so count the
+    // files each generation's scan PLANS (selectedPartitions reflects
+    // partition pruning), skipping the tombstone sidecar's scan
+    def plannedDataFiles(df: DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if !sc.relation.location.rootPaths
+              .exists(_.toString.contains("_deletes")) =>
+          sc.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val openedFiles = plannedDataFiles(probed)
+    val idxFiles = plannedDataFiles(SnapshotTable.readAt(s, idxBase, vApp))
+    require(openedFiles > 0 && openedFiles < idxFiles,
+      s"rebalanced probe must be partition-pruned: opened $openedFiles " +
+        s"of $idxFiles files for cells ${probe.mkString(",")}")
+    val topk = probed
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVec)))
+      .select($"vec_id", $"label", $"cos_raw")
+      .orderBy($"cos_raw".desc, $"vec_id")
+      .limit(IvfTopK)
+    // accountability: recall vs the exact flat top-k at the IVF floor
+    val exact = assigned
+      .withColumn("cos_raw", VectorOps.cosine($"embedding", typedlit(qVec)))
+      .orderBy($"cos_raw".desc, $"vec_id").limit(IvfTopK)
+      .select($"vec_id")
+    val hits = topk.join(exact, Seq("vec_id"), "left_semi").count()
+    val recall = hits.toDouble / IvfTopK
+    require(recall >= 0.6,
+      f"rebalanced IVF recall@$IvfTopK = $recall%.2f — below the 0.6 floor")
+    topk
+      .select($"vec_id", $"label", round($"cos_raw", 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+  }
+
+  // lazy: interpolates NumCells/NProbe/IvfTopK declared below
+  private lazy val annIvfRebalanceOracle =
+    // from-scratch recompute of the REBALANCED semantics: assignment,
+    // hot-cell argmax (ties low), sub-centroids = nearest/farthest
+    // member (ties by vec_id), reassignment to the nearer sub (ties to
+    // the inherited id), refined probe set, top-k over probed cells
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $NumCells),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS s
+       |  FROM embeddings e CROSS JOIN cent c
+       |  WHERE e.vec_id <> $QueryVecId),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT vec_id, label, embedding, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |hot AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, count(*) AS n FROM assigned GROUP BY cid
+       |    ORDER BY n DESC, cid LIMIT 1)),
+       |members AS (
+       |  SELECT a.vec_id, a.label, a.embedding,
+       |    list_cosine_similarity(a.embedding::DOUBLE[], c.cv::DOUBLE[]) AS s
+       |  FROM assigned a JOIN cent c ON c.cid = (SELECT cid FROM hot)
+       |  WHERE a.cid = (SELECT cid FROM hot)),
+       |sub1 AS (SELECT embedding FROM members ORDER BY s DESC, vec_id LIMIT 1),
+       |sub2 AS (SELECT embedding FROM members ORDER BY s ASC, vec_id LIMIT 1),
+       |reassigned AS (
+       |  SELECT m.vec_id, m.label, m.embedding,
+       |    CASE WHEN list_cosine_similarity(m.embedding::DOUBLE[], s1.embedding::DOUBLE[])
+       |           >= list_cosine_similarity(m.embedding::DOUBLE[], s2.embedding::DOUBLE[])
+       |         THEN (SELECT cid FROM hot) ELSE $NumCells END AS cid
+       |  FROM members m, sub1 s1, sub2 s2),
+       |newassigned AS (
+       |  SELECT vec_id, label, embedding, cid FROM assigned
+       |  WHERE cid <> (SELECT cid FROM hot)
+       |  UNION ALL
+       |  SELECT vec_id, label, embedding, cid FROM reassigned),
+       |newcent AS (
+       |  SELECT cid, cv FROM cent WHERE cid <> (SELECT cid FROM hot)
+       |  UNION ALL
+       |  SELECT (SELECT cid FROM hot) AS cid, embedding AS cv FROM sub1
+       |  UNION ALL
+       |  SELECT $NumCells AS cid, embedding AS cv FROM sub2),
+       |qcells AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS rn
+       |    FROM newcent c, q) WHERE rn <= $NProbe),
+       |fin AS (
+       |  SELECT a.vec_id, a.label,
+       |    list_cosine_similarity(a.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos_raw
+       |  FROM newassigned a JOIN qcells p ON a.cid = p.cid, q
+       |  ORDER BY cos_raw DESC, a.vec_id
+       |  LIMIT $IvfTopK)
+       |SELECT vec_id, label, round(cos_raw, 4) AS cos
+       |FROM fin
+       |ORDER BY cos DESC, vec_id""".stripMargin
+
   /** Recall@k of the int8 ranking against the exact float top-k — the
     * same accountability gate the IVF/PQ paths carry: a quantization
     * regression surfaces as a correctness diff, not a silent quality
@@ -1650,6 +1841,7 @@ object SimilarityQueries {
     Q("ann_topk_delete_refresh", annTopkDeleteRefresh, Some(annTopkDeleteOracle)),
     Q("ann_topk_delete_ivf", annTopkDeleteIvf, Some(annTopkDeleteIvfOracle)),
     Q("ann_ivf_index_append", annIvfIndexAppend, Some(annIvfIndexAppendOracle)),
+    Q("ann_ivf_rebalance", annIvfRebalance, Some(annIvfRebalanceOracle)),
     Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
     Q("ann_int8_recall", annInt8Recall, Some(annInt8RecallOracle)),

@@ -201,6 +201,78 @@ class PlanAuditSpec extends SparkSpec {
       s"a generation lost its own partition filter: $keys")
   }
 
+  test("snapshot_join_prune's fact scan opens strictly fewer files than v1") {
+    // dim-driven dynamic file pruning: the fact side's input-file list
+    // must stay a strict subset of the version's data files,
+    // independently of the query's own requires
+    val q = Registry.all.find(_.name == "snapshot_join_prune").get
+    val df = q.fn(spark, dir)
+    val vdir = new java.io.File(
+      graft.queries.LakeOps.lakeBase(dir, "joinprune") + "/v1")
+    val total = vdir.listFiles().count(_.getName.endsWith(".parquet"))
+    val opened = df.inputFiles.length
+    assert(opened > 0 && opened < total,
+      s"dim-driven skipping regressed: scan opens $opened of $total files")
+  }
+
+  test("snapshot_chain_manifest answers from manifest tables only") {
+    // cross-generation metadata-only answering: every input file of
+    // the answer plan must live under a _manifest/ table, and both
+    // generations must contribute — pinned independently of the
+    // query's own requires
+    val q = Registry.all.find(_.name == "snapshot_chain_manifest").get
+    val files = q.fn(spark, dir).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/_manifest/")),
+      s"chain-manifest answer read a data file: ${files.mkString(", ")}")
+    assert(files.exists(_.contains("/v1/")) && files.exists(_.contains("/v2/")),
+      s"a generation's manifest dropped out: ${files.mkString(", ")}")
+  }
+
+  test("snapshot_wap_publish leaves main on the audited version, " +
+      "no extra version dirs, no leftover bad branch") {
+    val q = Registry.all.find(_.name == "snapshot_wap_publish").get
+    q.fn(spark, dir).collect()
+    val base = graft.queries.LakeOps.lakeBase(dir, "wap")
+    assert(graft.ops.SnapshotTable.currentVersion(base).contains(2L),
+      "main must end on the published candidate v2")
+    assert(graft.ops.SnapshotTable.branches(base) == Seq("audit"),
+      "the failed candidate's branch must be gone, the audit ref kept")
+    assert(graft.ops.SnapshotTable.versions(base) == Seq(1L, 2L, 3L),
+      "publish must add no version dirs beyond the two candidates")
+  }
+
+  test("snapshot_orphan_gc reclaims only the dropped-branch version") {
+    val q = Registry.all.find(_.name == "snapshot_orphan_gc").get
+    q.fn(spark, dir).collect()
+    val base = graft.queries.LakeOps.lakeBase(dir, "orphangc")
+    assert(graft.ops.SnapshotTable.versions(base) == Seq(1L, 2L),
+      "GC must keep exactly main's v1 and the live branch's v2")
+    assert(graft.ops.SnapshotTable.branchVersion(base, "wip").contains(2L),
+      "the live branch lost its head")
+  }
+
+  test("ann_ivf_rebalance rewrites only the hot cell's partitions") {
+    // the rebalance chain's file layout, pinned from disk after the
+    // query runs: the tombstone commit carries zero data files and the
+    // append generation lands in at most two cell partitions
+    val q = Registry.all.find(_.name == "ann_ivf_rebalance").get
+    q.fn(spark, dir).collect()
+    val base = graft.queries.LakeOps.lakeBase(dir, "ann_ivf_rebal")
+    val v2Top = new java.io.File(s"$base/v2").listFiles().map(_.getName).toSet
+    assert(v2Top == Set("_base", "_deletes"),
+      s"the cell tombstone grew data files: $v2Top")
+    def parquets(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(parquets).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val v3 = new java.io.File(s"$base/v3")
+    assert(parquets(v3) <= 2,
+      s"the rebalance delta spilled beyond two cells: ${parquets(v3)} files")
+    val cellDirs = v3.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(cellDirs.length == 2,
+      s"expected exactly the two split cells, got ${cellDirs.mkString(", ")}")
+  }
+
   test("no registered query broadcasts an unbounded fact-derived subtree") {
     val offenders = Registry.all.flatMap { q =>
       val plan =

@@ -743,4 +743,257 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(java.sql.Date.valueOf("2024-01-06")))
     assert(got.select("k").as[Long].collect().toSeq == Seq(5L))
   }
+
+  test("branch commits are invisible to main until publishBranch") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(spark.range(10).toDF("id"), dir)
+    val v2 = SnapshotTable.commitToBranch(spark.range(20).toDF("id"), dir,
+      "audit", expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    assert(v2 == 2L)
+    assert(SnapshotTable.currentVersion(dir).contains(v1))
+    assert(SnapshotTable.branchVersion(dir, "audit").contains(v2))
+    assert(SnapshotTable.read(spark, dir).count() == 10)
+    assert(SnapshotTable.branches(dir) == Seq("audit"))
+    // publish: metadata-only fast-forward under the main CAS
+    val before = SnapshotTable.versions(dir)
+    assert(SnapshotTable.publishBranch(dir, "audit",
+      expectedVersion = Some(v1)) == v2)
+    assert(SnapshotTable.currentVersion(dir).contains(v2))
+    assert(SnapshotTable.versions(dir) == before)
+    assert(SnapshotTable.read(spark, dir).count() == 20)
+  }
+
+  test("branch CAS, stale-branch publish, and dropBranch are loud") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(spark.range(5).toDF("id"), dir)
+    val vb = SnapshotTable.commitToBranch(spark.range(6).toDF("id"), dir,
+      "wip", expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    // branch-pointer CAS: a second "no branch yet" writer conflicts
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitToBranch(spark.range(7).toDF("id"), dir, "wip",
+        expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    }
+    // main moved past the branch head → the branch is STALE: publish
+    // must throw (fast-forward only), never silently skip
+    SnapshotTable.commit(spark.range(8).toDF("id"), dir,
+      expectedVersion = Some(v1))
+    assert(SnapshotTable.currentVersion(dir).exists(_ > vb))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.publishBranch(dir, "wip")
+    }
+    // main-pointer CAS on publish
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.publishBranch(dir, "wip", expectedVersion = Some(v1))
+    }
+    SnapshotTable.dropBranch(dir, "wip")
+    assert(SnapshotTable.branches(dir).isEmpty)
+    intercept[IllegalStateException] { SnapshotTable.dropBranch(dir, "wip") }
+    intercept[IllegalStateException] { SnapshotTable.publishBranch(dir, "wip") }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitToBranch(spark.range(1).toDF("id"), dir, "current")
+    }
+  }
+
+  test("gcOrphans: unpublished claims and dropped-branch versions go; " +
+      "history, live heads, and fresh debris stay") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(spark.range(5).toDF("id"), dir)
+    val v2 = SnapshotTable.commit(spark.range(6).toDF("id"), dir)
+    val vWip = SnapshotTable.commitToBranch(spark.range(7).toDF("id"), dir,
+      "wip", expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    val vDead = SnapshotTable.commitToBranch(spark.range(8).toDF("id"), dir,
+      "dead", expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    SnapshotTable.dropBranch(dir, "dead")
+    // a claim no ref ever published — the CAS-loser shape (claimed
+    // directory, no flip, no log line)
+    spark.range(99).toDF("id").write.parquet(s"$dir/v9")
+    // the age guard: everything is seconds old — nothing is swept
+    assert(SnapshotTable.gcOrphans(dir).isEmpty)
+    // past the guard: exactly the dead-branch version and the
+    // unpublished claim go; v1 is HISTORY (published to current once)
+    assert(SnapshotTable.gcOrphans(dir, olderThanMs = -1L)
+      == Seq(vDead, 9L))
+    assert(SnapshotTable.versions(dir) == Seq(v1, v2, vWip))
+    assert(SnapshotTable.branchVersion(dir, "wip").contains(vWip))
+    assert(SnapshotTable.read(spark, dir).count() == 6)
+  }
+
+  test("gcOrphans: no publish log means no GC; chains protect bases") {
+    // pre-log table: version dirs with a hand-written pointer
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    spark.range(5).toDF("id").write.parquet(s"$dir/v1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "current"), "v1")
+    assert(SnapshotTable.gcOrphans(dir, olderThanMs = -1L).isEmpty)
+    // a delete commit's _base chain keeps the base even when only the
+    // tip is current
+    val dir2 = freshDir()
+    val b1 = SnapshotTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir2)
+    SnapshotTable.commitDeletes(Seq(1L).toDF("k"), dir2, expectedVersion = b1)
+    assert(SnapshotTable.gcOrphans(dir2, olderThanMs = -1L).isEmpty)
+    assert(SnapshotTable.read(spark, dir2).count() == 1)
+  }
+
+  test("readWhereInFrom prunes from a dim frame and bounds the collect") {
+    val dir = freshDir()
+    val v = SnapshotTable.commit(
+      spark.range(1000).toDF("k").repartitionByRange(8, $"k"),
+      dir, bloomCols = Seq("k"))
+    val dim = Seq(3L, 777L).toDF("k")
+    val got = SnapshotTable.readWhereInFrom(spark, dir, v, "k", dim)
+    assert(got.as[Long].collect().toSet == Set(3L, 777L))
+    assert(got.inputFiles.length < 8)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereInFrom(spark, dir, v, "k",
+        Seq((1L, 2L)).toDF("a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereInFrom(spark, dir, v, "k", dim, maxKeys = 1)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereInFrom(spark, dir, v, "k", dim.filter($"k" < 0))
+    }
+  }
+
+  test("manifestChain composes generations; delete commits are loud") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, statsCols = Seq("k"))
+    val v2 = SnapshotTable.commitAppend(
+      Seq((3L, "c")).toDF("k", "v"), dir, expectedVersion = v1,
+      statsCols = Seq("k"))
+    val m = SnapshotTable.manifestChain(spark, dir, v2)
+    assert(m.select("generation").distinct().as[Long].collect().toSet
+      == Set(v1, v2))
+    assert(m.agg(sum($"row_count")).head.getLong(0) == 3L)
+    // manifest (single-generation) still refuses the append tip
+    intercept[IllegalArgumentException] {
+      SnapshotTable.manifest(spark, dir, v2)
+    }
+    val v3 = SnapshotTable.commitDeletes(Seq(1L).toDF("k"), dir,
+      expectedVersion = v2)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.manifestChain(spark, dir, v3)
+    }
+  }
+
+  test("versionAsOf travels by timestamp; branch publishes don't count") {
+    val dir = freshDir()
+    intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(dir, System.currentTimeMillis())
+    }
+    val v1 = SnapshotTable.commit(spark.range(5).toDF("id"), dir)
+    val t1 = SnapshotTable.publishEvents(dir).last._3
+    // ms-resolution boundary: make the next publish strictly later
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    val vb = SnapshotTable.commitToBranch(spark.range(6).toDF("id"), dir,
+      "wip", expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    val tb = SnapshotTable.publishEvents(dir).last._3
+    while (System.currentTimeMillis() <= tb) Thread.sleep(1)
+    val v2 = SnapshotTable.commit(spark.range(7).toDF("id"), dir,
+      expectedVersion = Some(v1))
+    val t2 = SnapshotTable.publishEvents(dir)
+      .filter(e => e._1 == v2 && e._2 == "current").head._3
+    // before v1 existed: loud; between v1 and v2: v1 (the branch
+    // publish in that window is invisible to main's as-of); at/after
+    // v2's publish: v2
+    intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(dir, t1 - 1)
+    }
+    assert(SnapshotTable.versionAsOf(dir, t2 - 1) == v1)
+    assert(SnapshotTable.versionAsOf(dir, t2) == v2)
+    assert(SnapshotTable.readAsOf(spark, dir, t2 - 1).count() == 5)
+    assert(SnapshotTable.readAsOf(spark, dir, t2).count() == 7)
+    assert(vb == 2L) // the branch version exists but never gates main
+  }
+
+  test("optimizeDeltas folds only the append deltas onto the base") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(
+      spark.range(100).toDF("k").repartitionByRange(4, $"k"),
+      dir, statsCols = Seq("k"))
+    val baseFiles = new java.io.File(s"$dir/v$v1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
+    var tip = v1
+    for (lo <- Seq(100L, 110L, 120L))
+      tip = SnapshotTable.commitAppend(
+        spark.range(lo, lo + 10).toDF("k"), dir, expectedVersion = tip,
+        statsCols = Seq("k"))
+    val vOpt = SnapshotTable.optimizeDeltas(spark, dir, baseVersion = v1,
+      statsCols = Seq("k"))(_.repartitionByRange(2, $"k"))
+    // content unchanged, chain shortened to base + one delta generation
+    assert(SnapshotTable.read(spark, dir).count() == 130)
+    assert(SnapshotTable.appendBaseOf(dir, vOpt).contains(v1))
+    // delta-proportional: the optimize generation holds ONLY the 30
+    // delta rows, and the base generation's files were not rewritten
+    assert(spark.read.parquet(s"$dir/v$vOpt").count() == 30)
+    val baseAfter = new java.io.File(s"$dir/v$v1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
+    assert(baseAfter.toSeq == baseFiles.toSeq, "base files were touched")
+    // the folded generation's fresh stats make skipping bite again
+    val m = SnapshotTable.manifestChain(spark, dir, vOpt)
+    assert(m.select("generation").distinct().as[Long].collect().toSet
+      == Set(v1, vOpt))
+  }
+
+  test("commitRebase refuses delete commits and non-ancestors in the window") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val v2 = SnapshotTable.commitAppend(Seq((3L, "c")).toDF("k", "v"), dir,
+      expectedVersion = v1)
+    val v3 = SnapshotTable.commitDeletes(Seq(1L).toDF("k"), dir,
+      expectedVersion = v2)
+    // a delete commit in the window: folding it away would resurrect
+    // the tombstoned base row — loud
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitRebase(Seq((3L, "c")).toDF("k", "v"), dir,
+        expectedVersion = v3, baseVersion = v1)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeDeltas(spark, dir, baseVersion = v1)(identity)
+    }
+    // a full-rewrite commit breaks ancestry: v4 has no _append chain
+    val dir2 = freshDir()
+    val w1 = SnapshotTable.commit(spark.range(3).toDF("id"), dir2)
+    val w2 = SnapshotTable.commit(spark.range(4).toDF("id"), dir2)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitRebase(spark.range(1).toDF("id"), dir2,
+        expectedVersion = w2, baseVersion = w1)
+    }
+  }
+
+  test("the distributed bloom probe matches the driver-side TSV decision") {
+    val dir = freshDir()
+    val v = SnapshotTable.commit(
+      spark.range(2000).toDF("k").repartitionByRange(8, $"k"),
+      dir, bloomCols = Seq("k"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"v$v", "_bloomtab")),
+      "the bloom table must be committed beside the TSV sidecar")
+    val keys = Seq(5L, 900L, 1750L)
+    val (viaTsv, nTsv) = SnapshotTable.pruneFilesBloom(dir, v, "k", keys)
+    val (viaTab, nTab) = SnapshotTable.pruneFilesBloom(spark, dir, v, "k", keys)
+    assert(viaTab.sorted == viaTsv.sorted && nTab == nTsv,
+      "the distributed probe diverged from the TSV decision")
+    // and the read path routes through it with identical answers
+    val got = SnapshotTable.readWhereIn(spark, dir, v, "k", keys)
+    assert(got.as[Long].collect().toSet == keys.toSet)
+    assert(got.inputFiles.length == viaTab.size)
+  }
+
+  test("expire keeps an unpublished branch head and its chain") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(spark.range(4).toDF("id"), dir)
+    SnapshotTable.commitToBranch(spark.range(5).toDF("id"), dir, "wip",
+      expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    for (n <- Seq(6, 7, 8)) SnapshotTable.commit(spark.range(n).toDF("id"),
+      dir)
+    // keepLast=1 would normally drop everything but the tip; the
+    // branch head (v2) must survive as a retention root
+    val dropped = SnapshotTable.expire(dir, keepLast = 1)
+    assert(dropped == Seq(v1, 3L, 4L))
+    assert(SnapshotTable.versions(dir) == Seq(2L, 5L))
+    assert(SnapshotTable.branchVersion(dir, "wip").contains(2L))
+  }
 }
