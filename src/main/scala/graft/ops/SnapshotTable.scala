@@ -167,7 +167,8 @@ object SnapshotTable {
       partitionCols: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomExpectedItems: Long = DefaultBloomExpectedItems): Long = {
+      bloomExpectedItems: Long = DefaultBloomExpectedItems,
+      meta: Map[String, String] = Map.empty): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // fast-fail BEFORE the expensive write when the table has already
     // moved — the conflict is certain, no need to burn the I/O
@@ -180,7 +181,61 @@ object SnapshotTable {
       writeStatsSidecar(df.sparkSession, staged, statsCols)
     if (bloomCols.nonEmpty)
       writeBloomSidecar(df.sparkSession, staged, bloomCols, bloomExpectedItems)
+    writeMeta(staged, meta)
     publishStaged(dir, staged, expectedVersion)
+  }
+
+  // -------------------------------------------------- commit metadata
+
+  /** Write caller metadata into the staging directory as
+    * `_meta.properties` (URL-encoded k=v lines) — the Iceberg
+    * snapshot-summary / Delta commitInfo pattern: facts about the
+    * commit (a streaming epoch, a job id) ride INSIDE the version
+    * directory, covered by the same atomic claim-rename as the data,
+    * which is what makes them usable for exactly-once decisions (a
+    * marker outside the directory could tear against the publish).
+    */
+  private def writeMeta(staged: java.nio.file.Path,
+      meta: Map[String, String]): Unit =
+    if (meta.nonEmpty) {
+      val enc = (s: String) =>
+        java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.writeString(staged.resolve("_meta.properties"),
+        meta.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+          .mkString("", "\n", "\n"))
+    }
+
+  /** A version's commit metadata (empty when the commit carried none). */
+  def readMeta(dir: String, version: Long): Map[String, String] = {
+    val p = java.nio.file.Paths.get(dir, s"v$version", "_meta.properties")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else java.nio.file.Files.readAllLines(p).toArray(Array.empty[String])
+      .toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"corrupt _meta.properties line in $p: '$line'")
+        val dec = (s: String) =>
+          java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+        dec(line.substring(0, i)) -> dec(line.substring(i + 1))
+      }.toMap
+  }
+
+  /** The commit chain from `version` down through `_append`/`_base`
+    * pointers, tip first — the versions a read of `version` observes.
+    * What exactly-once ingest dedup must scan: a CAS-loser orphan
+    * NEVER appears here, so a crash between claim-rename and pointer
+    * flip re-delivers (at-least-once) instead of silently dropping
+    * the batch (a naive versions(dir) scan would see the orphan's
+    * epoch marker and skip it — lost data).
+    */
+  def chainOf(dir: String, version: Long): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var v = Option(version)
+    while (v.isDefined) {
+      out += v.get
+      v = baseOf(dir, v.get).orElse(appendBaseOf(dir, v.get))
+    }
+    out.toSeq
   }
 
   private def stagedPath(dir: String) = java.nio.file.Paths.get(dir,
@@ -622,17 +677,30 @@ object SnapshotTable {
   def commitAppend(delta: DataFrame, dir: String, expectedVersion: Long,
       partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomExpectedItems: Long = DefaultBloomExpectedItems): Long = {
+      bloomExpectedItems: Long = DefaultBloomExpectedItems,
+      meta: Map[String, String] = Map.empty,
+      allowSchemaEvolution: Boolean = false): Long = {
     require(expectedVersion >= 1,
       s"commitAppend needs a committed base version, got v$expectedVersion")
     val baseCols = readAt(delta.sparkSession, dir, expectedVersion)
       .schema.fieldNames.toSet
     val deltaCols = delta.columns.toSet
-    require(deltaCols == baseCols,
+    // schema EVOLUTION mid-chain is opt-in (Delta's mergeSchema): an
+    // accidental column drift must stay a loud commit-time error, but
+    // a deliberate widening (the ingest feed grew a column) appends
+    // with its own schema — the chain read resolves by NAME and
+    // presents each generation's missing columns as NULL. A SHARED
+    // core must remain (a disjoint delta is a different table, not an
+    // evolution), checked either way.
+    require(deltaCols.intersect(baseCols).nonEmpty,
+      s"append delta shares no columns with the base read of $dir " +
+        s"v$expectedVersion — not an evolution, a different table")
+    require(allowSchemaEvolution || deltaCols == baseCols,
       s"append delta schema must match the base read: delta has " +
         s"${(deltaCols -- baseCols).mkString(", ")} extra / " +
         s"${(baseCols -- deltaCols).mkString(", ")} missing vs $dir " +
-        s"v$expectedVersion")
+        s"v$expectedVersion (pass allowSchemaEvolution = true for a " +
+        "deliberate widening)")
     checkExpected(dir, Some(expectedVersion), detail = "")
     val staged = stagedPath(dir)
     val w = delta.write.mode("errorifexists")
@@ -644,6 +712,7 @@ object SnapshotTable {
       writeBloomSidecar(delta.sparkSession, staged, bloomCols, bloomExpectedItems)
     // marker LAST: the sidecar builders re-read the staged dir and must
     // see only the delta's data files
+    writeMeta(staged, meta)
     java.nio.file.Files.writeString(staged.resolve("_append"),
       s"v$expectedVersion")
     publishStaged(dir, staged, Some(expectedVersion))
@@ -666,7 +735,9 @@ object SnapshotTable {
   def commitRebase(delta: DataFrame, dir: String, expectedVersion: Long,
       baseVersion: Long, partitionCols: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomExpectedItems: Long = DefaultBloomExpectedItems): Long = {
+      bloomExpectedItems: Long = DefaultBloomExpectedItems,
+      meta: Map[String, String] = Map.empty,
+      allowSchemaEvolution: Boolean = false): Long = {
     require(baseVersion >= 1 && expectedVersion > baseVersion,
       s"commitRebase folds deltas ABOVE a base: base v$baseVersion, " +
         s"tip v$expectedVersion")
@@ -683,11 +754,15 @@ object SnapshotTable {
     val baseCols = readAt(delta.sparkSession, dir, baseVersion)
       .schema.fieldNames.toSet
     val deltaCols = delta.columns.toSet
-    require(deltaCols == baseCols,
+    require(deltaCols.intersect(baseCols).nonEmpty,
+      s"rebase delta shares no columns with the base read of $dir " +
+        s"v$baseVersion — not an evolution, a different table")
+    require(allowSchemaEvolution || deltaCols == baseCols,
       s"rebase delta schema must match the base read: delta has " +
         s"${(deltaCols -- baseCols).mkString(", ")} extra / " +
         s"${(baseCols -- deltaCols).mkString(", ")} missing vs $dir " +
-        s"v$baseVersion")
+        s"v$baseVersion (pass allowSchemaEvolution = true when folding " +
+        "an evolved chain)")
     checkExpected(dir, Some(expectedVersion), detail = "")
     val staged = stagedPath(dir)
     val w = delta.write.mode("errorifexists")
@@ -697,6 +772,7 @@ object SnapshotTable {
       writeStatsSidecar(delta.sparkSession, staged, statsCols)
     if (bloomCols.nonEmpty)
       writeBloomSidecar(delta.sparkSession, staged, bloomCols, bloomExpectedItems)
+    writeMeta(staged, meta)
     java.nio.file.Files.writeString(staged.resolve("_append"),
       s"v$baseVersion")
     publishStaged(dir, staged, Some(expectedVersion))
@@ -717,7 +793,7 @@ object SnapshotTable {
     */
   def optimizeDeltas(spark: SparkSession, dir: String, baseVersion: Long,
       partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil)(
+      bloomCols: Seq[String] = Nil, allowSchemaEvolution: Boolean = false)(
       reshape: DataFrame => DataFrame): Long = {
     val tip = currentVersion(dir).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $dir"))
@@ -737,10 +813,21 @@ object SnapshotTable {
     // the entire point (unionByName: each generation's layout is free
     // to differ, the spec-evolution discipline)
     val delta = gens.map(g => spark.read.parquet(s"$dir/v$g"))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // fold the generations' metadata forward: a numeric "epoch" folds
+    // as MAX (the ingest-dedup high-water mark must survive the
+    // optimize — a replayed old batch afterwards must still skip);
+    // any other key takes the newest generation's value
+    val metas = gens.map(g => readMeta(dir, g)) // tip-first
+    val merged0 = metas.reverse.foldLeft(Map.empty[String, String])(_ ++ _)
+    val epochs = metas.flatMap(_.get("epoch")).map(_.toLong)
+    val merged =
+      if (epochs.isEmpty) merged0
+      else merged0 + ("epoch" -> epochs.max.toString)
     commitRebase(reshape(delta), dir, expectedVersion = tip,
       baseVersion = baseVersion, partitionCols = partitionCols,
-      statsCols = statsCols, bloomCols = bloomCols)
+      statsCols = statsCols, bloomCols = bloomCols, meta = merged,
+      allowSchemaEvolution = allowSchemaEvolution)
   }
 
   /** The base version a merge-on-read delete commit applies to, if
@@ -829,8 +916,14 @@ object SnapshotTable {
       case None => appendBaseOf(dir, version) match {
         case None => spark.read.parquet(s"$dir/v$version")
         case Some(b) =>
+          // allowMissingColumns: an evolved append generation's new
+          // columns surface as NULL on older generations' rows (and
+          // vice versa) — commit-time checks already guarded against
+          // ACCIDENTAL drift, so by read time a difference is a
+          // deliberate evolution
           readAt(spark, dir, b)
-            .unionByName(spark.read.parquet(s"$dir/v$version"))
+            .unionByName(spark.read.parquet(s"$dir/v$version"),
+              allowMissingColumns = true)
       }
     }
 

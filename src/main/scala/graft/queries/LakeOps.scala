@@ -1312,6 +1312,225 @@ object LakeOps {
        |FROM orders""".stripMargin
   }
 
+  /** Time travel BY TIMESTAMP — Delta's `TIMESTAMP AS OF`, answered
+    * from the publish log ([[SnapshotTable.versionAsOf]]): "the table
+    * as the pipeline saw it at instant T" without bookkeeping version
+    * numbers, the reproducibility contract a training-data build needs
+    * when all it recorded was its start time. The gate commits two
+    * generations with a strictly-later publish timestamp (ms-boundary
+    * spin), reads BOTH sides of the boundary through
+    * [[SnapshotTable.readAsOf]], and requires the resolved versions
+    * loudly; the answer carries both reads' aggregates and must match
+    * DuckDB recomputing each generation's content from the source
+    * table. Branch publishes never gate main's as-of (pinned in
+    * SnapshotTableSpec).
+    */
+  private def snapshotAsofRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "asof")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0), base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    // ms-resolution boundary: v2's publish must be strictly later
+    val t1 = SnapshotTable.publishEvents(base).last._3
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    val v2 = SnapshotTable.commit(orders, base, expectedVersion = Some(v1))
+    val t2 = SnapshotTable.publishEvents(base)
+      .filter(e => e._1 == v2 && e._2 == "current").head._3
+    require(SnapshotTable.versionAsOf(base, t2 - 1) == v1 &&
+      SnapshotTable.versionAsOf(base, t2) == v2,
+      "as-of must resolve v1 strictly before v2's publish and v2 at it")
+    Seq(("before_v2", t2 - 1), ("at_v2", t2)).map { case (tag, ts) =>
+      SnapshotTable.readAsOf(s, base, ts)
+        .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+        .select(lit(tag).as("epoch"), $"n_rows",
+          Exact.microSumTo4dp("s_micro").as("sum_price"))
+    }.reduce(_ unionByName _).orderBy($"epoch")
+  }
+
+  private val snapshotAsofReadOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT 'at_v2' AS epoch, count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price
+       |FROM orders
+       |UNION ALL
+       |SELECT 'before_v2' AS epoch, count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price
+       |FROM orders WHERE o_orderkey % 2 = 0
+       |ORDER BY epoch""".stripMargin
+  }
+
+  /** Incremental OPTIMIZE — the maintenance op between
+    * [[snapshotOptimizeCluster]] (full rewrite) and doing nothing: a
+    * week of streaming appends leaves small unclustered delta
+    * generations whose min/max stats are skip-useless, but a FULL
+    * rewrite re-pays the 100 TB base to fix kilobytes of debris.
+    * [[SnapshotTable.optimizeDeltas]] folds ONLY the deltas: it reads
+    * the delta generations' own files (never the base), re-clusters
+    * them, and publishes one [[SnapshotTable.commitRebase]] whose
+    * `_append` pointer rebases onto the ORIGINAL base — so the chain
+    * shrinks to base + one clustered generation at delta cost. The
+    * gate proves, loudly: (a) before — every delta generation defeats
+    * range skipping (its per-generation manifest keeps all its files
+    * for the probe octile); (b) after — the folded generation prunes
+    * strictly, the chain plans exactly two scans, and the optimize
+    * version holds ONLY the delta rows (the base was not rewritten);
+    * (c) the answer over the optimized chain matches DuckDB computing
+    * the predicate over the whole table.
+    */
+  private def snapshotIncrementalOptimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "incropt")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    // the base generation: clustered, skip-friendly, never re-touched
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+        .repartitionByRange(8, $"o_orderkey"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey"))
+    // three streaming-shaped appends: small, unclustered (2 hash files
+    // each — every file spans the keyspace, so skipping is powerless)
+    var tip = v1
+    val deltaGens = Seq(1, 3, 5).map { r =>
+      tip = SnapshotTable.commitAppend(
+        orders.filter(pmod($"o_orderkey", lit(6)) === r).repartition(2),
+        base, expectedVersion = tip, statsCols = Seq("o_orderkey"))
+      tip
+    }
+    val hi = orders.agg(max($"o_orderkey")).head.getLong(0) / 8
+    // one pass over the chain manifest decides every generation's
+    // octile survivors (a generations-count-bounded collect)
+    def octileSurvivors(atTip: Long): Map[Long, (Long, Long)] =
+      SnapshotTable.manifestChain(s, base, atTip)
+        .filter($"column" === "o_orderkey")
+        .groupBy($"generation")
+        .agg(
+          sum(($"min_num" <= hi && $"max_num" >= 1).cast("long")).as("kept"),
+          count(lit(1)).as("total"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+    val pre = octileSurvivors(tip)
+    deltaGens.foreach { gen =>
+      val (kept, total) = pre(gen)
+      require(total >= 2 && kept == total,
+        s"delta generation v$gen was supposed to defeat range skipping " +
+          s"(kept $kept of $total) — the debris fixture drifted")
+    }
+    val nDelta = orders.filter(pmod($"o_orderkey", lit(2)) === 1).count()
+    // the incremental OPTIMIZE: fold ONLY the deltas onto v1
+    val vOpt = SnapshotTable.optimizeDeltas(s, base, baseVersion = v1,
+      statsCols = Seq("o_orderkey"))(_.repartitionByRange(4, $"o_orderkey"))
+    require(SnapshotTable.appendBaseOf(base, vOpt).contains(v1),
+      s"optimize must rebase onto the original base v$v1")
+    val vOptRows = s.read.parquet(s"$base/v$vOpt").count()
+    require(vOptRows == nDelta,
+      s"optimize must rewrite ONLY the $nDelta delta rows; v$vOpt holds " +
+        s"$vOptRows — the base was rewritten")
+    val (keptOpt, totalOpt) = octileSurvivors(vOpt)(vOpt)
+    require(totalOpt >= 2 && keptOpt < totalOpt,
+      s"the folded generation must prune strictly (kept $keptOpt of " +
+        s"$totalOpt files) — clustering or the fresh sidecar regressed")
+    val answerRead = SnapshotTable.readAt(s, base, vOpt)
+      .filter($"o_orderkey".between(1L, hi))
+    val scans = answerRead.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    require(scans.size == 2,
+      s"the optimized chain must plan exactly two generation scans, " +
+        s"got ${scans.size}")
+    answerRead
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("deltas_were_unskippable"),
+        lit(true).as("folded_gen_prunes"),
+        lit(2L).as("n_scans_after"))
+  }
+
+  private val snapshotIncrementalOptimizeOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS deltas_were_unskippable,
+       |  true AS folded_gen_prunes,
+       |  CAST(2 AS BIGINT) AS n_scans_after
+       |FROM orders
+       |WHERE o_orderkey BETWEEN 1
+       |  AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)""".stripMargin
+  }
+
+  /** Schema evolution MID-CHAIN — the ingest reality
+    * [[schemaDriftUnion]] (which conforms retained FULL versions to
+    * the live schema) does not cover: the feed grows a column halfway
+    * through an append chain, and rewriting the base generation to
+    * add it would defeat the whole point of appends. With
+    * `allowSchemaEvolution = true`, [[SnapshotTable.commitAppend]]
+    * admits the widened delta (accidental drift stays a loud
+    * commit-time error by default — pinned in SnapshotTableSpec), and
+    * the chain read resolves by NAME: old generations' rows surface
+    * the new column as NULL. The gate then folds the evolved chain
+    * with [[SnapshotTable.optimizeDeltas]] (same flag) and requires
+    * the fold changed nothing — evolution and maintenance compose.
+    * Aggregates pin row counts, null accounting for the late column,
+    * and the exact money total per generation against DuckDB.
+    */
+  private def snapshotAppendEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "appendevolve")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        Exact.micro("o_totalprice").as("price_micro"))
+    // gen1: the feed before it grew o_orderpriority
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+        .drop("o_orderpriority").withColumn("gen", lit("old")),
+      base, expectedVersion = SnapshotTable.ExpectEmpty)
+    // gen2: the widened feed, appended WITHOUT rewriting gen1
+    val v2 = SnapshotTable.commitAppend(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 1)
+        .withColumn("gen", lit("new")),
+      base, expectedVersion = v1, allowSchemaEvolution = true)
+    def genAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"gen")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_orderpriority".isNull.cast("long")).as("n_null_priority"),
+        sum($"price_micro").as("s_micro"))
+    val viaChain = genAgg(SnapshotTable.readAt(s, base, v2)).collect().toSet
+    // maintenance composes with evolution: the fold changes nothing
+    val vOpt = SnapshotTable.optimizeDeltas(s, base, baseVersion = v1,
+      allowSchemaEvolution = true)(_.coalesce(1))
+    val viaFolded = genAgg(SnapshotTable.read(s, base)).collect().toSet
+    require(viaChain == viaFolded,
+      s"optimizing an evolved chain changed its content: $viaChain vs " +
+        s"$viaFolded")
+    require(SnapshotTable.chainOf(base, vOpt) == Seq(vOpt, v1),
+      "the fold must rebase onto the pre-evolution base")
+    genAgg(SnapshotTable.read(s, base))
+      .select($"gen", $"n", $"n_null_priority",
+        Exact.microSumTo4dp("s_micro").as("sum_price"))
+      .orderBy($"gen")
+  }
+
+  private val snapshotAppendEvolveOracle =
+    s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END AS gen,
+       |  count(*) AS n,
+       |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_null_priority,
+       |  ${Exact.microSumTo4dpSql(
+          s"CAST(sum(${Exact.microSql("o_totalprice")}) AS BIGINT)",
+          Exact.DuckDiv)} AS sum_price
+       |FROM orders
+       |GROUP BY gen
+       |ORDER BY gen""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
@@ -1337,5 +1556,10 @@ object LakeOps {
     Q("snapshot_join_prune", snapshotJoinPrune, Some(snapshotJoinPruneOracle)),
     Q("snapshot_orphan_gc", snapshotOrphanGc, Some(snapshotOrphanGcOracle)),
     Q("snapshot_chain_manifest", snapshotChainManifest,
-      Some(snapshotChainManifestOracle)))
+      Some(snapshotChainManifestOracle)),
+    Q("snapshot_asof_read", snapshotAsofRead, Some(snapshotAsofReadOracle)),
+    Q("snapshot_incremental_optimize", snapshotIncrementalOptimize,
+      Some(snapshotIncrementalOptimizeOracle)),
+    Q("snapshot_append_evolve", snapshotAppendEvolve,
+      Some(snapshotAppendEvolveOracle)))
 }

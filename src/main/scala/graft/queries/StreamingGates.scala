@@ -754,7 +754,89 @@ object StreamingGates {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Streaming APPEND ingest with exactly-once epochs, then incremental
+    * OPTIMIZE — the write path [[streamingRestartRecovery]]'s upsert
+    * story doesn't cover: an ingest stream lands each micro-batch as
+    * one delta generation ([[Streaming.foreachBatchAppendIngest]]), and
+    * appends are NOT naturally idempotent, so the crash window (commit
+    * lands, checkpoint doesn't) would double rows without the epoch
+    * marker each commit carries in its `_meta.properties`. The gate
+    * kills the query deterministically in that window, restarts from
+    * the checkpoint, and requires loudly: (a) the replayed batch
+    * SKIPPED (exactly four data generations for a four-file feed —
+    * epoch markers 0..3 each exactly once on the chain); (b) the
+    * nightly [[graft.ops.SnapshotTable.optimizeDeltas]] folds the
+    * three deltas onto the seed at delta cost, carrying the epoch
+    * high-water mark forward (a replay after the optimize must still
+    * skip) and shrinking the chain to two generations. The final
+    * table must match DuckDB aggregating the source events — no loss,
+    * no double-count, across both the restart and the optimize.
+    */
+  private def streamingAppendIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val feed = LakeOps.lakeBase(dir, "appendfeed")
+    val table = LakeOps.lakeBase(dir, "appendtable")
+    SnapshotTable.deleteTree(feed)
+    SnapshotTable.deleteTree(table)
+    Tables.events(s, dir).repartition(4).write.parquet(feed)
+    def stream() = s.readStream
+      .schema(eventsSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    // run 1: crash AFTER batch 1's append commit, BEFORE its checkpoint
+    withStreamShuffle(s, 4) {
+      Streaming.foreachBatchAppendIngest(stream(), table,
+        failAfterBatch = Some(1L))
+    }
+    val vs1 = SnapshotTable.versions(table)
+    require(vs1 == Seq(1L, 2L),
+      s"two committed batches must precede the crash, got $vs1")
+    // run 2: the checkpoint re-delivers batch 1; its epoch marker on
+    // the chain makes the replay SKIP, then batches 2 and 3 append
+    withStreamShuffle(s, 4) {
+      Streaming.foreachBatchAppendIngest(stream(), table)
+    }
+    val vs = SnapshotTable.versions(table)
+    require(vs == Seq(1L, 2L, 3L, 4L),
+      s"the replay must skip its committed epoch and append the two " +
+        s"remaining files: got versions $vs")
+    val epochs = vs.flatMap(v => SnapshotTable.readMeta(table, v).get("epoch"))
+      .map(_.toLong)
+    require(epochs == Seq(0L, 1L, 2L, 3L),
+      s"each epoch must land exactly once on the chain: $epochs")
+    // the nightly OPTIMIZE: fold the three deltas onto the seed
+    val vOpt = SnapshotTable.optimizeDeltas(s, table, baseVersion = 1L)(
+      _.repartitionByRange(4, $"user_id"))
+    require(SnapshotTable.chainOf(table, vOpt) == Seq(vOpt, 1L),
+      "optimize must shrink the chain to seed + one folded generation")
+    require(SnapshotTable.readMeta(table, vOpt).get("epoch").contains("3"),
+      "the folded generation must carry the epoch high-water mark")
+    SnapshotTable.read(s, table)
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"event_id").as("sum_event_id"),
+        countDistinct($"event_type").as("n_types"),
+        min(unix_micros($"ts")).as("min_us"),
+        max(unix_micros($"ts")).as("max_us"))
+      .select($"n_events", $"n_users", $"sum_event_id", $"n_types",
+        $"min_us", $"max_us",
+        lit(2L).as("n_generations"), lit(3L).as("epoch_hwm"))
+  }
+
+  private val streamingAppendIngestOracle =
+    """SELECT count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+      |  count(DISTINCT event_type) AS n_types,
+      |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+      |  CAST(2 AS BIGINT) AS n_generations,
+      |  CAST(3 AS BIGINT) AS epoch_hwm
+      |FROM events""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("streaming_append_ingest", streamingAppendIngest,
+      Some(streamingAppendIngestOracle)),
     Q("streaming_restart_recovery", streamingRestartRecovery,
       Some(streamingRestartOracle)),
     Q("streaming_changelog", streamingChangelog,

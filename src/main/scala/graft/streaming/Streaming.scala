@@ -366,6 +366,71 @@ object Streaming {
     }
   }
 
+  /** foreachBatch APPEND ingest: lands each micro-batch on a snapshot
+    * table as one delta generation
+    * ([[graft.ops.SnapshotTable.commitAppend]]; the first batch seeds
+    * the table) — the streaming write path of a 100 TB ingest: every
+    * batch costs the BATCH, never a state merge or a rewrite, and the
+    * nightly [[graft.ops.SnapshotTable.optimizeDeltas]] folds the
+    * accumulated debris.
+    *
+    * Exactly-once, for APPENDS: an append is not idempotent the way
+    * [[foreachBatchUpsert]]'s max-ts merge is — a batch replayed after
+    * a crash between its commit and its checkpoint would DOUBLE its
+    * rows. So every commit carries its streaming epoch in the
+    * version's `_meta.properties` (atomic with the claim-rename), and
+    * a batch whose epoch is already on the CURRENT CHAIN skips — the
+    * Delta txn-appId/version dedup. The chain walk matters: a
+    * CAS-loser orphan's marker is invisible ([[graft.ops.SnapshotTable.chainOf]]),
+    * so a crash BEFORE the pointer flip re-delivers (at-least-once)
+    * instead of dropping the batch. `failAfterBatch` injects the
+    * commit-then-crash window for the recovery gate, exactly like the
+    * upsert's.
+    */
+  def foreachBatchAppendIngest(events: DataFrame, tableDir: String,
+      failAfterBatch: Option[Long] = None): DataFrame = {
+    import graft.ops.SnapshotTable
+    val q = events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tableDir/_ckpt")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val committed = SnapshotTable.currentVersion(tableDir).toSeq
+          .flatMap(v => SnapshotTable.chainOf(tableDir, v))
+          .flatMap(v => SnapshotTable.readMeta(tableDir, v).get("epoch"))
+          .map(_.toLong)
+        if (committed.exists(_ >= epoch)) {
+          // replay of an already-committed batch (crash landed between
+          // its commit and its checkpoint): exactly-once by skipping
+          ()
+        } else {
+          val meta = Map("epoch" -> epoch.toString)
+          SnapshotTable.currentVersion(tableDir) match {
+            case None => SnapshotTable.commit(batch, tableDir,
+              expectedVersion = SnapshotTable.ExpectEmpty, meta = meta)
+            case Some(tip) => SnapshotTable.commitAppend(batch, tableDir,
+              expectedVersion = tip, meta = meta)
+          }
+        }
+        if (failAfterBatch.contains(epoch))
+          throw new InjectedCrash(
+            s"injected crash after batch $epoch committed, before checkpoint")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if failAfterBatch.isDefined && hasInjectedCrash(e) => ()
+    }
+    SnapshotTable.currentVersion(tableDir) match {
+      case Some(_) => SnapshotTable.read(events.sparkSession, tableDir)
+      case None => events.sparkSession.createDataFrame(
+        events.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        events.schema)
+    }
+  }
+
   /** Memory-sink runner for tests/demos: drains all available input,
     * returns the result table name.
     */

@@ -273,6 +273,41 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the two split cells, got ${cellDirs.mkString(", ")}")
   }
 
+  test("snapshot_incremental_optimize leaves a two-generation chain " +
+      "whose folded generation holds only the delta rows") {
+    val q = Registry.all.find(_.name == "snapshot_incremental_optimize").get
+    q.fn(spark, dir).collect()
+    val base = graft.queries.LakeOps.lakeBase(dir, "incropt")
+    val tip = graft.ops.SnapshotTable.currentVersion(base).get
+    assert(graft.ops.SnapshotTable.chainOf(base, tip) == Seq(tip, 1L),
+      "the optimize must rebase onto the original base v1")
+    val even = spark.read.parquet(s"$base/v1").count()
+    val folded = spark.read.parquet(s"$base/v$tip").count()
+    assert(folded > 0 && folded < even + folded,
+      s"folded generation holds $folded rows")
+    // the base generation's file set is byte-identical (never rewritten)
+    val v1Files = new java.io.File(s"$base/v1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(v1Files == 8, s"base generation drifted to $v1Files files")
+  }
+
+  test("streaming_append_ingest lands every epoch exactly once, then folds") {
+    val q = Registry.all.find(_.name == "streaming_append_ingest").get
+    q.fn(spark, dir).collect()
+    val base = graft.queries.LakeOps.lakeBase(dir, "appendtable")
+    val tip = graft.ops.SnapshotTable.currentVersion(base).get
+    assert(graft.ops.SnapshotTable.chainOf(base, tip) == Seq(tip, 1L),
+      "post-optimize chain must be seed + folded generation")
+    assert(graft.ops.SnapshotTable.readMeta(base, tip)
+      .get("epoch").contains("3"), "epoch high-water mark lost")
+    // the pre-optimize generations are still on disk (retention's
+    // call, not optimize's) and carry epochs 0..3 exactly once
+    val epochs = graft.ops.SnapshotTable.versions(base)
+      .flatMap(v => graft.ops.SnapshotTable.readMeta(base, v).get("epoch"))
+    assert(epochs.map(_.toLong).sorted == Seq(0L, 1L, 2L, 3L, 3L),
+      s"epochs on disk: $epochs (0..3 from ingest + the folded 3)")
+  }
+
   test("no registered query broadcasts an unbounded fact-derived subtree") {
     val offenders = Registry.all.flatMap { q =>
       val plan =

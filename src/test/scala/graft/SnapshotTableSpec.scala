@@ -982,6 +982,77 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got.inputFiles.length == viaTab.size)
   }
 
+  test("commit metadata rides the version dir; chainOf skips orphans") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(Seq((1L, "a")).toDF("k", "v"), dir,
+      meta = Map("epoch" -> "0", "job id" -> "x=1&y=2"))
+    assert(SnapshotTable.readMeta(dir, v1)
+      == Map("epoch" -> "0", "job id" -> "x=1&y=2"))
+    val v2 = SnapshotTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), dir,
+      expectedVersion = v1, meta = Map("epoch" -> "1"))
+    val v3 = SnapshotTable.commitDeletes(Seq(1L).toDF("k"), dir,
+      expectedVersion = v2)
+    assert(SnapshotTable.chainOf(dir, v3) == Seq(v3, v2, v1))
+    // an orphaned claim WITH an epoch marker must be invisible to the
+    // chain walk — the exactly-once ingest skip must never key off a
+    // version the pointer never reached (that would drop the batch)
+    spark.range(9).toDF("id").write.parquet(s"$dir/v9")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "v9", "_meta.properties"), "epoch=7\n")
+    assert(SnapshotTable.chainOf(dir, v3) == Seq(v3, v2, v1))
+    assert(!SnapshotTable.chainOf(dir, v3)
+      .flatMap(v => SnapshotTable.readMeta(dir, v).get("epoch"))
+      .contains("7"))
+  }
+
+  test("optimizeDeltas folds the epoch high-water mark forward") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(spark.range(10).toDF("k"), dir,
+      meta = Map("epoch" -> "0"))
+    var tip = v1
+    for (e <- 1 to 3)
+      tip = SnapshotTable.commitAppend(
+        spark.range(e * 100L, e * 100L + 5).toDF("k"), dir,
+        expectedVersion = tip, meta = Map("epoch" -> e.toString))
+    val vOpt = SnapshotTable.optimizeDeltas(spark, dir, baseVersion = v1)(
+      _.coalesce(1))
+    assert(SnapshotTable.readMeta(dir, vOpt).get("epoch").contains("3"))
+    assert(SnapshotTable.read(spark, dir).count() == 25)
+    assert(SnapshotTable.chainOf(dir, vOpt) == Seq(vOpt, v1))
+  }
+
+  test("append schema evolution is opt-in; accidental drift stays loud") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    // accidental drift: loud by default
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(Seq((2L, "b", 9L)).toDF("k", "v", "extra"),
+        dir, expectedVersion = v1)
+    }
+    // a disjoint delta is never an evolution
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(Seq((9L, 9L)).toDF("x", "y"), dir,
+        expectedVersion = v1, allowSchemaEvolution = true)
+    }
+    // deliberate widening: old rows surface the new column as NULL
+    val v2 = SnapshotTable.commitAppend(
+      Seq((2L, "b", 9L)).toDF("k", "v", "extra"), dir,
+      expectedVersion = v1, allowSchemaEvolution = true)
+    val got = SnapshotTable.readAt(spark, dir, v2)
+      .orderBy($"k").select($"k", $"extra").as[(Long, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq((1L, None), (2L, Some(9L))))
+    // folding the evolved chain needs the same explicit opt-in
+    intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeDeltas(spark, dir, baseVersion = v1)(identity)
+    }
+    val vOpt = SnapshotTable.optimizeDeltas(spark, dir, baseVersion = v1,
+      allowSchemaEvolution = true)(_.coalesce(1))
+    assert(SnapshotTable.readAt(spark, dir, vOpt)
+      .orderBy($"k").select($"k", $"extra").as[(Long, Option[Long])]
+      .collect().toSeq == got)
+  }
+
   test("expire keeps an unpublished branch head and its chain") {
     val dir = freshDir()
     val v1 = SnapshotTable.commit(spark.range(4).toDF("id"), dir)
