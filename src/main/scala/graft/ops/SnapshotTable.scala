@@ -1543,6 +1543,15 @@ object SnapshotTable {
   final case class InPredicate(column: String, keys: Seq[Any])
       extends PrunePredicate
 
+  /** `column IS NULL` / `IS NOT NULL` — decided against the stats
+    * manifest's per-file null counts: a file with zero nulls cannot
+    * satisfy IS NULL, an all-null file cannot satisfy IS NOT NULL.
+    * The null-count side of the Delta/Iceberg stats record, which
+    * range and bloom terms can't use (neither sidecar sees nulls).
+    */
+  final case class NullPredicate(column: String, isNull: Boolean)
+      extends PrunePredicate
+
   /** Survivors of one range term, decided as a DataFrame FILTER over
     * the [[manifest]] table (not a driver parse loop — at 10⁵ files
     * the decision distributes; the collect is survivors-only, the same
@@ -1567,6 +1576,26 @@ object SnapshotTable {
             col("max_num") >= lit(loS.toDouble))
           .otherwise(strCond)
       else strCond
+    val rows = m.filter(col("column") === p.column)
+      .select(col("file"),
+        org.apache.spark.sql.functions.coalesce(cond, lit(false)).as("keep"))
+      .collect()
+    require(rows.nonEmpty,
+      s"no per-file stats for column '${p.column}' on $dir v$version — " +
+        "commit with statsCols to enable file skipping")
+    rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+  }
+
+  /** Survivors of one null term, decided over the [[manifest]] table
+    * like [[rangeSurvivors]]: IS NULL keeps files whose null count is
+    * positive, IS NOT NULL keeps files with at least one non-null row.
+    * Loud when the column carries no stats rows, same contract.
+    */
+  private def nullSurvivors(m: DataFrame, dir: String, version: Long,
+      p: NullPredicate): Set[String] = {
+    val cond =
+      if (p.isNull) col("null_count") > 0
+      else col("null_count") < col("row_count")
     val rows = m.filter(col("column") === p.column)
       .select(col("file"),
         org.apache.spark.sql.functions.coalesce(cond, lit(false)).as("keep"))
@@ -1604,6 +1633,7 @@ object SnapshotTable {
       case i: InPredicate =>
         val (kept, _) = pruneFilesBloom(spark, dir, version, i.column, i.keys)
         kept.map(_.stripPrefix(s"$dir/v$version/")).toSet
+      case n: NullPredicate => nullSurvivors(m, dir, version, n)
     }
     val allFiles: Set[String] = {
       val s = readStats(dir, version).map(_.file).toSet
@@ -1638,6 +1668,8 @@ object SnapshotTable {
       base.filter(preds.map {
         case RangePredicate(c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi)
         case InPredicate(c, keys) => col(c).isin(keys: _*)
+        case NullPredicate(c, true) => col(c).isNull
+        case NullPredicate(c, false) => col(c).isNotNull
       }.reduce(_ && _))
   }
 

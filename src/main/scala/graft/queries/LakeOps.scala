@@ -1531,6 +1531,196 @@ object LakeOps {
        |GROUP BY gen
        |ORDER BY gen""".stripMargin
 
+  /** MERGE INTO with merge-on-read semantics — the missing write op
+    * between [[snapshotMorDelete]] (erase) and the append chain
+    * (insert): an upsert batch lands as ONE tombstone commit for the
+    * matched keys plus ONE append carrying the batch's rows, so a
+    * MERGE against a 100 TB table writes batch-proportional bytes —
+    * zero data files in the delete commit, batch-row-count files in
+    * the append — where the copy-on-write join shape
+    * (`merge_upsert_orders`) would rewrite the table. The chain read
+    * resolves base ∖ matched ∪ batch; the gate requires the
+    * delta-cost evidence loudly (tombstone dir contents, append row
+    * count, three-link chain, no duplicate keys after the merge) and
+    * the merged aggregates match DuckDB recomputing the same
+    * update/insert batch from the source table.
+    */
+  private def snapshotMorUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "morupsert")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(orders, base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val maxKey = orders.agg(max($"o_orderkey")).head.getLong(0)
+    // the upsert batch: every 10th key gets a $5 bump (update); keys
+    // ≡ 3 mod 7 come back shifted past max(key) as fresh inserts
+    val updates = orders.filter(pmod($"o_orderkey", lit(10)) === 0)
+      .withColumn("price_micro", $"price_micro" + 5000000L)
+    val inserts = orders.filter(pmod($"o_orderkey", lit(7)) === 3)
+      .withColumn("o_orderkey", $"o_orderkey" + lit(maxKey + 1L))
+    val batch = updates.unionByName(inserts)
+    val nBatch = batch.count()
+    // the MOR MERGE: tombstone the matched keys, append the batch
+    val v2 = SnapshotTable.commitDeletes(
+      updates.select($"o_orderkey"), base, expectedVersion = v1)
+    val v2Top = new java.io.File(s"$base/v$v2").listFiles().map(_.getName).toSet
+    require(v2Top == Set("_base", "_deletes"),
+      s"the matched-keys tombstone must carry no data files; v$v2 has $v2Top")
+    val v3 = SnapshotTable.commitAppend(batch, base, expectedVersion = v2)
+    val v3Rows = s.read.parquet(s"$base/v$v3").count()
+    require(v3Rows == nBatch,
+      s"the merge must write ONLY the batch's $nBatch rows; v$v3 holds " +
+        s"$v3Rows — it rewrote the table")
+    require(SnapshotTable.chainOf(base, v3) == Seq(v3, v2, v1),
+      s"expected a three-link MOR chain, got ${SnapshotTable.chainOf(base, v3)}")
+    val merged = SnapshotTable.readAt(s, base, v3)
+    val dupKeys = merged.groupBy($"o_orderkey").count()
+      .filter($"count" > 1).count()
+    require(dupKeys == 0,
+      s"the merge left $dupKeys duplicated keys — tombstones missed rows")
+    merged
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"),
+        sum(($"o_orderkey" > maxKey).cast("long")).as("n_inserted"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        $"n_inserted", lit(true).as("delta_proportional"))
+  }
+
+  private val snapshotMorUpsertOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH t AS (SELECT o_orderkey AS k, $p AS pm FROM orders),
+       |merged AS (
+       |  SELECT k, pm FROM t WHERE k % 10 <> 0
+       |  UNION ALL
+       |  SELECT k, pm + 5000000 FROM t WHERE k % 10 = 0
+       |  UNION ALL
+       |  SELECT k + (SELECT max(k) FROM t) + 1, pm FROM t WHERE k % 7 = 3)
+       |SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql("CAST(sum(pm) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  CAST((SELECT count(*) FROM t WHERE k % 7 = 3) AS BIGINT)
+       |    AS n_inserted,
+       |  true AS delta_proportional
+       |FROM merged""".stripMargin
+  }
+
+  /** NULL-aware file skipping — the null-count side of the stats
+    * record, which range and bloom terms cannot use (neither sidecar
+    * sees nulls): `IS NULL` prunes files with zero nulls, `IS NOT
+    * NULL` prunes all-null files. On an LLM corpus this is the
+    * "rows still missing an annotation" sweep — nulls concentrate in
+    * the unprocessed stripe, and the scan should open only it. The
+    * layout clusters by null-ness (range-partitioned on the indicator
+    * first), so both polarities prune strictly, which the gate
+    * requires loudly along with the scan-file-list equality; a
+    * CONJUNCTION (IS NULL ∧ key range) must out-prune the null term
+    * alone, proving the null term composes with the range term in
+    * [[SnapshotTable.pruneFilesMulti]]. Answer matched by DuckDB on
+    * the compound WHERE.
+    */
+  private def snapshotNullPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import SnapshotTable.{NullPredicate, RangePredicate}
+    val base = lakeBase(dir, "nullprune")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"),
+        when(pmod($"o_orderkey", lit(3)) =!= 0, concat(lit("note-"),
+          $"o_orderkey".cast("string"))).as("note"))
+    val v1 = SnapshotTable.commit(
+      orders.repartitionByRange(8, $"note".isNull, $"o_orderkey"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey", "note"))
+    val isNull = NullPredicate("note", isNull = true)
+    val notNull = NullPredicate("note", isNull = false)
+    val (nullKept, total) =
+      SnapshotTable.pruneFilesMulti(s, base, v1, Seq(isNull))
+    val (notNullKept, _) =
+      SnapshotTable.pruneFilesMulti(s, base, v1, Seq(notNull))
+    require(nullKept.nonEmpty && nullKept.size < total &&
+      notNullKept.nonEmpty && notNullKept.size < total,
+      s"both polarities must prune strictly: IS NULL kept " +
+        s"${nullKept.size}, IS NOT NULL kept ${notNullKept.size} of $total")
+    // the conjunction composes: IS NULL ∧ first key octile
+    val hi = orders.agg(max($"o_orderkey")).head.getLong(0) / 8
+    val conj = Seq(isNull, RangePredicate("o_orderkey", 1L, hi))
+    val (conjKept, _) = SnapshotTable.pruneFilesMulti(s, base, v1, conj)
+    require(conjKept.nonEmpty && conjKept.size < nullKept.size,
+      s"the conjunction must out-prune IS NULL alone: ${conjKept.size} " +
+        s"vs ${nullKept.size}")
+    val pruned = SnapshotTable.readWhereMulti(s, base, v1, conj)
+    require(pruned.inputFiles.length == conjKept.size,
+      s"the scan must read EXACTLY the survivor list: " +
+        s"${pruned.inputFiles.length} vs ${conjKept.size}")
+    pruned
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("null_pruned_strictly"))
+  }
+
+  private val snapshotNullPruneOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS null_pruned_strictly
+       |FROM orders
+       |WHERE o_orderkey % 3 = 0
+       |  AND o_orderkey BETWEEN 1
+       |    AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)""".stripMargin
+  }
+
+  /** The full table LIFECYCLE: ingest appends → incremental OPTIMIZE →
+    * VACUUM — what [[snapshotIncrementalOptimize]] leaves open is that
+    * the folded delta generations are still on disk afterwards, and at
+    * 100 TB a week of pre-fold debris is real money. After the fold,
+    * [[SnapshotTable.expire]] retires them (the rebased chain reaches
+    * only base + folded generation, so retention proves the fold's
+    * reachability story), and [[SnapshotTable.gcOrphans]] finds
+    * nothing (every version was published — vacuum ≠ orphan GC). Loud
+    * requires pin exactly which versions die and that the survivors
+    * still answer the full-table aggregate DuckDB recomputes.
+    */
+  private def snapshotOptimizeVacuum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "optvacuum")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0), base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    var tip = v1
+    for (r <- Seq(1, 3, 5))
+      tip = SnapshotTable.commitAppend(
+        orders.filter(pmod($"o_orderkey", lit(6)) === r), base,
+        expectedVersion = tip)
+    val vOpt = SnapshotTable.optimizeDeltas(s, base, baseVersion = v1)(
+      _.repartitionByRange(4, $"o_orderkey"))
+    // vacuum: the folded deltas retire; the rebased chain keeps v1
+    val dropped = SnapshotTable.expire(base, keepLast = 1)
+    require(dropped == Seq(2L, 3L, 4L),
+      s"vacuum must retire exactly the folded deltas, got $dropped")
+    require(SnapshotTable.versions(base) == Seq(v1, vOpt),
+      s"the rebased chain must survive: ${SnapshotTable.versions(base)}")
+    require(SnapshotTable.gcOrphans(base, olderThanMs = -1L).isEmpty,
+      "vacuum is not orphan GC: every published version must be kept")
+    SnapshotTable.read(s, base)
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(3L).as("n_vacuumed"))
+  }
+
+  private val snapshotOptimizeVacuumOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  CAST(3 AS BIGINT) AS n_vacuumed
+       |FROM orders""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
@@ -1561,5 +1751,9 @@ object LakeOps {
     Q("snapshot_incremental_optimize", snapshotIncrementalOptimize,
       Some(snapshotIncrementalOptimizeOracle)),
     Q("snapshot_append_evolve", snapshotAppendEvolve,
-      Some(snapshotAppendEvolveOracle)))
+      Some(snapshotAppendEvolveOracle)),
+    Q("snapshot_mor_upsert", snapshotMorUpsert, Some(snapshotMorUpsertOracle)),
+    Q("snapshot_null_prune", snapshotNullPrune, Some(snapshotNullPruneOracle)),
+    Q("snapshot_optimize_vacuum", snapshotOptimizeVacuum,
+      Some(snapshotOptimizeVacuumOracle)))
 }

@@ -834,7 +834,86 @@ object StreamingGates {
       |  CAST(3 AS BIGINT) AS epoch_hwm
       |FROM events""".stripMargin
 
+  /** Tail a snapshot table AS A STREAMING SOURCE — the read-side
+    * complement of [[streamingAppendIngest]]: an APPEND-ONLY chain's
+    * version directories appear atomically (claim-rename), so a file
+    * stream over `table/v*` is a correct changefeed — each new
+    * generation contributes exactly its delta files, never a partial
+    * write, never a re-emission (the contract a downstream consumer
+    * needs; a full-rewrite or optimize commit breaks it by design —
+    * tail between compactions). The gate replicates upstream →
+    * downstream THROUGH the spine: the consumer's foreachBatch appends
+    * each micro-batch to a second snapshot table, the first drain
+    * covers the first two generations, two more upstream commits land,
+    * and a SECOND drain from the same checkpoint processes ONLY the
+    * new generations' files (loud requires on the downstream version
+    * count and epochs — incremental tailing across consumer restarts).
+    * The replica's aggregate must match DuckDB on the source events:
+    * end-to-end CDC replication, no loss, no double-count.
+    */
+  private def streamingTableTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val up = LakeOps.lakeBase(dir, "tailup")
+    val down = LakeOps.lakeBase(dir, "taildown")
+    SnapshotTable.deleteTree(up)
+    SnapshotTable.deleteTree(down)
+    val events = Tables.events(s, dir)
+    // four single-file generations, committed in two rounds
+    val quarter = (q: Int) =>
+      events.filter(pmod($"event_id", lit(4)) === q).repartition(1)
+    val v1 = SnapshotTable.commit(quarter(0), up,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commitAppend(quarter(1), up, expectedVersion = v1)
+    def tail() = s.readStream
+      .schema(eventsSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$up/v*")
+    // drain 1: the consumer replicates generations 1-2 downstream
+    withStreamShuffle(s, 4) {
+      Streaming.foreachBatchAppendIngest(tail(), down)
+    }
+    val after1 = SnapshotTable.versions(down)
+    require(after1 == Seq(1L, 2L),
+      s"drain 1 must replicate exactly the two upstream files: $after1")
+    require(SnapshotTable.read(s, down).count()
+      == SnapshotTable.readAt(s, up, v2).count(),
+      "the replica diverged from upstream after drain 1")
+    // two more upstream generations, then a consumer RESTART (same
+    // checkpoint): only the NEW generations' files are processed
+    val v3 = SnapshotTable.commitAppend(quarter(2), up, expectedVersion = v2)
+    val v4 = SnapshotTable.commitAppend(quarter(3), up, expectedVersion = v3)
+    withStreamShuffle(s, 4) {
+      Streaming.foreachBatchAppendIngest(tail(), down)
+    }
+    val after2 = SnapshotTable.versions(down)
+    require(after2 == Seq(1L, 2L, 3L, 4L),
+      s"drain 2 must append exactly the two new files: $after2")
+    val epochs = after2
+      .flatMap(v => SnapshotTable.readMeta(down, v).get("epoch")).map(_.toLong)
+    require(epochs == Seq(0L, 1L, 2L, 3L),
+      s"each upstream file must replicate exactly once: epochs $epochs")
+    SnapshotTable.read(s, down)
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"event_id").as("sum_event_id"),
+        min(unix_micros($"ts")).as("min_us"),
+        max(unix_micros($"ts")).as("max_us"))
+      .select($"n_events", $"n_users", $"sum_event_id", $"min_us", $"max_us",
+        lit(4L).as("n_replicated_generations"))
+  }
+
+  private val streamingTableTailOracle =
+    """SELECT count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+      |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+      |  CAST(4 AS BIGINT) AS n_replicated_generations
+      |FROM events""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("streaming_table_tail", streamingTableTail,
+      Some(streamingTableTailOracle)),
     Q("streaming_append_ingest", streamingAppendIngest,
       Some(streamingAppendIngestOracle)),
     Q("streaming_restart_recovery", streamingRestartRecovery,

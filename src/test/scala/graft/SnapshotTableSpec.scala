@@ -1053,6 +1053,34 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().toSeq == got)
   }
 
+  test("null-count skipping: both polarities prune, conjunction composes") {
+    val dir = freshDir()
+    val df = spark.range(100).toDF("k")
+      .withColumn("v", when($"k" < 40, $"k".cast("string")))
+    val ver = SnapshotTable.commit(
+      df.repartitionByRange(5, $"v".isNull, $"k"), dir,
+      statsCols = Seq("k", "v"))
+    import SnapshotTable.{NullPredicate, RangePredicate}
+    val (nullKept, total) = SnapshotTable.pruneFilesMulti(spark, dir, ver,
+      Seq(NullPredicate("v", isNull = true)))
+    val (notNullKept, _) = SnapshotTable.pruneFilesMulti(spark, dir, ver,
+      Seq(NullPredicate("v", isNull = false)))
+    assert(nullKept.nonEmpty && nullKept.size < total)
+    assert(notNullKept.nonEmpty && notNullKept.size < total)
+    // answers stay byte-identical to the full scan
+    val gotNull = SnapshotTable.readWhereMulti(spark, dir, ver,
+      Seq(NullPredicate("v", isNull = true)))
+    assert(gotNull.count() == 60 && gotNull.inputFiles.length == nullKept.size)
+    val conj = SnapshotTable.readWhereMulti(spark, dir, ver,
+      Seq(NullPredicate("v", isNull = false), RangePredicate("k", 0L, 10L)))
+    assert(conj.select("k").as[Long].collect().sorted.toSeq == (0L to 10L))
+    // a stats-less column is loud, same as the range contract
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFilesMulti(spark, dir, ver,
+        Seq(NullPredicate("missing", isNull = true)))
+    }
+  }
+
   test("expire keeps an unpublished branch head and its chain") {
     val dir = freshDir()
     val v1 = SnapshotTable.commit(spark.range(4).toDF("id"), dir)
