@@ -173,15 +173,8 @@ object SnapshotTable {
     // fast-fail BEFORE the expensive write when the table has already
     // moved — the conflict is certain, no need to burn the I/O
     checkExpected(dir, expectedVersion, detail = "")
-    val staged = stagedPath(dir)
-    val w = df.write.mode("errorifexists")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(staged.toString)
-    if (statsCols.nonEmpty)
-      writeStatsSidecar(df.sparkSession, staged, statsCols)
-    if (bloomCols.nonEmpty)
-      writeBloomSidecar(df.sparkSession, staged, bloomCols, bloomExpectedItems)
-    writeMeta(staged, meta)
+    val staged = stageData(df, dir, partitionCols, statsCols, bloomCols,
+      bloomExpectedItems, meta)
     publishStaged(dir, staged, expectedVersion)
   }
 
@@ -240,6 +233,29 @@ object SnapshotTable {
 
   private def stagedPath(dir: String) = java.nio.file.Paths.get(dir,
     s".staged-${java.util.UUID.randomUUID().toString.take(12)}")
+
+  /** Stage `df`'s data plus every requested sidecar (stats, blooms,
+    * commit metadata) into a fresh writer-unique directory — the
+    * shared write half of all four commit flavors (main, branch,
+    * append, rebase); the claim half is [[claimVersion]]. Chain
+    * markers (`_append`/`_base`) are the caller's: they go in LAST,
+    * after the sidecar builders have re-read the staged data files.
+    */
+  private def stageData(df: DataFrame, dir: String,
+      partitionCols: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String], bloomExpectedItems: Long,
+      meta: Map[String, String]): java.nio.file.Path = {
+    val staged = stagedPath(dir)
+    val w = df.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staged.toString)
+    if (statsCols.nonEmpty)
+      writeStatsSidecar(df.sparkSession, staged, statsCols)
+    if (bloomCols.nonEmpty)
+      writeBloomSidecar(df.sparkSession, staged, bloomCols, bloomExpectedItems)
+    writeMeta(staged, meta)
+    staged
+  }
 
   /** Claim a version number for a fully-written staging directory and
     * flip the pointer. Stage-then-rename version allocation: writing
@@ -312,10 +328,16 @@ object SnapshotTable {
       if (currentVersion(dir).exists(_ >= next)) {
         java.nio.file.Files.deleteIfExists(tmp); false
       } else {
+        // log BEFORE the flip: a crash between the two must err toward
+        // a spurious line (a readable, complete version recorded as
+        // published though the flip never landed — conservative: GC
+        // keeps it, as-of may resolve it) rather than a missing one
+        // (a version readers SAW with no provenance — a later GC would
+        // destroy published history)
+        logPublish(dir, next, "current")
         java.nio.file.Files.move(tmp, pointer(dir),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        logPublish(dir, next, "current")
         true
       }
     }
@@ -533,18 +555,13 @@ object SnapshotTable {
       partitionCols: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomExpectedItems: Long = DefaultBloomExpectedItems): Long = {
+      bloomExpectedItems: Long = DefaultBloomExpectedItems,
+      meta: Map[String, String] = Map.empty): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     refPtr(dir, name) // validate the name before any I/O
     checkExpectedRef(dir, name, expectedBranchVersion, detail = "")
-    val staged = stagedPath(dir)
-    val w = df.write.mode("errorifexists")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(staged.toString)
-    if (statsCols.nonEmpty)
-      writeStatsSidecar(df.sparkSession, staged, statsCols)
-    if (bloomCols.nonEmpty)
-      writeBloomSidecar(df.sparkSession, staged, bloomCols, bloomExpectedItems)
+    val staged = stageData(df, dir, partitionCols, statsCols, bloomCols,
+      bloomExpectedItems, meta)
     // claim a version number exactly like a main commit (one shared
     // number space — a branch version IS a version), then flip only
     // the branch ref
@@ -559,10 +576,11 @@ object SnapshotTable {
       if (branchVersion(dir, name).exists(_ >= next)) {
         java.nio.file.Files.deleteIfExists(tmp)
       } else {
+        // log-before-flip, same crash-asymmetry reasoning as flipPointer
+        logPublish(dir, next, name)
         java.nio.file.Files.move(tmp, refPtr(dir, name),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        logPublish(dir, next, name)
       }
     }
     next
@@ -599,10 +617,11 @@ object SnapshotTable {
             s"'$name' head v$head is not ahead; re-branch and re-audit")
       } catch { case e: Throwable =>
         java.nio.file.Files.deleteIfExists(tmp); throw e }
+      // log-before-flip, same crash-asymmetry reasoning as flipPointer
+      logPublish(dir, head, "current")
       java.nio.file.Files.move(tmp, pointer(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      logPublish(dir, head, "current")
     }
     head
   }
@@ -702,17 +721,10 @@ object SnapshotTable {
         s"v$expectedVersion (pass allowSchemaEvolution = true for a " +
         "deliberate widening)")
     checkExpected(dir, Some(expectedVersion), detail = "")
-    val staged = stagedPath(dir)
-    val w = delta.write.mode("errorifexists")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(staged.toString)
-    if (statsCols.nonEmpty)
-      writeStatsSidecar(delta.sparkSession, staged, statsCols)
-    if (bloomCols.nonEmpty)
-      writeBloomSidecar(delta.sparkSession, staged, bloomCols, bloomExpectedItems)
-    // marker LAST: the sidecar builders re-read the staged dir and must
-    // see only the delta's data files
-    writeMeta(staged, meta)
+    val staged = stageData(delta, dir, partitionCols, statsCols, bloomCols,
+      bloomExpectedItems, meta)
+    // chain marker LAST (stageData's sidecar builders re-read the
+    // staged dir and must see only the delta's data files)
     java.nio.file.Files.writeString(staged.resolve("_append"),
       s"v$expectedVersion")
     publishStaged(dir, staged, Some(expectedVersion))
@@ -764,15 +776,8 @@ object SnapshotTable {
         s"v$baseVersion (pass allowSchemaEvolution = true when folding " +
         "an evolved chain)")
     checkExpected(dir, Some(expectedVersion), detail = "")
-    val staged = stagedPath(dir)
-    val w = delta.write.mode("errorifexists")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(staged.toString)
-    if (statsCols.nonEmpty)
-      writeStatsSidecar(delta.sparkSession, staged, statsCols)
-    if (bloomCols.nonEmpty)
-      writeBloomSidecar(delta.sparkSession, staged, bloomCols, bloomExpectedItems)
-    writeMeta(staged, meta)
+    val staged = stageData(delta, dir, partitionCols, statsCols, bloomCols,
+      bloomExpectedItems, meta)
     java.nio.file.Files.writeString(staged.resolve("_append"),
       s"v$baseVersion")
     publishStaged(dir, staged, Some(expectedVersion))
@@ -1458,10 +1463,14 @@ object SnapshotTable {
     require(keys.size <= maxKeys,
       s"readWhereInFrom: dim side exceeds maxKeys=$maxKeys distinct " +
         "keys — too big for per-key bloom probing; use a shuffle join")
-    require(keys.nonEmpty,
-      "readWhereInFrom: the dim side produced no keys — the semi-join " +
-        "is empty, no fact read needed")
-    readWhereIn(spark, dir, version, column, keys)
+    if (keys.isEmpty)
+      // a dim side with no matches is a VALID query whose semi-join
+      // answer is zero rows — the perfect prune (no fact files open),
+      // not an error
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        readAt(spark, dir, version).schema)
+    else readWhereIn(spark, dir, version, column, keys)
   }
 
   /** File-skipping decision for `column BETWEEN lo AND hi` on a stats-
@@ -1778,9 +1787,16 @@ object SnapshotTable {
           java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"v$v")))
         reach(v)
     }
+    // pre-log history is indistinguishable from pre-log debris — keep
+    // it ALL. Every version claimed after the log existed is numbered
+    // above every pre-log version (claims take max-on-disk + 1), so
+    // "below the oldest logged version" is exactly "predates the log";
+    // without this floor, ONE post-upgrade commit would expose a
+    // legacy table's whole published history to GC.
+    val preLogFloor = pubs.keySet.min
     val now = System.currentTimeMillis()
     val orphans = versions(dir).filter { v =>
-      !keep.contains(v) &&
+      v > preLogFloor && !keep.contains(v) &&
         now - new java.io.File(dir, s"v$v").lastModified() > olderThanMs
     }
     orphans.foreach(v => deleteTree(s"$dir/v$v"))

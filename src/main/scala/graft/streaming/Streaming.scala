@@ -394,11 +394,23 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", s"$tableDir/_ckpt")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val committed = SnapshotTable.currentVersion(tableDir).toSeq
-          .flatMap(v => SnapshotTable.chainOf(tableDir, v))
-          .flatMap(v => SnapshotTable.readMeta(tableDir, v).get("epoch"))
-          .map(_.toLong)
-        if (committed.exists(_ >= epoch)) {
+        // the chain's epoch HIGH-WATER MARK, read lazily from the tip
+        // down: epochs are strictly increasing along an ingest chain
+        // and optimizeDeltas folds the max forward, so the walk stops
+        // at the FIRST epoch-carrying generation — O(1) marker reads
+        // per batch on a live ingest (an eager full-chain scan would
+        // make batch overhead grow linearly with chain length)
+        @annotation.tailrec
+        def highWater(v: Option[Long]): Option[Long] = v match {
+          case None => None
+          case Some(x) =>
+            SnapshotTable.readMeta(tableDir, x).get("epoch") match {
+              case Some(e) => Some(e.toLong)
+              case None => highWater(SnapshotTable.baseOf(tableDir, x)
+                .orElse(SnapshotTable.appendBaseOf(tableDir, x)))
+            }
+        }
+        if (highWater(SnapshotTable.currentVersion(tableDir)).exists(_ >= epoch)) {
           // replay of an already-committed batch (crash landed between
           // its commit and its checkpoint): exactly-once by skipping
           ()

@@ -818,6 +818,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 6)
   }
 
+  test("gcOrphans never sweeps pre-log history after a post-upgrade commit") {
+    // a legacy table: v1/v2 committed before the publish log existed
+    // (hand-built dirs + pointer), then ONE new commit starts the log.
+    // v1 is real published history with no provenance line — the
+    // pre-log floor must keep it (and v2) out of GC forever.
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    spark.range(5).toDF("id").write.parquet(s"$dir/v1")
+    spark.range(6).toDF("id").write.parquet(s"$dir/v2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "current"), "v2")
+    val v3 = SnapshotTable.commit(spark.range(7).toDF("id"), dir)
+    assert(v3 == 3L)
+    assert(SnapshotTable.gcOrphans(dir, olderThanMs = -1L).isEmpty)
+    assert(SnapshotTable.versions(dir) == Seq(1L, 2L, 3L))
+    // post-log debris above the floor still reclaims
+    SnapshotTable.commitToBranch(spark.range(8).toDF("id"), dir, "tmp",
+      expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    SnapshotTable.dropBranch(dir, "tmp")
+    assert(SnapshotTable.gcOrphans(dir, olderThanMs = -1L) == Seq(4L))
+  }
+
   test("gcOrphans: no publish log means no GC; chains protect bases") {
     // pre-log table: version dirs with a hand-written pointer
     val dir = freshDir()
@@ -851,9 +873,11 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.readWhereInFrom(spark, dir, v, "k", dim, maxKeys = 1)
     }
-    intercept[IllegalArgumentException] {
-      SnapshotTable.readWhereInFrom(spark, dir, v, "k", dim.filter($"k" < 0))
-    }
+    // an empty dim side is a valid query: zero rows, zero files opened
+    val none = SnapshotTable.readWhereInFrom(spark, dir, v, "k",
+      dim.filter($"k" < 0))
+    assert(none.isEmpty && none.schema == got.schema)
+    assert(none.inputFiles.isEmpty)
   }
 
   test("manifestChain composes generations; delete commits are loud") {
