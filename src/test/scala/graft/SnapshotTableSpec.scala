@@ -1105,6 +1105,37 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("two racing appends: one wins, the loser retries onto the new tip") {
+    // the ingest-contention shape: both writers read the same tip and
+    // race commitAppend. Exactly one CAS wins; the loser re-reads and
+    // lands its delta ON TOP of the winner's — both batches exactly
+    // once, never merged into one version, never lost.
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(spark.range(10).toDF("k"), dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = (0 until 2).map { i =>
+      Future {
+        val delta = spark.range(100L * (i + 1), 100L * (i + 1) + 5).toDF("k")
+        try Right(SnapshotTable.commitAppend(delta, dir, expectedVersion = v1))
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            val tip = SnapshotTable.currentVersion(dir).get
+            Left(SnapshotTable.commitAppend(delta, dir, expectedVersion = tip))
+        }
+      }
+    }
+    val results = Await.result(Future.sequence(attempts), 120.seconds).toList
+    assert(results.count(_.isRight) == 1 && results.count(_.isLeft) == 1,
+      s"exactly one append must win the CAS outright: $results")
+    val tip = SnapshotTable.currentVersion(dir).get
+    assert(SnapshotTable.chainOf(dir, tip).length == 3)
+    assert(SnapshotTable.read(spark, dir).count() == 20)
+    assert(SnapshotTable.read(spark, dir)
+      .filter($"k" >= 100L).count() == 10, "a racing batch was lost")
+  }
+
   test("expire keeps an unpublished branch head and its chain") {
     val dir = freshDir()
     val v1 = SnapshotTable.commit(spark.range(4).toDF("id"), dir)
