@@ -234,6 +234,15 @@ object SnapshotTable {
   private def stagedPath(dir: String) = java.nio.file.Paths.get(dir,
     s".staged-${java.util.UUID.randomUUID().toString.take(12)}")
 
+  /** The deliberate failure [[commitUpsert]]'s `crashBeforePublish`
+    * raises — thrown with every upsert artifact staged but NOTHING
+    * published, the exact window that used to sit between the legacy
+    * two-commit merge's delete and append steps. The
+    * `snapshot_mor_upsert_atomic` gate injects it to prove no reader
+    * can ever observe a deletes-applied/batch-missing state.
+    */
+  final class InjectedCrash(msg: String) extends RuntimeException(msg)
+
   /** Stage `df`'s data plus every requested sidecar (stats, blooms,
     * commit metadata) into a fresh writer-unique directory — the
     * shared write half of all four commit flavors (main, branch,
@@ -282,6 +291,9 @@ object SnapshotTable {
     * the staged directory to the next free `v<N>` name and return N.
     */
   private def claimVersion(dir: String, staged: java.nio.file.Path): Long = {
+    // the log's creation marker must exist BEFORE this claim lands on
+    // disk, so the pre-log floor never shields post-log versions
+    ensureLog(dir)
     var next = (versions(dir) :+ 0L).max + 1
     var claimed = false
     while (!claimed) {
@@ -358,6 +370,32 @@ object SnapshotTable {
   private def publishLog(dir: String) =
     java.nio.file.Paths.get(dir, "publishes.log")
 
+  /** The reserved ref of the log's CREATION MARKER: the first line of a
+    * fresh publish log records `v<max-version-on-disk-at-creation>`, so
+    * the pre-log floor [[gcOrphans]] must respect is EXPLICIT instead of
+    * inferred from the minimum published version (the inference
+    * permanently shielded any CAS loser claimed at or below the first
+    * logged publish — e.g. two writers racing on an empty table left the
+    * loser's v1 unreclaimable forever). Written by the first claim under
+    * a dir ([[claimVersion]] calls [[ensureLog]] BEFORE the claim-rename
+    * lands), so on a brand-new table the floor is v0 — nothing shielded
+    * — and on a legacy pre-log table it is exactly the pre-log history.
+    */
+  val LogCreatedRef: String = "_log_created"
+
+  private def ensureLog(dir: String): Unit = {
+    val p = publishLog(dir)
+    if (!java.nio.file.Files.exists(p)) {
+      val floor = (versions(dir) :+ 0L).max
+      // CREATE+APPEND: two racing creators both append a marker line —
+      // duplicates fold to the same floor reading (collectFirst)
+      java.nio.file.Files.writeString(p,
+        s"v$floor\t$LogCreatedRef\t${System.currentTimeMillis()}\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
   private def logPublish(dir: String, version: Long, ref: String): Unit =
     java.nio.file.Files.writeString(publishLog(dir),
       s"v$version\t$ref\t${System.currentTimeMillis()}\n",
@@ -384,10 +422,22 @@ object SnapshotTable {
 
   /** version → the refs that have EVER named it (empty for a table
     * that predates the log — [[gcOrphans]] then removes nothing, the
-    * conservative reading).
+    * conservative reading). The creation marker is bookkeeping, not a
+    * publish — excluded here.
     */
   def publishedRefs(dir: String): Map[Long, Set[String]] =
-    publishEvents(dir).groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    publishEvents(dir).filter(_._2 != LogCreatedRef)
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+
+  /** The pre-log floor: versions at or below it predate the publish log
+    * (or were in flight when it was created) and carry no provenance —
+    * [[gcOrphans]] keeps them all. Explicit from the creation marker
+    * when present; inferred from the minimum published version on
+    * legacy logs written before the marker existed.
+    */
+  private def preLogFloor(dir: String, pubs: Map[Long, Set[String]]): Long =
+    publishEvents(dir).collectFirst { case (v, LogCreatedRef, _) => v }
+      .getOrElse(pubs.keySet.min)
 
   /** Every version any ref has ever published. */
   def publishedVersions(dir: String): Set[Long] = publishedRefs(dir).keySet
@@ -400,13 +450,81 @@ object SnapshotTable {
     * production readers saw, not a WAP candidate. Loud when the table
     * had no publish yet at `tsMs` and on pre-log tables (no
     * provenance, no timestamp travel — pin a version instead).
+    *
+    * Crash-window reconciliation: the flip logs BEFORE it moves the
+    * pointer (the conservative direction — see [[flipPointer]]), so a
+    * writer that died between the two leaves a TRAILING logged version
+    * the pointer never reached. Any logged version above the live
+    * pointer is therefore unreachable-or-in-flight and is ignored here
+    * — as-of never resolves a version no main reader could have seen
+    * through the pointer's own monotonic history. The one residual
+    * caveat (documented, not detectable from the log alone): a version
+    * logged mid-crash and later OVERTAKEN by a higher publish stays in
+    * the log and resolves for timestamps inside that crash window;
+    * that read is still a complete committed snapshot, just one the
+    * pointer skipped.
     */
   def versionAsOf(dir: String, tsMs: Long): Long = {
-    val evs = publishEvents(dir).filter(e => e._2 == "current" && e._3 <= tsMs)
+    val live = currentVersion(dir)
+    val evs = publishEvents(dir).filter(e =>
+      e._2 == "current" && e._3 <= tsMs && live.exists(e._1 <= _))
     require(evs.nonEmpty,
       s"no main publish at or before ts=$tsMs on $dir — the table did " +
         "not exist yet, or predates the publish log (use readAt)")
     evs.map(_._1).max
+  }
+
+  /** [[versionAsOf]] for a BRANCH: the version the branch ref showed at
+    * `tsMs` — the audit-trail read "what was the WAP candidate when the
+    * Tuesday audit ran". Same publish-log provenance, same trailing
+    * crash-window reconciliation against the branch's live pointer,
+    * same loud error when the branch had no publish yet at `tsMs`.
+    */
+  def branchVersionAsOf(dir: String, name: String, tsMs: Long): Long = {
+    refPtr(dir, name) // validate the name (and reserve 'current') first
+    val live = branchVersion(dir, name)
+    val evs = publishEvents(dir).filter(e =>
+      e._2 == name && e._3 <= tsMs && live.exists(e._1 <= _))
+    require(evs.nonEmpty,
+      s"no publish to branch '$name' at or before ts=$tsMs on $dir — " +
+        "the branch did not exist yet, or predates the publish log")
+    evs.map(_._1).max
+  }
+
+  /** [[readAt]] of [[branchVersionAsOf]] — branch-level time travel. */
+  def readBranchAsOf(spark: SparkSession, dir: String, name: String,
+      tsMs: Long): DataFrame =
+    readAt(spark, dir, branchVersionAsOf(dir, name, tsMs))
+
+  /** The publish log AS A TABLE — the lake's own audit trail surfaced
+    * to SQL the way [[manifest]] surfaces file stats: one row per
+    * publish event `(version, ref, ts_ms)`, read DISTRIBUTED straight
+    * off the TSV (FAILFAST, so a corrupt line is as loud here as in
+    * [[publishEvents]]'s driver parse), never a driver loop — a
+    * long-lived ingest table's log is one line per commit, and
+    * provenance questions ("who published v N", "how many publishes
+    * per day", "which versions only ever lived on a branch") become
+    * plain DataFrame queries. Includes the [[LogCreatedRef]] marker
+    * line; filter on `ref` for publishes only. Loud on a table with no
+    * log (no provenance to query).
+    */
+  def publishesTable(spark: SparkSession, dir: String): DataFrame = {
+    val p = publishLog(dir)
+    require(java.nio.file.Files.exists(p),
+      s"no publish log under $dir — the table predates the log or has " +
+        "never committed")
+    import org.apache.spark.sql.types._
+    spark.read
+      .option("sep", "\t").option("mode", "FAILFAST")
+      .schema(StructType(Seq(
+        StructField("version_str", StringType, nullable = false),
+        StructField("ref", StringType, nullable = false),
+        StructField("ts_ms", LongType, nullable = false))))
+      .csv(p.toString)
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          col("version_str"), "^v(\\d+)$", 1).cast("long").as("version"),
+        col("ref"), col("ts_ms"))
   }
 
   /** [[readAt]] of [[versionAsOf]] — reproducible "the table as the
@@ -723,6 +841,10 @@ object SnapshotTable {
     checkExpected(dir, Some(expectedVersion), detail = "")
     val staged = stageData(delta, dir, partitionCols, statsCols, bloomCols,
       bloomExpectedItems, meta)
+    // fold the ancestors' manifests forward so chain reads stay O(1)
+    // at any depth (no-op on stats-less commits/ancestry)
+    if (statsCols.nonEmpty)
+      writeChainManifestFold(delta.sparkSession, staged, dir, expectedVersion)
     // chain marker LAST (stageData's sidecar builders re-read the
     // staged dir and must see only the delta's data files)
     java.nio.file.Files.writeString(staged.resolve("_append"),
@@ -759,6 +881,10 @@ object SnapshotTable {
         s"commitRebase: v$v in the rebase window of $dir is a merge-on-" +
           "read delete commit — its tombstones apply to the base too; " +
           "run a full compaction (transact) instead")
+      require(!isUpsert(dir, v),
+        s"commitRebase: v$v in the rebase window of $dir is an upsert " +
+          "commit — folding it away would resurrect the base rows its " +
+          "tombstones replaced; run a full compaction (transact) instead")
       v = appendBaseOf(dir, v).getOrElse(throw new IllegalArgumentException(
         s"v$baseVersion is not an append-ancestor of v$expectedVersion " +
           s"in $dir (chain breaks at v$v)"))
@@ -778,6 +904,8 @@ object SnapshotTable {
     checkExpected(dir, Some(expectedVersion), detail = "")
     val staged = stageData(delta, dir, partitionCols, statsCols, bloomCols,
       bloomExpectedItems, meta)
+    if (statsCols.nonEmpty)
+      writeChainManifestFold(delta.sparkSession, staged, dir, baseVersion)
     java.nio.file.Files.writeString(staged.resolve("_append"),
       s"v$baseVersion")
     publishStaged(dir, staged, Some(expectedVersion))
@@ -798,7 +926,8 @@ object SnapshotTable {
     */
   def optimizeDeltas(spark: SparkSession, dir: String, baseVersion: Long,
       partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, allowSchemaEvolution: Boolean = false)(
+      bloomCols: Seq[String] = Nil, allowSchemaEvolution: Boolean = false,
+      raceWindow: () => Unit = () => ())(
       reshape: DataFrame => DataFrame): Long = {
     val tip = currentVersion(dir).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $dir"))
@@ -810,6 +939,10 @@ object SnapshotTable {
       require(baseOf(dir, v).isEmpty,
         s"optimizeDeltas: v$v of $dir is a merge-on-read delete commit " +
           "— run a full compaction (transact) instead")
+      require(!isUpsert(dir, v),
+        s"optimizeDeltas: v$v of $dir is an upsert commit — folding it " +
+          "away would resurrect the base rows its tombstones replaced; " +
+          "run a full compaction (transact) instead")
       gens += v
       v = appendBaseOf(dir, v).getOrElse(throw new IllegalArgumentException(
         s"v$baseVersion is not an append-ancestor of the tip v$tip of $dir"))
@@ -819,16 +952,23 @@ object SnapshotTable {
     // to differ, the spec-evolution discipline)
     val delta = gens.map(g => spark.read.parquet(s"$dir/v$g"))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    // fold the generations' metadata forward: a numeric "epoch" folds
-    // as MAX (the ingest-dedup high-water mark must survive the
-    // optimize — a replayed old batch afterwards must still skip);
-    // any other key takes the newest generation's value
+    // fold the generations' metadata forward: the numeric exactly-once
+    // markers — "epoch" and every per-writer "txn.<id>" — fold as MAX
+    // (each high-water mark must survive the optimize, or a replayed
+    // old batch afterwards would re-append); any other key takes the
+    // newest generation's value
     val metas = gens.map(g => readMeta(dir, g)) // tip-first
     val merged0 = metas.reverse.foldLeft(Map.empty[String, String])(_ ++ _)
-    val epochs = metas.flatMap(_.get("epoch")).map(_.toLong)
-    val merged =
-      if (epochs.isEmpty) merged0
-      else merged0 + ("epoch" -> epochs.max.toString)
+    val hwmKeys = metas.flatMap(_.keys)
+      .filter(k => k == "epoch" || k.startsWith("txn.")).distinct
+    val merged = merged0 ++ hwmKeys.map { k =>
+      k -> metas.flatMap(_.get(k)).map(_.toLong).max.toString
+    }
+    // deterministic interleave hook for the contention gate: a racing
+    // append landing HERE (after the fold read the tip, before the
+    // rebase commits) must CAS-fail the rebase loudly — the caller
+    // re-reads and retries, and the racer's delta is never lost
+    raceWindow()
     commitRebase(reshape(delta), dir, expectedVersion = tip,
       baseVersion = baseVersion, partitionCols = partitionCols,
       statsCols = statsCols, bloomCols = bloomCols, meta = merged,
@@ -892,6 +1032,84 @@ object SnapshotTable {
     publishStaged(dir, staged, Some(expectedVersion))
   }
 
+  /** Whether `version` is a merge (UPSERT) commit: an append-chain
+    * generation that ALSO carries a `_deletes/` tombstone set against
+    * its base — [[commitUpsert]]'s shape. Its tombstones apply to the
+    * base generations' rows, so it can never be folded away by a
+    * rebase/optimize (that would resurrect the replaced rows) and its
+    * chain's manifests cannot answer counts.
+    */
+  def isUpsert(dir: String, version: Long): Boolean =
+    appendBaseOf(dir, version).isDefined &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"v$version", "_deletes"))
+
+  /** ATOMIC merge-on-read UPSERT (MERGE INTO): publish ONE version that
+    * is the base MINUS the batch's keys PLUS the batch's rows — the
+    * tombstone set (`_deletes/`, the batch's distinct `keyCols`), the
+    * batch's data files, and the `_append` chain marker all land in one
+    * staged directory and publish through one claim-rename + one
+    * pointer flip. A reader at ANY version therefore sees either the
+    * pre-merge or the post-merge state; the deletes-applied/batch-
+    * missing intermediate that a commitDeletes-then-commitAppend
+    * sequence exposes (a crash between the two publishes a table with
+    * matched keys erased and their replacements absent — reader-visible
+    * data loss) is unrepresentable by construction. Cost is
+    * batch-proportional: tombstone keys + batch rows, never a rewrite —
+    * the MERGE a 100 TB table can afford per micro-batch.
+    *
+    * [[readAt]] resolves the generation as
+    * `(base ∖ tombstone-keys) ∪ batch`; the anti-join applies BEFORE
+    * this generation's own files union in, so the batch replaces, never
+    * deletes, itself. `expectedVersion` is MANDATORY (a merge is always
+    * a read-modify-write); the batch must carry exactly the base
+    * schema (a merge is not an evolution vehicle — widen with
+    * [[commitAppend]] first). Layout params sidecar ONLY the batch's
+    * files, like any append generation.
+    *
+    * `crashBeforePublish` is deterministic fault injection for the
+    * atomicity gate: it raises [[InjectedCrash]] AFTER everything is
+    * staged and BEFORE the claim-rename — the staged directory stays
+    * behind as ordinary crash debris ([[expire]]'s gcStaged sweeps it)
+    * and no reader observes anything.
+    */
+  def commitUpsert(batch: DataFrame, keyCols: Seq[String], dir: String,
+      expectedVersion: Long,
+      partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = DefaultBloomExpectedItems,
+      meta: Map[String, String] = Map.empty,
+      crashBeforePublish: Boolean = false): Long = {
+    require(expectedVersion >= 1,
+      s"commitUpsert needs a committed base version, got v$expectedVersion")
+    require(keyCols.nonEmpty, "commitUpsert needs at least one key column")
+    val missing = keyCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"upsert key column(s) ${missing.mkString(", ")} not in the batch " +
+        s"(${batch.columns.mkString(", ")})")
+    val baseCols = readAt(batch.sparkSession, dir, expectedVersion)
+      .schema.fieldNames.toSet
+    require(batch.columns.toSet == baseCols,
+      s"upsert batch schema must match the base read: batch has " +
+        s"${(batch.columns.toSet -- baseCols).mkString(", ")} extra / " +
+        s"${(baseCols -- batch.columns.toSet).mkString(", ")} missing vs " +
+        s"$dir v$expectedVersion")
+    checkExpected(dir, Some(expectedVersion), detail = "")
+    val staged = stageData(batch, dir, partitionCols, statsCols, bloomCols,
+      bloomExpectedItems, meta)
+    // tombstones + chain marker LAST (stageData's sidecar builders
+    // re-read the staged dir and must see only the batch's data files;
+    // underscore prefixes keep both invisible to data readers)
+    batch.select(keyCols.map(col): _*).distinct()
+      .write.mode("errorifexists").parquet(staged.resolve("_deletes").toString)
+    java.nio.file.Files.writeString(staged.resolve("_append"),
+      s"v$expectedVersion")
+    if (crashBeforePublish)
+      throw new InjectedCrash(
+        s"injected crash: upsert fully staged at $staged, nothing published")
+    publishStaged(dir, staged, Some(expectedVersion))
+  }
+
   // ------------------------------------------------------------- reads
 
   /** Read the current snapshot (the version `current` named at call
@@ -921,14 +1139,23 @@ object SnapshotTable {
       case None => appendBaseOf(dir, version) match {
         case None => spark.read.parquet(s"$dir/v$version")
         case Some(b) =>
+          // an UPSERT generation carries tombstones against its base:
+          // anti-join them BEFORE this generation's own files union in,
+          // so the batch replaces (never deletes) itself — the
+          // single-commit MERGE read shape
+          val base0 = readAt(spark, dir, b)
+          val base =
+            if (isUpsert(dir, version)) {
+              val dels = spark.read.parquet(s"$dir/v$version/_deletes")
+              base0.join(dels, dels.columns.toSeq, "left_anti")
+            } else base0
           // allowMissingColumns: an evolved append generation's new
           // columns surface as NULL on older generations' rows (and
           // vice versa) — commit-time checks already guarded against
           // ACCIDENTAL drift, so by read time a difference is a
           // deliberate evolution
-          readAt(spark, dir, b)
-            .unionByName(spark.read.parquet(s"$dir/v$version"),
-              allowMissingColumns = true)
+          base.unionByName(spark.read.parquet(s"$dir/v$version"),
+            allowMissingColumns = true)
       }
     }
 
@@ -1300,12 +1527,52 @@ object SnapshotTable {
     require(baseOf(dir, version).isEmpty,
       s"manifestChain: v$version of $dir is a merge-on-read delete " +
         "commit whose tombstones invalidate file stats — compact first")
+    require(!isUpsert(dir, version),
+      s"manifestChain: v$version of $dir is an upsert commit whose " +
+        "tombstones invalidate ancestor file stats — compact first")
     val own = manifestOwn(spark, dir, version)
       .withColumn("generation", lit(version))
     appendBaseOf(dir, version) match {
       case None => own
-      case Some(b) => manifestChain(spark, dir, b).unionByName(own)
+      case Some(b) =>
+        // prefer the FOLDED ancestor manifest this generation committed
+        // (`_manifest_chain/`, written by commitAppend/commitRebase):
+        // the whole chain answers from TWO parquet reads — this
+        // version's fold + this version's own manifest — however many
+        // generations deep the ingest ran. A 10³-commit streaming
+        // table would otherwise pay 10³ recursive reads per pruning
+        // decision. Generations without a fold (pre-fold commits,
+        // stats-less ancestors) fall back to the recursive walk.
+        val folded = java.nio.file.Paths.get(dir, s"v$version",
+          "_manifest_chain")
+        if (java.nio.file.Files.exists(folded))
+          spark.read.parquet(folded.toString).unionByName(own)
+        else manifestChain(spark, dir, b).unionByName(own)
     }
+  }
+
+  /** Fold the base chain's manifest into the staged directory as
+    * `_manifest_chain/` — the manifest-list compaction every real
+    * format performs (Iceberg's manifest list, Delta's checkpoint):
+    * each append carries a one-file snapshot of its ANCESTORS' (file,
+    * column) stats with their generation ids, so [[manifestChain]] is
+    * O(1) parquet reads at any chain depth. Written only when this
+    * commit gathers stats itself AND the ancestor chain can produce a
+    * manifest (all generations stats-carrying, no delete/upsert
+    * tombstones) — otherwise the read side's recursive walk remains
+    * the (correct, slower) path. Cost: the fold is file-count-bounded
+    * metadata, one coalesced write per commit — the same order as any
+    * format's manifest-list rewrite.
+    */
+  private def writeChainManifestFold(spark: SparkSession,
+      staged: java.nio.file.Path, dir: String, baseVersion: Long): Unit = {
+    val chain =
+      try Some(manifestChain(spark, dir, baseVersion))
+      catch { case _: IllegalArgumentException | _: IllegalStateException =>
+        None // stats-less or tombstoned ancestry: recursion stays the path
+      }
+    chain.foreach(_.coalesce(1).write.mode("errorifexists")
+      .parquet(staged.resolve("_manifest_chain").toString))
   }
 
   /** One generation's manifest frame, chain checks already done. */
@@ -1424,21 +1691,40 @@ object SnapshotTable {
     * skipping path.
     */
   def readWhereIn(spark: SparkSession, dir: String, version: Long,
+      column: String, keys: Seq[Any]): DataFrame =
+    prunedInScan(spark, dir, version, column, keys)
+      .filter(col(column).isin(keys: _*))
+
+  /** The bloom-pruned chain scan WITHOUT the residual row filter —
+    * shared by [[readWhereIn]] (which adds an IN literal, parquet-
+    * pushable for bounded key lists) and [[readWhereInFrom]]'s
+    * large-key path (which adds a broadcast semi-join instead, because
+    * a Catalyst IN over tens of thousands of literals bloats the
+    * expression tree and codegen).
+    */
+  private def prunedInScan(spark: SparkSession, dir: String, version: Long,
       column: String, keys: Seq[Any]): DataFrame = baseOf(dir, version) match {
     case Some(b) =>
       val dels = spark.read.parquet(s"$dir/v$version/_deletes")
-      readWhereIn(spark, dir, b, column, keys)
+      prunedInScan(spark, dir, b, column, keys)
         .join(dels, dels.columns.toSeq, "left_anti")
     case None =>
       val (files, _) = pruneFilesBloom(spark, dir, version, column, keys)
       val vdir = s"$dir/v$version"
-      val base =
-        if (files.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            spark.read.parquet(vdir).schema)
-        else spark.read.option("basePath", vdir).parquet(files: _*)
-      base.filter(col(column).isin(keys: _*))
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(vdir).schema)
+      else spark.read.option("basePath", vdir).parquet(files: _*)
   }
+
+  /** Past this many keys the residual filter becomes a broadcast
+    * semi-join on a local relation instead of an IN literal list — an
+    * IN with tens of thousands of literals bloats the Catalyst tree
+    * and the generated code, while a broadcast hash semi-join costs
+    * one small build side. Below it the IN wins (it pushes into the
+    * parquet row-group filters).
+    */
+  val InlineInLiteralMax: Int = 1024
 
   /** DYNAMIC file pruning — [[readWhereIn]] whose key set comes from a
     * DIMENSION-SIDE frame at runtime instead of from literals: the
@@ -1448,13 +1734,19 @@ object SnapshotTable {
     * broadcast Spark's own dynamic partition pruning performs on its
     * dim side — `maxKeys` bounds it LOUDLY: a dim side too big to
     * collect is too big to bloom-probe per key, and the caller should
-    * fall back to a plain shuffle join) and probed against the fact
-    * version's per-file blooms, so the fact side opens ~the files that
-    * hold matching keys. The row-level IN filter still applies — the
-    * answer is byte-identical to the full-scan semi-join.
+    * fall back to a plain shuffle join; the default matches
+    * broadcast-side DPP scale, NOT the biggest list the driver could
+    * physically hold) and probed against the fact version's per-file
+    * blooms, so the fact side opens ~the files that hold matching
+    * keys. The residual row filter is an IN literal up to
+    * [[InlineInLiteralMax]] keys (parquet-pushable) and a broadcast
+    * semi-join on a LOCAL relation above it (a 10⁴-literal IN bloats
+    * the Catalyst tree and codegen; the semi-join costs one small
+    * build side) — either way the answer is byte-identical to the
+    * full-scan semi-join.
     */
   def readWhereInFrom(spark: SparkSession, dir: String, version: Long,
-      column: String, keysDf: DataFrame, maxKeys: Int = 1 << 20): DataFrame = {
+      column: String, keysDf: DataFrame, maxKeys: Int = 1 << 16): DataFrame = {
     require(keysDf.columns.length == 1,
       s"readWhereInFrom wants a single-column key frame, got " +
         s"(${keysDf.columns.mkString(", ")}) — select the join key")
@@ -1470,7 +1762,24 @@ object SnapshotTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         readAt(spark, dir, version).schema)
-    else readWhereIn(spark, dir, version, column, keys)
+    else if (keys.size <= InlineInLiteralMax)
+      readWhereIn(spark, dir, version, column, keys)
+    else {
+      // large key set: residual as a broadcast LEFT SEMI against a
+      // local relation of the already-collected keys (no file leaves,
+      // no re-read of the dim side). Null keys never match under
+      // either form — IN and the equi-semi-join are both null-rejecting
+      // — so the answers coincide.
+      import scala.jdk.CollectionConverters._
+      val keyField = keysDf.schema.fields.head
+      val local = spark.createDataFrame(
+        keys.filter(_ != null).map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(
+          Seq(keyField.copy(name = column))))
+      prunedInScan(spark, dir, version, column, keys)
+        .join(org.apache.spark.sql.functions.broadcast(local),
+          Seq(column), "left_semi")
+    }
   }
 
   /** File-skipping decision for `column BETWEEN lo AND hi` on a stats-
@@ -1788,15 +2097,14 @@ object SnapshotTable {
         reach(v)
     }
     // pre-log history is indistinguishable from pre-log debris — keep
-    // it ALL. Every version claimed after the log existed is numbered
-    // above every pre-log version (claims take max-on-disk + 1), so
-    // "below the oldest logged version" is exactly "predates the log";
-    // without this floor, ONE post-upgrade commit would expose a
-    // legacy table's whole published history to GC.
-    val preLogFloor = pubs.keySet.min
+    // it ALL. The floor is the creation marker's recorded max version
+    // (explicit: a fresh table's floor is v0, so a CAS loser claimed on
+    // an empty table IS reclaimable); legacy logs without the marker
+    // fall back to the min-published inference, which errs conservative.
+    val floor = preLogFloor(dir, pubs)
     val now = System.currentTimeMillis()
     val orphans = versions(dir).filter { v =>
-      v > preLogFloor && !keep.contains(v) &&
+      v > floor && !keep.contains(v) &&
         now - new java.io.File(dir, s"v$v").lastModified() > olderThanMs
     }
     orphans.foreach(v => deleteTree(s"$dir/v$v"))

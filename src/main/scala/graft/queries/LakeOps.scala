@@ -1251,37 +1251,45 @@ object LakeOps {
        |FROM orders""".stripMargin
   }
 
-  /** Cross-generation METADATA-ONLY answering — what
-    * [[snapshotManifestStats]] proves for one generation,
-    * [[SnapshotTable.manifestChain]] extends to an APPEND CHAIN: each
-    * generation's committed `_manifest` parquet table unions with a
-    * `generation` column, so count(*)/min/max over a table built from
-    * a year of ingest batches is still a fold over file-count-bounded
-    * metadata — ZERO data files opened, which the gate proves with the
-    * same loud input-file require, plus a require that BOTH
-    * generations contributed manifest rows (a chain answer faked from
-    * one generation's sidecar is exactly what [[SnapshotTable.manifest]]
-    * refuses). The oracle recomputes the aggregates by scanning the
-    * source table in DuckDB — manifest-derived ≡ data-derived across
-    * the whole chain.
+  /** Cross-generation METADATA-ONLY answering at LONG-CHAIN depth —
+    * what [[snapshotManifestStats]] proves for one generation,
+    * [[SnapshotTable.manifestChain]] extends to an append chain, and
+    * the `_manifest_chain/` FOLD keeps O(1) however deep the chain
+    * grows: each append commits a one-file snapshot of its ancestors'
+    * manifests (the Iceberg manifest-list / Delta checkpoint move), so
+    * a pruning decision over a table built from 10³ streaming commits
+    * is TWO parquet reads — the tip's fold plus the tip's own manifest
+    * — not one recursive read per generation. The gate drives a
+    * 33-generation ingest chain and requires, loudly: the chain answer
+    * plans EXACTLY two scans, every input file lives under the TIP's
+    * version directory (the recursive walk would read all 33), only
+    * `_manifest`/`_manifest_chain` tables are touched (zero data
+    * files), and all 33 generations contribute rows. The oracle
+    * recomputes the aggregates by scanning the source table in DuckDB
+    * — manifest-derived ≡ data-derived across the whole chain.
     */
   private def snapshotChainManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = lakeBase(dir, "chainmanifest")
     SnapshotTable.deleteTree(base)
+    val Gens = 33
     val orders = Tables.orders(s, dir)
       .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
-    val v1 = SnapshotTable.commit(
-      orders.filter(pmod($"o_orderkey", lit(2)) === 0)
-        .repartition(4, pmod($"o_orderkey", lit(4))),
+    // a long-lived ingest: seed + 32 appends, one generation per
+    // residue class (every commit coalesced to one file — the chain's
+    // DEPTH, not its width, is what this gate stresses)
+    var tip = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(Gens)) === 0).coalesce(1),
       base, expectedVersion = SnapshotTable.ExpectEmpty,
       statsCols = Seq("o_orderkey", "price_micro"))
-    val v2 = SnapshotTable.commitAppend(
-      orders.filter(pmod($"o_orderkey", lit(2)) === 1)
-        .repartition(4, pmod($"o_orderkey", lit(4))),
-      base, expectedVersion = v1,
-      statsCols = Seq("o_orderkey", "price_micro"))
-    val m = SnapshotTable.manifestChain(s, base, v2)
+    val v1 = tip
+    (1 until Gens).foreach { r =>
+      tip = SnapshotTable.commitAppend(
+        orders.filter(pmod($"o_orderkey", lit(Gens)) === r).coalesce(1),
+        base, expectedVersion = tip,
+        statsCols = Seq("o_orderkey", "price_micro"))
+    }
+    val m = SnapshotTable.manifestChain(s, base, tip)
     val answer = m.agg(
         sum(when($"column" === "o_orderkey", $"row_count")).as("n_rows"),
         min(when($"column" === "o_orderkey", $"min_num")).cast("long").as("min_key"),
@@ -1292,13 +1300,26 @@ object LakeOps {
       .select($"n_rows", $"min_key", $"max_key", $"n_generations",
         Exact.microSumTo4dp("pmin").as("min_price"),
         Exact.microSumTo4dp("pmax").as("max_price"))
+    val scans = answer.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    require(scans.size == 2,
+      s"a $Gens-generation chain answer must plan exactly TWO manifest " +
+        s"scans (tip fold + tip own), got ${scans.size} — the fold " +
+        "regressed to the recursive walk")
     require(answer.inputFiles.nonEmpty &&
-      answer.inputFiles.forall(_.contains("/_manifest/")),
+      answer.inputFiles.forall(_.contains(s"/v$tip/")),
+      s"every manifest read must come from the tip's own directory " +
+        s"(v$tip); the plan reads ${answer.inputFiles.mkString(", ")}")
+    require(answer.inputFiles.forall(f =>
+      f.contains("/_manifest/") || f.contains("/_manifest_chain/")),
       s"cross-generation metadata answering must read only manifest " +
         s"tables; the plan reads ${answer.inputFiles.mkString(", ")}")
-    require(answer.inputFiles.exists(_.contains(s"/v$v1/")) &&
-      answer.inputFiles.exists(_.contains(s"/v$v2/")),
-      "both generations must contribute manifest rows")
+    // the fold must not have dropped or invented a generation
+    val gens = m.select($"generation").distinct().as[Long].collect().sorted
+    require(gens.length == Gens && gens.head == v1 && gens.last == tip,
+      s"expected all $Gens generations in the folded manifest, got " +
+        s"${gens.length} (${gens.take(5).mkString(",")}…)")
     answer
   }
 
@@ -1306,7 +1327,7 @@ object LakeOps {
     val p = Exact.microSql("o_totalprice")
     s"""SELECT count(*) AS n_rows,
        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-       |  CAST(2 AS BIGINT) AS n_generations,
+       |  CAST(33 AS BIGINT) AS n_generations,
        |  ${Exact.microSumTo4dpSql(s"min($p)", Exact.DuckDiv)} AS min_price,
        |  ${Exact.microSumTo4dpSql(s"max($p)", Exact.DuckDiv)} AS max_price
        |FROM orders""".stripMargin
@@ -1361,6 +1382,90 @@ object LakeOps {
        |SELECT 'before_v2' AS epoch, count(*) AS n_rows,
        |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
        |    AS sum_price
+       |FROM orders WHERE o_orderkey % 2 = 0
+       |ORDER BY epoch""".stripMargin
+  }
+
+  /** BRANCH-level time travel + the audit trail AS A TABLE — the two
+    * provenance reads the separate branch/WAP/as-of gates never
+    * compose: "what was the WAP candidate when the Tuesday audit ran"
+    * ([[SnapshotTable.branchVersionAsOf]] resolves a BRANCH ref's
+    * history from the same publish log main's as-of uses) and "query
+    * the lake's own publish history like any other table"
+    * ([[SnapshotTable.publishesTable]] reads `publishes.log`
+    * distributed, FAILFAST — the manifest-as-table treatment applied
+    * to the transaction log itself). The gate publishes two candidate
+    * generations to a branch across a strict ms boundary, requires
+    * both sides of the boundary resolve loudly, requires main's as-of
+    * is UNAFFECTED by branch publishes (the isolation half), and
+    * derives the per-ref publish counts in the answer from the audit
+    * TABLE — so the oracle match pins branch history, main isolation,
+    * and the log's table surface in one gate.
+    */
+  private def snapshotBranchAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "branchasof")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(orders, base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    // candidate 1: evens only; candidate 2: the full corrected table
+    val b1 = SnapshotTable.commitToBranch(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+        .withColumn("price_micro", $"price_micro" * 2),
+      base, "audit", expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    val t1 = SnapshotTable.publishEvents(base)
+      .filter(e => e._1 == b1 && e._2 == "audit").head._3
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    val b2 = SnapshotTable.commitToBranch(
+      orders.withColumn("price_micro",
+        when(pmod($"o_orderkey", lit(2)) === 0, $"price_micro" * 2)
+          .otherwise($"price_micro")),
+      base, "audit", expectedBranchVersion = Some(b1))
+    val t2 = SnapshotTable.publishEvents(base)
+      .filter(e => e._1 == b2 && e._2 == "audit").head._3
+    require(SnapshotTable.branchVersionAsOf(base, "audit", t2 - 1) == b1 &&
+      SnapshotTable.branchVersionAsOf(base, "audit", t2) == b2,
+      "branch as-of must resolve b1 strictly before b2's publish and b2 at it")
+    // isolation: main's as-of never resolves a branch publish
+    require(SnapshotTable.versionAsOf(base, t2) == v1,
+      s"main as-of leaked a branch publish: resolved " +
+        s"v${SnapshotTable.versionAsOf(base, t2)}, main is at v$v1")
+    // the audit trail as a TABLE: per-ref publish counts, derived with
+    // a plain DataFrame query over the log — these feed the ANSWER, so
+    // the oracle match pins the table surface too
+    val audit = SnapshotTable.publishesTable(s, base)
+      .filter($"ref" =!= SnapshotTable.LogCreatedRef)
+      .groupBy($"ref").agg(count(lit(1)).as("n_publishes"))
+      .as[(String, Long)].collect().toMap
+    require(audit == Map("current" -> 1L, "audit" -> 2L),
+      s"the publish log table must show 1 main + 2 branch publishes: $audit")
+    Seq(("before_b2", t2 - 1), ("at_b2", t2)).map { case (tag, ts) =>
+      SnapshotTable.readBranchAsOf(s, base, "audit", ts)
+        .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+        .select(lit(tag).as("epoch"), $"n_rows",
+          Exact.microSumTo4dp("s_micro").as("sum_price"),
+          lit(audit("audit")).as("n_branch_publishes"),
+          lit(audit("current")).as("n_main_publishes"))
+    }.reduce(_ unionByName _).orderBy($"epoch")
+  }
+
+  private val snapshotBranchAsofOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT 'at_b2' AS epoch, count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(
+          s"CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 2 * $p ELSE $p END) " +
+            "AS BIGINT)", Exact.DuckDiv)} AS sum_price,
+       |  CAST(2 AS BIGINT) AS n_branch_publishes,
+       |  CAST(1 AS BIGINT) AS n_main_publishes
+       |FROM orders
+       |UNION ALL
+       |SELECT 'before_b2' AS epoch, count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(
+          s"CAST(sum(2 * $p) AS BIGINT)", Exact.DuckDiv)} AS sum_price,
+       |  CAST(2 AS BIGINT) AS n_branch_publishes,
+       |  CAST(1 AS BIGINT) AS n_main_publishes
        |FROM orders WHERE o_orderkey % 2 = 0
        |ORDER BY epoch""".stripMargin
   }
@@ -1466,6 +1571,96 @@ object LakeOps {
        |  AND (SELECT max(o_orderkey) ${Exact.DuckDiv} 8 FROM orders)""".stripMargin
   }
 
+  /** OPTIMIZE vs APPEND contention — the race
+    * [[snapshotIncrementalOptimize]] leaves unexercised: a streaming
+    * ingest keeps appending while the nightly optimize folds, and the
+    * fold's rebase CAS-es on the tip it READ, so a racing append must
+    * fail the optimize loudly — never be silently folded away from a
+    * stale read (lost append) and never lost to the rebase's rewrite.
+    * The gate drives the interleave deterministically through
+    * [[SnapshotTable.optimizeDeltas]]'s `raceWindow` hook (the same
+    * injected-interleave technique as the two-writer commit spec): an
+    * append lands AFTER the fold read its generations and BEFORE the
+    * rebase commits. Loud requires pin: (a) the optimize CAS-fails
+    * with ConcurrentModificationException; (b) the racer's rows
+    * survive, readable at the new tip; (c) the standard retry (re-read,
+    * re-fold — the loser's conflict loop) converges: the chain shrinks
+    * to base + ONE folded generation that now contains the racer's
+    * delta too, at delta cost (the base generation is never rewritten).
+    * The final table matches DuckDB over the full source — no loss, no
+    * double-count, under write-write contention.
+    */
+  private def snapshotOptimizeContention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "optcontention")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+        .repartitionByRange(4, $"o_orderkey"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      statsCols = Seq("o_orderkey"))
+    var tip = v1
+    Seq(1, 3).foreach { r =>
+      tip = SnapshotTable.commitAppend(
+        orders.filter(pmod($"o_orderkey", lit(6)) === r).repartition(2),
+        base, expectedVersion = tip, statsCols = Seq("o_orderkey"))
+    }
+    val racerDelta = orders.filter(pmod($"o_orderkey", lit(6)) === 5)
+      .repartition(2)
+    val nRacer = racerDelta.count()
+    // the deterministic interleave: the append lands inside the
+    // optimize's read-fold-commit window
+    var raced = false
+    val conflicted =
+      try {
+        SnapshotTable.optimizeDeltas(s, base, baseVersion = v1,
+          statsCols = Seq("o_orderkey"),
+          raceWindow = () => {
+            val racedTip = SnapshotTable.currentVersion(base).get
+            SnapshotTable.commitAppend(racerDelta, base,
+              expectedVersion = racedTip, statsCols = Seq("o_orderkey"))
+            raced = true
+          })(_.repartitionByRange(4, $"o_orderkey"))
+        false
+      } catch { case _: java.util.ConcurrentModificationException => true }
+    require(raced && conflicted,
+      "the optimize must CAS-fail when an append lands in its window " +
+        s"(raced=$raced, conflicted=$conflicted)")
+    // (b) the racer's append SURVIVED the failed optimize
+    val afterRace = SnapshotTable.read(s, base)
+    require(afterRace.filter(pmod($"o_orderkey", lit(6)) === 5).count() == nRacer,
+      "the racing append's rows were lost to the failed optimize")
+    // (c) the loser's standard retry folds everything — including the
+    // racer's delta — onto the untouched base
+    val vOpt = SnapshotTable.optimizeDeltas(s, base, baseVersion = v1,
+      statsCols = Seq("o_orderkey"))(_.repartitionByRange(4, $"o_orderkey"))
+    require(SnapshotTable.chainOf(base, vOpt) == Seq(vOpt, v1),
+      s"the retry must shrink the chain to base + one folded " +
+        s"generation: ${SnapshotTable.chainOf(base, vOpt)}")
+    val nDeltas = orders.filter(pmod($"o_orderkey", lit(2)) === 1).count()
+    val vOptRows = s.read.parquet(s"$base/v$vOpt").count()
+    require(vOptRows == nDeltas,
+      s"the retry must fold ONLY the $nDeltas delta rows (racer " +
+        s"included); v$vOpt holds $vOptRows — the base was rewritten")
+    SnapshotTable.read(s, base)
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("racer_survived"),
+        lit(true).as("retry_converged"))
+  }
+
+  private val snapshotOptimizeContentionOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS racer_survived,
+       |  true AS retry_converged
+       |FROM orders""".stripMargin
+  }
+
   /** Schema evolution MID-CHAIN — the ingest reality
     * [[schemaDriftUnion]] (which conforms retained FULL versions to
     * the live schema) does not cover: the feed grows a column halfway
@@ -1533,17 +1728,20 @@ object LakeOps {
 
   /** MERGE INTO with merge-on-read semantics — the missing write op
     * between [[snapshotMorDelete]] (erase) and the append chain
-    * (insert): an upsert batch lands as ONE tombstone commit for the
-    * matched keys plus ONE append carrying the batch's rows, so a
-    * MERGE against a 100 TB table writes batch-proportional bytes —
-    * zero data files in the delete commit, batch-row-count files in
-    * the append — where the copy-on-write join shape
-    * (`merge_upsert_orders`) would rewrite the table. The chain read
-    * resolves base ∖ matched ∪ batch; the gate requires the
-    * delta-cost evidence loudly (tombstone dir contents, append row
-    * count, three-link chain, no duplicate keys after the merge) and
-    * the merged aggregates match DuckDB recomputing the same
-    * update/insert batch from the source table.
+    * (insert): an upsert batch lands as ONE ATOMIC
+    * [[SnapshotTable.commitUpsert]] — tombstones for the matched keys
+    * AND the batch's rows in a single staged version, one claim-rename,
+    * one pointer flip — so a MERGE against a 100 TB table writes
+    * batch-proportional bytes where the copy-on-write join shape
+    * (`merge_upsert_orders`) would rewrite the table, and no crash
+    * point can ever publish the deletes without their replacements
+    * (the window [[snapshotMorUpsertAtomic]] exercises directly). The
+    * chain read resolves base ∖ matched ∪ batch; the gate requires the
+    * delta-cost evidence loudly (tombstone sidecar present, data rows
+    * = batch rows, TWO-link chain — one commit, not two, is the whole
+    * point, no duplicate keys after the merge) and the merged
+    * aggregates match DuckDB recomputing the same update/insert batch
+    * from the source table.
     */
   private def snapshotMorUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1562,20 +1760,21 @@ object LakeOps {
       .withColumn("o_orderkey", $"o_orderkey" + lit(maxKey + 1L))
     val batch = updates.unionByName(inserts)
     val nBatch = batch.count()
-    // the MOR MERGE: tombstone the matched keys, append the batch
-    val v2 = SnapshotTable.commitDeletes(
-      updates.select($"o_orderkey"), base, expectedVersion = v1)
+    // the MOR MERGE: ONE commit lands tombstones + batch together
+    val v2 = SnapshotTable.commitUpsert(batch, Seq("o_orderkey"), base,
+      expectedVersion = v1)
     val v2Top = new java.io.File(s"$base/v$v2").listFiles().map(_.getName).toSet
-    require(v2Top == Set("_base", "_deletes"),
-      s"the matched-keys tombstone must carry no data files; v$v2 has $v2Top")
-    val v3 = SnapshotTable.commitAppend(batch, base, expectedVersion = v2)
-    val v3Rows = s.read.parquet(s"$base/v$v3").count()
-    require(v3Rows == nBatch,
-      s"the merge must write ONLY the batch's $nBatch rows; v$v3 holds " +
-        s"$v3Rows — it rewrote the table")
-    require(SnapshotTable.chainOf(base, v3) == Seq(v3, v2, v1),
-      s"expected a three-link MOR chain, got ${SnapshotTable.chainOf(base, v3)}")
-    val merged = SnapshotTable.readAt(s, base, v3)
+    require(v2Top.contains("_deletes") && v2Top.contains("_append"),
+      s"the merge version must carry tombstones AND the chain marker " +
+        s"in one commit; v$v2 has $v2Top")
+    val v2Rows = s.read.parquet(s"$base/v$v2").count()
+    require(v2Rows == nBatch,
+      s"the merge must write ONLY the batch's $nBatch rows; v$v2 holds " +
+        s"$v2Rows — it rewrote the table")
+    require(SnapshotTable.chainOf(base, v2) == Seq(v2, v1),
+      s"the atomic merge is ONE commit — expected a two-link chain, " +
+        s"got ${SnapshotTable.chainOf(base, v2)}")
+    val merged = SnapshotTable.readAt(s, base, v2)
     val dupKeys = merged.groupBy($"o_orderkey").count()
       .filter($"count" > 1).count()
     require(dupKeys == 0,
@@ -1602,6 +1801,109 @@ object LakeOps {
        |  CAST((SELECT count(*) FROM t WHERE k % 7 = 3) AS BIGINT)
        |    AS n_inserted,
        |  true AS delta_proportional
+       |FROM merged""".stripMargin
+  }
+
+  /** The ATOMICITY of the merge-on-read upsert, exercised by
+    * deterministic fault injection — the crash window that made the
+    * legacy two-commit merge (tombstones in one publish, batch in the
+    * next) reader-visibly LOSSY: dying between the two published a
+    * table with the matched keys erased and their replacements absent.
+    * [[SnapshotTable.commitUpsert]] closes the window by construction
+    * (one staged directory, one claim-rename, one flip), and this gate
+    * proves it: a crash injected with everything staged but nothing
+    * published (`crashBeforePublish` — the exact point between the old
+    * steps) leaves the pointer, the version list, and the read all at
+    * the PRE-merge state, with only `.staged-*` debris behind; the
+    * retried upsert then publishes the post-merge state; and EVERY
+    * published version is checked to be one of the two — each
+    * tombstoned key is present at every version (original row before,
+    * replacement after), so the deletes-applied/batch-missing
+    * intermediate is proven unrepresentable, not just unobserved. The
+    * final aggregates match DuckDB recomputing the merge.
+    */
+  private def snapshotMorUpsertAtomic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "morupsertatomic")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val nOrders = orders.count()
+    val v1 = SnapshotTable.commit(orders, base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val maxKey = orders.agg(max($"o_orderkey")).head.getLong(0)
+    val updates = orders.filter(pmod($"o_orderkey", lit(10)) === 0)
+      .withColumn("price_micro", $"price_micro" + 5000000L)
+    val nMatched = updates.count()
+    val inserts = orders.filter(pmod($"o_orderkey", lit(7)) === 3)
+      .withColumn("o_orderkey", $"o_orderkey" + lit(maxKey + 1L))
+    val batch = updates.unionByName(inserts)
+    // the CRASH: everything staged (tombstones + batch data + chain
+    // marker), nothing published — the point that used to fall between
+    // commitDeletes and commitAppend
+    val crashed =
+      try {
+        SnapshotTable.commitUpsert(batch, Seq("o_orderkey"), base,
+          expectedVersion = v1, crashBeforePublish = true)
+        false
+      } catch { case _: SnapshotTable.InjectedCrash => true }
+    require(crashed, "the injected crash did not fire")
+    // the reader's world is untouched: pointer at v1, no new version,
+    // the full pre-merge row set — only writer-private staging debris
+    require(SnapshotTable.currentVersion(base).contains(v1) &&
+      SnapshotTable.versions(base) == Seq(v1),
+      s"the crash published state: pointer " +
+        s"${SnapshotTable.currentVersion(base)}, versions " +
+        s"${SnapshotTable.versions(base)}")
+    require(SnapshotTable.read(s, base).count() == nOrders,
+      "a reader after the crash must see the intact pre-merge table")
+    val debris = new java.io.File(base).listFiles()
+      .count(_.getName.startsWith(".staged-"))
+    require(debris == 1,
+      s"the crash must leave exactly its staged directory, found $debris")
+    // the RETRY (the caller's standard conflict/crash loop) publishes
+    // the post-merge state atomically
+    val v2 = SnapshotTable.commitUpsert(batch, Seq("o_orderkey"), base,
+      expectedVersion = v1)
+    // EVERY published version is pre-merge or post-merge: the matched
+    // keys are present at each (originals before, replacements after)
+    // — the intermediate state would have them ABSENT
+    val matchedKeys = updates.select($"o_orderkey")
+    Seq(v1 -> 0L, v2 -> nMatched).foreach { case (v, bumped) =>
+      val at = SnapshotTable.readAt(s, base, v)
+        .join(matchedKeys, Seq("o_orderkey"), "left_semi")
+      require(at.count() == nMatched,
+        s"v$v lost matched keys — the deletes-applied/batch-missing " +
+          "state leaked")
+      val nBumped = at.join(
+        orders.withColumnRenamed("price_micro", "orig_micro"),
+        Seq("o_orderkey")).filter($"price_micro" === $"orig_micro" + 5000000L)
+        .count()
+      require(nBumped == bumped,
+        s"v$v shows $nBumped bumped rows, expected $bumped — a torn " +
+          "merge state leaked")
+    }
+    SnapshotTable.readAt(s, base, v2)
+      .agg(count(lit(1)).as("n_rows"), sum($"price_micro").as("s_micro"))
+      .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(2L).as("n_published_versions"),
+        lit(true).as("crash_left_pre_merge_state"))
+  }
+
+  private val snapshotMorUpsertAtomicOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH t AS (SELECT o_orderkey AS k, $p AS pm FROM orders),
+       |merged AS (
+       |  SELECT k, pm FROM t WHERE k % 10 <> 0
+       |  UNION ALL
+       |  SELECT k, pm + 5000000 FROM t WHERE k % 10 = 0
+       |  UNION ALL
+       |  SELECT k + (SELECT max(k) FROM t) + 1, pm FROM t WHERE k % 7 = 3)
+       |SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql("CAST(sum(pm) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  CAST(2 AS BIGINT) AS n_published_versions,
+       |  true AS crash_left_pre_merge_state
        |FROM merged""".stripMargin
   }
 
@@ -1748,6 +2050,11 @@ object LakeOps {
     Q("snapshot_chain_manifest", snapshotChainManifest,
       Some(snapshotChainManifestOracle)),
     Q("snapshot_asof_read", snapshotAsofRead, Some(snapshotAsofReadOracle)),
+    Q("snapshot_branch_asof", snapshotBranchAsof, Some(snapshotBranchAsofOracle)),
+    Q("snapshot_mor_upsert_atomic", snapshotMorUpsertAtomic,
+      Some(snapshotMorUpsertAtomicOracle)),
+    Q("snapshot_optimize_contention", snapshotOptimizeContention,
+      Some(snapshotOptimizeContentionOracle)),
     Q("snapshot_incremental_optimize", snapshotIncrementalOptimize,
       Some(snapshotIncrementalOptimizeOracle)),
     Q("snapshot_append_evolve", snapshotAppendEvolve,

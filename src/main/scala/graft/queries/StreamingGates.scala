@@ -903,6 +903,116 @@ object StreamingGates {
         lit(4L).as("n_replicated_generations"))
   }
 
+  /** Streaming CDC APPLY into the spine — the ingest mode
+    * [[streamingRestartRecovery]] (idempotent state merge) and
+    * [[streamingAppendIngest]] (epoch-skipped append) both leave open:
+    * each micro-batch MERGES into a latest-row-per-key snapshot table
+    * via ONE atomic [[graft.ops.SnapshotTable.commitUpsert]]
+    * (tombstones + replacements in a single claim-rename — the merge
+    * is NOT idempotent like the state table's max-ts fold, and it is
+    * not an append either, so it needs both the per-writer
+    * `txn.<queryId>` epoch skip AND single-commit atomicity). The
+    * feed is four ts-quartile files with ascending mtimes (the file
+    * source delivers oldest-first), so every batch strictly beats the
+    * stored rows for its keys and the version count is deterministic —
+    * while the ts-guarded merge itself stays correct under ANY
+    * delivery order. The gate kills the query between batch 1's
+    * commit and its checkpoint, restarts, and requires loudly: the
+    * replayed epoch SKIPPED (exactly four generations, epochs 0..3
+    * each once); every merge generation is a true upsert commit
+    * (tombstone count = replacement row count — batch-proportional,
+    * never a rewrite); no key is ever duplicated. The final table
+    * must hash-match DuckDB's latest-row-per-key over the whole feed:
+    * exactly-once CDC apply across a crash-restart boundary.
+    */
+  private def streamingUpsertIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val feed = LakeOps.lakeBase(dir, "upsertfeed")
+    val table = LakeOps.lakeBase(dir, "upserttable")
+    SnapshotTable.deleteTree(feed)
+    SnapshotTable.deleteTree(table)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    val events = Tables.events(s, dir)
+    // four ts-ordered quarters (ntile over the (ts, event_id) total
+    // order — gate SETUP, not the operator under test), one file each,
+    // strictly ascending mtimes for a deterministic delivery order
+    val byTime = org.apache.spark.sql.expressions.Window
+      .orderBy($"ts", $"event_id")
+    val quartered = events.withColumn("q", ntile(4).over(byTime))
+    val mtimeBase = System.currentTimeMillis() - 60000L
+    (1 to 4).foreach { q =>
+      val tmp = s"$feed.tmp$q"
+      quartered.filter($"q" === q).drop("q").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val dest = new java.io.File(feed, s"q$q.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      SnapshotTable.deleteTree(tmp)
+      require(dest.setLastModified(mtimeBase + q * 2000L),
+        s"could not stamp mtime on $dest")
+    }
+    def stream() = s.readStream
+      .schema(eventsSchema(TimestampType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    // run 1: crash AFTER batch 1's merge commit, BEFORE its checkpoint
+    withStreamShuffle(s, 4) {
+      Streaming.foreachBatchUpsertIngest(stream(), table,
+        failAfterBatch = Some(1L))
+    }
+    val vs1 = SnapshotTable.versions(table)
+    require(vs1 == Seq(1L, 2L),
+      s"two committed batches must precede the crash, got $vs1")
+    // run 2: the checkpoint re-delivers batch 1; its txn marker on the
+    // chain makes the non-idempotent merge SKIP, then batches 2,3 merge
+    val fin = withStreamShuffle(s, 4) {
+      Streaming.foreachBatchUpsertIngest(stream(), table)
+    }
+    val vs = SnapshotTable.versions(table)
+    require(vs == Seq(1L, 2L, 3L, 4L),
+      s"the replay must skip its committed epoch and merge the two " +
+        s"remaining files: got versions $vs")
+    val epochs = vs.flatMap(v => SnapshotTable.readMeta(table, v).get("epoch"))
+      .map(_.toLong)
+    require(epochs == Seq(0L, 1L, 2L, 3L),
+      s"each epoch must land exactly once on the chain: $epochs")
+    // every merge generation is a true single-commit upsert at batch
+    // cost: one replacement row per tombstoned key, never a rewrite
+    Seq(2L, 3L, 4L).foreach { v =>
+      require(SnapshotTable.isUpsert(table, v),
+        s"v$v must be an atomic upsert commit (tombstones + data in one)")
+      val dataRows = s.read.parquet(s"$table/v$v").count()
+      val delKeys = s.read.parquet(s"$table/v$v/_deletes").count()
+      require(dataRows == delKeys && dataRows > 0,
+        s"v$v must carry exactly one replacement per tombstoned key: " +
+          s"$dataRows rows vs $delKeys tombstones")
+    }
+    require(SnapshotTable.chainOf(table, 4L) == Seq(4L, 3L, 2L, 1L),
+      s"expected a four-generation merge chain: " +
+        s"${SnapshotTable.chainOf(table, 4L)}")
+    val dup = fin.groupBy($"user_id").count().filter($"count" > 1).count()
+    require(dup == 0, s"the merge chain left $dup duplicated keys")
+    fin
+      .select($"user_id", $"last_event_id", $"last_type",
+        unix_micros($"last_ts").as("last_us"),
+        lit(vs.size.toLong).as("n_generations"))
+      .orderBy($"user_id")
+  }
+
+  private val streamingUpsertIngestOracle =
+    """SELECT user_id, event_id AS last_event_id,
+      |  event_type AS last_type, epoch_us(ts) AS last_us,
+      |  CAST(4 AS BIGINT) AS n_generations
+      |FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   private val streamingTableTailOracle =
     """SELECT count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users,
@@ -912,6 +1022,8 @@ object StreamingGates {
       |FROM events""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("streaming_upsert_ingest", streamingUpsertIngest,
+      Some(streamingUpsertIngestOracle)),
     Q("streaming_table_tail", streamingTableTail,
       Some(streamingTableTailOracle)),
     Q("streaming_append_ingest", streamingAppendIngest,

@@ -387,35 +387,79 @@ object Streaming {
     * commit-then-crash window for the recovery gate, exactly like the
     * upsert's.
     */
+  /** The stable WRITER IDENTITY of a checkpointed stream: the streaming
+    * queryId, read from the checkpoint's own `metadata` file (written by
+    * the engine at query start, BEFORE batch 0 runs, and preserved
+    * across restarts from the same checkpoint). This is the appId half
+    * of Delta's `txn (appId, version)` idempotence record: the
+    * exactly-once marker each commit carries is `txn.<queryId> ->
+    * epoch`, so the high-water comparison is PER WRITER. Epoch numbers
+    * alone are not an identity — a deleted/recreated checkpoint (or a
+    * second independent stream ingesting the same table) restarts
+    * epochs at 0, and a bare-epoch comparison would silently SKIP every
+    * batch at or below the chain's high-water: silent data loss. Under
+    * a fresh queryId those batches re-deliver instead (at-least-once
+    * duplication — the honest failure mode; there is no exactly-once
+    * without the checkpoint).
+    */
+  private def writerId(checkpointDir: String): String = {
+    val p = java.nio.file.Paths.get(checkpointDir, "metadata")
+    require(java.nio.file.Files.exists(p),
+      s"no streaming metadata under $checkpointDir — writerId must be " +
+        "read inside a running query")
+    val raw = java.nio.file.Files.readString(p)
+    val m = java.util.regex.Pattern
+      .compile("\"id\"\\s*:\\s*\"([0-9a-fA-F-]+)\"").matcher(raw)
+    require(m.find(), s"checkpoint metadata $p carries no query id: $raw")
+    m.group(1)
+  }
+
+  /** The chain's exactly-once high-water mark FOR ONE WRITER: the
+    * newest `txn.<writerId>` marker on the current chain, walked from
+    * the tip down. A single-writer ingest chain stops at the first
+    * generation (every commit of this writer carries the marker and
+    * optimizeDeltas folds the max forward — O(1) reads per batch); a
+    * chain interleaving several writers walks past the other writers'
+    * generations, O(their commits since this writer's last). The chain
+    * walk (never a raw versions() scan) is what keeps a CAS-loser
+    * orphan's marker invisible — a crash BEFORE the pointer flip
+    * re-delivers instead of dropping the batch.
+    */
+  @annotation.tailrec
+  private def txnHighWater(tableDir: String, key: String,
+      v: Option[Long]): Option[Long] = {
+    import graft.ops.SnapshotTable
+    v match {
+      case None => None
+      case Some(x) =>
+        SnapshotTable.readMeta(tableDir, x).get(key) match {
+          case Some(e) => Some(e.toLong)
+          case None => txnHighWater(tableDir, key,
+            SnapshotTable.baseOf(tableDir, x)
+              .orElse(SnapshotTable.appendBaseOf(tableDir, x)))
+        }
+    }
+  }
+
   def foreachBatchAppendIngest(events: DataFrame, tableDir: String,
       failAfterBatch: Option[Long] = None): DataFrame = {
     import graft.ops.SnapshotTable
+    val ckpt = s"$tableDir/_ckpt"
     val q = events.writeStream
       .outputMode("append")
-      .option("checkpointLocation", s"$tableDir/_ckpt")
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        // the chain's epoch HIGH-WATER MARK, read lazily from the tip
-        // down: epochs are strictly increasing along an ingest chain
-        // and optimizeDeltas folds the max forward, so the walk stops
-        // at the FIRST epoch-carrying generation — O(1) marker reads
-        // per batch on a live ingest (an eager full-chain scan would
-        // make batch overhead grow linearly with chain length)
-        @annotation.tailrec
-        def highWater(v: Option[Long]): Option[Long] = v match {
-          case None => None
-          case Some(x) =>
-            SnapshotTable.readMeta(tableDir, x).get("epoch") match {
-              case Some(e) => Some(e.toLong)
-              case None => highWater(SnapshotTable.baseOf(tableDir, x)
-                .orElse(SnapshotTable.appendBaseOf(tableDir, x)))
-            }
-        }
-        if (highWater(SnapshotTable.currentVersion(tableDir)).exists(_ >= epoch)) {
+        val txnKey = s"txn.${writerId(ckpt)}"
+        if (txnHighWater(tableDir, txnKey,
+            SnapshotTable.currentVersion(tableDir)).exists(_ >= epoch)) {
           // replay of an already-committed batch (crash landed between
           // its commit and its checkpoint): exactly-once by skipping
           ()
         } else {
-          val meta = Map("epoch" -> epoch.toString)
+          // "epoch" is kept alongside the per-writer txn marker as the
+          // human-readable provenance stamp; the SKIP decision reads
+          // only the writer-scoped key
+          val meta = Map("epoch" -> epoch.toString, txnKey -> epoch.toString)
           SnapshotTable.currentVersion(tableDir) match {
             case None => SnapshotTable.commit(batch, tableDir,
               expectedVersion = SnapshotTable.ExpectEmpty, meta = meta)
@@ -440,6 +484,101 @@ object Streaming {
       case None => events.sparkSession.createDataFrame(
         events.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         events.schema)
+    }
+  }
+
+  /** foreachBatch UPSERT ingest — streaming CDC APPLY into the snapshot
+    * spine: each micro-batch is reduced to its latest row per key
+    * (max ts, event_id tie-break), guarded against the table's current
+    * state (a batch row only wins if it beats the stored row under the
+    * same (ts, event_id) order — so the result is the GLOBAL latest per
+    * key whatever order the source delivers batches), and applied as
+    * ONE atomic [[graft.ops.SnapshotTable.commitUpsert]]: tombstones
+    * for the winning keys plus the winning rows, one claim-rename, one
+    * pointer flip. Exactly-once needs BOTH halves: the upsert is not
+    * idempotent like [[foreachBatchUpsert]]'s state merge (a replayed
+    * batch would re-tombstone and re-append), so every commit carries
+    * the per-writer `txn.<queryId> -> epoch` marker and a replayed
+    * epoch SKIPS — and the single-commit merge means no crash point
+    * exposes a deletes-applied/batch-missing table. A batch whose rows
+    * ALL lose to stored state commits nothing (the replay recomputes
+    * the same empty winner set — idempotent by emptiness).
+    * `failAfterBatch` injects the commit-then-crash window exactly like
+    * the other ingest runners.
+    */
+  def foreachBatchUpsertIngest(events: DataFrame, tableDir: String,
+      failAfterBatch: Option[Long] = None): DataFrame = {
+    import graft.ops.SnapshotTable
+    val ckpt = s"$tableDir/_ckpt"
+    val q = events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val txnKey = s"txn.${writerId(ckpt)}"
+        if (txnHighWater(tableDir, txnKey,
+            SnapshotTable.currentVersion(tableDir)).exists(_ >= epoch)) {
+          () // exactly-once: the non-idempotent merge must not replay
+        } else {
+          val byKey = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val latest = batch
+            .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
+            .select(col("user_id"), col("event_id").as("last_event_id"),
+              col("event_type").as("last_type"), col("ts").as("last_ts"))
+          val meta = Map("epoch" -> epoch.toString, txnKey -> epoch.toString)
+          SnapshotTable.currentVersion(tableDir) match {
+            case None =>
+              SnapshotTable.commit(latest, tableDir,
+                expectedVersion = SnapshotTable.ExpectEmpty, meta = meta)
+            case Some(tip) =>
+              // max-(ts, event_id)-wins against the STORED state, same
+              // total order as byKey: batch-order independence
+              val state = SnapshotTable.readAt(spark, tableDir, tip)
+              val beats = col("s.user_id").isNull ||
+                col("b.last_ts") > col("s.last_ts") ||
+                (col("b.last_ts") === col("s.last_ts") &&
+                  col("b.last_event_id") >= col("s.last_event_id"))
+              val winners = latest.as("b")
+                .join(state.as("s"), col("b.user_id") === col("s.user_id"),
+                  "left")
+                .filter(beats)
+                .select(col("b.user_id").as("user_id"),
+                  col("b.last_event_id").as("last_event_id"),
+                  col("b.last_type").as("last_type"),
+                  col("b.last_ts").as("last_ts"))
+              // an all-losing batch upserts NOTHING — and needs no
+              // marker, because its replay recomputes the same empty
+              // winner set (idempotent by emptiness)
+              if (!winners.isEmpty)
+                SnapshotTable.commitUpsert(winners, Seq("user_id"),
+                  tableDir, expectedVersion = tip, meta = meta)
+          }
+        }
+        if (failAfterBatch.contains(epoch))
+          throw new InjectedCrash(
+            s"injected crash after batch $epoch committed, before checkpoint")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if failAfterBatch.isDefined && hasInjectedCrash(e) => ()
+    }
+    SnapshotTable.currentVersion(tableDir) match {
+      case Some(_) => SnapshotTable.read(events.sparkSession, tableDir)
+      case None =>
+        val sch = events.schema
+        val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+          sch("user_id"),
+          sch("event_id").copy(name = "last_event_id"),
+          sch("event_type").copy(name = "last_type"),
+          sch("ts").copy(name = "last_ts")))
+        events.sparkSession.createDataFrame(
+          events.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          stateSchema)
     }
   }
 
