@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+import graft.ops.SnapshotTable
+
+/** Dim-driven bloom file pruning AS A PLANNER RULE — the explicit
+  * [[graft.ops.SnapshotTable.readWhereInFrom]] API delivered under the
+  * plain join syntax, the way [[GlobalSeqId]] delivers the distributed
+  * row_number: a `Rule[LogicalPlan]` recognizes
+  * `fact JOIN small-dim ON fact.k = dim.k` where the fact side is a
+  * snapshot-version parquet scan carrying a per-file bloom for `k` and
+  * the dim side is a LocalRelation whose keys are known at PLAN time
+  * (the same dim-side availability Spark's own dynamic partition
+  * pruning waits for at runtime — a plan-time local dim is the
+  * strictly easier case, so the files prune before the scan is even
+  * scheduled). The fact relation's file index is replaced by the bloom
+  * survivor list; the join itself remains and supplies the residual
+  * row filter, so the answer is byte-identical to the unpruned plan —
+  * at 100 TB this turns every "this entity's rows" lookup written as a
+  * plain join into a needle read with no API opt-in.
+  *
+  * Near-misses (no bloom for the column, dim too big, multi-root scan,
+  * hive-partitioned fact) leave the plan untouched — the rewrite is an
+  * optimization, never a semantic dependency — and log a warning so
+  * the missed prune is visible, the [[GlobalRowNumberRule]] discipline.
+  *
+  * Install via [[SnapshotJoinPrune.installIsolated]] (a cloned session,
+  * so a shared Verify/Bench session's other plans stay byte-identical).
+  */
+object SnapshotJoinPrune {
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(SnapshotBloomJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SnapshotBloomJoinRule
+  }
+
+  /** Same scoping contract as [[GlobalSeqId.installIsolated]]: the rule
+    * mutates `spark.experimental` for the session's lifetime, so a
+    * one-query caller installs on a cloned session.
+    */
+  def installIsolated(spark: SparkSession): SparkSession = {
+    val iso = spark.newSession()
+    install(iso)
+    iso
+  }
+
+  /** A dim side bigger than this is not a needle lookup — leave the
+    * shuffle join alone (the same bound readWhereInFrom enforces).
+    */
+  val MaxDimKeys: Int = 1 << 16
+
+  /** Rewrites performed (testable evidence the rule fired). */
+  private[plans] val rewriteCount = new java.util.concurrent.atomic.AtomicLong
+  def rewrites: Long = rewriteCount.get()
+}
+
+object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
+
+  private val vdirRe = ".*/v(\\d+)$".r
+
+  /** The dim side's key values, if the plan is a LocalRelation exposing
+    * the attribute — plan-time-known rows, the precondition for
+    * plan-time pruning.
+    */
+  private def localKeys(plan: LogicalPlan,
+      attr: AttributeReference): Option[Seq[Any]] = plan match {
+    case LocalRelation(output, data, _, _) =>
+      val idx = output.indexWhere(_.exprId == attr.exprId)
+      if (idx < 0) None
+      else Some(data.map { row =>
+        row.get(idx, output(idx).dataType) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        }
+      })
+    case _ => None
+  }
+
+  /** Look through the Filter/Project shells the optimizer leaves above
+    * a scan (null-safety filters, column pruning): the relation plus a
+    * rebuilder that re-wraps a replacement in the same shells.
+    */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(LogicalRelation, LogicalRelation => LogicalPlan)] = plan match {
+    case lr: LogicalRelation => Some((lr, identity))
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      unwrap(f.child).map { case (lr, rb) =>
+        (lr, (n: LogicalRelation) => f.copy(child = rb(n)))
+      }
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      unwrap(p.child).map { case (lr, rb) =>
+        (lr, (n: LogicalRelation) => p.copy(child = rb(n)))
+      }
+    case _ => None
+  }
+
+  /** The fact side, if it is an UNPARTITIONED single-root parquet scan
+    * of a snapshot version directory (`.../v<N>`), possibly under
+    * Filter/Project shells: the relation, a rebuilder for the shells,
+    * the snapshot table dir, and the version.
+    */
+  private def snapshotScan(plan: LogicalPlan, attr: AttributeReference)
+      : Option[(LogicalRelation, LogicalRelation => LogicalPlan,
+        HadoopFsRelation, String, Long)] =
+    unwrap(plan).collect {
+      case (lr, rb) if lr.output.exists(_.exprId == attr.exprId) => (lr, rb)
+    }.flatMap { case (lr, rb) =>
+      lr.relation match {
+        case fs: HadoopFsRelation if fs.partitionSchema.isEmpty &&
+            fs.location.rootPaths.length == 1 =>
+          val root = fs.location.rootPaths.head
+          root.toUri.getPath match {
+            case vdirRe(v) =>
+              val dir = new Path(root.toUri.getPath).getParent.toString
+              Some((lr, rb, fs, dir, v.toLong))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
+  private def prune(lr: LogicalRelation, fs: HadoopFsRelation, dir: String,
+      version: Long, column: String, keys: Seq[Any]): Option[LogicalRelation] = {
+    // bail (plan unchanged) unless the version really carries a bloom
+    // for the join column — the rewrite is optional, the query is not
+    val hasBloom =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"v$version", "_bloomtab")) ||
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, s"v$version", "_bloom.tsv"))
+    if (!hasBloom) {
+      logWarning(s"snapshot join prune: no bloom sidecar on $dir " +
+        s"v$version — plain join kept (commit with bloomCols to enable)")
+      return None
+    }
+    try {
+      val (files, total) = SnapshotTable.pruneFilesBloom(
+        fs.sparkSession, dir, version, column, keys)
+      if (files.size >= total) None // nothing to prune; keep the plan
+      else {
+        val pruned = new InMemoryFileIndex(fs.sparkSession,
+          files.map(new Path(_)), Map.empty, Some(fs.dataSchema))
+        SnapshotJoinPrune.rewriteCount.incrementAndGet()
+        Some(lr.copy(relation = fs.copy(location = pruned)(fs.sparkSession)))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // e.g. no bloom rows for THIS column: optional rewrite, loud log
+        logWarning(s"snapshot join prune: skipped on $dir v$version " +
+          s"(${e.getMessage})")
+        None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, jt, Some(EqualTo(a: AttributeReference,
+        b: AttributeReference)), _) if jt == Inner || jt == LeftSemi =>
+      // resolve which side of the equality belongs to which child
+      def sideOf(attr: AttributeReference): Option[LogicalPlan] =
+        if (left.outputSet.exists(_.exprId == attr.exprId)) Some(left)
+        else if (right.outputSet.exists(_.exprId == attr.exprId)) Some(right)
+        else None
+      val rewritten = for {
+        (factAttr, dimAttr) <- Seq((a, b), (b, a)).find { case (f, d) =>
+          sideOf(f).contains(left) && sideOf(d).contains(right)
+        }
+        keys <- localKeys(right, dimAttr)
+        if keys.nonEmpty && keys.size <= SnapshotJoinPrune.MaxDimKeys
+        (lr, rebuild, fs, dir, version) <- snapshotScan(left, factAttr)
+        prunedLr <- prune(lr, fs, dir, version, factAttr.name,
+          keys.filter(_ != null))
+      } yield j.copy(left = rebuild(prunedLr))
+      rewritten.getOrElse(j)
+  }
+}

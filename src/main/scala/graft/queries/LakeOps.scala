@@ -1185,6 +1185,103 @@ object LakeOps {
        |  WHERE o_custkey = (SELECT min(o_custkey) FROM orders))""".stripMargin
   }
 
+  /** Dim-driven file pruning WITHOUT the API opt-in — the
+    * [[snapshotJoinPrune]] semantics delivered by the PLANNER:
+    * [[graft.plans.SnapshotJoinPrune]] installs a Catalyst rule (the
+    * [[graft.plans.GlobalSeqId]] precedent) that recognizes the plain
+    * `fact.join(dim, key)` shape over a bloom-carrying snapshot scan
+    * with a plan-time-known dim and swaps the fact relation's file
+    * index for the bloom survivor list — no readWhereInFrom call
+    * anywhere in the query. The gate writes the same clustered,
+    * bloom-sidecar'd lineitem fixture, joins it against one customer's
+    * order keys with NOTHING but join syntax, and requires loudly that
+    * the planned scan reads EXACTLY the survivor list (the dim is a
+    * LocalRelation, so every planned input file is the fact's), that
+    * the rule counted a rewrite, and that the session isolation held
+    * (the parent session's plans are untouched). Same IN-subquery
+    * oracle as the explicit-API gate — the rewrite must be invisible
+    * to the answer.
+    */
+  private def snapshotJoinPruneRule(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.plans.SnapshotJoinPrune.installIsolated(s0)
+    import s.implicits._
+    val base = lakeBase(dir, "joinprunerule")
+    SnapshotTable.deleteTree(base)
+    val lines = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity",
+        Exact.micro("l_extendedprice").as("price_micro"))
+    val nLines = lines.count()
+    val v1 = SnapshotTable.commit(
+      lines.repartitionByRange(16, $"l_orderkey"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      bloomCols = Seq("l_orderkey"),
+      bloomExpectedItems =
+        math.max(SnapshotTable.DefaultBloomExpectedItems, nLines / 8))
+    val cust = Tables.orders(s, dir).agg(min($"o_custkey")).head.getLong(0)
+    val keys = Tables.orders(s, dir)
+      .filter($"o_custkey" === cust).select($"o_orderkey")
+      .distinct().as[Long].collect().toSeq.sorted
+    // the dim as a plan-time LocalRelation — what makes the prune a
+    // PLANNING decision instead of readWhereInFrom's runtime collect
+    val dim = keys.toDF("l_orderkey")
+    val before = graft.plans.SnapshotJoinPrune.rewrites
+    // the whole point: PLAIN join syntax, no pruning API in sight
+    val fact = SnapshotTable.readAt(s, base, v1)
+    val joined = fact.join(dim, Seq("l_orderkey"), "left_semi")
+    val (kept, total) =
+      SnapshotTable.pruneFilesBloom(base, v1, "l_orderkey", keys)
+    require(kept.nonEmpty && kept.size < total,
+      s"the fixture must prune strictly (kept ${kept.size} of $total)")
+    val planned = joined.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.inputFiles.length
+    }.sum
+    require(planned == kept.size,
+      s"the plain join must PLAN exactly the bloom survivor list: " +
+        s"$planned files planned vs ${kept.size} survivors")
+    require(graft.plans.SnapshotJoinPrune.rewrites > before,
+      "the planner rule never fired — the scan was not rewritten")
+    // isolation: the parent session (no rule installed) still plans
+    // the full, unpruned scan for the same join
+    val dimParent = {
+      import scala.jdk.CollectionConverters._
+      s0.createDataFrame(
+        keys.map(k => org.apache.spark.sql.Row(k)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    val parentPlanned = SnapshotTable.readAt(s0, base, v1)
+      .join(dimParent, Seq("l_orderkey"), "left_semi")
+      .queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.inputFiles.length
+      }.sum
+    require(parentPlanned == total,
+      s"rule leak: the parent session planned $parentPlanned of $total " +
+        "files — installIsolated failed to scope the rewrite")
+    joined
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        sum($"price_micro").as("s_micro"))
+      .select($"n_lines", $"sum_qty",
+        Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("rule_pruned"))
+  }
+
+  private val snapshotJoinPruneRuleOracle = {
+    val p = Exact.microSql("l_extendedprice")
+    s"""SELECT count(*) AS n_lines,
+       |  round(sum(l_quantity), 2) AS sum_qty,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS rule_pruned
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey = (SELECT min(o_custkey) FROM orders))""".stripMargin
+  }
+
   /** Orphan-version GARBAGE COLLECTION — the reclamation story
     * [[snapshotRetention]] (count-based history expiry) does not
     * cover: a dropped write-audit-publish branch leaves its candidate
@@ -2046,6 +2143,8 @@ object LakeOps {
     Q("snapshot_mor_prune", snapshotMorPrune, Some(snapshotMorPruneOracle)),
     Q("snapshot_wap_publish", snapshotWapPublish, Some(snapshotWapPublishOracle)),
     Q("snapshot_join_prune", snapshotJoinPrune, Some(snapshotJoinPruneOracle)),
+    Q("snapshot_join_prune_rule", snapshotJoinPruneRule,
+      Some(snapshotJoinPruneRuleOracle)),
     Q("snapshot_orphan_gc", snapshotOrphanGc, Some(snapshotOrphanGcOracle)),
     Q("snapshot_chain_manifest", snapshotChainManifest,
       Some(snapshotChainManifestOracle)),

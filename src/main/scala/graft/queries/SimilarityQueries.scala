@@ -692,6 +692,190 @@ object SimilarityQueries {
        |FROM fin
        |ORDER BY cos DESC, vec_id""".stripMargin
 
+  /** IVF centroid RETRAINING under drift — the maintenance op
+    * [[annIvfIndexAppend]] (delta ingest) and [[annIvfRebalance]]
+    * (hot-cell splits) both leave open: appends keep cell OCCUPANCY
+    * bounded but never re-FIT the centroids, so after enough drifted
+    * ingest the assignment no longer reflects the corpus and probe
+    * quality decays even with balanced cells. The gate drives the
+    * decay deliberately: the standing index (stale centroids = the
+    * first-k untrained cells) takes an ingest batch of DRIFTED vectors
+    * (every embedding reversed — an isometry, so the drifted region
+    * has real internal structure the stale cells know nothing about)
+    * as an append generation, and a drifted-region query's recall
+    * against the exact top-k is measured through the stale index.
+    * The RETRAIN then: (a) refreshes the codebook with one Lloyd step
+    * over a BOUNDED SAMPLE of the chained index (vec_id mod 2 — the
+    * training cost is sample-size, seeded by the first k vectors of
+    * each region so the refreshed codebook covers the drifted mass);
+    * (b) re-bins the index under the refreshed centroids and recommits
+    * it as ONE new full generation at INDEX size — the corpus table is
+    * never rescanned, and the full commit cuts the append chain.
+    * Loud requires: the recommit is a chain-cutting single generation;
+    * cell occupancy spreads into the refreshed cells; and recall
+    * STRICTLY improves over the stale index. Recall is accounted over
+    * DISTINCT embeddings with exact query-duplicates excluded, so the
+    * number is scale-stable (the key-shifted soak corpus collapses to
+    * the same distinct set instead of flooding top-k with copies).
+    * The oracle recomputes drift, stale probe, sampled Lloyd step,
+    * re-bin, refreshed probe, and both recalls from scratch in DuckDB.
+    */
+  private def annIvfRetrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val idxBase = LakeOps.lakeBase(dir, "ann_ivf_retrain")
+    SnapshotTable.deleteTree(idxBase)
+    val cents = untrainedCentroids(s, dir) // the STALE codebook
+    require(QueryVecId < NumCells, "query vector must be among the centroids")
+    // the drifted-region query: the reversed twin of centroid 0
+    val qVec = cents(QueryVecId)._2.reverse
+    val emb = Tables.fanOut(Tables.embeddings(s, dir))
+      .select($"vec_id", $"label", $"embedding")
+    val driftBase = emb.agg(max($"vec_id")).head.getLong(0) + 1L
+    val drifted = emb
+      .withColumn("vec_id", $"vec_id" + lit(driftBase))
+      .withColumn("embedding", reverse($"embedding"))
+    // self-match exclusion by VALUE: every key-shifted copy of the
+    // query's source vector contributes an exact duplicate at soak
+    // scale, and a recall flooded by self-copies measures nothing
+    val search = emb.unionByName(drifted)
+      .filter(not($"embedding" === typedlit(qVec)))
+    // the standing index: stale assignment; the drifted mass arrives
+    // as an ingest append (the ann_ivf_index_append story)
+    val assignedStale = search
+      .withColumn("cell", cellOfCol(cents)($"embedding"))
+    val v1 = SnapshotTable.commit(
+      assignedStale.filter($"vec_id" < driftBase).repartition($"cell"),
+      idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
+      partitionCols = Seq("cell"))
+    val v2 = SnapshotTable.commitAppend(
+      assignedStale.filter($"vec_id" >= driftBase).repartition($"cell"),
+      idxBase, expectedVersion = v1, partitionCols = Seq("cell"))
+    // recall@k over DISTINCT embeddings: top-k of the probed cells vs
+    // the exact top-k, both deduped by value (min vec_id breaks ties)
+    def top5Distinct(df: DataFrame): DataFrame = df
+      .groupBy($"embedding").agg(min($"vec_id").as("mid"))
+      .withColumn("cos", VectorOps.cosine($"embedding", typedlit(qVec)))
+      .orderBy($"cos".desc, $"mid")
+      .limit(IvfTopK)
+      .select($"embedding")
+    val exactTop = top5Distinct(search)
+    def recallOf(index: DataFrame,
+        codebook: Array[(Int, Array[Float])]): Double = {
+      val probe = codebook
+        .map { case (cid, c) => (cid, cosF32(qVec, c)) }
+        .sortBy { case (cid, sc) => (-sc, cid) }
+        .take(NProbe).map(_._1)
+      val hits = top5Distinct(index.filter($"cell".isin(probe: _*)))
+        .join(exactTop, Seq("embedding"), "left_semi").count()
+      hits.toDouble / IvfTopK
+    }
+    val recallStale = recallOf(SnapshotTable.readAt(s, idxBase, v2), cents)
+    // the RETRAIN: one Lloyd step over a bounded SAMPLE of the chained
+    // index (train cost = sample size), seeded by the first k vectors
+    // of each region so the refreshed codebook can cover the drift
+    val seeds = cents ++ cents.map { case (cid, c) =>
+      (cid + NumCells, c.reverse)
+    }
+    val sample = SnapshotTable.readAt(s, idxBase, v2)
+      .filter(pmod($"vec_id", lit(2)) === 0)
+      .select($"vec_id", $"embedding")
+    val retrained = lloydStep(sample, seeds)
+    // recommit: re-bin the INDEX (never the corpus) under the
+    // refreshed codebook as one full generation — chain cut, new
+    // partition layout, index-size cost
+    val (cellNew, _) = assignCols(retrained)
+    val rebinned = SnapshotTable.readAt(s, idxBase, v2)
+      .drop("cell").withColumn("cell", cellNew)
+    val v3 = SnapshotTable.commit(rebinned.repartition($"cell"), idxBase,
+      expectedVersion = Some(v2), partitionCols = Seq("cell"))
+    require(SnapshotTable.chainOf(idxBase, v3) == Seq(v3),
+      s"the retrain recommit must cut the chain to one generation: " +
+        s"${SnapshotTable.chainOf(idxBase, v3)}")
+    val cellsAfter = SnapshotTable.readAt(s, idxBase, v3)
+      .select($"cell").distinct().count()
+    require(cellsAfter > NumCells,
+      s"the refreshed codebook must spread the index into the drifted " +
+        s"region's cells: only $cellsAfter cells occupied")
+    val recallNew = recallOf(SnapshotTable.readAt(s, idxBase, v3), retrained)
+    require(recallNew > recallStale,
+      f"retraining must strictly improve drifted-query recall: stale " +
+        f"$recallStale%.2f vs retrained $recallNew%.2f")
+    Seq((IvfTopK.toLong, recallStale, recallNew, true))
+      .toDF("k", "recall_stale", "recall_retrained", "improved")
+  }
+
+  // lazy: interpolates NumCells/NProbe/IvfTopK declared below
+  private lazy val annIvfRetrainOracle = {
+    // one distinct-embedding top-k + recall per codebook, shared CTEs:
+    // drift (reversed twins), self-duplicate exclusion, sampled Lloyd
+    // step with the Spark side's 6-dp HALF_UP float quantization
+    def recallCte(centsName: String, tag: String) =
+      s"""probe_$tag AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (ORDER BY
+         |      list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS rn
+         |    FROM $centsName c, q) WHERE rn <= $NProbe),
+         |probed_$tag AS (
+         |  SELECT vec_id, embedding FROM (
+         |    SELECT s.vec_id, s.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        list_cosine_similarity(s.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS rn
+         |    FROM search s CROSS JOIN $centsName c) a
+         |  WHERE rn = 1 AND cid IN (SELECT cid FROM probe_$tag)),
+         |ivf_$tag AS (SELECT embedding FROM (
+         |    SELECT s.embedding, min(s.vec_id) AS mid,
+         |      list_cosine_similarity(any_value(s.embedding)::DOUBLE[], any_value(q.qv)::DOUBLE[]) AS cos
+         |    FROM probed_$tag s, q GROUP BY s.embedding)
+         |  ORDER BY cos DESC, mid LIMIT $IvfTopK),
+         |recall_$tag AS (
+         |  SELECT CAST(count(*) AS DOUBLE) / $IvfTopK AS r
+         |  FROM ivf_$tag JOIN exact USING (embedding))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |dd AS (SELECT max(vec_id)+1 AS d FROM e),
+       |drift AS (SELECT vec_id + (SELECT d FROM dd) AS vec_id,
+       |          list_reverse(embedding) AS embedding FROM e),
+       |corpus AS (SELECT vec_id, embedding FROM e
+       |           UNION ALL SELECT vec_id, embedding FROM drift),
+       |q AS (SELECT list_reverse(embedding) AS qv FROM e
+       |      WHERE vec_id = $QueryVecId),
+       |search AS (SELECT c.* FROM corpus c, q WHERE c.embedding <> q.qv),
+       |exact AS (SELECT embedding FROM (
+       |    SELECT s.embedding, min(s.vec_id) AS mid,
+       |      list_cosine_similarity(any_value(s.embedding)::DOUBLE[], any_value(q.qv)::DOUBLE[]) AS cos
+       |    FROM search s, q GROUP BY s.embedding)
+       |  ORDER BY cos DESC, mid LIMIT $IvfTopK),
+       |stale AS (SELECT vec_id AS cid, embedding AS cv FROM e
+       |          WHERE vec_id < $NumCells),
+       |${recallCte("stale", "stale")},
+       |seeds AS (
+       |  SELECT CASE WHEN vec_id < $NumCells THEN vec_id
+       |              ELSE $NumCells + (vec_id - (SELECT d FROM dd)) END AS cid,
+       |         embedding AS cv
+       |  FROM corpus
+       |  WHERE vec_id < $NumCells
+       |     OR (vec_id >= (SELECT d FROM dd)
+       |         AND vec_id < (SELECT d FROM dd) + $NumCells)),
+       |samp AS (SELECT * FROM search WHERE vec_id % 2 = 0),
+       |a1 AS (
+       |  SELECT s.vec_id, s.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |      list_cosine_similarity(s.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC, c.cid) AS rn
+       |  FROM samp s CROSS JOIN seeds c),
+       |m1 AS (
+       |  SELECT cid, pos, CAST(round(avg(x), 6) AS FLOAT) AS mx
+       |  FROM (SELECT cid, unnest(embedding) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS pos
+       |        FROM a1 WHERE rn = 1)
+       |  GROUP BY cid, pos),
+       |retrained AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+       |${recallCte("retrained", "new")}
+       |SELECT CAST($IvfTopK AS BIGINT) AS k,
+       |  (SELECT r FROM recall_stale) AS recall_stale,
+       |  (SELECT r FROM recall_new) AS recall_retrained,
+       |  true AS improved""".stripMargin
+  }
+
   /** Recall@k of the int8 ranking against the exact float top-k — the
     * same accountability gate the IVF/PQ paths carry: a quantization
     * regression surfaces as a correctness diff, not a silent quality
@@ -1842,6 +2026,7 @@ object SimilarityQueries {
     Q("ann_topk_delete_ivf", annTopkDeleteIvf, Some(annTopkDeleteIvfOracle)),
     Q("ann_ivf_index_append", annIvfIndexAppend, Some(annIvfIndexAppendOracle)),
     Q("ann_ivf_rebalance", annIvfRebalance, Some(annIvfRebalanceOracle)),
+    Q("ann_ivf_retrain", annIvfRetrain, Some(annIvfRetrainOracle)),
     Q("dedup_semantic_kmeans", dedupSemanticKmeans, Some(dedupSemanticOracle)),
     Q("ann_int8_topk", annInt8Topk, Some(annInt8Oracle)),
     Q("ann_int8_recall", annInt8Recall, Some(annInt8RecallOracle)),
