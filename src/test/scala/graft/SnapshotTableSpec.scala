@@ -1150,4 +1150,202 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(dir) == Seq(2L, 5L))
     assert(SnapshotTable.branchVersion(dir, "wip").contains(2L))
   }
+
+  test("commitUpsert merges atomically: one version, replace semantics") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    // batch: update k=2, insert k=9 — one commit, two-link chain
+    val v2 = SnapshotTable.commitUpsert(
+      Seq((2L, "B"), (9L, "i")).toDF("k", "v"), Seq("k"), dir,
+      expectedVersion = v1)
+    assert(SnapshotTable.chainOf(dir, v2) == Seq(v2, v1))
+    assert(SnapshotTable.isUpsert(dir, v2))
+    assert(SnapshotTable.readAt(spark, dir, v2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i")))
+    // the pre-merge version is untouched history
+    assert(SnapshotTable.readAt(spark, dir, v1).count() == 3)
+    // schema and key guards are loud
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitUpsert(Seq((1L, "x", 0)).toDF("k", "v", "extra"),
+        Seq("k"), dir, expectedVersion = v2)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitUpsert(Seq((1L, "x")).toDF("k", "v"),
+        Seq("nope"), dir, expectedVersion = v2)
+    }
+    // CAS: an upsert against a stale expected version conflicts loudly
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitUpsert(Seq((1L, "x")).toDF("k", "v"),
+        Seq("k"), dir, expectedVersion = v1)
+    }
+  }
+
+  test("commitUpsert crash window: staged-but-unpublished is invisible") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      dir, expectedVersion = SnapshotTable.ExpectEmpty)
+    intercept[SnapshotTable.InjectedCrash] {
+      SnapshotTable.commitUpsert(Seq((2L, "B")).toDF("k", "v"), Seq("k"),
+        dir, expectedVersion = v1, crashBeforePublish = true)
+    }
+    // nothing published: pointer, version list, and reads all pre-merge
+    assert(SnapshotTable.currentVersion(dir).contains(v1))
+    assert(SnapshotTable.versions(dir) == Seq(v1))
+    assert(SnapshotTable.read(spark, dir).count() == 2)
+    // only writer-private staging debris remains; the retry completes
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith(".staged-")) == 1)
+    val v2 = SnapshotTable.commitUpsert(Seq((2L, "B")).toDF("k", "v"),
+      Seq("k"), dir, expectedVersion = v1)
+    assert(SnapshotTable.readAt(spark, dir, v2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "B")))
+  }
+
+  test("upsert generations refuse folding; full compaction resolves them") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "n"),
+      dir, expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commitUpsert(Seq((2L, 99L)).toDF("k", "n"),
+      Seq("k"), dir, expectedVersion = v1)
+    val v3 = SnapshotTable.commitAppend(Seq((5L, 50L)).toDF("k", "n"), dir,
+      expectedVersion = v2)
+    // the rebase window v3..v1 crosses the upsert — folding it away
+    // would resurrect the replaced (2, 20) row; both fold paths refuse
+    intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeDeltas(spark, dir, baseVersion = v1)(identity)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitRebase(Seq((5L, 50L)).toDF("k", "n"), dir,
+        expectedVersion = v3, baseVersion = v1)
+    }
+    // manifest folding refuses too (tombstones invalidate counts)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.manifestChain(spark, dir, v2)
+    }
+    // a full transact (compaction) materializes the merge and cuts it
+    val v4 = SnapshotTable.transact(spark, dir)(cur => cur.get)
+    assert(SnapshotTable.chainOf(dir, v4) == Seq(v4))
+    assert(SnapshotTable.read(spark, dir).as[(Long, Long)].collect().toSet
+      == Set((1L, 10L), (2L, 99L), (5L, 50L)))
+  }
+
+  test("gcOrphans reclaims an empty-table CAS loser via the log marker") {
+    // the pre-marker inference (floor = min published version) shielded
+    // any loser claimed at or below the first publish forever — the
+    // two-writers-on-an-empty-table race from the r18 review. Emulate
+    // writer A dying between its claim-rename and its flip on a FRESH
+    // table: ensureLog has run (marker v0 — exactly what claimVersion
+    // writes before any claim) and A's complete v1 sits unpointed.
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "publishes.log"),
+      s"v0\t${SnapshotTable.LogCreatedRef}\t${System.currentTimeMillis()}\n")
+    spark.range(3).toDF("id").write.parquet(s"$dir/v1")
+    // writer B proceeds: claims v2, flips, logs — the table's FIRST
+    // published version is v2, numbered above the loser's v1
+    val v2 = SnapshotTable.commit(spark.range(4).toDF("id"), dir)
+    assert(v2 == 2L)
+    assert(SnapshotTable.publishedVersions(dir) == Set(2L))
+    // fresh debris is age-guarded; past the guard the loser's v1 IS
+    // reclaimable (marker floor v0) — the min-published inference
+    // would have shielded it forever (1 <= min published 2)
+    assert(SnapshotTable.gcOrphans(dir).isEmpty)
+    val removed = SnapshotTable.gcOrphans(dir, olderThanMs = -1L)
+    assert(removed == Seq(1L))
+    assert(SnapshotTable.versions(dir) == Seq(2L))
+    // the marker is the log's first line with the v0 floor
+    assert(SnapshotTable.publishEvents(dir).head
+      == SnapshotTable.publishEvents(dir).filter(
+        _._2 == SnapshotTable.LogCreatedRef).head)
+    assert(SnapshotTable.publishEvents(dir).head._1 == 0L)
+  }
+
+  test("versionAsOf ignores a trailing logged-but-never-flipped version") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.commit(spark.range(3).toDF("id"), dir)
+    // simulate the log-before-flip crash: a publish line lands for a
+    // version the pointer never reached
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "publishes.log"),
+      s"v99\tcurrent\t${System.currentTimeMillis()}\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(SnapshotTable.versionAsOf(dir, System.currentTimeMillis()) == v1,
+      "as-of resolved a version no main reader ever saw")
+  }
+
+  test("branch as-of resolves branch history; publishesTable is queryable") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(2).toDF("id"), dir)
+    val b1 = SnapshotTable.commitToBranch(spark.range(3).toDF("id"), dir,
+      "wip", expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    val t1 = SnapshotTable.publishEvents(dir)
+      .filter(e => e._1 == b1 && e._2 == "wip").head._3
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    val b2 = SnapshotTable.commitToBranch(spark.range(4).toDF("id"), dir,
+      "wip", expectedBranchVersion = Some(b1))
+    val t2 = SnapshotTable.publishEvents(dir)
+      .filter(e => e._1 == b2 && e._2 == "wip").head._3
+    assert(SnapshotTable.branchVersionAsOf(dir, "wip", t2 - 1) == b1)
+    assert(SnapshotTable.branchVersionAsOf(dir, "wip", t2) == b2)
+    assert(SnapshotTable.readBranchAsOf(spark, dir, "wip", t2 - 1).count() == 3)
+    // before the branch existed: loud
+    intercept[IllegalArgumentException] {
+      SnapshotTable.branchVersionAsOf(dir, "wip", t1 - 100000)
+    }
+    // the audit log as a table: marker + 1 main + 2 branch publishes
+    val tab = SnapshotTable.publishesTable(spark, dir)
+    assert(tab.count() == 4)
+    assert(tab.filter($"ref" === "wip").count() == 2)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.publishesTable(spark, freshDir())
+    }
+  }
+
+  test("manifestChain uses the committed fold and matches the recursive walk") {
+    val dir = freshDir()
+    var tip = SnapshotTable.commit(Seq((1L, 1L)).toDF("k", "n"), dir,
+      expectedVersion = SnapshotTable.ExpectEmpty, statsCols = Seq("k"))
+    (2L to 5L).foreach { i =>
+      tip = SnapshotTable.commitAppend(Seq((i, i)).toDF("k", "n"), dir,
+        expectedVersion = tip, statsCols = Seq("k"))
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"v$tip", "_manifest_chain")),
+      "an append with stats must commit the folded ancestor manifest")
+    val folded = SnapshotTable.manifestChain(spark, dir, tip)
+    // force the recursive fallback by hiding the tip's fold
+    val foldDir = java.nio.file.Paths.get(dir, s"v$tip", "_manifest_chain")
+    val hidden = java.nio.file.Paths.get(dir, s"v$tip", ".mc_hidden")
+    java.nio.file.Files.move(foldDir, hidden)
+    val walked =
+      try SnapshotTable.manifestChain(spark, dir, tip).collect().toSet
+      finally java.nio.file.Files.move(hidden, foldDir)
+    assert(folded.collect().toSet == walked,
+      "the folded manifest diverged from the recursive walk")
+    assert(folded.select($"generation").distinct().count() == 5)
+  }
+
+  test("readWhereInFrom: large key sets prune via broadcast semi-join") {
+    val dir = freshDir()
+    val n = 4000L
+    val ver = SnapshotTable.commit(
+      spark.range(n).toDF("k").withColumn("v", $"k" * 2)
+        .repartitionByRange(8, $"k"),
+      dir, expectedVersion = SnapshotTable.ExpectEmpty,
+      bloomCols = Seq("k"))
+    // 2000 keys > InlineInLiteralMax: the residual must be a semi-join,
+    // and the answer byte-identical to the full-scan filter
+    val keys = spark.range(0, n, 2).toDF("k")
+    val got = SnapshotTable.readWhereInFrom(spark, dir, ver, "k", keys)
+    assert(got.count() == n / 2)
+    assert(got.agg(sum($"v")).head.getLong(0)
+      == (0L until n by 2).map(_ * 2).sum)
+    // and the loud bound still fires
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereInFrom(spark, dir, ver, "k", keys, maxKeys = 10)
+    }
+  }
 }

@@ -151,6 +151,44 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet == Set((7L, "click"), (8L, "view")))
   }
 
+  test("append ingest dedup is writer-scoped: a recreated checkpoint " +
+      "re-delivers instead of silently dropping") {
+    import graft.ops.SnapshotTable
+    val tmp = Files.createTempDirectory("graft_txnid").toString
+    val in = s"$tmp/in"; val table = s"$tmp/table"
+    def ev(id: Long, t: String, u: Long) =
+      (id, ts(t), u, "click", 1.0, "{}")
+    Seq(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 11:00:00", 8))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    Streaming.foreachBatchAppendIngest(
+      Streaming.readEventsStream(spark, in), table)
+    assert(SnapshotTable.read(spark, table).count() == 2)
+    // every commit carries BOTH the provenance epoch and the
+    // writer-scoped txn marker
+    val meta1 = SnapshotTable.readMeta(table, 1L)
+    assert(meta1.get("epoch").contains("0"))
+    assert(meta1.keys.count(_.startsWith("txn.")) == 1)
+    // checkpoint deleted/recreated: epochs restart at 0 under a NEW
+    // queryId. A bare-epoch high-water would skip the whole feed —
+    // silent data loss; the writer-scoped marker re-delivers it
+    // (at-least-once duplication, the honest failure mode)
+    SnapshotTable.deleteTree(s"$table/_ckpt")
+    Streaming.foreachBatchAppendIngest(
+      Streaming.readEventsStream(spark, in), table)
+    assert(SnapshotTable.read(spark, table).count() == 4,
+      "a fresh checkpoint's batches were silently dropped by a stale " +
+        "high-water mark")
+    val txnKeys = SnapshotTable.versions(table)
+      .flatMap(v => SnapshotTable.readMeta(table, v).keys)
+      .filter(_.startsWith("txn.")).distinct
+    assert(txnKeys.size == 2, s"expected two writer identities: $txnKeys")
+    // and WITH its checkpoint intact, a re-run stays exactly-once
+    Streaming.foreachBatchAppendIngest(
+      Streaming.readEventsStream(spark, in), table)
+    assert(SnapshotTable.read(spark, table).count() == 4)
+  }
+
   test("foreachBatchUpsert over an empty source returns an empty state frame") {
     val tmp = Files.createTempDirectory("graft_upsert_empty").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
