@@ -780,7 +780,7 @@ object LakeOps {
       orders.filter(pmod($"o_orderkey", lit(5)) === 0).select($"o_orderkey"),
       base, expectedVersion = v1)
     val v2Top = new java.io.File(s"$base/v$v2").listFiles().map(_.getName).toSet
-    require(v2Top == Set("_base", "_deletes"),
+    require(v2Top == Set("_base", "_deletes", "_names"),
       s"merge-on-read delete must not rewrite data; v$v2 contains $v2Top")
     val v3 = SnapshotTable.transact(s, base)(cur => cur.get) // compaction
     require(SnapshotTable.baseOf(base, v3).isEmpty &&
@@ -1370,21 +1370,32 @@ object LakeOps {
     val base = lakeBase(dir, "chainmanifest")
     SnapshotTable.deleteTree(base)
     val Gens = 33
-    val orders = Tables.orders(s, dir)
-      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
-    // a long-lived ingest: seed + 32 appends, one generation per
-    // residue class (every commit coalesced to one file — the chain's
-    // DEPTH, not its width, is what this gate stresses)
-    var tip = SnapshotTable.commit(
-      orders.filter(pmod($"o_orderkey", lit(Gens)) === 0).coalesce(1),
-      base, expectedVersion = SnapshotTable.ExpectEmpty,
-      statsCols = Seq("o_orderkey", "price_micro"))
-    val v1 = tip
-    (1 until Gens).foreach { r =>
-      tip = SnapshotTable.commitAppend(
-        orders.filter(pmod($"o_orderkey", lit(Gens)) === r).coalesce(1),
-        base, expectedVersion = tip,
-        statsCols = Seq("o_orderkey", "price_micro"))
+    // a 10% key slice split one-residue-per-generation (gen r holds
+    // keys ≡ 10r mod 330): the gate stresses chain DEPTH, not volume —
+    // and the source is persisted across the 33 delta scans
+    val (v1, tip) = Tables.withPersisted(Tables.orders(s, dir)
+        .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+        .filter(pmod($"o_orderkey", lit(10)) === 0)) { orders =>
+      // tiny per-commit frames: the session's 32-wide shuffle is pure
+      // task overhead on them (same reasoning as the streaming gates'
+      // withStreamShuffle)
+      val key = "spark.sql.shuffle.partitions"
+      val old = s.conf.get(key)
+      s.conf.set(key, "4")
+      try {
+        var tip = SnapshotTable.commit(
+          orders.filter(pmod($"o_orderkey", lit(330)) === 0).coalesce(1),
+          base, expectedVersion = SnapshotTable.ExpectEmpty,
+          statsCols = Seq("o_orderkey", "price_micro"))
+        val v1 = tip
+        (1 until Gens).foreach { r =>
+          tip = SnapshotTable.commitAppend(
+            orders.filter(pmod($"o_orderkey", lit(330)) === r * 10).coalesce(1),
+            base, expectedVersion = tip,
+            statsCols = Seq("o_orderkey", "price_micro"))
+        }
+        (v1, tip)
+      } finally s.conf.set(key, old)
     }
     val m = SnapshotTable.manifestChain(s, base, tip)
     val answer = m.agg(
@@ -1427,7 +1438,8 @@ object LakeOps {
        |  CAST(33 AS BIGINT) AS n_generations,
        |  ${Exact.microSumTo4dpSql(s"min($p)", Exact.DuckDiv)} AS min_price,
        |  ${Exact.microSumTo4dpSql(s"max($p)", Exact.DuckDiv)} AS max_price
-       |FROM orders""".stripMargin
+       |FROM orders
+       |WHERE o_orderkey % 10 = 0""".stripMargin
   }
 
   /** Time travel BY TIMESTAMP — Delta's `TIMESTAMP AS OF`, answered

@@ -564,7 +564,7 @@ object SimilarityQueries {
       expectedVersion = v1)
     val delTop = new java.io.File(s"$idxBase/v$vDel").listFiles()
       .map(_.getName).toSet
-    require(delTop == Set("_base", "_deletes"),
+    require(delTop == Set("_base", "_deletes", "_names"),
       s"the cell tombstone must carry no data files; v$vDel has $delTop")
     val reassigned = hotMembers.drop("s").withColumn("cell",
       when(VectorOps.cosine($"embedding", typedlit(sub1)) >=

@@ -25,7 +25,8 @@ class DocCountsSpec extends SparkSpec {
     val n = graft.queries.StreamingGates.queries.size
     val word = Map(2 -> "two", 3 -> "three", 4 -> "four", 5 -> "five",
       6 -> "six", 7 -> "seven", 8 -> "eight", 9 -> "nine", 10 -> "ten",
-      11 -> "eleven", 12 -> "twelve", 13 -> "thirteen", 14 -> "fourteen")(n)
+      11 -> "eleven", 12 -> "twelve", 13 -> "thirteen", 14 -> "fourteen",
+      15 -> "fifteen", 16 -> "sixteen")(n)
     assert(readme.contains(s"$word that execute REAL Structured"),
       s"README should say '$word that execute REAL Structured' (registry has $n)")
   }

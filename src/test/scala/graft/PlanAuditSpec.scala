@@ -259,7 +259,7 @@ class PlanAuditSpec extends SparkSpec {
     q.fn(spark, dir).collect()
     val base = graft.queries.LakeOps.lakeBase(dir, "ann_ivf_rebal")
     val v2Top = new java.io.File(s"$base/v2").listFiles().map(_.getName).toSet
-    assert(v2Top == Set("_base", "_deletes"),
+    assert(v2Top == Set("_base", "_deletes", "_names"),
       s"the cell tombstone grew data files: $v2Top")
     def parquets(f: java.io.File): Int =
       if (f.isDirectory) f.listFiles().map(parquets).sum

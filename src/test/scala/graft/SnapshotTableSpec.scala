@@ -326,7 +326,7 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(2L, 4L).toDF("k"), dir, expectedVersion = v1)
     // the delete version holds NO data files — only the sidecar
     val top = new java.io.File(s"$dir/v$v2").listFiles().map(_.getName).toSet
-    assert(top == Set("_base", "_deletes"),
+    assert(top == Set("_base", "_deletes", "_names"),
       s"delete commit must not rewrite data, found $top")
     assert(SnapshotTable.baseOf(dir, v2).contains(v1))
     assert(SnapshotTable.read(spark, dir).select("k").as[Long]
@@ -1313,7 +1313,7 @@ class SnapshotTableSpec extends SparkSpec {
         expectedVersion = tip, statsCols = Seq("k"))
     }
     assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, s"v$tip", "_manifest_chain")),
+      java.nio.file.Paths.get(dir, s"v$tip", "_manifest_chain", "fold.tsv")),
       "an append with stats must commit the folded ancestor manifest")
     val folded = SnapshotTable.manifestChain(spark, dir, tip)
     // force the recursive fallback by hiding the tip's fold
