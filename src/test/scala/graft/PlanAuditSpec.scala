@@ -217,15 +217,20 @@ class PlanAuditSpec extends SparkSpec {
 
   test("snapshot_chain_manifest answers from manifest tables only") {
     // cross-generation metadata-only answering: every input file of
-    // the answer plan must live under a _manifest/ table, and both
-    // generations must contribute — pinned independently of the
-    // query's own requires
+    // the answer plan must be manifest metadata — the tip's own
+    // _manifest/ parquet plus the tip's _manifest_chain/ fold (since
+    // r19 the 33-generation chain answers from those TWO scans, both
+    // under the TIP's directory; a /v1/../v32/ read would mean the
+    // fold regressed to the recursive walk) — pinned independently of
+    // the query's own requires
     val q = Registry.all.find(_.name == "snapshot_chain_manifest").get
     val files = q.fn(spark, dir).inputFiles
-    assert(files.nonEmpty && files.forall(_.contains("/_manifest/")),
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("/_manifest/") || f.contains("/_manifest_chain/")),
       s"chain-manifest answer read a data file: ${files.mkString(", ")}")
-    assert(files.exists(_.contains("/v1/")) && files.exists(_.contains("/v2/")),
-      s"a generation's manifest dropped out: ${files.mkString(", ")}")
+    assert(files.forall(_.contains("/v33/")),
+      s"a pre-tip generation was scanned — the fold regressed to the " +
+        s"recursive walk: ${files.mkString(", ")}")
   }
 
   test("snapshot_wap_publish leaves main on the audited version, " +
