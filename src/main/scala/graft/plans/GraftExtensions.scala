@@ -6,17 +6,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("... vec_cosine(a, b)
-  * ...")` plans the same codegen'd expression as the Column API.
+  * ...")` plans the same codegen'd expression as the Column API — and
+  * injects the engine's two optimizer extensions:
   *
-  * Activate with:
+  *  - [[GlobalRowNumberRule]] + [[GlobalSeqIdStrategy]]: a global
+  *    `row_number() OVER (ORDER BY …)` plans as the distributed
+  *    two-pass range-exchange instead of a single-task funnel;
+  *  - [[SnapshotBloomJoinRule]]: `fact JOIN small-dim` over a
+  *    bloom-carrying snapshot scan with a plan-time dim prunes the
+  *    fact's file list to the bloom survivors.
+  *
+  * Both rules rewrite only their exact safe shapes and leave every
+  * other plan untouched (near-misses log), so injecting them
+  * cluster-wide is free; the `installIsolated` helpers remain for
+  * scoping a rewrite to one session of a shared REPL. Activate with:
   * {{{
   * SparkSession.builder()
   *   .withExtensions(new GraftExtensions)              // programmatic, or
   *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   * }}}
-  * No optimizer rules or strategies are injected — the built-in planner
-  * already produces the plans we want (see PLANS.md); functions are the
-  * only genuine extension this engine needs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -38,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => GlobalRowNumberRule)
+    e.injectPlannerStrategy(_ => GlobalSeqIdStrategy)
+    e.injectOptimizerRule(_ => SnapshotBloomJoinRule)
     e.injectFunction(binary("vec_dot", DotProduct.apply,
       "vec_dot(a, b) - dot product of two float vectors (double result)"))
     e.injectFunction(binary("vec_cosine", CosineSimilarity.apply,

@@ -58,4 +58,50 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("the extensions inject the engine's optimizer rules") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      // GlobalRowNumberRule + GlobalSeqIdStrategy: a global row_number
+      // plans the distributed two-pass node, not a single-task Window
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      val ranked = s.range(100).toDF("id")
+        .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+      // sparkPlan, not executedPlan: AQE wraps the latter in an
+      // AdaptiveSparkPlanExec whose inner tree is not collectable
+      // before execution
+      assert(ranked.queryExecution.sparkPlan.collectFirst {
+        case e: graft.plans.GlobalSeqIdExec => e
+      }.nonEmpty, "global row_number did not plan GlobalSeqIdExec")
+      assert(ranked.filter(col("rn") === col("id") + 1).count() == 100)
+      // SnapshotBloomJoinRule: the plain semi-join over a bloom'd
+      // snapshot scan plans only the survivor files
+      import graft.ops.SnapshotTable
+      val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString + "/t"
+      val v = SnapshotTable.commit(
+        s.range(2000).toDF("k").repartitionByRange(4, col("k")), dir,
+        expectedVersion = SnapshotTable.ExpectEmpty, bloomCols = Seq("k"))
+      val j = SnapshotTable.readAt(s, dir, v)
+        .join(Seq(7L).toDF("k"), Seq("k"), "left_semi")
+      val planned = j.queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.inputFiles.length
+      }.sum
+      val (kept, total) = SnapshotTable.pruneFilesBloom(dir, v, "k", Seq(7L))
+      assert(kept.size < total && planned == kept.size,
+        s"extended session did not prune: planned $planned, " +
+          s"survivors ${kept.size} of $total")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
