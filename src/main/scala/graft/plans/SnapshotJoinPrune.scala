@@ -67,19 +67,38 @@ object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
 
   /** The dim side's key values, if the plan is a LocalRelation exposing
     * the attribute — plan-time-known rows, the precondition for
-    * plan-time pruning.
+    * plan-time pruning. INTEGRAL AND STRING KEYS ONLY: a LocalRelation
+    * holds INTERNAL values, and for those two families the internal
+    * form canonicalizes identically to the bloom build side
+    * (String.valueOf(long) / UTF8String.toString). A DateType key's
+    * internal Int (days since epoch) would canonicalize differently
+    * from the build side's ISO string — a silent false NEGATIVE, i.e.
+    * wrong results — so anything else is a near-miss that keeps the
+    * plain join (the explicit readWhereIn API, which takes EXTERNAL
+    * values, still covers dates).
     */
   private def localKeys(plan: LogicalPlan,
       attr: AttributeReference): Option[Seq[Any]] = plan match {
     case LocalRelation(output, data, _, _) =>
       val idx = output.indexWhere(_.exprId == attr.exprId)
       if (idx < 0) None
-      else Some(data.map { row =>
-        row.get(idx, output(idx).dataType) match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case v => v
+      else {
+        import org.apache.spark.sql.types._
+        output(idx).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType =>
+            Some(data.map { row =>
+              row.get(idx, output(idx).dataType) match {
+                case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+                case v => v
+              }
+            })
+          case other =>
+            logWarning(s"snapshot join prune: dim key type " +
+              s"${other.simpleString} has no internal/probe canonical-" +
+              "form match — plain join kept")
+            None
         }
-      })
+      }
     case _ => None
   }
 

@@ -76,6 +76,25 @@ class SnapshotJoinPruneSpec extends SparkSpec {
       .join(bigDim, Seq("k"), "left_semi")
     assert(plannedFiles(j3) == 4,
       "an over-bound dim is not a needle lookup — keep the shuffle join")
+    // (d) a DATE-typed key: the LocalRelation's internal int would
+    // canonicalize differently from the bloom build side (ISO string)
+    // — pruning would be a silent false negative, so the rule must
+    // refuse and keep the full scan
+    val dated = freshDir()
+    val v3 = SnapshotTable.commit(
+      iso.range(1000).toDF("k")
+        .withColumn("d", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          ($"k" % 50).cast("int")))
+        .repartitionByRange(4, $"d"),
+      dated, expectedVersion = SnapshotTable.ExpectEmpty,
+      bloomCols = Seq("d"))
+    val dateDim = Seq(java.sql.Date.valueOf("2024-01-05")).toDF("d")
+    val j4 = SnapshotTable.readAt(iso, dated, v3)
+      .join(dateDim, Seq("d"), "left_semi")
+    assert(plannedFiles(j4) == 4,
+      "a date-keyed dim must not be plan-time pruned (internal-form " +
+        "mismatch would silently drop matching files)")
+    assert(j4.count() == 20)
   }
 
   test("install is isolated: the parent session never rewrites") {
