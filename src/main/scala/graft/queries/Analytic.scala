@@ -288,6 +288,100 @@ object Analytic {
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** INDEX-BACKED lexical retrieval — the scale path [[bm25Rank]]'s
+    * corpus scan cannot be: at 100 TB a keyword query must read
+    * posting shards, not re-tokenize the corpus. The INDEX BUILD (one
+    * corpus scan, paid once) commits the inverted index as a snapshot
+    * table: postings `(term, doc_id, tf, dl)` (doclen denormalized —
+    * the standard posting payload), range-clustered on `term` with a
+    * per-file term BLOOM, and the corpus scalars (N, Σdl) ride the
+    * commit's metadata so query time needs no corpus access at all.
+    * The QUERY answers BM25 top-k entirely from the index:
+    * [[SnapshotTable.readWhereIn]] opens only the posting files whose
+    * bloom admits a query term (df/tf/dl come exactly from those rows
+    * — a bloom keeps every file holding a query term, so df is exact),
+    * and the scalars come from the commit metadata. Loud requires pin
+    * the scale story: strict file pruning, the scan reading EXACTLY
+    * the bloom survivor list, and the final plan touching ONLY index
+    * files (zero document reads at query time). The oracle recomputes
+    * BM25 from the raw documents with the shared [[bm25Ctes]] — the
+    * index path must be score-identical to the scan path.
+    */
+  private def textIndexTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val idxBase = LakeOps.lakeBase(dir, "textindex")
+    SnapshotTable.deleteTree(idxBase)
+    val terms = Seq("join", "vector", "slow")
+    // ---- index build: one tokenize pass, committed through the spine
+    val v1 = Tables.withPersisted(
+      Tables.fanOut(Tables.documents(s, dir))
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))) { dt =>
+      val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n"), sum($"dl").as("s")).head()
+      val nPostings = dt.count()
+      SnapshotTable.commit(
+        dt.join(dl, "doc_id").select($"term", $"doc_id", $"tf", $"dl")
+          .repartitionByRange(16, $"term"),
+        idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
+        statsCols = Seq("term"), bloomCols = Seq("term"),
+        // sized to the write: a bloom sized far under the per-file
+        // posting count saturates and silently stops pruning at soak
+        // scale (the snapshot_join_prune sizing discipline)
+        bloomExpectedItems =
+          math.max(SnapshotTable.DefaultBloomExpectedItems, nPostings / 8),
+        meta = Map("n_docs" -> totals.getLong(0).toString,
+          "sum_dl" -> totals.getLong(1).toString))
+    }
+    // ---- query: scalars from commit metadata, postings from the
+    // bloom-pruned shards — the corpus is never touched again
+    val meta = SnapshotTable.readMeta(idxBase, v1)
+    val nDocs = meta("n_docs").toLong
+    val avgdl = meta("sum_dl").toDouble / nDocs
+    val (kept, total) =
+      SnapshotTable.pruneFilesBloom(s, idxBase, v1, "term", terms)
+    require(kept.nonEmpty && kept.size < total,
+      s"the term bloom must prune strictly (kept ${kept.size} of $total " +
+        "posting files) — the index layout regressed")
+    val hits = SnapshotTable.readWhereIn(s, idxBase, v1, "term", terms)
+    require(hits.inputFiles.length == kept.size,
+      s"the posting scan must read EXACTLY the bloom survivor list: " +
+        s"${hits.inputFiles.length} opened vs ${kept.size}")
+    // identical scoring algebra to bm25Rank (integer micro-units, same
+    // idf/tf normalization) — the index path must be score-identical
+    val answer = hits
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1))
+      .withColumn("tfn", ($"tf" * 2.2) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl)))
+      .withColumn("micro",
+        round($"idf" * $"tfn" * 1000000, 0).cast("bigint"))
+      .groupBy($"doc_id")
+      .agg(sum($"micro").as("micro"), count(lit(1)).as("terms_hit"))
+      .select($"doc_id", ($"micro".cast("double") / 1000000).as("bm25"),
+        $"terms_hit", lit(true).as("answered_from_index"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+    require(answer.inputFiles.nonEmpty &&
+      answer.inputFiles.forall(_.contains("/textindex/")),
+      s"query time must read ONLY the index: " +
+        s"${answer.inputFiles.mkString(", ")}")
+    answer
+  }
+
+  private val textIndexOracle =
+    s"""WITH $bm25Ctes
+      |SELECT doc_id,
+      |  CAST(sum(micro) AS DOUBLE) / 1000000 AS bm25,
+      |  CAST(count(*) AS BIGINT) AS terms_hit,
+      |  true AS answered_from_index
+      |FROM contrib
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   // -------------------------------------------------------- MERGE/upsert
 
   /** Batch MERGE INTO orders: a deterministic change batch (every 10th
@@ -449,6 +543,7 @@ object Analytic {
     Q("window_rank_suite", windowRankSuite, Some(rankSuiteOracle)),
     Q("triangle_count", triangleCount, Some(triangleOracle)),
     Q("bm25_rank", bm25Rank, Some(bm25Oracle)),
+    Q("text_index_topk", textIndexTopk, Some(textIndexOracle)),
     Q("merge_upsert_orders", mergeUpsertOrders, Some(mergeOracle)),
     Q("unpivot_revenue", unpivotRevenue, Some(unpivotOracle)),
     Q("median_mode_by_priority", medianModeByPriority, Some(medianModeOracle)))
