@@ -1765,16 +1765,35 @@ object SnapshotTable {
     */
   def pruneFilesBloom(spark: SparkSession, dir: String, version: Long,
       column: String, keys: Seq[Any]): (Seq[String], Int) = {
-    val bt = java.nio.file.Paths.get(dir, s"v$version", "_bloomtab")
-    if (!java.nio.file.Files.exists(bt))
-      return pruneFilesBloom(dir, version, column, keys)
     require(baseOf(dir, version).isEmpty,
       s"pruneFilesBloom targets data versions; v$version of $dir is a " +
         "merge-on-read delete commit — compact first or prune its base")
     require(appendBaseOf(dir, version).isEmpty,
       s"pruneFilesBloom covers one generation; v$version of $dir is an " +
-        "append commit — prune each generation against its own sidecar")
+        "append commit — prune each generation against its own sidecar " +
+        "(pruneFilesBloomOwn / readWhereInChain)")
     require(keys.nonEmpty, "pruneFilesBloom needs at least one key")
+    pruneBloomUnguarded(spark, dir, version, column, keys)
+  }
+
+  /** The shared probe core, chain guards already applied by callers:
+    * distributed over the committed `_bloomtab` when present, the
+    * driver-side TSV parse for versions that predate it.
+    */
+  private def pruneBloomUnguarded(spark: SparkSession, dir: String,
+      version: Long, column: String, keys: Seq[Any]): (Seq[String], Int) = {
+    val bt = java.nio.file.Paths.get(dir, s"v$version", "_bloomtab")
+    if (!java.nio.file.Files.exists(bt)) {
+      val blooms = readBloom(dir, version).filter(_._2 == column)
+      require(blooms.nonEmpty,
+        s"no per-file bloom for column '$column' on $dir v$version — " +
+          "commit with bloomCols to enable point-lookup file skipping")
+      val keyBytes = keys.map(k => bloomKeyBytes(String.valueOf(k)))
+      val kept = blooms.collect {
+        case (file, _, bf) if keyBytes.exists(bf.mightContainBinary) => file
+      }
+      return (kept.map(f => s"$dir/v$version/$f"), blooms.size)
+    }
     import spark.implicits._
     val tab = spark.read.parquet(bt.toString)
       .filter(col("column") === column)
@@ -1796,6 +1815,58 @@ object SnapshotTable {
         "commit with bloomCols to enable point-lookup file skipping")
     val kept = rows.collect { case (f, true) => f }.toSeq.sorted
     (kept.map(f => s"$dir/v$version/$f"), rows.length)
+  }
+
+  /** ONE GENERATION's own-file skipping decision for `column IN
+    * (keys)` — the per-generation building block a chain read composes
+    * ([[pruneFilesBloom]] refuses append versions precisely because
+    * its answer covers one generation's files and silently presenting
+    * it as the chain answer would be wrong; this is that
+    * one-generation answer made EXPLICIT). A delete commit carries no
+    * data files and is refused loudly. Returns (surviving own file
+    * paths, own file total).
+    */
+  def pruneFilesBloomOwn(spark: SparkSession, dir: String, version: Long,
+      column: String, keys: Seq[Any]): (Seq[String], Int) = {
+    require(baseOf(dir, version).isEmpty,
+      s"pruneFilesBloomOwn: v$version of $dir is a merge-on-read delete " +
+        "commit with no data files of its own")
+    require(keys.nonEmpty, "pruneFilesBloomOwn needs at least one key")
+    pruneBloomUnguarded(spark, dir, version, column, keys)
+  }
+
+  /** Bloom-pruned point-lookup read over an APPEND CHAIN: each
+    * generation's own files prune against that generation's own bloom
+    * sidecar, the surviving scans union BY NAME (per-generation
+    * layouts and schemas stay free, the spec-evolution discipline),
+    * and the row-level IN filter applies on top — byte-identical to
+    * the full chain scan, pure I/O savings in EVERY generation. This
+    * is the needle read for a table that took a year of ingest
+    * batches: the chain's depth costs nothing but one sidecar decision
+    * per generation. Tombstone-carrying chains (delete or upsert
+    * commits) are refused loudly — an anti-join under per-generation
+    * pruning could only be answered correctly by also scanning the
+    * tombstones, which [[readAt]] already does; compact first.
+    */
+  def readWhereInChain(spark: SparkSession, dir: String, version: Long,
+      column: String, keys: Seq[Any]): DataFrame = {
+    val gens = chainOf(dir, version)
+    gens.foreach { g =>
+      require(baseOf(dir, g).isEmpty && !isUpsert(dir, g),
+        s"readWhereInChain: v$g of $dir carries tombstones — their " +
+          "anti-join defeats per-generation pruning; compact first or " +
+          "use readAt")
+    }
+    gens.map { g =>
+      val (files, _) = pruneFilesBloomOwn(spark, dir, g, column, keys)
+      val vdir = s"$dir/v$g"
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(vdir).schema)
+      else spark.read.option("basePath", vdir).parquet(files: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(col(column).isin(keys: _*))
   }
 
   /** Bloom-pruned point-lookup read: `readAt(version).filter(column IN

@@ -307,6 +307,28 @@ object Analytic {
     * BM25 from the raw documents with the shared [[bm25Ctes]] — the
     * index path must be score-identical to the scan path.
     */
+  /** One index-build pass over a document frame: tokenize, reduce to
+    * postings `(term, doc_id, tf, dl)`, hand the caller the frame plus
+    * the corpus scalars and posting count (for metadata and bloom
+    * sizing) inside a scoped persist — shared by [[textIndexTopk]] and
+    * [[textIndexAppend]] so the build and the ingest batch tokenize
+    * IDENTICALLY (tf and dl are per-document facts, which is what
+    * makes the append batch-proportional: the standing index is never
+    * re-read to index new documents).
+    */
+  private def buildPostings[A](s: SparkSession, docs: DataFrame)(
+      commit: (DataFrame, Long, Long, Long) => A): A = {
+    import s.implicits._
+    Tables.withPersisted(docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))) { dt =>
+      val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n"), sum($"dl").as("s")).head()
+      commit(dt.join(dl, "doc_id").select($"term", $"doc_id", $"tf", $"dl"),
+        totals.getLong(0), totals.getLong(1), dt.count())
+    }
+  }
+
   private def textIndexTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.SnapshotTable
@@ -314,25 +336,19 @@ object Analytic {
     SnapshotTable.deleteTree(idxBase)
     val terms = Seq("join", "vector", "slow")
     // ---- index build: one tokenize pass, committed through the spine
-    val v1 = Tables.withPersisted(
-      Tables.fanOut(Tables.documents(s, dir))
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))) { dt =>
-      val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-      val totals = dl.agg(count(lit(1)).as("n"), sum($"dl").as("s")).head()
-      val nPostings = dt.count()
-      SnapshotTable.commit(
-        dt.join(dl, "doc_id").select($"term", $"doc_id", $"tf", $"dl")
-          .repartitionByRange(16, $"term"),
-        idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
-        statsCols = Seq("term"), bloomCols = Seq("term"),
-        // sized to the write: a bloom sized far under the per-file
-        // posting count saturates and silently stops pruning at soak
-        // scale (the snapshot_join_prune sizing discipline)
-        bloomExpectedItems =
-          math.max(SnapshotTable.DefaultBloomExpectedItems, nPostings / 8),
-        meta = Map("n_docs" -> totals.getLong(0).toString,
-          "sum_dl" -> totals.getLong(1).toString))
+    val v1 = buildPostings(s, Tables.fanOut(Tables.documents(s, dir))) {
+      (postings, nDocs, sumDl, nPostings) =>
+        SnapshotTable.commit(
+          postings.repartitionByRange(16, $"term"),
+          idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
+          statsCols = Seq("term"), bloomCols = Seq("term"),
+          // sized to the write: a bloom sized far under the per-file
+          // posting count saturates and silently stops pruning at soak
+          // scale (the snapshot_join_prune sizing discipline)
+          bloomExpectedItems = math.max(
+            SnapshotTable.DefaultBloomExpectedItems, nPostings / 8),
+          meta = Map("n_docs" -> nDocs.toString,
+            "sum_dl" -> sumDl.toString))
     }
     // ---- query: scalars from commit metadata, postings from the
     // bloom-pruned shards — the corpus is never touched again
@@ -377,6 +393,114 @@ object Analytic {
       |  CAST(sum(micro) AS DOUBLE) / 1000000 AS bm25,
       |  CAST(count(*) AS BIGINT) AS terms_hit,
       |  true AS answered_from_index
+      |FROM contrib
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  /** Inverted-index APPEND maintenance — the write path
+    * [[textIndexTopk]]'s one-shot build leaves open, and the lexical
+    * twin of `ann_ivf_index_append`: an ingest batch of new documents
+    * must land in the standing index at BATCH cost (tf and doclen are
+    * per-document facts, so the batch tokenizes alone and appends as
+    * one delta generation via [[SnapshotTable.commitAppend]]; the
+    * standing postings are never re-read, let alone rewritten), and a
+    * query through the two-generation chain must stay a needle read
+    * in BOTH generations. The corpus scalars fold ADDITIVELY across
+    * the chain's commit metadata (N and Σdl are sums, which is exactly
+    * why they ride per-generation metadata instead of a global file
+    * that appends would have to rewrite). Loud requires: the append
+    * wrote ONLY the batch's postings; BOTH generations prune strictly
+    * under the query's term blooms
+    * ([[SnapshotTable.pruneFilesBloomOwn]] per generation); the chain
+    * read ([[SnapshotTable.readWhereInChain]]) opens EXACTLY the two
+    * survivor lists; and the final plan touches only index files. The
+    * oracle recomputes BM25 over the FULL corpus from the raw
+    * documents — maintenance must be invisible to scores.
+    */
+  private def textIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val idxBase = LakeOps.lakeBase(dir, "textindexappend")
+    SnapshotTable.deleteTree(idxBase)
+    val terms = Seq("join", "vector", "slow")
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    // the standing index: 90% of the corpus
+    val v1 = buildPostings(s, docs.filter(pmod($"doc_id", lit(10)) =!= 9)) {
+      (postings, nDocs, sumDl, nPostings) =>
+        SnapshotTable.commit(postings.repartitionByRange(16, $"term"),
+          idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
+          statsCols = Seq("term"), bloomCols = Seq("term"),
+          bloomExpectedItems = math.max(
+            SnapshotTable.DefaultBloomExpectedItems, nPostings / 8),
+          meta = Map("n_docs" -> nDocs.toString, "sum_dl" -> sumDl.toString))
+    }
+    // the ingest batch: tokenized ALONE, appended as one delta
+    // generation with its own sidecars and its own partial scalars
+    val (v2, nBatchPostings) =
+      buildPostings(s, docs.filter(pmod($"doc_id", lit(10)) === 9)) {
+        (postings, nDocs, sumDl, nPostings) =>
+          (SnapshotTable.commitAppend(postings.repartitionByRange(8, $"term"),
+            idxBase, expectedVersion = v1,
+            statsCols = Seq("term"), bloomCols = Seq("term"),
+            bloomExpectedItems = math.max(
+              SnapshotTable.DefaultBloomExpectedItems, nPostings / 4),
+            meta = Map("n_docs" -> nDocs.toString,
+              "sum_dl" -> sumDl.toString)), nPostings)
+      }
+    // (a) batch-proportional write: only the batch's postings
+    val v2Rows = s.read.parquet(s"$idxBase/v$v2").count()
+    require(v2Rows == nBatchPostings,
+      s"the append must write ONLY the batch's $nBatchPostings postings; " +
+        s"v$v2 holds $v2Rows — the index was rebuilt")
+    require(SnapshotTable.chainOf(idxBase, v2) == Seq(v2, v1),
+      s"expected a two-generation index chain: " +
+        s"${SnapshotTable.chainOf(idxBase, v2)}")
+    // (b) corpus scalars fold additively across the chain's metadata
+    val metas = SnapshotTable.chainOf(idxBase, v2)
+      .map(g => SnapshotTable.readMeta(idxBase, g))
+    val nDocs = metas.map(_("n_docs").toLong).sum
+    val avgdl = metas.map(_("sum_dl").toLong).sum.toDouble / nDocs
+    // (c) the query prunes strictly in BOTH generations
+    val keptPerGen = SnapshotTable.chainOf(idxBase, v2).map { g =>
+      val (kept, total) =
+        SnapshotTable.pruneFilesBloomOwn(s, idxBase, g, "term", terms)
+      require(kept.nonEmpty && kept.size < total,
+        s"generation v$g must prune strictly for the query terms " +
+          s"(kept ${kept.size} of $total posting files)")
+      kept.size
+    }
+    val hits = SnapshotTable.readWhereInChain(s, idxBase, v2, "term", terms)
+    require(hits.inputFiles.length == keptPerGen.sum,
+      s"the chain read must open EXACTLY the per-generation survivor " +
+        s"lists: ${hits.inputFiles.length} vs ${keptPerGen.sum}")
+    val answer = hits
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1))
+      .withColumn("tfn", ($"tf" * 2.2) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl)))
+      .withColumn("micro",
+        round($"idf" * $"tfn" * 1000000, 0).cast("bigint"))
+      .groupBy($"doc_id")
+      .agg(sum($"micro").as("micro"), count(lit(1)).as("terms_hit"))
+      .select($"doc_id", ($"micro".cast("double") / 1000000).as("bm25"),
+        $"terms_hit", lit(2L).as("n_index_generations"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+    require(answer.inputFiles.nonEmpty &&
+      answer.inputFiles.forall(_.contains("/textindexappend/")),
+      s"query time must read ONLY the index: " +
+        s"${answer.inputFiles.mkString(", ")}")
+    answer
+  }
+
+  private val textIndexAppendOracle =
+    s"""WITH $bm25Ctes
+      |SELECT doc_id,
+      |  CAST(sum(micro) AS DOUBLE) / 1000000 AS bm25,
+      |  CAST(count(*) AS BIGINT) AS terms_hit,
+      |  CAST(2 AS BIGINT) AS n_index_generations
       |FROM contrib
       |GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id
@@ -544,6 +668,7 @@ object Analytic {
     Q("triangle_count", triangleCount, Some(triangleOracle)),
     Q("bm25_rank", bm25Rank, Some(bm25Oracle)),
     Q("text_index_topk", textIndexTopk, Some(textIndexOracle)),
+    Q("text_index_append", textIndexAppend, Some(textIndexAppendOracle)),
     Q("merge_upsert_orders", mergeUpsertOrders, Some(mergeOracle)),
     Q("unpivot_revenue", unpivotRevenue, Some(unpivotOracle)),
     Q("median_mode_by_priority", medianModeByPriority, Some(medianModeOracle)))

@@ -1328,6 +1328,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(folded.select($"generation").distinct().count() == 5)
   }
 
+  test("readWhereInChain prunes per generation; tombstoned chains are loud") {
+    val dir = freshDir()
+    var tip = SnapshotTable.commit(
+      spark.range(0, 100).toDF("k").repartitionByRange(4, $"k"), dir,
+      expectedVersion = SnapshotTable.ExpectEmpty, bloomCols = Seq("k"))
+    Seq(100L, 200L).foreach { base =>
+      tip = SnapshotTable.commitAppend(
+        spark.range(base, base + 100).toDF("k").repartitionByRange(4, $"k"),
+        dir, expectedVersion = tip, bloomCols = Seq("k"))
+    }
+    val keys = Seq(5L, 150L, 250L) // one needle per generation
+    val got = SnapshotTable.readWhereInChain(spark, dir, tip, "k", keys)
+    assert(got.as[Long].collect().sorted.toSeq == keys)
+    // every generation contributed a pruned (not full) own-file list
+    val perGen = SnapshotTable.chainOf(dir, tip).map { g =>
+      val (kept, total) =
+        SnapshotTable.pruneFilesBloomOwn(spark, dir, g, "k", keys)
+      assert(kept.nonEmpty && kept.size < total,
+        s"generation v$g did not prune (kept ${kept.size} of $total)")
+      kept.size
+    }
+    assert(got.inputFiles.length == perGen.sum,
+      "the chain read must open exactly the per-generation survivors")
+    // a tombstone anywhere in the chain defeats per-generation pruning
+    val vUp = SnapshotTable.commitUpsert(Seq(5L).toDF("k"), Seq("k"), dir,
+      expectedVersion = tip)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWhereInChain(spark, dir, vUp, "k", keys)
+    }
+  }
+
   test("readWhereInFrom: large key sets prune via broadcast semi-join") {
     val dir = freshDir()
     val n = 4000L
