@@ -423,12 +423,19 @@ object SnapshotTable {
     val p = publishLog(dir)
     if (!java.nio.file.Files.exists(p)) {
       val floor = (versions(dir) :+ 0L).max
-      // CREATE+APPEND: two racing creators both append a marker line —
-      // duplicates fold to the same floor reading (collectFirst)
-      java.nio.file.Files.writeString(p,
+      // CREATE_NEW: exactly ONE creation marker can ever be written —
+      // two racing first-committers race on the atomic create itself,
+      // and the loser's FileAlreadyExistsException is the success path
+      // (the winner's marker carries an equivalent floor). The earlier
+      // CREATE+APPEND form let both racers append a marker, leaving the
+      // GC floor to depend on append ordering — a property weakly-
+      // consistent filesystems don't guarantee.
+      try java.nio.file.Files.writeString(p,
         s"v$floor\t$LogCreatedRef\t${System.currentTimeMillis()}\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     }
   }
 
@@ -1936,6 +1943,17 @@ object SnapshotTable {
     * the Catalyst tree and codegen; the semi-join costs one small
     * build side) — either way the answer is byte-identical to the
     * full-scan semi-join.
+    *
+    * @note BEHAVIORAL CHANGE (r19): the default `maxKeys` dropped from
+    *       `1 << 20` to `1 << 16`. A caller whose dim side holds
+    *       between ~65k and 1M distinct keys, and who previously relied
+    *       on the implicit default, now gets a loud
+    *       IllegalArgumentException instead of a run — pass
+    *       `maxKeys = 1 << 20` explicitly to restore the old bound (the
+    *       broadcast-semi-join residual handles it correctly; the
+    *       default is conservative because a million per-key bloom
+    *       probes per file is rarely the plan you want — past DPP
+    *       scale, a plain shuffle join usually wins).
     */
   def readWhereInFrom(spark: SparkSession, dir: String, version: Long,
       column: String, keysDf: DataFrame, maxKeys: Int = 1 << 16): DataFrame = {

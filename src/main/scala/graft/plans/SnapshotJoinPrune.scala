@@ -59,6 +59,24 @@ object SnapshotJoinPrune {
   /** Rewrites performed (testable evidence the rule fired). */
   private[plans] val rewriteCount = new java.util.concurrent.atomic.AtomicLong
   def rewrites: Long = rewriteCount.get()
+
+  /** Memoized prune DECISIONS, keyed by the immutable inputs
+    * `(dir, version, column, keys)`: `Some(files)` = prune to these
+    * files, `None` = keep the plain join (no bloom / nothing pruned /
+    * probe failed). A snapshot version never changes after its
+    * claim-rename, so a decision is valid forever — and the rule runs
+    * inside fixed-point optimizer batches session-wide (injected by
+    * [[GraftExtensions]]), where an unprunable join would otherwise
+    * re-execute the filesystem probe, the nested bloom-scan Spark job,
+    * and the near-miss warning on EVERY iteration of every batch (and
+    * on every `df.explain()`). Bounded: cleared wholesale past
+    * [[DecisionCacheMax]] entries (decisions are cheap to recompute;
+    * wholesale clear beats LRU bookkeeping on the planner hot path).
+    */
+  private[plans] val decisionCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, String, Seq[Any]), Option[Seq[String]]]()
+  val DecisionCacheMax: Int = 4096
 }
 
 object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
@@ -145,38 +163,52 @@ object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
       }
     }
 
-  private def prune(lr: LogicalRelation, fs: HadoopFsRelation, dir: String,
-      version: Long, column: String, keys: Seq[Any]): Option[LogicalRelation] = {
-    // bail (plan unchanged) unless the version really carries a bloom
-    // for the join column — the rewrite is optional, the query is not
-    val hasBloom =
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(dir, s"v$version", "_bloomtab")) ||
+  /** The survivor-file decision for (dir, version, column, keys) —
+    * computed at most once per distinct input (see
+    * [[SnapshotJoinPrune.decisionCache]]); the filesystem probe, the
+    * bloom-scan job, and the near-miss warnings all live inside the
+    * compute so repeat optimizer iterations over an unprunable join are
+    * a single map lookup.
+    */
+  private def decideFiles(spark: SparkSession, dir: String, version: Long,
+      column: String, keys: Seq[Any]): Option[Seq[String]] = {
+    val cache = SnapshotJoinPrune.decisionCache
+    if (cache.size > SnapshotJoinPrune.DecisionCacheMax) cache.clear()
+    cache.computeIfAbsent((dir, version, column, keys), { _ =>
+      // bail (plan unchanged) unless the version really carries a bloom
+      // for the join column — the rewrite is optional, the query is not
+      val hasBloom =
         java.nio.file.Files.exists(
-          java.nio.file.Paths.get(dir, s"v$version", "_bloom.tsv"))
-    if (!hasBloom) {
-      logWarning(s"snapshot join prune: no bloom sidecar on $dir " +
-        s"v$version — plain join kept (commit with bloomCols to enable)")
-      return None
-    }
-    try {
-      val (files, total) = SnapshotTable.pruneFilesBloom(
-        fs.sparkSession, dir, version, column, keys)
-      if (files.size >= total) None // nothing to prune; keep the plan
-      else {
-        val pruned = new InMemoryFileIndex(fs.sparkSession,
-          files.map(new Path(_)), Map.empty, Some(fs.dataSchema))
-        SnapshotJoinPrune.rewriteCount.incrementAndGet()
-        Some(lr.copy(relation = fs.copy(location = pruned)(fs.sparkSession)))
-      }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        // e.g. no bloom rows for THIS column: optional rewrite, loud log
-        logWarning(s"snapshot join prune: skipped on $dir v$version " +
-          s"(${e.getMessage})")
+          java.nio.file.Paths.get(dir, s"v$version", "_bloomtab")) ||
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, s"v$version", "_bloom.tsv"))
+      if (!hasBloom) {
+        logWarning(s"snapshot join prune: no bloom sidecar on $dir " +
+          s"v$version — plain join kept (commit with bloomCols to enable)")
         None
-    }
+      } else try {
+        val (files, total) = SnapshotTable.pruneFilesBloom(
+          spark, dir, version, column, keys)
+        if (files.size >= total) None // nothing to prune; keep the plan
+        else Some(files)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // e.g. no bloom rows for THIS column: optional rewrite, loud log
+          logWarning(s"snapshot join prune: skipped on $dir v$version " +
+            s"(${e.getMessage})")
+          None
+      }
+    })
   }
+
+  private def prune(lr: LogicalRelation, fs: HadoopFsRelation, dir: String,
+      version: Long, column: String, keys: Seq[Any]): Option[LogicalRelation] =
+    decideFiles(fs.sparkSession, dir, version, column, keys).map { files =>
+      val pruned = new InMemoryFileIndex(fs.sparkSession,
+        files.map(new Path(_)), Map.empty, Some(fs.dataSchema))
+      SnapshotJoinPrune.rewriteCount.incrementAndGet()
+      lr.copy(relation = fs.copy(location = pruned)(fs.sparkSession))
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, jt, Some(EqualTo(a: AttributeReference,

@@ -533,12 +533,18 @@ object Streaming {
                 expectedVersion = SnapshotTable.ExpectEmpty, meta = meta)
             case Some(tip) =>
               // max-(ts, event_id)-wins against the STORED state, same
-              // total order as byKey: batch-order independence
+              // total order as byKey: batch-order independence. The
+              // tie is STRICT: a row identical to stored state in
+              // (ts, event_id) — a source-level at-least-once
+              // redelivery in a fresh epoch — is a no-op that folds
+              // into the empty-winners no-commit path, so generation
+              // counts are delivery-independent (a >= tie committed a
+              // whole extra upsert generation per exact redelivery).
               val state = SnapshotTable.readAt(spark, tableDir, tip)
               val beats = col("s.user_id").isNull ||
                 col("b.last_ts") > col("s.last_ts") ||
                 (col("b.last_ts") === col("s.last_ts") &&
-                  col("b.last_event_id") >= col("s.last_event_id"))
+                  col("b.last_event_id") > col("s.last_event_id"))
               val winners = latest.as("b")
                 .join(state.as("s"), col("b.user_id") === col("s.user_id"),
                   "left")
