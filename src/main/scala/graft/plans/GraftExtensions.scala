@@ -14,7 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    two-pass range-exchange instead of a single-task funnel;
   *  - [[SnapshotBloomJoinRule]]: `fact JOIN small-dim` over a
   *    bloom-carrying snapshot scan with a plan-time dim prunes the
-  *    fact's file list to the bloom survivors.
+  *    fact's file list to the bloom survivors;
+  *  - [[SnapshotRelationRule]]: a `format("snapshot")` V2 relation
+  *    expands into [[graft.ops.SnapshotTable.readAt]]'s own logical
+  *    plan, making the DSv2 read plan byte-identical to the Scala-API
+  *    read (without it the connector's V1 fallback still answers
+  *    correctly).
   *
   * Both rules rewrite only their exact safe shapes and leave every
   * other plan untouched (near-misses log), so injecting them
@@ -49,6 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => GlobalRowNumberRule)
     e.injectPlannerStrategy(_ => GlobalSeqIdStrategy)
     e.injectOptimizerRule(_ => SnapshotBloomJoinRule)
+    e.injectOptimizerRule(_ => SnapshotRelationRule)
     e.injectFunction(binary("vec_dot", DotProduct.apply,
       "vec_dot(a, b) - dot product of two float vectors (double result)"))
     e.injectFunction(binary("vec_cosine", CosineSimilarity.apply,

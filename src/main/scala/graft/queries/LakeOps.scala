@@ -2132,6 +2132,229 @@ object LakeOps {
        |FROM orders""".stripMargin
   }
 
+  /** The DPP-style half of the planner prune —
+    * [[snapshotJoinPruneRule]] proves the rewrite for a plan-time
+    * LocalRelation dim; this gate proves it for the shape real star
+    * queries actually write: `fact JOIN (dim_table WHERE pred)`, where
+    * the dim is a FILTERED PARQUET SCAN whose keys exist only at
+    * runtime. The rule materializes the bounded distinct key set at
+    * planning (one driver-side executeTake, memoized on the
+    * canonicalized dim subplan — the dynamic-partition-pruning
+    * dim-side collect) and swaps the fact's file index for the bloom
+    * survivor list; no pruning API anywhere in the query. Loud
+    * requires: the plain join PLANS exactly the survivor list; the
+    * rule counted a rewrite; the parent session (no rule) still plans
+    * the full scan. Same IN-subquery oracle — the rewrite must be
+    * invisible to the answer.
+    */
+  private def snapshotJoinPruneDimScan(s0: SparkSession, dir: String): DataFrame = {
+    val s = graft.plans.SnapshotJoinPrune.installIsolated(s0)
+    import s.implicits._
+    val base = lakeBase(dir, "joinprunedimscan")
+    SnapshotTable.deleteTree(base)
+    val lines = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity",
+        Exact.micro("l_extendedprice").as("price_micro"))
+    val nLines = lines.count()
+    val v1 = SnapshotTable.commit(
+      lines.repartitionByRange(16, $"l_orderkey"),
+      base, expectedVersion = SnapshotTable.ExpectEmpty,
+      bloomCols = Seq("l_orderkey"),
+      bloomExpectedItems =
+        math.max(SnapshotTable.DefaultBloomExpectedItems, nLines / 8))
+    val cust = Tables.orders(s, dir).agg(min($"o_custkey")).head.getLong(0)
+    // the dim as a FILTERED SCAN — keys unknown until the scan runs,
+    // which is exactly what the DPP-style path exists for
+    val dim = Tables.orders(s, dir)
+      .filter($"o_custkey" === cust)
+      .select($"o_orderkey".as("l_orderkey"))
+    val keys = dim.distinct().as[Long].collect().toSeq.sorted
+    val (kept, total) =
+      SnapshotTable.pruneFilesBloom(base, v1, "l_orderkey", keys)
+    require(kept.nonEmpty && kept.size < total,
+      s"the fixture must prune strictly (kept ${kept.size} of $total)")
+    val before = graft.plans.SnapshotJoinPrune.rewrites
+    // the whole point: PLAIN join syntax against a dim SCAN
+    val joined = SnapshotTable.readAt(s, base, v1)
+      .join(dim, Seq("l_orderkey"), "left_semi")
+    val planned = joined.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.inputFiles
+            .exists(_.contains("/joinprunedimscan/")) =>
+        sc.relation.location.inputFiles.length
+    }.sum
+    require(planned == kept.size,
+      s"the plain join over a dim scan must PLAN exactly the bloom " +
+        s"survivor list: $planned fact files planned vs ${kept.size}")
+    require(graft.plans.SnapshotJoinPrune.rewrites > before,
+      "the planner rule never fired on the dim-scan join")
+    val parentPlanned = SnapshotTable.readAt(s0, base, v1)
+      .join(Tables.orders(s0, dir).filter(col("o_custkey") === cust)
+        .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      .queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.relation.location.inputFiles
+              .exists(_.contains("/joinprunedimscan/")) =>
+          sc.relation.location.inputFiles.length
+      }.sum
+    require(parentPlanned == total,
+      s"rule leak: the parent session planned $parentPlanned of $total " +
+        "files — installIsolated failed to scope the rewrite")
+    joined
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        sum($"price_micro").as("s_micro"))
+      .select($"n_lines", $"sum_qty",
+        Exact.microSumTo4dp("s_micro").as("sum_price"),
+        lit(true).as("dim_scan_pruned"))
+  }
+
+  private val snapshotJoinPruneDimScanOracle = {
+    val p = Exact.microSql("l_extendedprice")
+    s"""SELECT count(*) AS n_lines,
+       |  round(sum(l_quantity), 2) AS sum_qty,
+       |  ${Exact.microSumTo4dpSql(s"CAST(sum($p) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  true AS dim_scan_pruned
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey = (SELECT min(o_custkey) FROM orders))""".stripMargin
+  }
+
+  /** The lake's DataSource V2 read surface
+    * ([[graft.sources.SnapshotDataSource]]): `spark.read
+    * .format("snapshot").load(dir)` — with `versionAsOf` /
+    * `timestampAsOf` / `branch` time travel — must resolve a
+    * delete+append+upsert MOR chain IDENTICALLY to the Scala-API
+    * [[SnapshotTable.readAt]], through BOTH execution paths: the plain
+    * session's V1 fallback scan (no optimizer rule installed — requires
+    * pin that zero substitutions happened and the plan carries no
+    * parquet FileScan of its own) and the
+    * [[graft.plans.SnapshotRelationRule]] substitution path (requires
+    * pin that the substitution fired and the physical plan IS native
+    * parquet FileScans, i.e. byte-identical shape to the API read).
+    * Mutually-exclusive time-travel options must fail loudly. The
+    * answer rows are derived from the DSv2 reads themselves, so the
+    * DuckDB oracle gates the connector's chain resolution at every
+    * pinned epoch.
+    */
+  private def snapshotDsv2Read(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "dsv2read")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val k = $"o_orderkey"
+    // chain: base (evens) -> append (1 mod 4) -> MOR delete (0 mod 8)
+    // -> atomic upsert (replace 2 mod 8 at triple price, insert 3 mod 8)
+    val v1 = SnapshotTable.commit(orders.filter(pmod(k, lit(2)) === 0), base,
+      expectedVersion = SnapshotTable.ExpectEmpty)
+    val v2 = SnapshotTable.commitAppend(orders.filter(pmod(k, lit(4)) === 1),
+      base, expectedVersion = v1)
+    val v3 = SnapshotTable.commitDeletes(
+      orders.filter(pmod(k, lit(8)) === 0).select($"o_orderkey"), base,
+      expectedVersion = v2)
+    // strict ms separation so t(v4)-1 resolves v3 (as-of is publish-keyed)
+    val t3 = SnapshotTable.publishEvents(base)
+      .filter(e => e._1 == v3 && e._2 == "current").head._3
+    while (System.currentTimeMillis() <= t3) Thread.sleep(1)
+    val v4 = SnapshotTable.commitUpsert(
+      orders.filter(pmod(k, lit(8)) === 2)
+        .withColumn("price_micro", $"price_micro" * 3)
+        .unionByName(orders.filter(pmod(k, lit(8)) === 3)),
+      Seq("o_orderkey"), base, expectedVersion = v3)
+    val t4 = SnapshotTable.publishEvents(base)
+      .filter(e => e._1 == v4 && e._2 == "current").head._3
+    val bSide = SnapshotTable.commitToBranch(
+      orders.filter(pmod(k, lit(2)) === 0)
+        .withColumn("price_micro", $"price_micro" * 2),
+      base, "side", expectedBranchVersion = SnapshotTable.ExpectEmpty)
+    def stat(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"), sum(col("price_micro")).as("sm"))
+        .head
+      (r.getLong(0), r.getLong(1))
+    }
+    val apiTip = stat(SnapshotTable.readAt(s, base, v4))
+    // 1) V1 fallback on the PLAIN session: correct with zero rule help
+    val subst0 = graft.plans.SnapshotRelationRule.substitutions
+    val fb = s.read.format("snapshot").load(base)
+    require(!fb.queryExecution.executedPlan.toString.contains("FileScan"),
+      "plain-session snapshot read must plan the V1 fallback scan, not " +
+        "a substituted parquet scan")
+    val fbStat = stat(fb)
+    require(fbStat == apiTip,
+      s"V1 fallback read diverged from readAt: $fbStat vs $apiTip")
+    require(graft.plans.SnapshotRelationRule.substitutions == subst0,
+      "the substitution rule must not fire on a session it was never " +
+        "installed on")
+    // 2) substitution rule (isolated session): plan-identical to the API
+    val iso = graft.plans.SnapshotRelationRule.installIsolated(s)
+    val fast = iso.read.format("snapshot").load(base)
+    val fastStat = stat(fast)
+    val fastPlan = fast.queryExecution.executedPlan.toString
+    require(fastPlan.contains("FileScan") &&
+      !fastPlan.contains("snapshot-v1-fallback"),
+      "the substituted DSv2 read must plan native parquet FileScans")
+    require(graft.plans.SnapshotRelationRule.substitutions > subst0,
+      "the substitution rule must fire on the installIsolated session")
+    require(fastStat == apiTip,
+      s"substituted read diverged from readAt: $fastStat vs $apiTip")
+    // 3) time travel options resolve like the Scala API
+    val dv2 = s.read.format("snapshot")
+      .option("versionAsOf", v2.toString).load(base)
+    require(stat(dv2) == stat(SnapshotTable.readAt(s, base, v2)),
+      "versionAsOf must read the pinned version exactly")
+    val dAsof = s.read.format("snapshot")
+      .option("timestampAsOf", (t4 - 1).toString).load(base)
+    require(stat(dAsof) == stat(SnapshotTable.readAt(s, base, v3)),
+      "timestampAsOf strictly before v4's publish must resolve v3")
+    val dBranch = s.read.format("snapshot")
+      .option("branch", "side").load(base)
+    require(stat(dBranch) == stat(SnapshotTable.readAt(s, base, bSide)),
+      "branch option must read the branch head")
+    val clash =
+      try {
+        s.read.format("snapshot").option("versionAsOf", "1")
+          .option("timestampAsOf", "1").load(base)
+        false
+      } catch {
+        case e: Throwable =>
+          Option(e.getMessage).exists(_.contains("mutually exclusive"))
+      }
+    require(clash, "versionAsOf+timestampAsOf must be rejected loudly")
+    Seq(("asof_v3", stat(dAsof)), ("branch", stat(dBranch)),
+      ("final", fastStat), ("v2", stat(dv2)))
+      .map { case (tag, (n, sm)) => (tag, n, sm) }
+      .toDF("epoch", "n_rows", "s_micro")
+      .select($"epoch", $"n_rows",
+        Exact.microSumTo4dp("s_micro").as("sum_price"))
+      .orderBy($"epoch")
+  }
+
+  private val snapshotDsv2ReadOracle = {
+    val p = Exact.microSql("o_totalprice")
+    def sum4(e: String) =
+      Exact.microSumTo4dpSql(s"CAST(sum($e) AS BIGINT)", Exact.DuckDiv)
+    s"""SELECT 'asof_v3' AS epoch, count(*) AS n_rows, ${sum4(p)} AS sum_price
+       |FROM orders
+       |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 4 = 1) AND o_orderkey % 8 <> 0
+       |UNION ALL
+       |SELECT 'branch', count(*), ${sum4(s"2 * $p")}
+       |FROM orders WHERE o_orderkey % 2 = 0
+       |UNION ALL
+       |SELECT 'final', count(*),
+       |  ${sum4(s"CASE WHEN o_orderkey % 8 = 2 THEN 3 * $p ELSE $p END")}
+       |FROM orders
+       |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 4 = 1 OR o_orderkey % 8 = 3)
+       |  AND o_orderkey % 8 <> 0
+       |UNION ALL
+       |SELECT 'v2', count(*), ${sum4(p)}
+       |FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+       |ORDER BY epoch""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("schema_drift_union", schemaDriftUnion, Some(schemaDriftOracle)),
     Q("compact_small_files", compactSmallFiles, Some(compactOracle)),
@@ -2173,5 +2396,8 @@ object LakeOps {
     Q("snapshot_mor_upsert", snapshotMorUpsert, Some(snapshotMorUpsertOracle)),
     Q("snapshot_null_prune", snapshotNullPrune, Some(snapshotNullPruneOracle)),
     Q("snapshot_optimize_vacuum", snapshotOptimizeVacuum,
-      Some(snapshotOptimizeVacuumOracle)))
+      Some(snapshotOptimizeVacuumOracle)),
+    Q("snapshot_dsv2_read", snapshotDsv2Read, Some(snapshotDsv2ReadOracle)),
+    Q("snapshot_join_prune_dim_scan", snapshotJoinPruneDimScan,
+      Some(snapshotJoinPruneDimScanOracle)))
 }
