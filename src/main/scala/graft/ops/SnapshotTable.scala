@@ -977,7 +977,8 @@ object SnapshotTable {
   def optimizeDeltas(spark: SparkSession, dir: String, baseVersion: Long,
       partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, allowSchemaEvolution: Boolean = false,
-      raceWindow: () => Unit = () => ())(
+      raceWindow: () => Unit = () => (),
+      metaExtra: Map[String, String] = Map.empty)(
       reshape: DataFrame => DataFrame): Long = {
     val tip = currentVersion(dir).getOrElse(throw new IllegalStateException(
       s"no committed snapshot under $dir"))
@@ -1011,9 +1012,13 @@ object SnapshotTable {
     val merged0 = metas.reverse.foldLeft(Map.empty[String, String])(_ ++ _)
     val hwmKeys = metas.flatMap(_.keys)
       .filter(k => k == "epoch" || k.startsWith("txn.")).distinct
+    // metaExtra LAST: the newest-wins default is wrong for ADDITIVE
+    // per-generation scalars (an index's n_docs / sum_dl fold as sums
+    // across the generations being folded) — only the caller knows
+    // which keys are additive, so it computes the fold and overrides
     val merged = merged0 ++ hwmKeys.map { k =>
       k -> metas.flatMap(_.get(k)).map(_.toLong).max.toString
-    }
+    } ++ metaExtra
     // deterministic interleave hook for the contention gate: a racing
     // append landing HERE (after the fold read the tip, before the
     // rebase commits) must CAS-fail the rebase loudly — the caller

@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Join, Limit, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 
@@ -16,11 +16,13 @@ import graft.ops.SnapshotTable
   * row_number: a `Rule[LogicalPlan]` recognizes
   * `fact JOIN small-dim ON fact.k = dim.k` where the fact side is a
   * snapshot-version parquet scan carrying a per-file bloom for `k` and
-  * the dim side is a LocalRelation whose keys are known at PLAN time
-  * (the same dim-side availability Spark's own dynamic partition
-  * pruning waits for at runtime — a plan-time local dim is the
-  * strictly easier case, so the files prune before the scan is even
-  * scheduled). The fact relation's file index is replaced by the bloom
+  * the dim side is either a LocalRelation whose keys are known at PLAN
+  * time, or — the DPP-style variant — a FILTERED dim scan whose
+  * bounded distinct keys materialize at planning with one driver-side
+  * executeTake (the same dim-side availability Spark's own dynamic
+  * partition pruning waits for at runtime; both forms prune the files
+  * before the scan is even scheduled). The fact relation's file index
+  * is replaced by the bloom
   * survivor list; the join itself remains and supplies the residual
   * row filter, so the answer is byte-identical to the unpruned plan —
   * at 100 TB this turns every "this entity's rows" lookup written as a
@@ -77,6 +79,15 @@ object SnapshotJoinPrune {
     new java.util.concurrent.ConcurrentHashMap[
       (String, Long, String, Seq[Any]), Option[Seq[String]]]()
   val DecisionCacheMax: Int = 4096
+
+  /** Materialized dim-side key sets for the DPP-style variant, keyed by
+    * the CANONICALIZED bounded subquery plan (distinct keys under a
+    * MaxDimKeys+1 limit): the one driver-side executeTake per distinct
+    * dim subtree, never one per optimizer iteration. Same wholesale
+    * clearing bound as [[decisionCache]].
+    */
+  private[plans] val dimKeysCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Option[Seq[Any]]]()
 }
 
 object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
@@ -170,6 +181,16 @@ object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
     * compute so repeat optimizer iterations over an unprunable join are
     * a single map lookup.
     */
+  /** Whether the version carries a bloom sidecar at all — the cheap
+    * fact-side precondition checked before anything expensive (in the
+    * DPP-style path, before the dim subquery ever runs).
+    */
+  private def hasBloomSidecar(dir: String, version: Long): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"v$version", "_bloomtab")) ||
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"v$version", "_bloom.tsv"))
+
   private def decideFiles(spark: SparkSession, dir: String, version: Long,
       column: String, keys: Seq[Any]): Option[Seq[String]] = {
     val cache = SnapshotJoinPrune.decisionCache
@@ -177,12 +198,7 @@ object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
     cache.computeIfAbsent((dir, version, column, keys), { _ =>
       // bail (plan unchanged) unless the version really carries a bloom
       // for the join column — the rewrite is optional, the query is not
-      val hasBloom =
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(dir, s"v$version", "_bloomtab")) ||
-          java.nio.file.Files.exists(
-            java.nio.file.Paths.get(dir, s"v$version", "_bloom.tsv"))
-      if (!hasBloom) {
+      if (!hasBloomSidecar(dir, version)) {
         logWarning(s"snapshot join prune: no bloom sidecar on $dir " +
           s"v$version — plain join kept (commit with bloomCols to enable)")
         None
@@ -210,6 +226,60 @@ object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
       lr.copy(relation = fs.copy(location = pruned)(fs.sparkSession))
     }
 
+  /** DPP-style dim keys — the shape real star queries write:
+    * `fact JOIN dim_table WHERE dim.pred`, where the dim side is a
+    * FILTERED single-relation scan (any stack of Project/Filter shells
+    * over one LogicalRelation with at least one Filter — the
+    * selectivity signal; an unfiltered dim is not a needle lookup) with
+    * all-deterministic expressions and a key type in the same
+    * integral/string whitelist as [[localKeys]]. The bounded distinct
+    * key set materializes at PLAN time with one driver-side
+    * executeTake — the same bounded dim-side broadcast Spark's own
+    * dynamic partition pruning performs — memoized on the canonicalized
+    * subplan ([[SnapshotJoinPrune.dimKeysCache]]) so fixed-point
+    * re-runs and `explain()` never re-execute it. More than
+    * [[SnapshotJoinPrune.MaxDimKeys]] distinct keys is a near-miss:
+    * plain shuffle join kept, loud log.
+    */
+  private def dimScanKeys(plan: LogicalPlan,
+      attr: AttributeReference): Option[Seq[Any]] = {
+    import org.apache.spark.sql.types._
+    def shape(p: LogicalPlan, sawFilter: Boolean): Boolean = p match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        shape(f.child, sawFilter = true)
+      case pr: Project => shape(pr.child, sawFilter)
+      case _: LogicalRelation => sawFilter
+      case _ => false
+    }
+    val keyTypeOk = attr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    if (!shape(plan, sawFilter = false) || !keyTypeOk ||
+        plan.expressions.exists(!_.deterministic)) None
+    else {
+      val sub = Limit(Literal(SnapshotJoinPrune.MaxDimKeys + 1),
+        Distinct(Project(Seq(attr), plan)))
+      val cache = SnapshotJoinPrune.dimKeysCache
+      if (cache.size > SnapshotJoinPrune.DecisionCacheMax) cache.clear()
+      cache.computeIfAbsent(sub.canonicalized, { _ =>
+        val rows = SparkSession.active.sessionState.executePlan(sub)
+          .executedPlan.executeTake(SnapshotJoinPrune.MaxDimKeys + 1)
+        if (rows.length > SnapshotJoinPrune.MaxDimKeys) {
+          logWarning(s"snapshot join prune: dim scan exceeds " +
+            s"${SnapshotJoinPrune.MaxDimKeys} distinct keys — plain " +
+            "shuffle join kept")
+          None
+        } else Some(rows.toSeq.map { r =>
+          r.get(0, attr.dataType) match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case v => v
+          }
+        })
+      })
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, jt, Some(EqualTo(a: AttributeReference,
         b: AttributeReference)), _) if jt == Inner || jt == LeftSemi =>
@@ -222,9 +292,15 @@ object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
         (factAttr, dimAttr) <- Seq((a, b), (b, a)).find { case (f, d) =>
           sideOf(f).contains(left) && sideOf(d).contains(right)
         }
-        keys <- localKeys(right, dimAttr)
-        if keys.nonEmpty && keys.size <= SnapshotJoinPrune.MaxDimKeys
+        // fact side first: its checks are cheap pattern matches (plus
+        // one sidecar stat), and the DPP-style dim materialization must
+        // never run for a join that could not be pruned anyway
         (lr, rebuild, fs, dir, version) <- snapshotScan(left, factAttr)
+        keys <- localKeys(right, dimAttr).orElse {
+          if (hasBloomSidecar(dir, version)) dimScanKeys(right, dimAttr)
+          else None
+        }
+        if keys.nonEmpty && keys.size <= SnapshotJoinPrune.MaxDimKeys
         prunedLr <- prune(lr, fs, dir, version, factAttr.name,
           keys.filter(_ != null))
       } yield j.copy(left = rebuild(prunedLr))

@@ -506,6 +506,147 @@ object Analytic {
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Posting-index COMPACTION — closes the loop [[textIndexAppend]]
+    * opens: ingest appends leave a growing delta chain (each with its
+    * own small posting files and blooms), and the fold must retire it
+    * WITHOUT touching the standing base or changing a single score.
+    * [[SnapshotTable.optimizeDeltas]] re-reads ONLY the two delta
+    * generations, re-clusters them by term, re-mints term blooms and
+    * stats, and re-mints the corpus scalars ADDITIVELY via `metaExtra`
+    * (the fold's newest-wins metadata default would drop batch A's
+    * n_docs/Σdl — the additive override is exactly what an index's
+    * scalars need). Loud requires: the fold wrote exactly the deltas'
+    * postings and never re-read the base (base file list unchanged);
+    * the chain is back to two generations; the folded chain's scalars
+    * equal the FULL corpus totals; both generations still prune
+    * strictly under the query's term blooms with the chain read
+    * opening exactly the survivor lists; and the per-document BM25
+    * micro-scores are IDENTICAL pre- vs post-fold. The oracle
+    * recomputes BM25 over the raw documents — compaction must be
+    * invisible to scores.
+    */
+  private def textIndexOptimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val idxBase = LakeOps.lakeBase(dir, "textindexopt")
+    SnapshotTable.deleteTree(idxBase)
+    val terms = Seq("join", "vector", "slow")
+    val docs = Tables.fanOut(Tables.documents(s, dir))
+    // standing index: 80% of the corpus; two ingest batches on top
+    val v1 = buildPostings(s, docs.filter(pmod($"doc_id", lit(10)) <= 7)) {
+      (postings, nDocs, sumDl, nPostings) =>
+        SnapshotTable.commit(postings.repartitionByRange(16, $"term"),
+          idxBase, expectedVersion = SnapshotTable.ExpectEmpty,
+          statsCols = Seq("term"), bloomCols = Seq("term"),
+          bloomExpectedItems = math.max(
+            SnapshotTable.DefaultBloomExpectedItems, nPostings / 8),
+          meta = Map("n_docs" -> nDocs.toString, "sum_dl" -> sumDl.toString))
+    }
+    def appendBatch(mod: Int, tip: Long): (Long, Long) =
+      buildPostings(s, docs.filter(pmod($"doc_id", lit(10)) === mod)) {
+        (postings, nDocs, sumDl, nPostings) =>
+          (SnapshotTable.commitAppend(postings.repartitionByRange(4, $"term"),
+            idxBase, expectedVersion = tip,
+            statsCols = Seq("term"), bloomCols = Seq("term"),
+            bloomExpectedItems = math.max(
+              SnapshotTable.DefaultBloomExpectedItems, nPostings / 4),
+            meta = Map("n_docs" -> nDocs.toString,
+              "sum_dl" -> sumDl.toString)), nPostings)
+      }
+    val (v2, nPostA) = appendBatch(8, v1)
+    val (v3, nPostB) = appendBatch(9, v2)
+    // scores through the 3-generation chain, BEFORE the fold
+    def chainScores(tip: Long): Map[Long, (Long, Long)] = {
+      val metas = SnapshotTable.chainOf(idxBase, tip)
+        .map(g => SnapshotTable.readMeta(idxBase, g))
+      val nDocs = metas.map(_("n_docs").toLong).sum
+      val avgdl = metas.map(_("sum_dl").toLong).sum.toDouble / nDocs
+      SnapshotTable.readWhereInChain(s, idxBase, tip, "term", terms)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+        .withColumn("idf",
+          log((lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1))
+        .withColumn("tfn", ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / avgdl)))
+        .withColumn("micro",
+          round($"idf" * $"tfn" * 1000000, 0).cast("bigint"))
+        .groupBy($"doc_id")
+        .agg(sum($"micro").as("micro"), count(lit(1)).as("terms_hit"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, m, th) => d -> (m, th) }.toMap
+    }
+    val before = chainScores(v3)
+    // additive scalar fold for the generations being retired (v2+v3)
+    val deltaMetas = Seq(v2, v3).map(g => SnapshotTable.readMeta(idxBase, g))
+    def genFiles(v: Long): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(idxBase, s"v$v"))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally st.close()
+    }
+    val baseFiles = genFiles(v1)
+    val vOpt = SnapshotTable.optimizeDeltas(s, idxBase, baseVersion = v1,
+      statsCols = Seq("term"), bloomCols = Seq("term"),
+      metaExtra = Map(
+        "n_docs" -> deltaMetas.map(_("n_docs").toLong).sum.toString,
+        "sum_dl" -> deltaMetas.map(_("sum_dl").toLong).sum.toString))(
+      _.repartitionByRange(4, $"term"))
+    require(SnapshotTable.chainOf(idxBase, vOpt) == Seq(vOpt, v1),
+      s"the fold must leave a two-generation chain: " +
+        s"${SnapshotTable.chainOf(idxBase, vOpt)}")
+    require(genFiles(v1) == baseFiles,
+      "the fold must never rewrite the standing base generation")
+    val foldedRows = s.read.parquet(s"$idxBase/v$vOpt").count()
+    require(foldedRows == nPostA + nPostB,
+      s"the fold must hold exactly the deltas' ${nPostA + nPostB} " +
+        s"postings, got $foldedRows — the base leaked into the fold")
+    // post-fold: scalars re-fold to the FULL corpus, pruning stays
+    // strict in both generations, the chain read stays a needle read
+    val metasAfter = SnapshotTable.chainOf(idxBase, vOpt)
+      .map(g => SnapshotTable.readMeta(idxBase, g))
+    val metaBefore = SnapshotTable.chainOf(idxBase, v3)
+      .map(g => SnapshotTable.readMeta(idxBase, g))
+    require(metasAfter.map(_("n_docs").toLong).sum ==
+      metaBefore.map(_("n_docs").toLong).sum &&
+      metasAfter.map(_("sum_dl").toLong).sum ==
+        metaBefore.map(_("sum_dl").toLong).sum,
+      "the folded chain's corpus scalars must equal the pre-fold totals")
+    val keptPerGen = SnapshotTable.chainOf(idxBase, vOpt).map { g =>
+      val (kept, total) =
+        SnapshotTable.pruneFilesBloomOwn(s, idxBase, g, "term", terms)
+      require(kept.nonEmpty && kept.size < total,
+        s"post-fold generation v$g must prune strictly " +
+          s"(kept ${kept.size} of $total posting files)")
+      kept.size
+    }
+    val hits = SnapshotTable.readWhereInChain(s, idxBase, vOpt, "term", terms)
+    require(hits.inputFiles.length == keptPerGen.sum,
+      s"the post-fold chain read must open EXACTLY the survivor lists: " +
+        s"${hits.inputFiles.length} vs ${keptPerGen.sum}")
+    val after = chainScores(vOpt)
+    require(after == before,
+      s"compaction changed scores: ${(after.toSet -- before.toSet).take(3)}" +
+        s" vs ${(before.toSet -- after.toSet).take(3)}")
+    val answer = after.toSeq.map { case (d, (m, th)) => (d, m, th) }
+      .toDF("doc_id", "micro", "terms_hit")
+      .select($"doc_id", ($"micro".cast("double") / 1000000).as("bm25"),
+        $"terms_hit", lit(true).as("scores_identical_post_fold"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+    answer
+  }
+
+  private val textIndexOptimizeOracle =
+    s"""WITH $bm25Ctes
+      |SELECT doc_id,
+      |  CAST(sum(micro) AS DOUBLE) / 1000000 AS bm25,
+      |  CAST(count(*) AS BIGINT) AS terms_hit,
+      |  true AS scores_identical_post_fold
+      |FROM contrib
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   // -------------------------------------------------------- MERGE/upsert
 
   /** Batch MERGE INTO orders: a deterministic change batch (every 10th
@@ -669,6 +810,7 @@ object Analytic {
     Q("bm25_rank", bm25Rank, Some(bm25Oracle)),
     Q("text_index_topk", textIndexTopk, Some(textIndexOracle)),
     Q("text_index_append", textIndexAppend, Some(textIndexAppendOracle)),
+    Q("text_index_optimize", textIndexOptimize, Some(textIndexOptimizeOracle)),
     Q("merge_upsert_orders", mergeUpsertOrders, Some(mergeOracle)),
     Q("unpivot_revenue", unpivotRevenue, Some(unpivotOracle)),
     Q("median_mode_by_priority", medianModeByPriority, Some(medianModeOracle)))

@@ -1681,7 +1681,14 @@ object DedupQueries {
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingOracle)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Q("corpus_select", corpusSelect, Some(corpusSelectOracle)),
-    Q("incremental_ingest", incrementalIngest, Some(incrementalOracle)),
+    Q("incremental_ingest", incrementalIngest, Some(incrementalOracle),
+      scaleNote = Some("lossless exact-Jaccard admission audit: AllPairs " +
+        "candidate mass is quadratic in the soak clone factor BY DESIGN " +
+        "(the audit's whole point is zero pruning loss), so the audit is " +
+        "scale-capped at 10x; incremental_ingest_bounded (per-token " +
+        "PrefixCap with a disclosed n_capped_tokens counter) carries the " +
+        "100x row, and the pair-free dedup_incremental is the shipped " +
+        "admission scale path")),
     Q("incremental_ingest_bounded", incrementalIngestBounded,
       Some(incrementalBoundedOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),

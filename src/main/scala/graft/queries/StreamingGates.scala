@@ -1021,9 +1021,125 @@ object StreamingGates {
       |  CAST(4 AS BIGINT) AS n_replicated_generations
       |FROM events""".stripMargin
 
+  /** Multi-writer CDC contention — the availability half
+    * [[streamingUpsertIngest]] leaves open: that gate proves the merge
+    * is exactly-once for ONE writer; this one proves a CONCURRENT
+    * writer landing inside the merge window (after the stream read the
+    * tip's state, before its commit) cannot kill the stream OR lose
+    * either writer's rows. The racer commits a direct atomic upsert of
+    * a disjoint synthetic key set at the exact interleave point (the
+    * `raceWindow` hook, the `snapshot_optimize_contention` technique);
+    * the stream's commit CAS-fails loudly, re-reads the NEW tip, and
+    * re-merges — correct under any interleave because the
+    * max-(ts, event_id) guard orders against stored state, not commit
+    * arrival. Loud requires: exactly ONE conflict was observed (the
+    * deterministic interleave, pinned via
+    * [[graft.streaming.Streaming.mergeConflictCount]]); the chain is
+    * five generations with the racer's sandwiched at v2 and the
+    * stream's four epochs each landing exactly once; the racer's rows
+    * all survive; no key duplicates. The final table hash-matches
+    * DuckDB's latest-row-per-key over the feed UNION the racer's
+    * derived batch.
+    */
+  private def streamingUpsertContention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.SnapshotTable
+    val feed = LakeOps.lakeBase(dir, "upsertracefeed")
+    val table = LakeOps.lakeBase(dir, "upsertracetable")
+    SnapshotTable.deleteTree(feed)
+    SnapshotTable.deleteTree(table)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    val events = Tables.events(s, dir)
+    val byTime = org.apache.spark.sql.expressions.Window
+      .orderBy($"ts", $"event_id")
+    val quartered = events.withColumn("q", ntile(4).over(byTime))
+    val mtimeBase = System.currentTimeMillis() - 60000L
+    (1 to 4).foreach { q =>
+      val tmp = s"$feed.tmp$q"
+      quartered.filter($"q" === q).drop("q").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val dest = new java.io.File(feed, s"q$q.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      SnapshotTable.deleteTree(tmp)
+      require(dest.setLastModified(mtimeBase + q * 2000L),
+        s"could not stamp mtime on $dest")
+    }
+    // the racer's batch: keys DISJOINT from the feed (shifted 1e6) so
+    // the final table is deterministic whatever the interleave; a fixed
+    // epoch-ms timestamp keeps the oracle timezone-free
+    val racerTs = new java.sql.Timestamp(1577836800000L) // 2020-01-01 UTC
+    val racer = events.filter($"user_id" % 5 === 0)
+      .select($"user_id").distinct()
+      .select(($"user_id" + 1000000L).as("user_id"),
+        lit(0L).as("last_event_id"), lit("racer").as("last_type"),
+        lit(racerTs).as("last_ts"))
+    val nRacer = racer.count()
+    val conflicts0 = Streaming.mergeConflictCount.get()
+    @volatile var fired = false
+    val fin = withStreamShuffle(s, 4) {
+      Streaming.foreachBatchUpsertIngest(
+        s.readStream.schema(eventsSchema(TimestampType))
+          .option("maxFilesPerTrigger", 1).parquet(feed),
+        table,
+        raceWindow = epoch => if (epoch == 1L && !fired) {
+          fired = true
+          val tip = SnapshotTable.currentVersion(table).getOrElse(
+            throw new IllegalStateException("race hook before any commit"))
+          SnapshotTable.commitUpsert(racer, Seq("user_id"), table,
+            expectedVersion = tip, meta = Map("writer" -> "racer"))
+        })
+    }
+    require(fired, "the deterministic race hook never fired")
+    require(Streaming.mergeConflictCount.get() == conflicts0 + 1,
+      s"exactly one CAS conflict must be observed, got " +
+        s"${Streaming.mergeConflictCount.get() - conflicts0}")
+    val vs = SnapshotTable.versions(table)
+    require(vs == Seq(1L, 2L, 3L, 4L, 5L),
+      s"expected 4 stream merges + 1 racer upsert, got versions $vs")
+    require(SnapshotTable.readMeta(table, 2L).get("writer").contains("racer"),
+      "the racer's upsert must be the generation inside epoch 1's window")
+    val epochs = vs.flatMap(v => SnapshotTable.readMeta(table, v).get("epoch"))
+      .map(_.toLong)
+    require(epochs == Seq(0L, 1L, 2L, 3L),
+      s"the stream's epochs must land exactly once each: $epochs")
+    require(fin.filter($"last_type" === "racer").count() == nRacer,
+      "the racer's rows must survive the stream's re-merge")
+    val dup = fin.groupBy($"user_id").count().filter($"count" > 1).count()
+    require(dup == 0, s"the contended merge chain left $dup duplicated keys")
+    fin
+      .select($"user_id", $"last_event_id", $"last_type",
+        unix_micros($"last_ts").as("last_us"),
+        lit(vs.size.toLong).as("n_generations"))
+      .orderBy($"user_id")
+  }
+
+  private val streamingUpsertContentionOracle =
+    """SELECT user_id, last_event_id, last_type, last_us, n_generations
+      |FROM (
+      |  SELECT user_id, event_id AS last_event_id,
+      |    event_type AS last_type, epoch_us(ts) AS last_us,
+      |    CAST(5 AS BIGINT) AS n_generations
+      |  FROM (
+      |    SELECT user_id, event_id, event_type, ts,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1
+      |  UNION ALL
+      |  SELECT DISTINCT user_id + 1000000 AS user_id,
+      |    CAST(0 AS BIGINT) AS last_event_id, 'racer' AS last_type,
+      |    CAST(1577836800000000 AS BIGINT) AS last_us,
+      |    CAST(5 AS BIGINT) AS n_generations
+      |  FROM events WHERE user_id % 5 = 0)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("streaming_upsert_ingest", streamingUpsertIngest,
       Some(streamingUpsertIngestOracle)),
+    Q("streaming_upsert_contention", streamingUpsertContention,
+      Some(streamingUpsertContentionOracle)),
     Q("streaming_table_tail", streamingTableTail,
       Some(streamingTableTailOracle)),
     Q("streaming_append_ingest", streamingAppendIngest,

@@ -280,6 +280,16 @@ object Streaming {
     */
   final class InjectedCrash(msg: String) extends RuntimeException(msg)
 
+  /** Consecutive CAS conflicts a CDC merge tolerates before the stream
+    * fails loudly — livelock surfaces, it never spins silently.
+    */
+  val MaxMergeRetries: Int = 10
+
+  /** CDC merge CAS conflicts observed (testable evidence a concurrent
+    * writer forced a re-merge; the contention gate pins its delta).
+    */
+  val mergeConflictCount = new java.util.concurrent.atomic.AtomicLong
+
   private def hasInjectedCrash(t: Throwable, depth: Int = 0): Boolean =
     t != null && depth < 20 &&
       (t.isInstanceOf[InjectedCrash] || hasInjectedCrash(t.getCause, depth + 1))
@@ -505,9 +515,24 @@ object Streaming {
     * the same empty winner set — idempotent by emptiness).
     * `failAfterBatch` injects the commit-then-crash window exactly like
     * the other ingest runners.
+    *
+    * MULTI-WRITER: the merge runs under a bounded transact-style retry.
+    * A concurrent writer moving the tip between this merge's state read
+    * and its commit CAS-fails the commit
+    * (`ConcurrentModificationException`); the merge re-reads the NEW
+    * tip's state and recomputes its winners — correct under any
+    * interleave because the max-(ts, event_id) guard is a total order
+    * over stored state, not over commit arrival order, so a re-merge
+    * can only converge to the same global latest-per-key. After
+    * [[MaxMergeRetries]] consecutive conflicts the stream fails loudly
+    * (livelock is surfaced, never silent loss). `raceWindow(epoch)`
+    * is the deterministic interleave hook for the contention gate: it
+    * runs after the state read, before the commit attempt, once per
+    * attempt.
     */
   def foreachBatchUpsertIngest(events: DataFrame, tableDir: String,
-      failAfterBatch: Option[Long] = None): DataFrame = {
+      failAfterBatch: Option[Long] = None,
+      raceWindow: Long => Unit = _ => ()): DataFrame = {
     import graft.ops.SnapshotTable
     val ckpt = s"$tableDir/_ckpt"
     val q = events.writeStream
@@ -527,38 +552,56 @@ object Streaming {
             .select(col("user_id"), col("event_id").as("last_event_id"),
               col("event_type").as("last_type"), col("ts").as("last_ts"))
           val meta = Map("epoch" -> epoch.toString, txnKey -> epoch.toString)
-          SnapshotTable.currentVersion(tableDir) match {
-            case None =>
-              SnapshotTable.commit(latest, tableDir,
-                expectedVersion = SnapshotTable.ExpectEmpty, meta = meta)
-            case Some(tip) =>
-              // max-(ts, event_id)-wins against the STORED state, same
-              // total order as byKey: batch-order independence. The
-              // tie is STRICT: a row identical to stored state in
-              // (ts, event_id) — a source-level at-least-once
-              // redelivery in a fresh epoch — is a no-op that folds
-              // into the empty-winners no-commit path, so generation
-              // counts are delivery-independent (a >= tie committed a
-              // whole extra upsert generation per exact redelivery).
-              val state = SnapshotTable.readAt(spark, tableDir, tip)
-              val beats = col("s.user_id").isNull ||
-                col("b.last_ts") > col("s.last_ts") ||
-                (col("b.last_ts") === col("s.last_ts") &&
-                  col("b.last_event_id") > col("s.last_event_id"))
-              val winners = latest.as("b")
-                .join(state.as("s"), col("b.user_id") === col("s.user_id"),
-                  "left")
-                .filter(beats)
-                .select(col("b.user_id").as("user_id"),
-                  col("b.last_event_id").as("last_event_id"),
-                  col("b.last_type").as("last_type"),
-                  col("b.last_ts").as("last_ts"))
-              // an all-losing batch upserts NOTHING — and needs no
-              // marker, because its replay recomputes the same empty
-              // winner set (idempotent by emptiness)
-              if (!winners.isEmpty)
-                SnapshotTable.commitUpsert(winners, Seq("user_id"),
-                  tableDir, expectedVersion = tip, meta = meta)
+          var attempt = 0
+          var committed = false
+          while (!committed) {
+            if (attempt > MaxMergeRetries)
+              throw new IllegalStateException(
+                s"CDC merge into $tableDir: still conflicting after " +
+                  s"$MaxMergeRetries retries (epoch $epoch)")
+            try {
+              SnapshotTable.currentVersion(tableDir) match {
+                case None =>
+                  raceWindow(epoch)
+                  SnapshotTable.commit(latest, tableDir,
+                    expectedVersion = SnapshotTable.ExpectEmpty, meta = meta)
+                case Some(tip) =>
+                  // max-(ts, event_id)-wins against the STORED state,
+                  // same total order as byKey: batch-order
+                  // independence. The tie is STRICT: a row identical
+                  // to stored state in (ts, event_id) — a source-level
+                  // at-least-once redelivery in a fresh epoch — is a
+                  // no-op that folds into the empty-winners no-commit
+                  // path, so generation counts are delivery-independent
+                  // (a >= tie committed a whole extra upsert generation
+                  // per exact redelivery).
+                  val state = SnapshotTable.readAt(spark, tableDir, tip)
+                  val beats = col("s.user_id").isNull ||
+                    col("b.last_ts") > col("s.last_ts") ||
+                    (col("b.last_ts") === col("s.last_ts") &&
+                      col("b.last_event_id") > col("s.last_event_id"))
+                  val winners = latest.as("b")
+                    .join(state.as("s"),
+                      col("b.user_id") === col("s.user_id"), "left")
+                    .filter(beats)
+                    .select(col("b.user_id").as("user_id"),
+                      col("b.last_event_id").as("last_event_id"),
+                      col("b.last_type").as("last_type"),
+                      col("b.last_ts").as("last_ts"))
+                  raceWindow(epoch)
+                  // an all-losing batch upserts NOTHING — and needs no
+                  // marker, because its replay recomputes the same
+                  // empty winner set (idempotent by emptiness)
+                  if (!winners.isEmpty)
+                    SnapshotTable.commitUpsert(winners, Seq("user_id"),
+                      tableDir, expectedVersion = tip, meta = meta)
+              }
+              committed = true
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                mergeConflictCount.incrementAndGet()
+                attempt += 1
+            }
           }
         }
         if (failAfterBatch.contains(epoch))

@@ -64,34 +64,47 @@ class SoakDriftSpec extends AnyFunSuite {
       s"queries with no 10x soak row: ${missingSoak.toSeq.sorted.mkString(", ")}")
   }
 
-  test("every query has a 100x soak row OR a machine-readable adjudication") {
+  test("every query has a 100x soak row OR an explicit scale-cap note") {
     // the r15 lesson, one level up from the bench stamp: an honestly-
     // absent 100x row used to be recorded only in BENCH_SOAK's free-text
-    // note, which made it indistinguishable from a forgotten soak. Now
-    // absence must be ADJUDICATED on the query's own 10x row (an
-    // "adjudicated": "<reason>" key) or the build is red — rot
-    // self-detects instead of hiding in prose.
-    val names = graft.queries.Registry.all.map(_.name).toSet
+    // note, which made it indistinguishable from a forgotten soak. The
+    // accounting is now two-level: the REGISTRY carries the design
+    // statement (Q.scaleNote — "this audit is scale-capped on purpose,
+    // here is the bounded twin that carries the 100x number") and the
+    // soak artifact may carry a matching per-row "adjudicated" key.
+    // Absence of both is a red build — rot self-detects instead of
+    // hiding in prose — and a soak-level adjudication WITHOUT a registry
+    // note is red too: a per-round machine judgment that was never
+    // promoted to an explicit design decision.
+    val reg = graft.queries.Registry.all
+    val names = reg.map(_.name).toSet
+    val notes = reg.map(q => q.name -> q.scaleNote).toMap
     val soak = readTree("BENCH_SOAK.json")
     val q100 = soak.get("soak100x").get("queries")
     val q10 = soak.get("soak10x").get("queries")
     val unaccounted = names.filter { q =>
-      q100.get(q) == null && {
-        val adj = Option(q10.get(q)).flatMap(r => Option(r.get("adjudicated")))
-        adj.forall(a => !a.isTextual || a.asText().trim.isEmpty)
-      }
+      q100.get(q) == null && notes(q).forall(_.trim.isEmpty)
     }
     assert(unaccounted.isEmpty,
-      "queries with neither a 100x soak row nor an 'adjudicated' key on " +
-        s"their 10x row: ${unaccounted.toSeq.sorted.mkString(", ")}")
-    // and the converse discipline: an adjudication on a query that HAS
-    // a 100x row is stale annotation — remove it when the row lands
+      "queries with neither a 100x soak row nor a registry scaleNote: " +
+        s"${unaccounted.toSeq.sorted.mkString(", ")}")
+    val unpromoted = names.filter { q =>
+      Option(q10.get(q)).exists(_.get("adjudicated") != null) &&
+        notes(q).forall(_.trim.isEmpty)
+    }
+    assert(unpromoted.isEmpty,
+      "soak rows adjudicated without a registry scaleNote (promote the " +
+        s"design decision): ${unpromoted.toSeq.sorted.mkString(", ")}")
+    // and the converse discipline: a note/adjudication on a query that
+    // HAS a 100x row is stale annotation — remove it when the row lands
     val stale = names.filter { q =>
       q100.get(q) != null &&
-        Option(q10.get(q)).exists(_.get("adjudicated") != null)
+        (notes(q).exists(_.trim.nonEmpty) ||
+          Option(q10.get(q)).exists(_.get("adjudicated") != null))
     }
     assert(stale.isEmpty,
-      s"stale adjudications (100x row exists): ${stale.toSeq.sorted.mkString(", ")}")
+      s"stale scale-cap notes (100x row exists): " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
   }
 
   test("every soak row carries the current bench-method stamp") {
