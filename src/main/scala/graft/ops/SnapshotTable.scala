@@ -1129,13 +1129,25 @@ object SnapshotTable {
     * behind as ordinary crash debris ([[expire]]'s gcStaged sweeps it)
     * and no reader observes anything.
     */
+  /** `recordChainStats = true` additionally records the tombstone-side
+    * metadata that keeps chain-level stats answerable THROUGH this
+    * merge ([[chainStats]]): the batch's distinct key count, per-key-
+    * column min/max, the batch row count, and — the expensive one —
+    * the EXACT number of base-chain rows the tombstones remove
+    * (one bounded semi-join of the base read against the batch's
+    * keys). That extra pass over the base is why recording is a
+    * per-commit POLICY, not a default: a hot CDC path that never
+    * answers from metadata should not pay it, and an unrecorded
+    * upsert makes [[chainStats]] fail loudly rather than guess.
+    */
   def commitUpsert(batch: DataFrame, keyCols: Seq[String], dir: String,
       expectedVersion: Long,
       partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomExpectedItems: Long = DefaultBloomExpectedItems,
       meta: Map[String, String] = Map.empty,
-      crashBeforePublish: Boolean = false): Long = {
+      crashBeforePublish: Boolean = false,
+      recordChainStats: Boolean = false): Long = {
     require(expectedVersion >= 1,
       s"commitUpsert needs a committed base version, got v$expectedVersion")
     require(keyCols.nonEmpty, "commitUpsert needs at least one key column")
@@ -1151,8 +1163,30 @@ object SnapshotTable {
         s"${(baseCols -- batch.columns.toSet).mkString(", ")} missing vs " +
         s"$dir v$expectedVersion")
     checkExpected(dir, Some(expectedVersion), detail = "")
+    val statsMeta: Map[String, String] = if (!recordChainStats) Map.empty else {
+      val spark = batch.sparkSession
+      val keysDf = batch.select(keyCols.map(col): _*).distinct()
+      val enc = (s: String) => java.net.URLEncoder.encode(s,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val krow = keysDf.agg(count(lit(1)).as("nk"),
+        keyCols.flatMap(c =>
+          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))): _*).head()
+      val matched = readAt(spark, dir, expectedVersion)
+        .join(keysDf, keyCols, "left_semi").count()
+      Map(
+        "upsert_rows" -> batch.count().toString,
+        "upsert_matched" -> matched.toString,
+        "upsert_tombstones" -> krow.getAs[Long]("nk").toString) ++
+        keyCols.map { c =>
+          val typ = statsTag(batch.schema(c).dataType)
+          val mn = Option(krow.getAs[Any](s"mn_$c")).map(v => enc(v.toString))
+          val mx = Option(krow.getAs[Any](s"mx_$c")).map(v => enc(v.toString))
+          s"upsert_stats.$c" ->
+            s"$typ,${mn.getOrElse("")},${mx.getOrElse("")}"
+        }
+    }
     val staged = stageData(batch, dir, partitionCols, statsCols, bloomCols,
-      bloomExpectedItems, meta)
+      bloomExpectedItems, meta ++ statsMeta)
     // tombstones + chain marker LAST (stageData's sidecar builders
     // re-read the staged dir and must see only the batch's data files;
     // underscore prefixes keep both invisible to data readers)
@@ -1160,6 +1194,10 @@ object SnapshotTable {
       .write.mode("errorifexists").parquet(staged.resolve("_deletes").toString)
     java.nio.file.Files.writeString(staged.resolve("_append"),
       s"v$expectedVersion")
+    // the ancestor fold continues THROUGH a merge (chainStats' O(1)-
+    // scan shape); this generation's own tombstone record joins the
+    // fold when the NEXT commit composes it from the meta above
+    writeChainManifestFold(staged, dir, expectedVersion)
     if (crashBeforePublish)
       throw new InjectedCrash(
         s"injected crash: upsert fully staged at $staged, nothing published")
@@ -1586,6 +1624,18 @@ object SnapshotTable {
     require(!isUpsert(dir, version),
       s"manifestChain: v$version of $dir is an upsert commit whose " +
         "tombstones invalidate ancestor file stats — compact first")
+    // ancestors too: a RECORDED upsert now folds (for chainStats), so
+    // the fold's presence no longer implies a tombstone-free chain —
+    // walk the chain markers (O(depth) file stats, zero Spark jobs)
+    // and stay loud where the recursion used to be
+    var g = version
+    while (appendBaseOf(dir, g).isDefined) {
+      g = appendBaseOf(dir, g).get
+      require(!isUpsert(dir, g),
+        s"manifestChain: ancestor v$g of $dir is an upsert commit whose " +
+          "tombstones invalidate per-file stats — use chainStats (exact " +
+          "count, disclosed-conservative min/max) or compact first")
+    }
     val own = manifestOwn(spark, dir, version)
       .withColumn("generation", lit(version))
     appendBaseOf(dir, version) match {
@@ -1686,26 +1736,179 @@ object SnapshotTable {
         lines.mkString("", "\n", "\n"))
     }
 
+  /** Reserved `file` value of a TOMBSTONE record in the chain fold: a
+    * line carrying an upsert generation's recorded merge stats
+    * (matched base rows, per-key-column min/max, distinct tombstone
+    * keys) instead of per-file column stats. [[manifestChain]] refuses
+    * chains that contain one (exact per-file stats stop existing past
+    * a merge); [[chainStats]] consumes them.
+    */
+  val TombstoneFoldMarker: String = "__tombstones__"
+
+  /** The fold lines recording an upsert generation's tombstone-side
+    * stats (one line per key column, same 8-field shape as a stats
+    * line: row_count carries the MATCHED base-row count, null_count
+    * the distinct tombstone-key count), or None when the merge was
+    * committed without `recordChainStats` — an unrecorded merge cannot
+    * fold.
+    */
+  private def tombstoneFoldLines(dir: String, version: Long): Option[Seq[String]] = {
+    val m = readMeta(dir, version)
+    m.get("upsert_matched").map { matched =>
+      val nKeys = m("upsert_tombstones")
+      val enc = (s: String) => java.net.URLEncoder.encode(s,
+        java.nio.charset.StandardCharsets.UTF_8)
+      m.toSeq.collect { case (k, v) if k.startsWith("upsert_stats.") =>
+        val c = k.stripPrefix("upsert_stats.")
+        val parts = v.split(",", -1)
+        require(parts.length == 3,
+          s"corrupt upsert_stats.$c on $dir v$version: '$v'")
+        s"$version\t${enc(TombstoneFoldMarker)}\t$matched\t${enc(c)}\t" +
+          s"${parts(0)}\t${parts(1)}\t${parts(2)}\t$nKeys"
+      }.sorted
+    }
+  }
+
   /** The fold lines covering the whole chain at `version`, or None when
-    * the ancestry cannot fold.
+    * the ancestry cannot fold. A RECORDED upsert (committed with
+    * `recordChainStats`) folds: its tombstone records ride along so
+    * [[chainStats]] stays O(1) scans; an unrecorded upsert stops the
+    * fold (the read side's recursive walk remains the loud, correct
+    * path).
     */
   private def foldLines(dir: String, version: Long): Option[Seq[String]] = {
-    if (baseOf(dir, version).isDefined || isUpsert(dir, version)) None
+    if (baseOf(dir, version).isDefined) None
     else {
       val ownStats = rawStatsLines(dir, version)
       if (ownStats.isEmpty) None // stats-less generation: no manifest
       else {
-        val own = ownStats.map(l => s"$version\t$l")
-        appendBaseOf(dir, version) match {
-          case None => Some(own)
-          case Some(_) =>
-            val p = foldPath(dir, version)
-            if (!java.nio.file.Files.exists(p)) None // pre-fold ancestry
-            else Some(java.nio.file.Files.readAllLines(p)
-              .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty) ++ own)
+        val tombOpt =
+          if (!isUpsert(dir, version)) Some(Seq.empty[String])
+          else tombstoneFoldLines(dir, version)
+        tombOpt.flatMap { tomb =>
+          val own = tomb ++ ownStats.map(l => s"$version\t$l")
+          appendBaseOf(dir, version) match {
+            case None => Some(own)
+            case Some(_) =>
+              val p = foldPath(dir, version)
+              if (!java.nio.file.Files.exists(p)) None // pre-fold ancestry
+              else Some(java.nio.file.Files.readAllLines(p)
+                .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty) ++ own)
+          }
         }
       }
     }
+  }
+
+  /** Metadata-only chain stats that SURVIVE upsert generations — what
+    * [[manifestChain]] loudly refuses to fake. Per requested column,
+    * one row: the chain's EXACT row count and CONSERVATIVE min/max
+    * bounds, answered from the committed fold plus this generation's
+    * own sidecars (the same two-scan shape as [[manifestChain]], any
+    * chain depth), zero data files opened.
+    *
+    *  - `n_rows` is EXACT: Σ per-file row counts across generations
+    *    minus Σ recorded matched-row counts of the chain's merges —
+    *    exact because each merge's `upsert_matched` was measured
+    *    against the RESOLVED chain state at its commit, so every
+    *    tombstoned row is subtracted exactly once however many times a
+    *    key is re-merged.
+    *  - `min_num`/`max_num` (numeric columns) and `min_str`/`max_str`
+    *    are BOUNDS, not values: tombstones only remove rows, so the
+    *    fold over per-file stats can only widen — true min ≥ bound,
+    *    true max ≤ bound. `bounds_exact` discloses the distinction:
+    *    true on a tombstone-free chain (the bounds are the values),
+    *    false past any merge.
+    *
+    * Loud on: a MOR delete commit (different machinery — compact
+    * first), an UNRECORDED upsert anywhere in the chain (commit merges
+    * with `recordChainStats = true` to keep metadata answering), a
+    * missing fold on a chained generation, and a column lacking stats
+    * on any file (a partial bound is not a bound).
+    */
+  def chainStats(spark: SparkSession, dir: String, version: Long,
+      columns: Seq[String]): DataFrame = {
+    require(baseOf(dir, version).isEmpty,
+      s"chainStats: v$version of $dir is a merge-on-read delete commit " +
+        "— compact first or read its base")
+    require(columns.nonEmpty, "chainStats needs at least one column")
+    import org.apache.spark.sql.functions.first
+    import spark.implicits._
+    val dec = (s: String) => java.net.URLDecoder.decode(s,
+      java.nio.charset.StandardCharsets.UTF_8)
+    // own generation, parsed locally (file-count-bounded): stats rows
+    // plus tombstone records if this tip is itself a recorded merge
+    val ownStats = readStats(dir, version)
+    require(ownStats.nonEmpty,
+      s"no per-file stats on $dir v$version — commit with statsCols to " +
+        "enable metadata-only answering")
+    val num = (typ: String, v: Option[String]) => typ match {
+      case "long" | "double" | "decimal" => v.map(_.toDouble)
+      case _ => None
+    }
+    val ownRows = ownStats.map { s =>
+      (s.file, s.rowCount, s.col, s.typ, s.min, s.max,
+        num(s.typ, s.min), num(s.typ, s.max), s.nulls, version)
+    } ++ {
+      if (!isUpsert(dir, version)) Nil
+      else {
+        val m = readMeta(dir, version)
+        val matched = m.getOrElse("upsert_matched",
+          throw new IllegalStateException(
+            s"chainStats: upsert v$version of $dir recorded no merge " +
+              "stats — commit with recordChainStats = true")).toLong
+        val nKeys = m("upsert_tombstones").toLong
+        m.toSeq.collect { case (k, v) if k.startsWith("upsert_stats.") =>
+          val c = k.stripPrefix("upsert_stats.")
+          val parts = v.split(",", -1)
+          val mn = if (parts(1).isEmpty) None else Some(dec(parts(1)))
+          val mx = if (parts(2).isEmpty) None else Some(dec(parts(2)))
+          (TombstoneFoldMarker, matched, c, parts(0), mn, mx,
+            num(parts(0), mn), num(parts(0), mx), nKeys, version)
+        }
+      }
+    }
+    val own = ownRows.toDF("file", "row_count", "column", "col_type",
+      "min_str", "max_str", "min_num", "max_num", "null_count",
+      "generation")
+    val all = appendBaseOf(dir, version) match {
+      case None => own
+      case Some(_) =>
+        val p = foldPath(dir, version)
+        require(java.nio.file.Files.exists(p),
+          s"chainStats: v$version of $dir has no chain-manifest fold — " +
+            "an ancestor is stats-less or an unrecorded merge")
+        foldedManifest(spark, p).unionByName(own)
+    }
+    val files = all.filter(col("file") =!= lit(TombstoneFoldMarker))
+    val tombs = all.filter(col("file") === lit(TombstoneFoldMarker))
+    // stats rows repeat row_count per column: count each file once
+    val perFile = files.groupBy(col("generation"), col("file"))
+      .agg(first(col("row_count")).as("rc"))
+    val nFiles = perFile.count()
+    val nRows = perFile.agg(sum(col("rc"))).head.getLong(0) -
+      Option(tombs.groupBy(col("generation"))
+        .agg(first(col("row_count")).as("m"))
+        .agg(sum(col("m"))).head.get(0)).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
+    val boundsExact =
+      tombs.select(col("generation")).distinct().count() == 0L
+    val out = columns.map { c =>
+      val cf = files.filter(col("column") === c)
+      val covered = cf.select(col("generation"), col("file"))
+        .distinct().count()
+      require(covered == nFiles,
+        s"chainStats: column '$c' lacks stats on ${nFiles - covered} of " +
+          s"$nFiles chain files — a partial bound is not a bound")
+      val r = cf.agg(min(col("min_num")), max(col("max_num")),
+        min(col("min_str")), max(col("max_str"))).head
+      (c, nRows, Option(r.get(0)).map(_.asInstanceOf[Double]),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[String]),
+        Option(r.get(3)).map(_.asInstanceOf[String]), boundsExact)
+    }
+    out.toDF("column", "n_rows", "min_num", "max_num", "min_str",
+      "max_str", "bounds_exact")
   }
 
   /** One generation's manifest frame, chain checks already done. */

@@ -77,8 +77,27 @@ object SnapshotJoinPrune {
     */
   private[plans] val decisionCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, String, Seq[Any]), Option[Seq[String]]]()
+      (String, Long, String, String, Seq[Any]), Option[Seq[String]]]()
   val DecisionCacheMax: Int = 4096
+
+  /** The version DIRECTORY's filesystem identity (inode file key, mtime
+    * fallback) — part of every decision-cache key, because "a version
+    * never changes after its claim-rename" does not survive a
+    * delete-tree-and-recreate of the same table path (test fixtures do
+    * exactly that): the recreated v1 has the same (dir, version) name
+    * but different data files, and a decision cached against the old
+    * incarnation would prune to files that no longer exist.
+    */
+  private[plans] def versionIdentity(dir: String, version: Long): String =
+    try {
+      val p = java.nio.file.Paths.get(dir, s"v$version")
+      val attrs = java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      Option(attrs.fileKey()).map(_.toString)
+        .getOrElse(attrs.lastModifiedTime().toString)
+    } catch {
+      case _: java.io.IOException => "absent"
+    }
 
   /** Materialized dim-side key sets for the DPP-style variant, keyed by
     * the CANONICALIZED bounded subquery plan (distinct keys under a
@@ -195,7 +214,8 @@ object SnapshotBloomJoinRule extends Rule[LogicalPlan] {
       column: String, keys: Seq[Any]): Option[Seq[String]] = {
     val cache = SnapshotJoinPrune.decisionCache
     if (cache.size > SnapshotJoinPrune.DecisionCacheMax) cache.clear()
-    cache.computeIfAbsent((dir, version, column, keys), { _ =>
+    cache.computeIfAbsent((dir, version,
+      SnapshotJoinPrune.versionIdentity(dir, version), column, keys), { _ =>
       // bail (plan unchanged) unless the version really carries a bloom
       // for the join column — the rewrite is optional, the query is not
       if (!hasBloomSidecar(dir, version)) {

@@ -2132,6 +2132,108 @@ object LakeOps {
        |FROM orders""".stripMargin
   }
 
+  /** Metadata answering THROUGH a merge —
+    * [[SnapshotTable.manifestChain]] loudly forfeits the moment an
+    * upsert enters the chain (tombstones invalidate exact per-file
+    * stats); [[SnapshotTable.chainStats]] is the disclosed-bounds
+    * answer: the upsert records its tombstone-side stats at commit
+    * (distinct keys, per-key min/max, and the EXACT matched base-row
+    * count — one bounded semi-join, an explicit per-commit policy via
+    * `recordChainStats`), the records ride the chain fold, and the
+    * reader answers count(*) EXACTLY (Σ file rows − Σ matched) and
+    * min/max as CONSERVATIVE bounds with `bounds_exact = false`
+    * disclosed. The gate builds commit → append → recorded upsert
+    * (replace + insert) → append, answers from chainStats, and
+    * requires loudly: the exact count matches a full data read; every
+    * bound contains the true value; manifestChain still refuses the
+    * chain (the exactness contract did not silently widen); and an
+    * UNRECORDED merge makes chainStats fail loudly rather than guess.
+    * The oracle recomputes the count and the bound algebra from the
+    * raw table.
+    */
+  private def snapshotManifestUpsertStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "manifestupsert")
+    SnapshotTable.deleteTree(base)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+    val k = $"o_orderkey"
+    val stats = Seq("o_orderkey", "price_micro")
+    val v1 = SnapshotTable.commit(
+      orders.filter(pmod(k, lit(2)) === 0).repartition(4), base,
+      expectedVersion = SnapshotTable.ExpectEmpty, statsCols = stats)
+    val v2 = SnapshotTable.commitAppend(
+      orders.filter(pmod(k, lit(4)) === 1).repartition(2), base,
+      expectedVersion = v1, statsCols = stats)
+    val v3 = SnapshotTable.commitUpsert(
+      orders.filter(pmod(k, lit(8)) === 2)
+        .withColumn("price_micro", $"price_micro" * 3)
+        .unionByName(orders.filter(pmod(k, lit(8)) === 3)),
+      Seq("o_orderkey"), base, expectedVersion = v2, statsCols = stats,
+      recordChainStats = true)
+    val v4 = SnapshotTable.commitAppend(
+      orders.filter(pmod(k, lit(8)) === 7).repartition(2), base,
+      expectedVersion = v3, statsCols = stats)
+    // the exactness contract did not silently widen: per-file chain
+    // stats still refuse the merged chain
+    val refused =
+      try { SnapshotTable.manifestChain(s, base, v4); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("chainStats") }
+    require(refused,
+      "manifestChain must still refuse a chain containing an upsert")
+    val cs = SnapshotTable.chainStats(s, base, v4, stats)
+      .orderBy($"column").collect()
+    require(cs.length == 2 && cs.forall(!_.getBoolean(6)),
+      "chainStats must disclose bounds_exact = false past a merge")
+    val csKey = cs(0)
+    val csPrice = cs(1)
+    val nMeta = csKey.getLong(1)
+    // self-check the metadata answer against the resolved data read
+    val actual = SnapshotTable.read(s, base)
+      .agg(count(lit(1)), min($"o_orderkey"), max($"o_orderkey"),
+        min($"price_micro"), max($"price_micro")).head
+    require(nMeta == actual.getLong(0),
+      s"chainStats count must be EXACT: $nMeta vs ${actual.getLong(0)}")
+    require(csKey.getDouble(2) <= actual.getLong(1) &&
+      csKey.getDouble(3) >= actual.getLong(2),
+      "key bounds must contain the true key range")
+    require(csPrice.getDouble(2) <= actual.getLong(3) &&
+      csPrice.getDouble(3) >= actual.getLong(4),
+      "price bounds must contain the true price range")
+    // an UNRECORDED merge fails loudly, never guesses
+    val base2 = lakeBase(dir, "manifestupsertplain")
+    SnapshotTable.deleteTree(base2)
+    val w1 = SnapshotTable.commit(
+      orders.filter(pmod(k, lit(2)) === 0), base2,
+      expectedVersion = SnapshotTable.ExpectEmpty, statsCols = stats)
+    SnapshotTable.commitUpsert(
+      orders.filter(pmod(k, lit(8)) === 2), Seq("o_orderkey"), base2,
+      expectedVersion = w1, statsCols = stats)
+    val loud =
+      try { SnapshotTable.chainStats(s, base2, 2L, stats); false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("recordChainStats") }
+    require(loud, "chainStats must refuse an unrecorded merge loudly")
+    Seq((nMeta, csKey.getDouble(2).toLong, csKey.getDouble(3).toLong,
+      csPrice.getDouble(2).toLong, csPrice.getDouble(3).toLong,
+      false, true))
+      .toDF("n_rows", "key_min", "key_max", "price_min_micro",
+        "price_max_micro", "bounds_exact", "bounds_hold")
+  }
+
+  private val snapshotManifestUpsertStatsOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(o_orderkey) AS key_min, max(o_orderkey) AS key_max,
+       |  CAST(min($p) AS BIGINT) AS price_min_micro,
+       |  CAST(greatest(max($p),
+       |    (SELECT max(3 * $p) FROM orders WHERE o_orderkey % 8 = 2))
+       |    AS BIGINT) AS price_max_micro,
+       |  false AS bounds_exact, true AS bounds_hold
+       |FROM orders""".stripMargin
+  }
+
   /** The DPP-style half of the planner prune —
     * [[snapshotJoinPruneRule]] proves the rewrite for a plan-time
     * LocalRelation dim; this gate proves it for the shape real star
@@ -2399,5 +2501,7 @@ object LakeOps {
       Some(snapshotOptimizeVacuumOracle)),
     Q("snapshot_dsv2_read", snapshotDsv2Read, Some(snapshotDsv2ReadOracle)),
     Q("snapshot_join_prune_dim_scan", snapshotJoinPruneDimScan,
-      Some(snapshotJoinPruneDimScanOracle)))
+      Some(snapshotJoinPruneDimScanOracle)),
+    Q("snapshot_manifest_upsert_stats", snapshotManifestUpsertStats,
+      Some(snapshotManifestUpsertStatsOracle)))
 }
