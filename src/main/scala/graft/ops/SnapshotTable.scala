@@ -93,40 +93,41 @@ object SnapshotTable {
 
   private def pointer(dir: String) = java.nio.file.Paths.get(dir, "current")
 
-  /** The committed version, if any commit has happened. A pointer file
-    * whose contents are not exactly `v<digits>` is CORRUPTION — that is
-    * a loud IllegalStateException carrying the bad contents, never a
-    * silent None (which would read as "empty table" and invite a fresh
-    * v1 write next to live data) and never a bare NumberFormatException.
+  /** The metadata-I/O profile this table directory runs on — POSIX
+    * rename by default, the rename-less object-store protocol when the
+    * directory is registered ([[SnapshotFileIO.register]]).
     */
-  def currentVersion(dir: String): Option[Long] = {
-    val p = pointer(dir)
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val raw = java.nio.file.Files.readString(p).trim
-      if (raw.matches("v\\d+")) Some(raw.drop(1).toLong)
-      else throw new IllegalStateException(
-        s"corrupt snapshot pointer $p: expected v<N>, got '$raw'")
-    }
+  private def io(dir: String): SnapshotFileIO = SnapshotFileIO.forDir(dir)
+
+  private def tablePath(dir: String) = java.nio.file.Paths.get(dir)
+
+  /** Parse a pointer's content with the shared corruption guard: a
+    * pointer whose contents are not exactly `v<digits>` is a loud
+    * IllegalStateException carrying the bad contents, never a silent
+    * None (which would read as "empty table" and invite a fresh v1
+    * write next to live data) and never a bare NumberFormatException.
+    */
+  private def parsePointer(raw0: String, what: String): Long = {
+    val raw = raw0.trim
+    if (raw.matches("v\\d+")) raw.drop(1).toLong
+    else throw new IllegalStateException(
+      s"corrupt $what: expected v<N>, got '$raw'")
   }
 
-  /** All snapshot versions present on disk (committed or orphaned),
-    * ascending. Retention policy is the caller's: delete old `v*`
-    * directories freely, never the one `current` names.
+  /** The committed version, if any commit has happened. */
+  def currentVersion(dir: String): Option[Long] =
+    io(dir).readPointer(tablePath(dir), "current")
+      .map(parsePointer(_, s"snapshot pointer ${pointer(dir)}"))
+
+  /** All COMPLETE snapshot versions present on disk (committed or
+    * orphaned), ascending — a version a crashed writer half-published
+    * never appears (on the POSIX profile completeness is rename
+    * atomicity; on the object-store profile it is the seal marker).
+    * Retention policy is the caller's: delete old `v*` directories
+    * freely, never the one `current` names.
     */
-  def versions(dir: String): Seq[Long] = {
-    val d = new java.io.File(dir)
-    if (!d.isDirectory) Seq.empty
-    else {
-      val children = d.listFiles()
-      // listFiles returns null on I/O error even for an existing
-      // directory — same loud guard as deleteTree, not an opaque NPE
-      require(children != null, s"versions: cannot list $dir")
-      children.toSeq
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        .map(_.getName.drop(1).toLong).sorted
-    }
-  }
+  def versions(dir: String): Seq[Long] =
+    io(dir).listVersions(tablePath(dir))
 
   /** Commit `df` as the next snapshot: write the data fully into a
     * writer-unique staging directory, CLAIM the next version number by
@@ -323,34 +324,26 @@ object SnapshotTable {
     next
   }
 
-  /** The claim loop shared by main commits and branch commits: rename
-    * the staged directory to the next free `v<N>` name and return N.
+  /** The claim loop shared by main commits and branch commits: claim
+    * the next free `v<N>` name for the staged directory and return N.
+    * Arbitration is the profile's ([[SnapshotFileIO.claimDir]]): POSIX
+    * atomic rename by default, claim-marker conditional PUT + copy +
+    * seal on the rename-less object-store profile. The starting
+    * number comes from `maxClaimed`, not `versions` — on a store
+    * where data movement is non-atomic, an IN-FLIGHT claim holds its
+    * number before its data is visible, and a writer that only looked
+    * at complete versions would collide with it.
     */
   private def claimVersion(dir: String, staged: java.nio.file.Path): Long = {
     // the log's creation marker must exist BEFORE this claim lands on
     // disk, so the pre-log floor never shields post-log versions
     ensureLog(dir)
-    var next = (versions(dir) :+ 0L).max + 1
+    val fio = io(dir)
+    var next = fio.maxClaimed(tablePath(dir)) + 1
     var claimed = false
     while (!claimed) {
       val target = java.nio.file.Paths.get(dir, s"v$next")
-      try {
-        java.nio.file.Files.move(staged, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        claimed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => next += 1
-        case _: java.nio.file.DirectoryNotEmptyException => next += 1
-        case e: java.nio.file.FileSystemException =>
-          // raw rename(2) reports a non-empty target as ENOTEMPTY,
-          // which surfaces as a generic FileSystemException on some
-          // JDK/filesystem combinations — and its getMessage text is
-          // locale/JDK-dependent, so don't match it: re-check the
-          // TARGET. If the target exists the rename lost a benign
-          // claim race (retry the next number); if it doesn't, this
-          // is a real I/O failure and must propagate.
-          if (java.nio.file.Files.exists(target)) next += 1 else throw e
-      }
+      if (fio.claimDir(staged, target)) claimed = true else next += 1
     }
     next
   }
@@ -363,19 +356,14 @@ object SnapshotTable {
     * v5 stays a complete, time-travel-readable orphan.
     */
   private[graft] def flipPointer(dir: String, next: Long,
-      expectedVersion: Option[Long] = None): Boolean = {
-    val tmp = java.nio.file.Paths.get(dir, s".current.tmp$next")
-    java.nio.file.Files.writeString(tmp, s"v$next")
+      expectedVersion: Option[Long] = None): Boolean =
     withPointerLock(dir) {
       // v<next> would stay behind as an orphan on conflict — immutable,
       // never read, skipped by the next writer; torn state impossible
-      try checkExpected(dir, expectedVersion,
+      checkExpected(dir, expectedVersion,
         detail = s" (v$next left as an orphan; re-read and retry)")
-      catch { case e: Throwable =>
-        java.nio.file.Files.deleteIfExists(tmp); throw e }
-      if (currentVersion(dir).exists(_ >= next)) {
-        java.nio.file.Files.deleteIfExists(tmp); false
-      } else {
+      if (currentVersion(dir).exists(_ >= next)) false
+      else {
         // log BEFORE the flip: a crash between the two must err toward
         // a spurious line (a readable, complete version recorded as
         // published though the flip never landed — conservative: GC
@@ -383,13 +371,10 @@ object SnapshotTable {
         // (a version readers SAW with no provenance — a later GC would
         // destroy published history)
         logPublish(dir, next, "current")
-        java.nio.file.Files.move(tmp, pointer(dir),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        io(dir).publishPointer(tablePath(dir), "current", s"v$next")
         true
       }
     }
-  }
 
   // ------------------------------------------------------- publish log
 
@@ -421,29 +406,23 @@ object SnapshotTable {
 
   private def ensureLog(dir: String): Unit = {
     val p = publishLog(dir)
-    if (!java.nio.file.Files.exists(p)) {
+    if (!io(dir).logExists(p)) {
       val floor = (versions(dir) :+ 0L).max
-      // CREATE_NEW: exactly ONE creation marker can ever be written —
-      // two racing first-committers race on the atomic create itself,
-      // and the loser's FileAlreadyExistsException is the success path
-      // (the winner's marker carries an equivalent floor). The earlier
-      // CREATE+APPEND form let both racers append a marker, leaving the
-      // GC floor to depend on append ordering — a property weakly-
-      // consistent filesystems don't guarantee.
-      try java.nio.file.Files.writeString(p,
-        s"v$floor\t$LogCreatedRef\t${System.currentTimeMillis()}\n",
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
-      }
+      // conditional create: exactly ONE creation marker can ever be
+      // written — two racing first-committers race on the atomic
+      // create itself, and the loser is the success path (the winner's
+      // marker carries an equivalent floor). The earlier CREATE+APPEND
+      // form let both racers append a marker, leaving the GC floor to
+      // depend on append ordering — a property weakly-consistent
+      // filesystems don't guarantee.
+      io(dir).logCreateNew(p,
+        s"v$floor\t$LogCreatedRef\t${System.currentTimeMillis()}")
     }
   }
 
   private def logPublish(dir: String, version: Long, ref: String): Unit =
-    java.nio.file.Files.writeString(publishLog(dir),
-      s"v$version\t$ref\t${System.currentTimeMillis()}\n",
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    io(dir).logAppend(publishLog(dir),
+      s"v$version\t$ref\t${System.currentTimeMillis()}")
 
   /** The raw publish history: (version, ref, epoch-ms) per event, in
     * log order. Corrupt lines are a loud error, like the pointer's own
@@ -451,9 +430,7 @@ object SnapshotTable {
     */
   def publishEvents(dir: String): Seq[(Long, String, Long)] = {
     val p = publishLog(dir)
-    if (!java.nio.file.Files.exists(p)) Seq.empty
-    else java.nio.file.Files.readAllLines(p).toArray(Array.empty[String])
-      .toSeq.filter(_.nonEmpty).map { line =>
+    io(dir).logRead(p).map { line =>
         val f = line.split("\t", -1)
         if (f.length == 3 && f(0).matches("v\\d+") && f(1).nonEmpty &&
             f(2).matches("\\d+"))
@@ -552,22 +529,16 @@ object SnapshotTable {
     * log (no provenance to query).
     */
   def publishesTable(spark: SparkSession, dir: String): DataFrame = {
-    val p = publishLog(dir)
-    require(java.nio.file.Files.exists(p),
+    require(io(dir).logExists(publishLog(dir)),
       s"no publish log under $dir — the table predates the log or has " +
         "never committed")
-    import org.apache.spark.sql.types._
-    spark.read
-      .option("sep", "\t").option("mode", "FAILFAST")
-      .schema(StructType(Seq(
-        StructField("version_str", StringType, nullable = false),
-        StructField("ref", StringType, nullable = false),
-        StructField("ts_ms", LongType, nullable = false))))
-      .csv(p.toString)
-      .select(
-        org.apache.spark.sql.functions.regexp_extract(
-          col("version_str"), "^v(\\d+)$", 1).cast("long").as("version"),
-        col("ref"), col("ts_ms"))
+    // the log is metadata-scale (one line per publish) and
+    // [[publishEvents]] already carries the loud corrupt-line parse,
+    // so build the frame from the profile-aware read — spark.read.csv
+    // on the raw path would miss the object-store profile's
+    // entry-per-object layout
+    import spark.implicits._
+    publishEvents(dir).toDF("version", "ref", "ts_ms")
   }
 
   /** [[readAt]] of [[versionAsOf]] — reproducible "the table as the
@@ -666,27 +637,15 @@ object SnapshotTable {
     * loud corruption guard as [[currentVersion]].
     */
   def branchVersion(dir: String, name: String): Option[Long] = {
-    val p = refPtr(dir, name)
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val raw = java.nio.file.Files.readString(p).trim
-      if (raw.matches("v\\d+")) Some(raw.drop(1).toLong)
-      else throw new IllegalStateException(
-        s"corrupt branch pointer $p: expected v<N>, got '$raw'")
-    }
+    val p = refPtr(dir, name) // validates the name
+    io(dir).readPointer(tablePath(dir), s"ref.$name")
+      .map(parsePointer(_, s"branch pointer $p"))
   }
 
-  /** All branch names with a ref file under `dir`. */
-  def branches(dir: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    if (!d.isDirectory) Seq.empty
-    else {
-      val children = d.listFiles()
-      require(children != null, s"branches: cannot list $dir")
-      children.toSeq.filter(f => f.isFile && f.getName.startsWith("ref."))
-        .map(_.getName.stripPrefix("ref.")).sorted
-    }
-  }
+  /** All branch names with a live ref under `dir`. */
+  def branches(dir: String): Seq[String] =
+    io(dir).listPointers(tablePath(dir))
+      .filter(_.startsWith("ref.")).map(_.stripPrefix("ref.")).sorted
 
   /** The branch-pointer CAS predicate, mirroring [[checkExpected]]:
     * the branch must sit exactly at `expected` ([[ExpectEmpty]] = no
@@ -727,21 +686,13 @@ object SnapshotTable {
     // number space — a branch version IS a version), then flip only
     // the branch ref
     val next = claimVersion(dir, staged)
-    val tmp = java.nio.file.Paths.get(dir, s".ref.tmp$next")
-    java.nio.file.Files.writeString(tmp, s"v$next")
     withPointerLock(dir) {
-      try checkExpectedRef(dir, name, expectedBranchVersion,
+      checkExpectedRef(dir, name, expectedBranchVersion,
         detail = s" (v$next left as an orphan; re-read and retry)")
-      catch { case e: Throwable =>
-        java.nio.file.Files.deleteIfExists(tmp); throw e }
-      if (branchVersion(dir, name).exists(_ >= next)) {
-        java.nio.file.Files.deleteIfExists(tmp)
-      } else {
+      if (!branchVersion(dir, name).exists(_ >= next)) {
         // log-before-flip, same crash-asymmetry reasoning as flipPointer
         logPublish(dir, next, name)
-        java.nio.file.Files.move(tmp, refPtr(dir, name),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        io(dir).publishPointer(tablePath(dir), s"ref.$name", s"v$next")
       }
     }
     next
@@ -765,24 +716,17 @@ object SnapshotTable {
     val head = branchVersion(dir, name).getOrElse(
       throw new IllegalStateException(
         s"publishBranch: no branch '$name' under $dir"))
-    val tmp = java.nio.file.Paths.get(dir, s".current.tmp$head")
-    java.nio.file.Files.writeString(tmp, s"v$head")
     withPointerLock(dir) {
-      try {
-        checkExpected(dir, expectedVersion, detail =
-          s" (branch '$name' untouched; re-read, re-audit and retry)")
-        val cur = currentVersion(dir)
-        require(cur.forall(_ < head),
-          s"publishBranch: fast-forward only — main is at " +
-            s"${cur.map("v" + _).getOrElse("<uncommitted>")}, branch " +
-            s"'$name' head v$head is not ahead; re-branch and re-audit")
-      } catch { case e: Throwable =>
-        java.nio.file.Files.deleteIfExists(tmp); throw e }
+      checkExpected(dir, expectedVersion, detail =
+        s" (branch '$name' untouched; re-read, re-audit and retry)")
+      val cur = currentVersion(dir)
+      require(cur.forall(_ < head),
+        s"publishBranch: fast-forward only — main is at " +
+          s"${cur.map("v" + _).getOrElse("<uncommitted>")}, branch " +
+          s"'$name' head v$head is not ahead; re-branch and re-audit")
       // log-before-flip, same crash-asymmetry reasoning as flipPointer
       logPublish(dir, head, "current")
-      java.nio.file.Files.move(tmp, pointer(dir),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      io(dir).publishPointer(tablePath(dir), "current", s"v$head")
     }
     head
   }
@@ -793,8 +737,8 @@ object SnapshotTable {
     * a branch that does not exist is a caller bug, not a no-op.
     */
   def dropBranch(dir: String, name: String): Unit = {
-    val p = refPtr(dir, name)
-    if (!java.nio.file.Files.deleteIfExists(p))
+    refPtr(dir, name) // validate the name
+    if (!io(dir).dropPointer(tablePath(dir), s"ref.$name"))
       throw new IllegalStateException(s"dropBranch: no branch '$name' under $dir")
   }
 
@@ -1225,7 +1169,13 @@ object SnapshotTable {
     * A filter over the chain read pushes into EVERY generation's scan
     * branch, so partition pruning applies per generation's own layout.
     */
-  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    // visibility gate, not just existence: on the rename-less profile a
+    // dead writer's half-copied v<N> directory is PRESENT on the store
+    // — reading it would silently return partial data. One metadata
+    // probe per chain generation, noise against the scan it fronts.
+    require(io(dir).versionVisible(tablePath(dir), version),
+      s"no complete version v$version under $dir")
     baseOf(dir, version) match {
       case Some(b) =>
         val dels = spark.read.parquet(s"$dir/v$version/_deletes")
@@ -1252,6 +1202,7 @@ object SnapshotTable {
             allowMissingColumns = true)
       }
     }
+  }
 
   /** Time travel CONFORMED to the live schema — the reader half of
     * schema evolution. Versions are immutable, so a commit that widens
@@ -2445,7 +2396,7 @@ object SnapshotTable {
     (all.takeRight(keepLast) ++ live ++
       branches(dir).flatMap(b => branchVersion(dir, b))).foreach(reach)
     val drop = all.filterNot(keep)
-    drop.foreach(v => deleteTree(s"$dir/v$v"))
+    drop.foreach(v => io(dir).dropVersion(tablePath(dir), v))
     gcStaged(dir)
     drop
   }
@@ -2463,8 +2414,11 @@ object SnapshotTable {
     val children = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     children.foreach { f =>
       val n = f.getName
-      if ((n.startsWith(".staged-") || n.startsWith(".current.tmp") ||
-          n.startsWith(".ref.tmp")) && now - f.lastModified() > ttlMs)
+      // ".current.tmp*"/".ref.tmp*" are legacy pre-FileIO temp names;
+      // the POSIX profile now writes ".<pointer-name>.tmp<hex>"
+      // (".current.tmp…", ".ref.<branch>.tmp…") — both shapes swept
+      if ((n.startsWith(".staged-") || n.startsWith(".current.") ||
+          n.startsWith(".ref.")) && now - f.lastModified() > ttlMs)
         deleteTree(f.getPath)
     }
   }
@@ -2496,8 +2450,10 @@ object SnapshotTable {
         "graft.snapshot.orphanGcMs", 24L * 3600 * 1000)): Seq[Long] = {
     val pubs = publishedRefs(dir)
     if (pubs.isEmpty) return Seq.empty
+    val fio = io(dir)
     val liveRefs = branches(dir).toSet ++
-      (if (java.nio.file.Files.exists(pointer(dir))) Set("current")
+      (if (fio.readPointer(tablePath(dir), "current").isDefined)
+         Set("current")
        else Set.empty[String])
     val keep = scala.collection.mutable.Set.empty[Long]
     def reach(v: Long): Unit =
@@ -2510,8 +2466,7 @@ object SnapshotTable {
     // a version a STILL-EXISTING ref ever published is HISTORY
     // (expire's domain, not ours), and keeps everything it reads
     pubs.foreach { case (v, refs) =>
-      if (refs.exists(liveRefs) &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"v$v")))
+      if (refs.exists(liveRefs) && fio.versionVisible(tablePath(dir), v))
         reach(v)
     }
     // pre-log history is indistinguishable from pre-log debris — keep
@@ -2523,10 +2478,18 @@ object SnapshotTable {
     val now = System.currentTimeMillis()
     val orphans = versions(dir).filter { v =>
       v > floor && !keep.contains(v) &&
-        now - new java.io.File(dir, s"v$v").lastModified() > olderThanMs
+        now - fio.claimedAtMs(tablePath(dir), v) > olderThanMs
     }
-    orphans.foreach(v => deleteTree(s"$dir/v$v"))
-    orphans
+    // plus torn debris no reader can ever see: claims whose writer died
+    // before sealing (only the rename-less profile can produce these —
+    // under POSIX a v<N> directory IS the seal). Same age bar: a young
+    // unsealed claim may be a live writer mid-copy RIGHT NOW.
+    val debris = fio.listDebris(tablePath(dir)).filter { v =>
+      v > floor && !keep.contains(v) &&
+        now - fio.claimedAtMs(tablePath(dir), v) > olderThanMs
+    }
+    (orphans ++ debris).distinct.sorted
+      .map { v => fio.dropVersion(tablePath(dir), v); v }
   }
 
   /** Serialize the pointer check-and-flip across processes via atomic

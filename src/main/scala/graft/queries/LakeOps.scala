@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Exact, SnapshotTable, Tables}
+import graft.ops.{Exact, ObjectStoreSnapshotFileIO, SimulatedStoreCrash}
+import graft.ops.{SnapshotFileIO, SnapshotTable, Tables}
 
 /** Lake-maintenance operators: the operational half of running a
   * 100 TB corpus — schemas drift across ingestion generations, and
@@ -2325,6 +2326,115 @@ object LakeOps {
        |  WHERE o_custkey = (SELECT min(o_custkey) FROM orders))""".stripMargin
   }
 
+  /** The commit protocol on a RENAME-LESS store
+    * ([[graft.ops.ObjectStoreSnapshotFileIO]]): the same
+    * delete+append+upsert chain every spine gate exercises, committed
+    * through the object-store profile — version claims arbitrated by
+    * conditional-PUT marker files, data moved by an openly non-atomic
+    * per-file copy, visibility granted only by the seal marker,
+    * pointer flips as append-only generation objects — with a crash
+    * injected MID-COPY between two commits. The gate requires the
+    * protocol's facts loudly: the torn directory is ON the store but
+    * in no reader's world (versions list, pointer, and reads all
+    * unchanged), the burned claim number is skipped (never reused
+    * under a possibly-live writer), and every published version
+    * carries its claim AND seal markers. The final chain read's
+    * aggregates match DuckDB recomputing delete+append+upsert from the
+    * source table — the engine's atomicity story made portable to
+    * stores where POSIX rename does not exist (S3-class semantics:
+    * conditional PUT, GET, LIST, DELETE), which is what "runs at
+    * 100 TB" actually requires of a table format.
+    */
+  private def snapshotStoreProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lakeBase(dir, "storeprofile")
+    SnapshotTable.deleteTree(base)
+    val shim = new ObjectStoreSnapshotFileIO
+    SnapshotFileIO.register(base, shim)
+    try {
+      val orders = Tables.orders(s, dir)
+        .select($"o_orderkey", Exact.micro("o_totalprice").as("price_micro"))
+      val k = $"o_orderkey"
+      val maxKey = orders.agg(max(k)).head.getLong(0)
+      // chain: full base -> MOR delete (0 mod 5) -> [CRASH mid-copy]
+      // -> append (1 mod 3, key-shifted) -> atomic upsert (0 mod 7 at
+      // +3 bump) — all through the rename-less protocol
+      val v1 = SnapshotTable.commit(orders, base,
+        expectedVersion = SnapshotTable.ExpectEmpty)
+      val v2 = SnapshotTable.commitDeletes(
+        orders.filter(pmod(k, lit(5)) === 0).select(k), base,
+        expectedVersion = v1)
+      val appendDf = orders.filter(pmod(k, lit(3)) === 1)
+        .withColumn("o_orderkey", k + lit(maxKey + 1L))
+      // a writer dies halfway through its data copy: claim marker
+      // down, data torn, seal never written
+      shim.crashAt = Some("mid-copy")
+      val crashed =
+        try {
+          SnapshotTable.commitAppend(appendDf, base, expectedVersion = v2)
+          false
+        } catch { case _: SimulatedStoreCrash => true }
+      require(crashed, "the injected mid-copy crash did not fire")
+      // the torn directory is ON the store and in NO reader's world
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(base, s"v${v2 + 1}")),
+        "the torn claim left no directory — the crash window is not real")
+      require(SnapshotTable.versions(base) == Seq(v1, v2) &&
+        SnapshotTable.currentVersion(base).contains(v2),
+        s"the torn claim leaked into the readable world: versions " +
+          s"${SnapshotTable.versions(base)}")
+      // the retry: the burned number is SKIPPED (its claimant could
+      // still be a live writer mid-copy), never silently reused
+      val v4 = SnapshotTable.commitAppend(appendDf, base,
+        expectedVersion = v2)
+      require(v4 == v2 + 2,
+        s"burned claim v${v2 + 1} must be skipped; retry claimed v$v4")
+      val chainNow = SnapshotTable.readAt(s, base, v4)
+      val batch = chainNow.filter(pmod(k, lit(7)) === 0)
+        .withColumn("price_micro", $"price_micro" + 3000000L)
+      val v5 = SnapshotTable.commitUpsert(batch, Seq("o_orderkey"), base,
+        expectedVersion = v4)
+      // protocol evidence on every PUBLISHED version: claim + seal
+      // markers present — no rename ever stood in for either
+      Seq(v1, v2, v4, v5).foreach { v =>
+        require(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(base, s"v$v._claim")) &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(base, s"v$v._sealed")),
+          s"v$v lacks its claim/seal markers — the commit bypassed " +
+            "the rename-less protocol")
+      }
+      SnapshotTable.readAt(s, base, v5)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"price_micro").as("s_micro"),
+          sum((k > maxKey).cast("long")).as("n_appended"))
+        .select($"n_rows", Exact.microSumTo4dp("s_micro").as("sum_price"),
+          $"n_appended", lit(true).as("rename_free"))
+    } finally SnapshotFileIO.unregister(base)
+  }
+
+  private val snapshotStoreProfileOracle = {
+    val p = Exact.microSql("o_totalprice")
+    s"""WITH t AS (SELECT o_orderkey AS k, $p AS pm FROM orders),
+       |mx AS (SELECT max(k) AS m FROM t),
+       |chain AS (
+       |  SELECT k, pm FROM t WHERE k % 5 <> 0
+       |  UNION ALL
+       |  SELECT k + (SELECT m FROM mx) + 1 AS k, pm FROM t
+       |  WHERE k % 3 = 1),
+       |merged AS (
+       |  SELECT k, pm FROM chain WHERE k % 7 <> 0
+       |  UNION ALL
+       |  SELECT k, pm + 3000000 FROM chain WHERE k % 7 = 0)
+       |SELECT count(*) AS n_rows,
+       |  ${Exact.microSumTo4dpSql("CAST(sum(pm) AS BIGINT)", Exact.DuckDiv)}
+       |    AS sum_price,
+       |  CAST(sum(CASE WHEN k > (SELECT m FROM mx) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_appended,
+       |  true AS rename_free
+       |FROM merged""".stripMargin
+  }
+
   /** The lake's DataSource V2 read surface
     * ([[graft.sources.SnapshotDataSource]]): `spark.read
     * .format("snapshot").load(dir)` — with `versionAsOf` /
@@ -2503,5 +2613,7 @@ object LakeOps {
     Q("snapshot_join_prune_dim_scan", snapshotJoinPruneDimScan,
       Some(snapshotJoinPruneDimScanOracle)),
     Q("snapshot_manifest_upsert_stats", snapshotManifestUpsertStats,
-      Some(snapshotManifestUpsertStatsOracle)))
+      Some(snapshotManifestUpsertStatsOracle)),
+    Q("snapshot_store_profile", snapshotStoreProfile,
+      Some(snapshotStoreProfileOracle)))
 }
