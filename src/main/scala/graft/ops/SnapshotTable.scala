@@ -1112,13 +1112,24 @@ object SnapshotTable {
       val keysDf = batch.select(keyCols.map(col): _*).distinct()
       val enc = (s: String) => java.net.URLEncoder.encode(s,
         java.nio.charset.StandardCharsets.UTF_8)
-      val krow = keysDf.agg(count(lit(1)).as("nk"),
-        keyCols.flatMap(c =>
-          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))): _*).head()
+      // ONE aggregation job for batch rows + distinct keys + key bounds
+      // (group by key, then fold the groups): the previous
+      // keysDf.agg + batch.count() pair was two scans of the batch for
+      // numbers one pass produces — min/max over the groups equal
+      // min/max over the rows, sum of group sizes is the row count,
+      // and group count (null groups included, unlike countDistinct)
+      // is the distinct-key count
+      val krow = batch.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_grp_rows"))
+        .agg(count(lit(1)).as("nk"),
+          sum(col("_grp_rows")).as("nr") +:
+            keyCols.flatMap(c =>
+              Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))): _*)
+        .head()
       val matched = readAt(spark, dir, expectedVersion)
         .join(keysDf, keyCols, "left_semi").count()
       Map(
-        "upsert_rows" -> batch.count().toString,
+        "upsert_rows" -> krow.getAs[Long]("nr").toString,
         "upsert_matched" -> matched.toString,
         "upsert_tombstones" -> krow.getAs[Long]("nk").toString) ++
         keyCols.map { c =>
@@ -1279,13 +1290,70 @@ object SnapshotTable {
 
   /** Gather per-file min/max/nullCount for `statsCols` over the staged
     * write and persist them as `_stats.tsv` inside it (so the sidecar
-    * is covered by the same atomic claim-rename as the data). One
-    * grouped scan keyed by `input_file_name()`, reading ONLY the stats
-    * columns; the collect is one row per data file — the same driver-
-    * bounded manifest scale as any table format's file list.
+    * is covered by the same atomic claim-rename as the data).
+    *
+    * Fast path (r20): the values come from the PARQUET FOOTERS of the
+    * files the write just produced — row counts, null counts and
+    * min/max ride in every column chunk's statistics, so the sidecar
+    * costs file-count-bounded driver I/O and ZERO Spark jobs (the move
+    * every real format makes: Iceberg collects its manifest metrics
+    * from the writer's footers). The footer path restricts itself to
+    * the types whose footer ordering provably matches the old
+    * aggregate's (`min(col).cast("string")`) semantics — integral
+    * (signed comparator = Spark's), string (parquet's unsigned-byte
+    * comparator = UTF8String ordering), date (day ordinal, rendered
+    * ISO like the cast) — and DEMOTES to the original one-job grouped
+    * scan for anything else: fractional/decimal columns (NaN / -0.0
+    * footer-vs-aggregate divergence), partition columns (absent from
+    * data files), or a footer with dropped statistics (parquet omits
+    * binary min/max past 4 KB). Either path feeds the same sink, so
+    * the sidecar bytes are identical — `StatsFooterParitySpec` pins
+    * that equivalence.
     */
   private def writeStatsSidecar(spark: SparkSession,
       staged: java.nio.file.Path, statsCols: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = statsRowsByFooter(conf, staged, statsCols)
+      .getOrElse(statsRowsByScan(spark, staged, statsCols))
+      .sortBy(r => (r.file, r.column))
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val lines = rows.map { r =>
+      Seq(enc(r.file), r.rowCount.toString, enc(r.column), r.tag,
+        r.minStr.map(enc).getOrElse(""), r.maxStr.map(enc).getOrElse(""),
+        r.nullCount.toString).mkString("\t")
+    }
+    java.nio.file.Files.writeString(staged.resolve("_stats.tsv"),
+      lines.sorted.mkString("", "\n", "\n"))
+    // the same stats AS A TABLE (`_manifest/`, parquet, covered by the
+    // atomic claim-rename like everything else in the staging dir): the
+    // metadata tree every real format keeps queryable (Iceberg's
+    // table.files, Delta's log). At 10^5 files a pruning decision is a
+    // DataFrame filter over this, not a driver readAllLines loop; the
+    // TSV stays as the human-readable compatibility sidecar. The rows
+    // are already ON the driver (file-count-bounded), so the tiny
+    // parquet is written directly — a Spark job per commit just to
+    // persist a handful of metadata rows was pure scheduler overhead.
+    writeManifestParquet(conf, staged.resolve("_manifest"), rows)
+  }
+
+  /** One per-(file, column) stats record — the unit both stats builders
+    * produce and both sidecar forms (`_stats.tsv`, `_manifest/`) are
+    * rendered from. `minStr`/`maxStr` are the exact strings the old
+    * aggregate produced (`min(col).cast("string")`), None for an
+    * all-null file.
+    */
+  private[graft] final case class FileColStats(file: String, rowCount: Long,
+      column: String, tag: String, minStr: Option[String],
+      maxStr: Option[String], nullCount: Long)
+
+  /** The original stats builder: one grouped scan of the staged files
+    * keyed by `input_file_name()`, collect one row per data file. The
+    * fallback for what footers cannot answer byte-identically —
+    * partition columns, fractional/decimal types, dropped footer stats.
+    */
+  private[graft] def statsRowsByScan(spark: SparkSession,
+      staged: java.nio.file.Path, statsCols: Seq[String]): Seq[FileColStats] = {
     val sdf = spark.read.parquet(staged.toString)
     val types = sdf.schema.fields.map(f => f.name -> f.dataType).toMap
     statsCols.foreach(c => require(types.contains(c),
@@ -1302,51 +1370,216 @@ object SnapshotTable {
       .agg(count(lit(1)).as("_rc"), aggs: _*)
       .collect()
     val marker = staged.getFileName.toString + "/"
-    val enc = (s: String) =>
-      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
-    val lines = rows.flatMap { r =>
+    rows.toSeq.flatMap { r =>
       val full = r.getString(r.fieldIndex("_f"))
       val i = full.indexOf(marker)
       require(i >= 0, s"stats scan returned a file outside the staging dir: $full")
       val rel = full.substring(i + marker.length)
       val rc = r.getLong(r.fieldIndex("_rc"))
       statsCols.map { c =>
-        val mn = Option(r.getString(r.fieldIndex(s"min_$c"))).map(enc)
-        val mx = Option(r.getString(r.fieldIndex(s"max_$c"))).map(enc)
-        val nn = r.getLong(r.fieldIndex(s"nulls_$c"))
-        Seq(enc(rel), rc.toString, enc(c), tags(c),
-          mn.getOrElse(""), mx.getOrElse(""), nn.toString).mkString("\t")
-      }
-    }
-    java.nio.file.Files.writeString(staged.resolve("_stats.tsv"),
-      lines.sorted.mkString("", "\n", "\n"))
-    // the same stats AS A TABLE (`_manifest/`, parquet, covered by the
-    // atomic claim-rename like everything else in the staging dir): the
-    // metadata tree every real format keeps queryable (Iceberg's
-    // table.files, Delta's log). At 10^5 files a pruning decision is a
-    // DataFrame filter over this, not a driver readAllLines loop; the
-    // TSV stays as the human-readable compatibility sidecar.
-    import spark.implicits._
-    val manifestRows = rows.flatMap { r =>
-      val full = r.getString(r.fieldIndex("_f"))
-      val rel = full.substring(full.indexOf(marker) + marker.length)
-      val rc = r.getLong(r.fieldIndex("_rc"))
-      statsCols.map { c =>
-        val mn = Option(r.getString(r.fieldIndex(s"min_$c")))
-        val mx = Option(r.getString(r.fieldIndex(s"max_$c")))
-        val num = (v: Option[String]) => tags(c) match {
-          case "long" | "double" | "decimal" => v.map(_.toDouble)
-          case _ => None
-        }
-        (rel, rc, c, tags(c), mn, mx, num(mn), num(mx),
+        FileColStats(rel, rc, c, tags(c),
+          Option(r.getString(r.fieldIndex(s"min_$c"))),
+          Option(r.getString(r.fieldIndex(s"max_$c"))),
           r.getLong(r.fieldIndex(s"nulls_$c")))
       }
-    }.toSeq
-    manifestRows
-      .toDF("file", "row_count", "column", "col_type", "min_str", "max_str",
-        "min_num", "max_num", "null_count")
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(staged.resolve("_manifest").toString)
+    }
+  }
+
+  /** Footer-based stats builder: reads each staged data file's parquet
+    * footer on the driver and renders the SAME records the grouped scan
+    * would. Returns None — "demote to the scan" — whenever equivalence
+    * cannot be proven from the footer alone: a stats column missing
+    * from the data-file schema (partition column or typo: the scan path
+    * resolves which, loudly), a non-integral/string/date physical type,
+    * a chunk whose statistics were dropped or lack a null count, or a
+    * row group that recorded no values for a non-empty chunk. False
+    * negatives here cost one extra Spark job; false positives would
+    * corrupt pruning — so every branch defaults to None.
+    */
+  private[graft] def statsRowsByFooter(
+      conf: org.apache.hadoop.conf.Configuration,
+      staged: java.nio.file.Path,
+      statsCols: Seq[String]): Option[Seq[FileColStats]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val dataFiles = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      val stream = java.nio.file.Files.walk(staged)
+      try stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith(".") &&
+            n.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+          out += p
+      } finally stream.close()
+      out.sortBy(_.toString).toSeq
+    }
+    if (dataFiles.isEmpty) return None
+    // internal value kind per column ("long" | "date" | "string"),
+    // fixed by the FIRST file's schema and required identical in every
+    // later file; the written tag folds date into "string" (ISO render)
+    // exactly like statsTag does
+    var kinds: Map[String, String] = null
+    val out = Seq.newBuilder[FileColStats]
+    for (f <- dataFiles) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val footer = try reader.getFooter finally reader.close()
+      val schema = footer.getFileMetaData.getSchema
+      val fileKinds = statsCols.map { c =>
+        if (!schema.containsField(c)) return None
+        val t = schema.getType(schema.getFieldIndex(c))
+        if (!t.isPrimitive) return None
+        val p = t.asPrimitiveType()
+        val kind = (p.getPrimitiveTypeName,
+            Option(p.getLogicalTypeAnnotation)) match {
+          case (PrimitiveTypeName.INT64, None) => "long"
+          case (PrimitiveTypeName.INT64,
+              Some(i: LogicalTypeAnnotation.IntLogicalTypeAnnotation))
+              if i.isSigned => "long"
+          case (PrimitiveTypeName.INT32, None) => "long"
+          case (PrimitiveTypeName.INT32,
+              Some(i: LogicalTypeAnnotation.IntLogicalTypeAnnotation))
+              if i.isSigned => "long"
+          case (PrimitiveTypeName.INT32,
+              Some(_: LogicalTypeAnnotation.DateLogicalTypeAnnotation)) =>
+            "date"
+          case (PrimitiveTypeName.BINARY,
+              Some(_: LogicalTypeAnnotation.StringLogicalTypeAnnotation)) =>
+            "string"
+          case _ => return None
+        }
+        c -> kind
+      }.toMap
+      if (kinds == null) kinds = fileKinds
+      else if (kinds != fileKinds) return None
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      // a 0-row file contributes no rows to the grouped scan either
+      if (rowCount > 0) {
+        val rel = staged.relativize(f).toString
+        for (c <- statsCols) {
+          val chunks = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c)
+              .getOrElse(return None)
+          }
+          val stats = chunks.map { ch =>
+            val st = ch.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            // a chunk with values but no recorded min/max (e.g. parquet
+            // drops binary stats past 4 KB) cannot prove equivalence
+            if (!st.hasNonNullValue && st.getNumNulls != ch.getValueCount)
+              return None
+            st
+          }
+          val nulls = stats.map(_.getNumNulls).sum
+          val withVals = stats.filter(_.hasNonNullValue)
+          val (minStr, maxStr): (Option[String], Option[String]) =
+            if (withVals.isEmpty) (None, None)
+            else kinds(c) match {
+              case "long" =>
+                val mins = withVals.map(_.genericGetMin.asInstanceOf[Number].longValue)
+                val maxs = withVals.map(_.genericGetMax.asInstanceOf[Number].longValue)
+                (Some(mins.min.toString), Some(maxs.max.toString))
+              case "date" =>
+                val mins = withVals.map(_.genericGetMin.asInstanceOf[Number].intValue)
+                val maxs = withVals.map(_.genericGetMax.asInstanceOf[Number].intValue)
+                (Some(java.time.LocalDate.ofEpochDay(mins.min.toLong).toString),
+                  Some(java.time.LocalDate.ofEpochDay(maxs.max.toLong).toString))
+              case _ =>
+                val mins = withVals.map(_.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                val maxs = withVals.map(_.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                val mn = mins.reduce((a, b) =>
+                  if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b)
+                val mx = maxs.reduce((a, b) =>
+                  if (java.util.Arrays.compareUnsigned(a, b) >= 0) a else b)
+                (Some(new String(mn, java.nio.charset.StandardCharsets.UTF_8)),
+                  Some(new String(mx, java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          val tag = if (kinds(c) == "date") "string" else kinds(c)
+          out += FileColStats(rel, rowCount, c, tag, minStr, maxStr, nulls)
+        }
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Write the `_manifest/` parquet from driver-resident stats rows —
+    * no Spark job; the schema (names, physical types, nullability)
+    * matches what the old `toDF(...).write.parquet` produced, so every
+    * existing reader (manifest(), chainStats, the DSv2 relation) sees
+    * identical bytes-on-read.
+    */
+  private def writeManifestParquet(
+      conf: org.apache.hadoop.conf.Configuration,
+      dest: java.nio.file.Path, rows: Seq[FileColStats]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val schema = Types.buildMessage()
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("file")
+      .required(INT64).named("row_count")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("column")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("col_type")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("min_str")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("max_str")
+      .optional(DOUBLE).named("min_num")
+      .optional(DOUBLE).named("max_num")
+      .required(INT64).named("null_count")
+      .named("spark_schema")
+    val num = (tag: String, v: Option[String]) => tag match {
+      case "long" | "double" | "decimal" => v.map(_.toDouble)
+      case _ => None
+    }
+    writeDriverParquet(conf, dest, schema) { (factory, write) =>
+      rows.foreach { r =>
+        val g = factory.newGroup()
+        g.add("file", r.file)
+        g.add("row_count", r.rowCount)
+        g.add("column", r.column)
+        g.add("col_type", r.tag)
+        r.minStr.foreach(v => g.add("min_str", v))
+        r.maxStr.foreach(v => g.add("max_str", v))
+        num(r.tag, r.minStr).foreach(v => g.add("min_num", v))
+        num(r.tag, r.maxStr).foreach(v => g.add("max_num", v))
+        g.add("null_count", r.nullCount)
+        write(g)
+      }
+    }
+  }
+
+  /** Shared driver-side tiny-parquet writer for metadata tables that
+    * ride inside a staging directory (`_manifest/`, `_bloomtab/`): the
+    * rows are already file-count-bounded driver data, so persisting
+    * them through a Spark job was a fixed ~0.1 s of scheduler overhead
+    * per commit — at a streaming table's 10^3-commit life, real money
+    * for zero work.
+    */
+  private def writeDriverParquet(
+      conf: org.apache.hadoop.conf.Configuration,
+      dest: java.nio.file.Path,
+      schema: org.apache.parquet.schema.MessageType)(
+      body: (org.apache.parquet.example.data.simple.SimpleGroupFactory,
+        org.apache.parquet.example.data.Group => Unit) => Unit): Unit = {
+    require(!java.nio.file.Files.exists(dest),
+      s"refusing to overwrite existing metadata table at $dest")
+    java.nio.file.Files.createDirectories(dest)
+    val part = dest.resolve(
+      s"part-00000-${java.util.UUID.randomUUID().toString.take(12)}.snappy.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.toUri), conf))
+      .withConf(conf)
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try body(
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema),
+      writer.write)
+    finally writer.close()
   }
 
   /** Parse a version's `_stats.tsv` (empty when the commit didn't ask
@@ -1489,15 +1722,33 @@ object SnapshotTable {
     // the probe must DISTRIBUTE (each task deserializes its rows'
     // filters, tests the keys, emits survivors only), which
     // [[pruneFilesBloom]]'s spark overload does. The TSV stays as the
-    // human-readable compatibility sidecar.
-    import spark.implicits._
-    rows.flatMap { r =>
-      val full = r.getString(r.fieldIndex("_f"))
-      val rel = full.substring(full.indexOf(marker) + marker.length)
-      bloomCols.map(c => (rel, c, r.getAs[Array[Byte]](r.fieldIndex(s"bf_$c"))))
-    }.toSeq.toDF("file", "column", "bits")
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(staged.resolve("_bloomtab").toString)
+    // human-readable compatibility sidecar. The rows are already ON
+    // the driver, so the tiny parquet is written directly (same
+    // no-Spark-job reasoning as the `_manifest` write).
+    val btSchema = {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      Types.buildMessage()
+        .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("file")
+        .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("column")
+        .optional(BINARY).named("bits")
+        .named("spark_schema")
+    }
+    writeDriverParquet(spark.sparkContext.hadoopConfiguration,
+      staged.resolve("_bloomtab"), btSchema) { (factory, write) =>
+      rows.foreach { r =>
+        val full = r.getString(r.fieldIndex("_f"))
+        val rel = full.substring(full.indexOf(marker) + marker.length)
+        bloomCols.foreach { c =>
+          val g = factory.newGroup()
+          g.add("file", rel)
+          g.add("column", c)
+          g.add("bits", org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            r.getAs[Array[Byte]](r.fieldIndex(s"bf_$c"))))
+          write(g)
+        }
+      }
+    }
   }
 
   /** Parse a version's `_bloom.tsv` into (file, column, filter) rows
