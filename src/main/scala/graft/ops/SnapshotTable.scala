@@ -2084,30 +2084,46 @@ object SnapshotTable {
     }
     val files = all.filter(col("file") =!= lit(TombstoneFoldMarker))
     val tombs = all.filter(col("file") === lit(TombstoneFoldMarker))
-    // stats rows repeat row_count per column: count each file once
-    val perFile = files.groupBy(col("generation"), col("file"))
+    // TWO distributed passes total (was ~2 + 2·|columns| separate
+    // jobs — each a fixed ~0.2 s of scheduler overhead on a
+    // metadata-sized frame): one per-file fold for data + tombstone
+    // totals together, one per-column fold for coverage + bounds.
+    // The manifest frame itself stays distributed (the 10^5-file
+    // design point); only the NUMBER of passes over it shrinks.
+    //
+    // stats rows repeat row_count per column: count each file once;
+    // tombstone records count once per generation (file is the marker)
+    val totals = all.groupBy(
+        (col("file") === lit(TombstoneFoldMarker)).as("is_tomb"),
+        col("generation"), col("file"))
       .agg(first(col("row_count")).as("rc"))
-    val nFiles = perFile.count()
-    val nRows = perFile.agg(sum(col("rc"))).head.getLong(0) -
-      Option(tombs.groupBy(col("generation"))
-        .agg(first(col("row_count")).as("m"))
-        .agg(sum(col("m"))).head.get(0)).map(_.asInstanceOf[Long])
-        .getOrElse(0L)
-    val boundsExact =
-      tombs.select(col("generation")).distinct().count() == 0L
+      .groupBy(col("is_tomb"))
+      .agg(count(lit(1)).as("n"), sum(col("rc")).as("rows"))
+      .collect()
+      .map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nFiles, dataRows) = totals.getOrElse(false, (0L, 0L))
+    val (nTombGens, matchedRows) = totals.getOrElse(true, (0L, 0L))
+    val nRows = dataRows - matchedRows
+    val boundsExact = nTombGens == 0L
+    val perCol = files
+      .groupBy(col("column"))
+      .agg(org.apache.spark.sql.functions
+          .countDistinct(col("generation"), col("file")).as("covered"),
+        min(col("min_num")).as("mn_num"), max(col("max_num")).as("mx_num"),
+        min(col("min_str")).as("mn_str"), max(col("max_str")).as("mx_str"))
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
     val out = columns.map { c =>
-      val cf = files.filter(col("column") === c)
-      val covered = cf.select(col("generation"), col("file"))
-        .distinct().count()
+      val r = perCol.get(c)
+      val covered = r.map(_.getLong(1)).getOrElse(0L)
       require(covered == nFiles,
         s"chainStats: column '$c' lacks stats on ${nFiles - covered} of " +
           s"$nFiles chain files — a partial bound is not a bound")
-      val r = cf.agg(min(col("min_num")), max(col("max_num")),
-        min(col("min_str")), max(col("max_str"))).head
-      (c, nRows, Option(r.get(0)).map(_.asInstanceOf[Double]),
-        Option(r.get(1)).map(_.asInstanceOf[Double]),
-        Option(r.get(2)).map(_.asInstanceOf[String]),
-        Option(r.get(3)).map(_.asInstanceOf[String]), boundsExact)
+      (c, nRows, r.flatMap(x => Option(x.get(2)).map(_.asInstanceOf[Double])),
+        r.flatMap(x => Option(x.get(3)).map(_.asInstanceOf[Double])),
+        r.flatMap(x => Option(x.get(4)).map(_.asInstanceOf[String])),
+        r.flatMap(x => Option(x.get(5)).map(_.asInstanceOf[String])),
+        boundsExact)
     }
     out.toDF("column", "n_rows", "min_num", "max_num", "min_str",
       "max_str", "bounds_exact")
