@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, s"shingle_hash_set expects 2 arguments, got ${exprs.length}")
         ShingleHashSet(exprs(0), litInt(exprs(1), "shingle_hash_set"), sorted = true)
       }))
+    e.injectFunction((FunctionIdentifier("term_counts"),
+      info("term_counts",
+        "term_counts(text) - (term, tf) structs of a single-space-tokenized document"),
+      { exprs =>
+        require(exprs.length == 1, s"term_counts expects 1 argument, got ${exprs.length}")
+        TermCounts(exprs(0))
+      }))
     e.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize",
         "unicode_normalize(text[, form]) - Unicode normalization (NFC default; NFKC/NFD/NFKD)"),

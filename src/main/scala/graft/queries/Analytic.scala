@@ -319,13 +319,32 @@ object Analytic {
   private def buildPostings[A](s: SparkSession, docs: DataFrame)(
       commit: (DataFrame, Long, Long, Long) => A): A = {
     import s.implicits._
+    // map-side posting construction (r20): tf is a per-document fact,
+    // so the (term, tf) pairs come from the codegen'd term_counts
+    // kernel INSIDE the row and dl is the row's own token count — the
+    // previous explode + groupBy(doc_id, term) + dl-join shuffled every
+    // token occurrence of the corpus (plus a second exchange for dl) to
+    // compute numbers each document already knows. Zero exchanges now;
+    // at index-build scale the token shuffle was the wall. The corpus
+    // scalars fold in the same pass: per-posting dl/doc_id aggregate to
+    // n docs (tf=dl on the first posting of a doc ⇒ count once via
+    // sum(tf)=Σdl identity is NOT used — see agg below), and nPostings
+    // is the frame's count.
     Tables.withPersisted(docs
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))) { dt =>
-      val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-      val totals = dl.agg(count(lit(1)).as("n"), sum($"dl").as("s")).head()
-      commit(dt.join(dl, "doc_id").select($"term", $"doc_id", $"tf", $"dl"),
-        totals.getLong(0), totals.getLong(1), dt.count())
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"),
+          explode(graft.plans.PostingExpressions.termCounts($"text")).as("tc"))
+        .select($"tc.term".as("term"), $"doc_id", $"tc.tf".as("tf"),
+          $"dl")) { posts =>
+      // one row per document: its dl rides every posting, so summing
+      // tf (= dl's composition) per doc is unnecessary — count docs
+      // and sum dl over the distinct-doc frame derived map-side from
+      // the FIRST posting of each doc (tf of the first token run is
+      // not usable; instead aggregate over the source docs frame:
+      // count(text) matches the old "docs with >= 1 posting" exactly,
+      // since split() of any non-null text yields >= 1 token)
+      val totals = docs.agg(count($"text").as("n"),
+        sum(size(split($"text", " ")).cast("long")).as("s")).head()
+      commit(posts, totals.getLong(0), totals.getLong(1), posts.count())
     }
   }
 
