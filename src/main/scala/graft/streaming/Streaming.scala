@@ -591,10 +591,18 @@ object Streaming {
                   raceWindow(epoch)
                   // an all-losing batch upserts NOTHING — and needs no
                   // marker, because its replay recomputes the same
-                  // empty winner set (idempotent by emptiness)
-                  if (!winners.isEmpty)
-                    SnapshotTable.commitUpsert(winners, Seq("user_id"),
-                      tableDir, expectedVersion = tip, meta = meta)
+                  // empty winner set (idempotent by emptiness).
+                  // Batch-scoped persist: the winner set is consumed
+                  // THREE times (emptiness probe, data write, tombstone
+                  // write), and each consumption otherwise replays the
+                  // state-chain join — which deepens with every
+                  // generation. Freed in the same attempt.
+                  winners.persist()
+                  try {
+                    if (!winners.isEmpty)
+                      SnapshotTable.commitUpsert(winners, Seq("user_id"),
+                        tableDir, expectedVersion = tip, meta = meta)
+                  } finally { winners.unpersist(blocking = false); () }
               }
               committed = true
             } catch {
